@@ -1,0 +1,126 @@
+"""Text functions: tokenizer, normalization, shingles, fingerprints.
+
+The reference keeps ONE tokenizer used at both index and query time
+(ref: nidx/nidx_paragraph/src/query_parser/tokenizer.rs — lowercase,
+unicode word split). We mirror that contract with a single JVM-side
+expression used everywhere, plus an equivalent DuckDB SQL snippet so
+oracle checks share the exact token stream.
+
+All functions return Column expressions (whole-stage codegen, no
+Python in the hot path). Each has a ``*_SQL`` template for the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenizer ---------------------------------------------------------
+# Contract: lowercase, split on any non-alphanumeric run, drop empties.
+# (ASCII-alnum split; the synthetic corpus is ASCII. Unicode classes
+# would use [^\p{L}\p{N}]+ — kept ASCII so DuckDB/Spark regex semantics
+# are byte-for-byte identical.)
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """text -> array<string> of lowercase tokens (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def tokenize_sql(expr: str) -> str:
+    """DuckDB SQL producing the identical token array."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokenize_sql(expr)})"
+
+
+# --- normalization (diacritics-insensitive match; ref:
+# nidx/nidx_relation/src/schema.rs `normalize`) ------------------------
+
+
+def normalize(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def normalize_sql(expr: str) -> str:
+    return f"lower(trim({expr}))"
+
+
+# --- fingerprint (exact-dup detection; md5 agrees between Spark and
+# DuckDB so the oracle can verify) --------------------------------------
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized,
+    whitespace-collapsed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+# --- shingles (word n-grams) for Jaccard / MinHash dedup ---------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined)."""
+    toks = tokenize(col)
+    # transform over indexes 0..len-n, slice+join. Pure JVM expressions.
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokenize_sql(expr)
+    return (
+        f"[array_to_string(list_slice(toks, i, i + {n - 1}), ' ') "
+        f"for i in range(1, greatest(len(toks) - {n - 1}, 0) + 1)]"
+    ).replace("toks", f"({toks})")
+
+
+# DuckDB list comprehension above needs `range`; simpler portable form
+# used by operators: generate shingles via UNNEST + windowing in SQL.
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Character n-grams of the normalized text (for fuzzy-ish dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(canon) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.substring(canon, i, n),  # type: ignore[arg-type]
+    )
+
+
+# --- portable 64-bit-ish hash -----------------------------------------
+# Spark xxhash64 and DuckDB hash() disagree, so for oracle-checkable
+# MinHash we derive a 60-bit integer from md5 hex (both engines agree
+# on md5). 15 hex chars = 60 bits, fits in signed int64.
+
+
+def md5_int60(col: Column, salt: str = "") -> Column:
+    salted = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def md5_int60_sql(expr: str, salt: str = "") -> str:
+    salted = f"concat('{salt}', {expr})" if salt else expr
+    return f"from_hex(substring(md5({salted}), 1, 15))::BIGINT"

@@ -1,0 +1,225 @@
+"""Catalog search: faceted resource browsing, title match, sort, page.
+
+Re-expresses the reference's PostgreSQL catalog
+(ref: nucliadb/src/nucliadb/common/catalog/pg.py:117-415) as Spark
+DataFrame ops. Each public function has a ``*_sql`` twin emitting the
+equivalent DuckDB SQL (used by the oracle harness): the catalog path
+in the reference IS SQL, so parity here is 1:1.
+
+Scale notes:
+- title-match & filters are row-local predicates → pushed to the scan.
+- facet counting is explode → filter → groupBy: one shuffle keyed by
+  facet value; facet cardinality is tiny (thousands) so AQE coalesces
+  the post-shuffle partitions. Per-root top-50 is a window over the
+  already-aggregated (small) facet counts.
+- pagination sorts with a deterministic (sort_key, rid) tiebreak and
+  uses TakeOrderedAndProject (orderBy+limit), never a global sort of
+  the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nucliadb_spark.functions.text import tokenize, tokenize_sql
+from nucliadb_spark.operators.filters import Expr, _sql_quote
+
+# --- title match kinds (ref: pg.py:362-394 _prepare_query_search) ------
+
+MATCH_KINDS = ("exact", "startswith", "words", "fuzzy", "endswith", "contains")
+
+
+def title_match(query: str, kind: str, column: str = "title") -> Column:
+    q = query.lower()
+    c = F.lower(F.col(column))
+    if kind == "exact":
+        return c == q
+    if kind == "startswith":
+        return c.startswith(q)
+    if kind == "words":
+        # every query token appears among the title tokens
+        toks = tokenize(F.lit(query))
+        return F.forall(toks, lambda t: F.array_contains(tokenize(column), t))
+    if kind == "fuzzy":
+        # any title token within edit distance 1 of the query term
+        # (ref fuzzy distance 1: nidx_relation/src/reader.rs:33)
+        return F.exists(
+            tokenize(column), lambda t: F.levenshtein(t, F.lit(q)) <= 1
+        )
+    if kind == "endswith":
+        return c.endswith(q)
+    if kind == "contains":
+        return c.contains(q)
+    raise ValueError(f"unknown match kind {kind}")
+
+
+def title_match_sql(query: str, kind: str, column: str = "title") -> str:
+    q = query.lower()
+    qs = _sql_quote(q)
+    c = f"lower({column})"
+    if kind == "exact":
+        return f"{c} = {qs}"
+    if kind == "startswith":
+        return f"starts_with({c}, {qs})"
+    if kind == "words":
+        return (
+            f"len(list_filter({tokenize_sql(_sql_quote(query))}, "
+            f"t -> NOT list_contains({tokenize_sql(column)}, t))) = 0"
+        )
+    if kind == "fuzzy":
+        return (
+            f"len(list_filter({tokenize_sql(column)}, "
+            f"t -> levenshtein(t, {qs}) <= 1)) > 0"
+        )
+    if kind == "endswith":
+        return f"ends_with({c}, {qs})"
+    if kind == "contains":
+        return f"contains({c}, {qs})"
+    raise ValueError(f"unknown match kind {kind}")
+
+
+# --- catalog search (ref: pg.py:117 search, :237 _prepare_query) -------
+
+
+def catalog_search(
+    resources: DataFrame,
+    query: str | None = None,
+    match_kind: str = "words",
+    filters: Expr | None = None,
+    sort_by: str = "created",
+    ascending: bool = False,
+    page_number: int = 0,
+    page_size: int = 20,
+) -> DataFrame:
+    """Filter + sort + paginate the resources table.
+
+    Deterministic pagination: tiebreak on rid. Offset pagination is
+    implemented with a row_number window over the top slice only —
+    we first cut to (page+1)*size rows via orderBy+limit (TopK, no
+    global sort) and then drop the earlier pages.
+    """
+    df = resources
+    if query:
+        df = df.filter(title_match(query, match_kind))
+    if filters is not None:
+        df = df.filter(filters.to_column())
+    sort_cols = [
+        F.col(sort_by).asc() if ascending else F.col(sort_by).desc(),
+        F.col("rid").asc(),
+    ]
+    take = (page_number + 1) * page_size
+    top = df.orderBy(*sort_cols).limit(take)
+    w = Window.orderBy(*sort_cols)
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > page_number * page_size)
+        .drop("_rn")
+    )
+
+
+def catalog_search_sql(
+    resources_sql: str,
+    query: str | None = None,
+    match_kind: str = "words",
+    filters: Expr | None = None,
+    sort_by: str = "created",
+    ascending: bool = False,
+    page_number: int = 0,
+    page_size: int = 20,
+    columns: str = "*",
+) -> str:
+    where = []
+    if query:
+        where.append(title_match_sql(query, match_kind))
+    if filters is not None:
+        where.append(filters.to_sql())
+    where_sql = ("WHERE " + " AND ".join(where)) if where else ""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH resources AS ({resources_sql})
+SELECT {columns} FROM resources
+{where_sql}
+ORDER BY {sort_by} {direction}, rid ASC
+LIMIT {page_size} OFFSET {page_number * page_size}
+"""
+
+
+def catalog_count(resources: DataFrame, filters: Expr | None = None) -> DataFrame:
+    """Total count of the filtered catalog (ref: pg.py:141-147)."""
+    df = resources
+    if filters is not None:
+        df = df.filter(filters.to_column())
+    return df.agg(F.count("*").alias("total"))
+
+
+# --- faceted search (ref: pg.py:124-138, 269-359) ----------------------
+
+
+def faceted_search(
+    resources: DataFrame,
+    roots: list[str],
+    filters: Expr | None = None,
+    top_k: int = 50,
+    labels_column: str = "labels",
+) -> DataFrame:
+    """Per-root child facet counts, top-k per root.
+
+    ref: _faceted_search_unfiltered / _faceted_search_filtered and the
+    index-side facet collector (nidx_text/src/reader.rs:43-62,
+    top_k=50). Output: (root, facet, count_), deterministic order not
+    required (driver hashes order-insensitively).
+    """
+    df = resources
+    if filters is not None:
+        df = df.filter(filters.to_column())
+    exploded = df.select(F.explode(labels_column).alias("facet"))
+    out = None
+    for root in roots:
+        part = (
+            exploded.filter(F.col("facet").startswith(root + "/"))
+            .groupBy("facet")
+            .agg(F.count("*").alias("count_"))
+            .withColumn("root", F.lit(root))
+        )
+        out = part if out is None else out.unionByName(part)
+    assert out is not None
+    w = Window.partitionBy("root").orderBy(
+        F.col("count_").desc(), F.col("facet").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+        .select("root", "facet", "count_")
+    )
+
+
+def faceted_search_sql(
+    resources_sql: str,
+    roots: list[str],
+    filters: Expr | None = None,
+    top_k: int = 50,
+) -> str:
+    where = f"WHERE {filters.to_sql()}" if filters is not None else ""
+    unions = []
+    for root in roots:
+        r = _sql_quote(root + "/")
+        unions.append(
+            f"""SELECT {_sql_quote(root)} AS root, facet, COUNT(*) AS count_
+FROM (SELECT unnest(labels) AS facet FROM filtered)
+WHERE starts_with(facet, {r})
+GROUP BY facet"""
+        )
+    union_sql = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH resources AS ({resources_sql}),
+filtered AS (SELECT * FROM resources {where}),
+counts AS ({union_sql}),
+ranked AS (
+  SELECT root, facet, count_,
+         row_number() OVER (PARTITION BY root ORDER BY count_ DESC, facet ASC) AS rn
+  FROM counts
+)
+SELECT root, facet, count_ FROM ranked WHERE rn <= {top_k}
+"""

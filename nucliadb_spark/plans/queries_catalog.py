@@ -1,0 +1,189 @@
+"""Registry entries: catalog path (SURVEY §2.2 F1-F8, §2.3 T10,
+§2.6 A2-A4, §2.7 O4) over the part-derived resources table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nucliadb_spark.operators import catalog as cat
+from nucliadb_spark.operators import filters as fx
+from nucliadb_spark.registry import register
+from nucliadb_spark.sources import tpch
+
+_CATALOG_COLS = "rid, title, slug, created, modified, status, origin_source"
+
+
+def _select_cols(df):
+    return df.select("rid", "title", "slug", "created", "modified", "status", "origin_source")
+
+
+# --- T10 + O4: title words match + sort + paginate ---------------------
+
+
+@register(
+    "catalog_words_paged",
+    cat.catalog_search_sql(
+        tpch.SQL_RESOURCES,
+        query="widget",
+        match_kind="words",
+        sort_by="created",
+        ascending=False,
+        page_number=1,
+        page_size=10,
+        columns=_CATALOG_COLS,
+    ),
+)
+def catalog_words_paged(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return _select_cols(
+        cat.catalog_search(
+            r, query="widget", match_kind="words", sort_by="created",
+            ascending=False, page_number=1, page_size=10,
+        )
+    )
+
+
+# --- T10 fuzzy title match (levenshtein<=1 token) ----------------------
+
+
+@register(
+    "catalog_fuzzy_title",
+    cat.catalog_search_sql(
+        tpch.SQL_RESOURCES,
+        query="widgit",  # 1 edit from "widget"
+        match_kind="fuzzy",
+        sort_by="rid",
+        ascending=True,
+        page_number=0,
+        page_size=50,
+        columns=_CATALOG_COLS,
+    ),
+)
+def catalog_fuzzy_title(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return _select_cols(
+        cat.catalog_search(
+            r, query="widgit", match_kind="fuzzy", sort_by="rid",
+            ascending=True, page_number=0, page_size=50,
+        )
+    )
+
+
+# --- F1/F2/F3/F6: boolean filter tree + date range + hidden ------------
+
+_FILTER_TREE = fx.And(
+    [
+        fx.Or([fx.Facet("/l/type/economy"), fx.Facet("/l/type/promo")]),
+        fx.Not(fx.Facet("/n/s/PENDING")),
+        fx.DateRange("created", since="1995-06-01 00:00:00", until="1996-06-01 00:00:00"),
+        fx.NotHidden(),
+    ]
+)
+
+
+@register(
+    "filter_expression_tree",
+    f"""
+WITH resources AS ({tpch.SQL_RESOURCES})
+SELECT {_CATALOG_COLS} FROM resources
+WHERE {_FILTER_TREE.to_sql()}
+""",
+)
+def filter_expression_tree(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return _select_cols(r.filter(_FILTER_TREE.to_column()))
+
+
+# --- F5: security filter ------------------------------------------------
+
+_SECURITY = fx.SecurityFilter(groups=["group-1", "group-3"])
+
+
+@register(
+    "security_filter",
+    f"""
+WITH resources AS ({tpch.SQL_RESOURCES})
+SELECT {_CATALOG_COLS} FROM resources
+WHERE {_SECURITY.to_sql()}
+""",
+)
+def security_filter(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return _select_cols(r.filter(_SECURITY.to_column()))
+
+
+# --- A2/A4 + A1: faceted search with filter ----------------------------
+
+_FACET_FILTER = fx.DateRange("created", since="1995-01-01 00:00:00", until="1996-01-01 00:00:00")
+
+
+@register(
+    "catalog_facets",
+    cat.faceted_search_sql(
+        tpch.SQL_RESOURCES, roots=["/l/type", "/l/brand", "/n/s"], filters=_FACET_FILTER
+    ),
+)
+def catalog_facets(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return cat.faceted_search(
+        r, roots=["/l/type", "/l/brand", "/n/s"], filters=_FACET_FILTER
+    )
+
+
+# --- A3: totals ---------------------------------------------------------
+
+
+@register(
+    "catalog_count",
+    f"""
+WITH resources AS ({tpch.SQL_RESOURCES})
+SELECT COUNT(*) AS total FROM resources WHERE {_FILTER_TREE.to_sql()}
+""",
+)
+def catalog_count(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return cat.catalog_count(r, filters=_FILTER_TREE)
+
+
+# --- F7: JSON-KV typed predicate over events.props ---------------------
+
+_JSON_FILTER = fx.And(
+    [
+        fx.JsonPath("props", "k", "gte", 10.0),
+        fx.JsonPath("props", "k", "lte", 50.0),
+        fx.FieldEquals("event_type", "purchase"),
+    ]
+)
+
+
+@register(
+    "json_kv_filter",
+    f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE {_JSON_FILTER.to_sql()}
+""",
+)
+def json_kv_filter(spark, sf_dir):
+    e = tpch.table(spark, sf_dir, "events")
+    return e.filter(_JSON_FILTER.to_column()).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# --- F4: keyword filter over documents ---------------------------------
+
+_KW = fx.And([fx.Keyword("spark", column="text"), fx.Keyword("vector", column="text")])
+
+
+@register(
+    "keyword_filter",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_KW.to_sql()}
+""",
+)
+def keyword_filter(spark, sf_dir):
+    d = tpch.table(spark, sf_dir, "documents")
+    return d.filter(_KW.to_column()).select("doc_id", "lang", "source")

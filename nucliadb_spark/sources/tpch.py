@@ -1,0 +1,255 @@
+"""Adapter: the driver's TPC-H-ish parquet tables → engine tables.
+
+FIXTURES.md §7 defines this mapping (part→resources, documents→
+fields/paragraphs, embeddings→vectors, lineitem/orders→relations).
+Every derivation here has a matching DuckDB SQL CTE string
+(``SQL_*``) so oracle queries run the IDENTICAL projection — parity
+by construction.
+
+Scale notes: all builds are narrow projections / unions over the base
+parquet (no shuffle); `relations` is a union of three projections of
+lineitem/orders and stays partition-local. At 100 TB these read as
+columnar scans with pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_raw(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; Spark reads it as long
+        # nanos (legacy.parquet.nanosAsLong). Floor-truncate to µs —
+        # exactly what DuckDB does reading the same file.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# ---------------------------------------------------------------------
+# resources: catalog rows derived from `part`.
+# ref schema: FIXTURES.md §1 / common/catalog/pg.py:72-92.
+# created = 1995-01-01 + (p_partkey % 730) days  (deterministic).
+# labels  = [/l/type/{p_type}, /l/brand/{p_brand}, /n/s/{status}, /n/i/text/plain]
+# status  = PROCESSED unless p_partkey % 17 == 0 → PENDING
+# hidden  = p_partkey % 31 == 0
+# ---------------------------------------------------------------------
+
+
+def resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    status = F.when(F.col("p_partkey") % 17 == 0, "PENDING").otherwise("PROCESSED")
+    created = F.expr(
+        "timestamp '1995-01-01 00:00:00' + make_interval(0, 0, 0, p_partkey % 730, 0, 0, 0)"
+    )
+    return p.select(
+        F.lit("kb0").alias("kbid"),
+        F.col("p_partkey").cast("long").alias("rid"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("part-"), F.col("p_partkey")).alias("slug"),
+        created.alias("created"),
+        (created + F.expr("make_interval(0,0,0,0, p_partkey % 24, 0, 0)")).alias(
+            "modified"
+        ),
+        status.alias("status"),
+        (F.col("p_partkey") % 31 == 0).alias("hidden"),
+        F.array(
+            F.concat(F.lit("/l/type/"), F.lower("p_type")),
+            F.concat(F.lit("/l/brand/"), F.col("p_brand")),
+            F.concat(F.lit("/n/s/"), status),
+            F.lit("/n/i/text/plain"),
+        ).alias("labels"),
+        (F.col("p_partkey") % 3 != 0).alias("security_public"),
+        F.array(F.concat(F.lit("group-"), F.col("p_partkey") % 5)).alias(
+            "security_groups"
+        ),
+        F.element_at(
+            F.array(F.lit("WEB"), F.lit("DESKTOP"), F.lit("API")),
+            (F.col("p_partkey") % 3 + 1).cast("int"),
+        ).alias("origin_source"),
+        F.col("p_size").alias("size"),
+        F.col("p_retailprice").alias("price"),
+    )
+
+
+SQL_RESOURCES = """
+SELECT
+  'kb0' AS kbid,
+  CAST(p_partkey AS BIGINT) AS rid,
+  p_name AS title,
+  concat('part-', p_partkey) AS slug,
+  TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (p_partkey % 730) DAY AS created,
+  TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (p_partkey % 730) DAY
+      + INTERVAL (p_partkey % 24) HOUR AS modified,
+  CASE WHEN p_partkey % 17 = 0 THEN 'PENDING' ELSE 'PROCESSED' END AS status,
+  p_partkey % 31 = 0 AS hidden,
+  [concat('/l/type/', lower(p_type)),
+   concat('/l/brand/', p_brand),
+   concat('/n/s/', CASE WHEN p_partkey % 17 = 0 THEN 'PENDING' ELSE 'PROCESSED' END),
+   '/n/i/text/plain'] AS labels,
+  p_partkey % 3 <> 0 AS security_public,
+  [concat('group-', p_partkey % 5)] AS security_groups,
+  (['WEB', 'DESKTOP', 'API'])[(p_partkey % 3 + 1)] AS origin_source,
+  p_size AS size,
+  p_retailprice AS price
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------
+# fields: one text field per document (documents table).
+# labels = [/s/p/{lang}, /u/s/{source}]
+# ---------------------------------------------------------------------
+
+
+def fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.lit("kb0").alias("kbid"),
+        F.col("doc_id").cast("long").alias("rid"),
+        F.lit("t").alias("field_type"),
+        F.lit("body").alias("field_id"),
+        F.lit("/t/body").alias("field_key"),
+        F.col("text"),
+        F.col("lang").alias("language"),
+        F.col("source"),
+        F.col("n_chars"),
+        F.array(
+            F.concat(F.lit("/s/p/"), F.col("lang")),
+            F.concat(F.lit("/u/s/"), F.col("source")),
+        ).alias("labels"),
+    )
+
+
+SQL_FIELDS = """
+SELECT
+  'kb0' AS kbid,
+  CAST(doc_id AS BIGINT) AS rid,
+  't' AS field_type,
+  'body' AS field_id,
+  '/t/body' AS field_key,
+  text,
+  lang AS language,
+  source,
+  n_chars,
+  [concat('/s/p/', lang), concat('/u/s/', source)] AS labels
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# vectors: embeddings table keyed by vec_id; vec_id ↔ doc_id aligns
+# 1:1 with documents (both 500·sf·1000 rows).
+# ---------------------------------------------------------------------
+
+
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.lit("kb0").alias("kbid"),
+        F.col("vec_id").cast("long").alias("rid"),
+        F.col("vec_id").cast("long").alias("paragraph_id"),
+        F.col("embedding").alias("vector"),
+        F.col("label").alias("cluster_label"),
+    )
+
+
+SQL_VECTORS = """
+SELECT
+  'kb0' AS kbid,
+  CAST(vec_id AS BIGINT) AS rid,
+  CAST(vec_id AS BIGINT) AS paragraph_id,
+  embedding AS vector,
+  label AS cluster_label
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------
+# relations: knowledge-graph triples from lineitem + orders.
+#   part:{pk}     —SUPPLIED_BY→ supplier:{sk}   (distinct, from lineitem)
+#   order:{ok}    —CONTAINS→    part:{pk}       (distinct, from lineitem)
+#   customer:{ck} —PLACED→      order:{ok}      (from orders)
+# ref triple shape: utils.proto:7-49; FIXTURES.md §5.
+# ---------------------------------------------------------------------
+
+
+def relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    supplied = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("source_value"),
+        F.lit("ENTITY").alias("source_type"),
+        F.lit("PART").alias("source_subtype"),
+        F.lit("SUPPLIED_BY").alias("relation_label"),
+        F.concat(F.lit("supplier:"), F.col("l_suppkey")).alias("target_value"),
+        F.lit("ENTITY").alias("target_type"),
+        F.lit("SUPPLIER").alias("target_subtype"),
+    ).distinct()
+    contains = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey")).alias("source_value"),
+        F.lit("ENTITY").alias("source_type"),
+        F.lit("ORDER").alias("source_subtype"),
+        F.lit("CONTAINS").alias("relation_label"),
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("target_value"),
+        F.lit("ENTITY").alias("target_type"),
+        F.lit("PART").alias("target_subtype"),
+    ).distinct()
+    placed = o.select(
+        F.concat(F.lit("customer:"), F.col("o_custkey")).alias("source_value"),
+        F.lit("ENTITY").alias("source_type"),
+        F.lit("CUSTOMER").alias("source_subtype"),
+        F.lit("PLACED").alias("relation_label"),
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("target_value"),
+        F.lit("ENTITY").alias("target_type"),
+        F.lit("ORDER").alias("target_subtype"),
+    )
+    return supplied.unionByName(contains).unionByName(placed)
+
+
+SQL_RELATIONS = """
+SELECT DISTINCT
+  concat('part:', l_partkey) AS source_value,
+  'ENTITY' AS source_type, 'PART' AS source_subtype,
+  'SUPPLIED_BY' AS relation_label,
+  concat('supplier:', l_suppkey) AS target_value,
+  'ENTITY' AS target_type, 'SUPPLIER' AS target_subtype
+FROM lineitem
+UNION ALL
+SELECT DISTINCT
+  concat('order:', l_orderkey),
+  'ENTITY', 'ORDER',
+  'CONTAINS',
+  concat('part:', l_partkey),
+  'ENTITY', 'PART'
+FROM lineitem
+UNION ALL
+SELECT
+  concat('customer:', o_custkey),
+  'ENTITY', 'CUSTOMER',
+  'PLACED',
+  concat('order:', o_orderkey),
+  'ENTITY', 'ORDER'
+FROM orders
+"""

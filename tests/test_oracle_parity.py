@@ -1,0 +1,29 @@
+"""Runs every registered query against its DuckDB oracle — the local
+mirror of the driver's t2 correctness gate."""
+
+import pytest
+
+from nucliadb_spark import registry
+from tests.oracle import compare, duckdb_conn
+
+QUERIES = registry.queries()
+ORACLES = registry.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, con, ORACLES[name], name=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
