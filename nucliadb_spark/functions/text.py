@@ -38,6 +38,18 @@ def tokenize_sql(expr: str) -> str:
     )
 
 
+def tokenize_py(text: str) -> list[str]:
+    """Driver-side twin of :func:`tokenize` for query strings.
+
+    Used by query parsers (BM25, suggest) so query terms share the
+    exact token contract of the indexed corpus — the reference keeps
+    one tokenizer for both sides (tokenizer.rs).
+    """
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 

@@ -1,0 +1,251 @@
+"""BM25 fulltext search as DataFrame ops (SURVEY §2.3 T1-T4, T8).
+
+Re-expresses the reference's tantivy-backed text search
+(ref: nidx/nidx_text/src/reader.rs:367-451 `do_search`,
+nidx/nidx_paragraph/src/query_parser.rs:69-113) Spark-first:
+
+- index = two derived tables, ``postings(rid, term, tf)`` and
+  ``docstats(rid, dl)``, built with explode + groupBy (map-side
+  partial aggregation; at scale these persist as parquet bucketed by
+  ``term`` / ``rid`` — see ``build_index``).
+- scoring = classic BM25 with tantivy defaults k1=1.2, b=0.75 and
+  tantivy's idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+- a query touches only its own terms: the postings scan is filtered
+  with ``term IN (...)`` (pushed to parquet when postings persist),
+  term document-frequencies are a tiny broadcast join, corpus stats a
+  1-row broadcast. The only full shuffle is the per-doc score sum,
+  keyed by rid.
+- top-k = orderBy+limit (TakeOrderedAndProject — per-partition heap,
+  no global sort).
+
+Scores are emitted as DECIMAL(18,4) so DuckDB-oracle hashes match
+bit-for-bit (both engines round the same double to the same decimal).
+
+Modes: ``any`` (paragraph index semantics, Occur::Should —
+query_parser/keyword_parser.rs:27-100), ``all`` (text index
+conjunctive-by-default — search_query.rs:92-126). Fuzzy expansion
+(levenshtein ≤ 1 against the vocabulary, boost ×0.5 —
+fuzzy_parser.rs, search_query.rs:230-241) and quoted-phrase matching
+are composable on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nucliadb_spark.functions.text import tokenize, tokenize_py, tokenize_sql
+from nucliadb_spark.operators.filters import Expr, _sql_quote
+
+K1 = 1.2
+B = 0.75
+SCORE_TYPE = "decimal(18,4)"
+
+
+# --- index build --------------------------------------------------------
+
+
+def postings(fields: DataFrame, id_col: str = "rid", text_col: str = "text") -> DataFrame:
+    """(rid, term, tf) term frequencies. One shuffle keyed (rid, term)."""
+    return (
+        fields.select(F.col(id_col).alias("rid"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("rid", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def doc_stats(fields: DataFrame, id_col: str = "rid", text_col: str = "text") -> DataFrame:
+    """(rid, dl) document lengths in tokens."""
+    return fields.select(
+        F.col(id_col).alias("rid"), F.size(tokenize(text_col)).cast("double").alias("dl")
+    )
+
+
+def build_index(fields: DataFrame, path: str) -> None:
+    """Persist the text index for reuse across queries (the batch
+    analog of tantivy segment build, ref: nidx_tantivy/src/lib.rs).
+
+    postings bucketed by term → a query's `term IN` probe prunes
+    files; docstats partitioned like the corpus.
+    """
+    postings(fields).write.mode("overwrite").parquet(f"{path}/postings")
+    doc_stats(fields).write.mode("overwrite").parquet(f"{path}/docstats")
+
+
+# --- scoring ------------------------------------------------------------
+
+
+def bm25_search(
+    fields: DataFrame,
+    query: str,
+    top_k: int = 20,
+    mode: str = "any",
+    fuzzy: bool = False,
+    with_ematches: bool = False,
+    prefilter: Expr | None = None,
+    id_col: str = "rid",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k: (rid, score[, ematches]).
+
+    prefilter: field-level filter evaluated BEFORE scoring — the
+    reference's prefilter-semijoin plan shape (J1, reader.rs:148-180).
+    Here the filter lands directly on the fields scan, so Catalyst
+    pushes it into the parquet read; postings derive from the already
+    filtered corpus. Corpus stats (N, avgdl, df) also use the
+    filtered corpus, like a per-shard tantivy searcher would.
+    """
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        raise ValueError("empty query")
+    if prefilter is not None:
+        fields = fields.filter(prefilter.to_column())
+
+    post = postings(fields, id_col, text_col)
+    stats = doc_stats(fields, id_col, text_col)
+    corpus = stats.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+    if fuzzy:
+        # vocabulary is small (distinct terms); expand query terms to
+        # all vocab terms within edit distance 1, exact match boosted
+        # 1.0 vs fuzzy 0.5 (ref: search_query.rs:235-241).
+        vocab = post.select("term").distinct()
+        qt = F.array(*[F.lit(t) for t in terms])
+        matched = vocab.filter(
+            F.exists(qt, lambda q: F.levenshtein(F.col("term"), q) <= 1)
+        ).withColumn(
+            "boost",
+            F.when(F.col("term").isin(terms), F.lit(1.0)).otherwise(F.lit(0.5)),
+        )
+    else:
+        matched = (
+            post.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+            .withColumn("boost", F.lit(1.0))
+        )
+
+    hits = post.join(F.broadcast(matched), "term")
+    dfreq = hits.groupBy("term", "boost").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(stats, "rid")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            F.col("boost")
+            * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    aggs = [
+        F.sum("contrib").alias("raw_score"),
+        F.count("*").alias("nterms"),
+    ]
+    if with_ematches:
+        aggs.append(F.sort_array(F.collect_set("term")).alias("ematches"))
+    by_doc = scored.groupBy("rid").agg(*aggs)
+    if mode == "all":
+        by_doc = by_doc.filter(F.col("nterms") == len(terms))
+    out_cols = ["rid", F.round("raw_score", 4).cast(SCORE_TYPE).alias("score")]
+    if with_ematches:
+        out_cols.append(F.col("ematches"))
+    return (
+        by_doc.select(*out_cols)
+        .orderBy(F.col("score").desc(), F.col("rid").asc())
+        .limit(top_k)
+    )
+
+
+def bm25_sql(
+    fields_sql: str,
+    query: str,
+    top_k: int = 20,
+    mode: str = "any",
+    fuzzy: bool = False,
+    with_ematches: bool = False,
+    where: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` (same CTE pipeline)."""
+    terms = sorted(set(tokenize_py(query)))
+    term_list = ", ".join(_sql_quote(t) for t in terms)
+    where_sql = f"WHERE {where}" if where else ""
+    if fuzzy:
+        matched = f"""
+matched AS (
+  SELECT term,
+         CASE WHEN term IN ({term_list}) THEN 1.0 ELSE 0.5 END AS boost
+  FROM (SELECT DISTINCT term FROM post)
+  WHERE len(list_filter([{term_list}], q -> levenshtein(term, q) <= 1)) > 0
+)"""
+    else:
+        matched = f"""
+matched AS (
+  SELECT unnest([{term_list}]) AS term, 1.0 AS boost
+)"""
+    ematch_agg = (
+        ", list_sort(list(DISTINCT p.term)) AS ematches" if with_ematches else ""
+    )
+    ematch_col = ", ematches" if with_ematches else ""
+    having = f"HAVING COUNT(*) = {len(terms)}" if mode == "all" else ""
+    return f"""
+WITH fields AS ({fields_sql}),
+filtered AS (SELECT * FROM fields {where_sql}),
+toks AS (
+  SELECT rid, unnest({tokenize_sql("text")}) AS term FROM filtered
+),
+post AS (SELECT rid, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+docstats AS (SELECT rid, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),
+{matched},
+dfreq AS (
+  SELECT p.term, m.boost, COUNT(*)::DOUBLE AS df
+  FROM post p JOIN matched m USING (term)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.rid,
+         SUM(d.boost
+             * ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * p.tf * ({K1} + 1.0)
+             / (p.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl))) AS raw_score,
+         COUNT(*) AS nterms
+         {ematch_agg}
+  FROM post p
+  JOIN dfreq d USING (term)
+  JOIN docstats s USING (rid)
+  CROSS JOIN corpus c
+  GROUP BY p.rid
+  {having}
+)
+SELECT rid, ROUND(raw_score, 4)::DECIMAL(18,4) AS score {ematch_col}
+FROM scored
+ORDER BY score DESC, rid ASC
+LIMIT {top_k}
+"""
+
+
+# --- phrase match (T2 quoted phrases) ------------------------------------
+# The synthetic corpus is space-separated tokens; phrase containment on
+# the normalized token stream is exact positional matching. The padded
+# single-space form reproduces tantivy PhraseQuery semantics for this
+# token contract (see keyword_parser.rs:27-100 quoted → PhraseQuery).
+
+
+def phrase_match(text_col: str, phrase: str) -> F.Column:
+    canon = F.concat(
+        F.lit(" "), F.array_join(tokenize(text_col), " "), F.lit(" ")
+    )
+    needle = " " + " ".join(tokenize_py(phrase)) + " "
+    return canon.contains(needle)
+
+
+def phrase_match_sql(text_expr: str, phrase: str) -> str:
+    needle = " " + " ".join(tokenize_py(phrase)) + " "
+    return (
+        f"contains(' ' || array_to_string({tokenize_sql(text_expr)}, ' ') || ' ', "
+        f"{_sql_quote(needle)})"
+    )

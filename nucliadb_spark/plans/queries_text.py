@@ -1,0 +1,131 @@
+"""Registry entries: BM25 text search (SURVEY §2.3 T1-T4, T8; §2.2
+F9 prefilter; §2.6 A1 facet counts over fields)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nucliadb_spark.operators import bm25
+from nucliadb_spark.operators import filters as fx
+from nucliadb_spark.registry import register
+from nucliadb_spark.sources import tpch
+
+# --- T2/O1: disjunctive paragraph-style keyword search ------------------
+
+
+@register(
+    "bm25_keyword",
+    bm25.bm25_sql(tpch.SQL_FIELDS, "spark join window", top_k=20, mode="any"),
+)
+def bm25_keyword(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return bm25.bm25_search(f, "spark join window", top_k=20, mode="any")
+
+
+# --- T1: conjunctive text-index search -----------------------------------
+
+
+@register(
+    "bm25_conjunctive",
+    bm25.bm25_sql(tpch.SQL_FIELDS, "vector stream batch", top_k=20, mode="all"),
+)
+def bm25_conjunctive(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return bm25.bm25_search(f, "vector stream batch", top_k=20, mode="all")
+
+
+# --- T3: fuzzy query (levenshtein<=1 vocab expansion, 0.5 boost) ---------
+
+
+@register(
+    "bm25_fuzzy",
+    bm25.bm25_sql(tpch.SQL_FIELDS, "spak windoq", top_k=20, fuzzy=True),
+)
+def bm25_fuzzy(spark, sf_dir):
+    # "spak"→spark (1 insert), "windoq"→window (1 substitution)
+    f = tpch.fields(spark, sf_dir)
+    return bm25.bm25_search(f, "spak windoq", top_k=20, fuzzy=True)
+
+
+# --- T8: ematches (matched terms carried through scoring) ----------------
+
+
+@register(
+    "bm25_ematches",
+    bm25.bm25_sql(
+        tpch.SQL_FIELDS, "query filter agg", top_k=15, with_ematches=True
+    ),
+)
+def bm25_ematches(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return bm25.bm25_search(f, "query filter agg", top_k=15, with_ematches=True)
+
+
+# --- F9/J1: prefilter semijoin — filter fields first, score the rest ----
+
+_PREFILTER = fx.And(
+    [fx.Facet("/s/p/en"), fx.Or([fx.Facet("/u/s/src3"), fx.Facet("/u/s/src7")])]
+)
+
+
+@register(
+    "bm25_prefiltered",
+    bm25.bm25_sql(
+        tpch.SQL_FIELDS,
+        "merge sort key",
+        top_k=20,
+        where=_PREFILTER.to_sql(),
+    ),
+)
+def bm25_prefiltered(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return bm25.bm25_search(f, "merge sort key", top_k=20, prefilter=_PREFILTER)
+
+
+# --- T2 quoted phrase -----------------------------------------------------
+
+
+@register(
+    "phrase_match",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS})
+SELECT rid, language, source FROM fields
+WHERE {bm25.phrase_match_sql("text", "batch batch")}
+ORDER BY rid
+""",
+)
+def phrase_match(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return (
+        f.filter(bm25.phrase_match("text", "batch batch"))
+        .select("rid", "language", "source")
+        .orderBy("rid")
+    )
+
+
+# --- A1: facet counting over the fields index (labels column) -----------
+
+
+@register(
+    "field_facet_counts",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS}),
+counts AS (
+  SELECT facet, COUNT(*) AS count_
+  FROM (SELECT unnest(labels) AS facet FROM fields)
+  WHERE starts_with(facet, '/s/p/')
+  GROUP BY facet
+)
+SELECT facet, count_ FROM counts ORDER BY count_ DESC, facet ASC LIMIT 50
+""",
+)
+def field_facet_counts(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return (
+        f.select(F.explode("labels").alias("facet"))
+        .filter(F.col("facet").startswith("/s/p/"))
+        .groupBy("facet")
+        .agg(F.count("*").alias("count_"))
+        .orderBy(F.col("count_").desc(), F.col("facet").asc())
+        .limit(50)
+    )
