@@ -50,6 +50,32 @@ def cosine_sql(a: str, b: str) -> str:
     return f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
+# --- unrolled twins ------------------------------------------------------
+# DuckDB's list_dot_product/list_cosine_similarity may accumulate in a
+# different order than Spark's F.aggregate fold; for bit-exact oracle
+# hashes we unroll the known dimension into a left-associative chain —
+# IEEE addition then matches the fold term for term (1-based DuckDB
+# list indexing).
+
+
+def dot_sql_unrolled(a: str, b: str, dim: int) -> str:
+    return "(" + " + ".join(
+        f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def norm_sql_unrolled(a: str, dim: int) -> str:
+    sq = " + ".join(f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    return f"sqrt({sq})"
+
+
+def cosine_sql_unrolled(a: str, b: str, dim: int) -> str:
+    return (
+        f"({dot_sql_unrolled(a, b, dim)} / "
+        f"({norm_sql_unrolled(a, dim)} * {norm_sql_unrolled(b, dim)}))"
+    )
+
+
 def lit_vector(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 

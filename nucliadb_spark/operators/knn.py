@@ -1,0 +1,179 @@
+"""Vector search: exact KNN, filtered KNN, multivector MaxSim
+(SURVEY §2.4 V2, V4, V5, V6, V7).
+
+The reference serves ANN from a per-segment HNSW graph
+(ref: nidx/nidx_vector/src/hnsw/search.rs:242-388); batch-first Spark
+replaces the graph walk with a scan-and-top-k plan:
+
+- exact KNN = one pass over the vectors table computing the
+  similarity as a pure Column expression (whole-stage codegen over
+  array<float>, no Python), then ``orderBy(score).limit(k)`` which
+  Spark executes as TakeOrderedAndProject — a per-partition heap +
+  driver merge, NO global sort and NO shuffle of the scored rows.
+- the query vector rides in as a 1-row broadcast (crossJoin) so the
+  whole plan stays declarative — no driver-side collect.
+- filtered search (V5 formula / F9 prefilter) filters BEFORE scoring
+  (exact, unlike the reference's during-walk filter — batch makes
+  filter-then-score natural and strictly more accurate).
+- multivector MaxSim (V6, searcher.rs:345-394): explode query
+  vectors → per-vector sim → groupBy(target) agg of per-query max,
+  summed. One shuffle keyed by target id.
+
+At 100 TB the same plan parallelizes linearly (scan-heavy, shuffle
+only carries k rows per partition); the IVF-accelerated path lives in
+operators/ann.py.
+
+Scores are DECIMAL(18,5); similarity math is double with
+left-associative accumulation, mirrored exactly by the unrolled
+oracle SQL (functions/vector.py), so hashes match bit-for-bit.
+Similarity: dot | cosine (ref: config.rs:163-168); min_score cut V7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nucliadb_spark.functions import vector as V
+from nucliadb_spark.operators.filters import Expr
+
+SCORE_TYPE = "decimal(18,5)"
+
+
+def _sim(similarity: str, a: Column, b: Column) -> Column:
+    if similarity == "dot":
+        return V.dot(a, b)
+    if similarity == "cosine":
+        return V.cosine(a, b)
+    raise ValueError(f"unknown similarity {similarity}")
+
+
+def sim_sql(similarity: str, a: str, b: str, dim: int) -> str:
+    if similarity == "dot":
+        return V.dot_sql_unrolled(a, b, dim)
+    if similarity == "cosine":
+        return V.cosine_sql_unrolled(a, b, dim)
+    raise ValueError(f"unknown similarity {similarity}")
+
+
+def exact_knn(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    similarity: str = "cosine",
+    min_score: float | None = None,
+    prefilter: Expr | None = None,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Brute-force top-k: (id, score).
+
+    query: 1-row DataFrame with the query vector column (broadcast).
+    min_score filters on the RAW score before rounding (V7,
+    searcher.rs:267) so the cut is bit-identical to the oracle's.
+    """
+    if prefilter is not None:
+        vectors = vectors.filter(prefilter.to_column())
+    scored = vectors.crossJoin(F.broadcast(query)).select(
+        F.col(id_col).alias("id"),
+        _sim(similarity, F.col(vec_col), F.col(query_vec_col)).alias("raw"),
+    )
+    if min_score is not None:
+        scored = scored.filter(F.col("raw") >= min_score)
+    return (
+        scored.select("id", F.round("raw", 5).cast(SCORE_TYPE).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def exact_knn_sql(
+    vectors_sql: str,
+    query_sql: str,
+    dim: int,
+    k: int = 10,
+    similarity: str = "cosine",
+    min_score: float | None = None,
+    where: str | None = None,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    """DuckDB twin of :func:`exact_knn` (same accumulation order)."""
+    where_sql = f"WHERE {where}" if where else ""
+    cut = f"WHERE raw >= {min_score!r}" if min_score is not None else ""
+    return f"""
+WITH vectors AS ({vectors_sql}),
+q AS ({query_sql}),
+scored AS (
+  SELECT v.{id_col} AS id,
+         {sim_sql(similarity, f"v.{vec_col}", f"q.{query_vec_col}", dim)} AS raw
+  FROM (SELECT * FROM vectors {where_sql}) v CROSS JOIN q
+)
+SELECT id, ROUND(raw, 5)::DECIMAL(18,5) AS score
+FROM scored
+{cut}
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
+def maxsim_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    similarity: str = "dot",
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Multivector MaxSim (V6): score(d) = Σ_q max_{v∈d} sim(q, v).
+
+    queries: small DataFrame (qid, qvec), broadcast. Two aggregations:
+    max per (doc, query) then sum per doc — both partial-aggregated
+    map-side, single shuffle key=id.
+    """
+    per_pair = (
+        vectors.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(query_id_col).alias("qid"),
+            _sim(similarity, F.col(vec_col), F.col(query_vec_col)).alias("raw"),
+        )
+        .groupBy("id", "qid")
+        .agg(F.max("raw").alias("best"))
+    )
+    return (
+        per_pair.groupBy("id")
+        .agg(F.round(F.sum("best"), 5).cast(SCORE_TYPE).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def maxsim_knn_sql(
+    vectors_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 10,
+    similarity: str = "dot",
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    return f"""
+WITH vectors AS ({vectors_sql}),
+queries AS ({queries_sql}),
+per_pair AS (
+  SELECT v.{id_col} AS id, q.qid,
+         MAX({sim_sql(similarity, f"v.{vec_col}", f"q.{query_vec_col}", dim)}) AS best
+  FROM vectors v CROSS JOIN queries q
+  GROUP BY 1, 2
+)
+SELECT id, ROUND(SUM(best), 5)::DECIMAL(18,5) AS score
+FROM per_pair
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,119 @@
+"""Registry entries: vector search (SURVEY §2.4 V2/V4/V5/V6/V7).
+
+Query vectors are rows of the embeddings table itself (vec_id 0 / 1)
+so every query is deterministic and self-contained per sf_dir. Dim=64
+(driver testdata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nucliadb_spark.operators import knn
+from nucliadb_spark.registry import register
+from nucliadb_spark.sources import tpch
+
+DIM = 64
+
+_QUERY_SQL = "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0"
+
+
+def _query_df(spark, sf_dir, vec_id=0):
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == vec_id).select(F.col("embedding").alias("qvec"))
+
+
+def _vectors(spark, sf_dir):
+    return tpch.vectors(spark, sf_dir)
+
+
+# --- V2 cosine top-k ------------------------------------------------------
+
+
+@register(
+    "knn_cosine",
+    knn.exact_knn_sql(tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, similarity="cosine"),
+)
+def knn_cosine(spark, sf_dir):
+    return knn.exact_knn(
+        _vectors(spark, sf_dir), _query_df(spark, sf_dir), k=10, similarity="cosine"
+    )
+
+
+# --- V2 dot top-k ---------------------------------------------------------
+
+
+@register(
+    "knn_dot",
+    knn.exact_knn_sql(tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, similarity="dot"),
+)
+def knn_dot(spark, sf_dir):
+    return knn.exact_knn(
+        _vectors(spark, sf_dir), _query_df(spark, sf_dir), k=10, similarity="dot"
+    )
+
+
+# --- V7 min_score cut ------------------------------------------------------
+
+
+@register(
+    "knn_min_score",
+    knn.exact_knn_sql(
+        tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=50, similarity="cosine", min_score=0.25
+    ),
+)
+def knn_min_score(spark, sf_dir):
+    return knn.exact_knn(
+        _vectors(spark, sf_dir),
+        _query_df(spark, sf_dir),
+        k=50,
+        similarity="cosine",
+        min_score=0.25,
+    )
+
+
+# --- V5/F9 filtered KNN: prefilter semijoin before scoring -----------------
+
+
+@register(
+    "knn_prefiltered",
+    knn.exact_knn_sql(
+        tpch.SQL_VECTORS,
+        _QUERY_SQL,
+        DIM,
+        k=10,
+        similarity="cosine",
+        where=(
+            "rid IN (SELECT CAST(doc_id AS BIGINT) FROM documents "
+            "WHERE lang = 'en' AND source IN ('src3', 'src7'))"
+        ),
+    ),
+)
+def knn_prefiltered(spark, sf_dir):
+    docs = tpch.table(spark, sf_dir, "documents")
+    allowed = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src3", "src7")
+    ).select(F.col("doc_id").cast("long").alias("rid"))
+    filtered = _vectors(spark, sf_dir).join(F.broadcast(allowed), "rid", "semi")
+    return knn.exact_knn(filtered, _query_df(spark, sf_dir), k=10, similarity="cosine")
+
+
+# --- V6 multivector MaxSim --------------------------------------------------
+
+
+@register(
+    "knn_maxsim",
+    knn.maxsim_knn_sql(
+        tpch.SQL_VECTORS,
+        "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1)",
+        DIM,
+        k=10,
+        similarity="dot",
+    ),
+)
+def knn_maxsim(spark, sf_dir):
+    e = tpch.table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn.maxsim_knn(_vectors(spark, sf_dir), queries, k=10, similarity="dot")
