@@ -1,0 +1,104 @@
+"""Registry entries: graph search (SURVEY §2.5 G1/G2/G4/G5/G7)."""
+
+from __future__ import annotations
+
+from nucliadb_spark.operators import filters as fx
+from nucliadb_spark.operators import graph as G
+from nucliadb_spark.registry import register
+from nucliadb_spark.sources import tpch
+
+_R = tpch.SQL_RELATIONS
+
+
+def _rel(spark, sf_dir):
+    return tpch.relations(spark, sf_dir)
+
+
+# --- G1: boolean path query, directed -------------------------------------
+
+_PATH_Q = fx.And(
+    [
+        G.Node("customer:1", side="source", kind="prefix"),
+        G.Relation("PLACED"),
+    ]
+)
+
+
+@register("graph_path_prefix", G.path_search_sql(_R, _PATH_Q, top_k=50))
+def graph_path_prefix(spark, sf_dir):
+    return G.path_search(_rel(spark, sf_dir), _PATH_Q, top_k=50)
+
+
+# --- G1 undirected + G2 FULL match -----------------------------------------
+
+_UNDIRECTED_Q = G.Node("order:1", side="any", kind="full")
+
+
+@register("graph_path_undirected", G.path_search_sql(_R, _UNDIRECTED_Q, top_k=50))
+def graph_path_undirected(spark, sf_dir):
+    return G.path_search(_rel(spark, sf_dir), _UNDIRECTED_Q, top_k=50)
+
+
+# --- G2: fuzzy node match (levenshtein<=1) ---------------------------------
+
+_FUZZY_Q = G.Node("suplier:33", side="target", kind="fuzzy")
+
+
+@register("graph_node_fuzzy", G.path_search_sql(_R, _FUZZY_Q, top_k=50))
+def graph_node_fuzzy(spark, sf_dir):
+    return G.path_search(_rel(spark, sf_dir), _FUZZY_Q, top_k=50)
+
+
+# --- G2: WORDS node match + boolean NOT ------------------------------------
+
+_WORDS_Q = fx.And(
+    [
+        G.Node("part", side="source", kind="words"),
+        fx.Not(G.Relation("CONTAINS")),
+    ]
+)
+
+
+@register("graph_node_words", G.path_search_sql(_R, _WORDS_Q, top_k=50))
+def graph_node_words(spark, sf_dir):
+    return G.path_search(_rel(spark, sf_dir), _WORDS_Q, top_k=50)
+
+
+# --- G4: nodes projection ---------------------------------------------------
+
+_NODES_Q = G.Relation("SUPPLIED_BY")
+
+
+@register("graph_nodes_projection", G.nodes_projection_sql(_R, _NODES_Q, top_k=50))
+def graph_nodes_projection(spark, sf_dir):
+    return G.nodes_projection(_rel(spark, sf_dir), _NODES_Q, top_k=50)
+
+
+# --- G4: relations projection -----------------------------------------------
+
+
+@register("graph_relations_projection", G.relations_projection_sql(_R))
+def graph_relations_projection(spark, sf_dir):
+    return G.relations_projection(_rel(spark, sf_dir))
+
+
+# --- G5: entity neighborhood -------------------------------------------------
+
+_ENTITIES = ["customer:5", "part:7", "supplier:3"]
+
+
+@register("graph_neighborhood", G.neighborhood_sql(_R, _ENTITIES, top_k=100))
+def graph_neighborhood(spark, sf_dir):
+    return G.neighborhood(_rel(spark, sf_dir), _ENTITIES, top_k=100)
+
+
+# --- G7 (bounded): 2-hop expansion customer→order→part ----------------------
+
+_START = fx.And(
+    [G.Node("customer:12", side="source", kind="full"), G.Relation("PLACED")]
+)
+
+
+@register("graph_two_hop", G.two_hop_sql(_R, _START, top_k=100))
+def graph_two_hop(spark, sf_dir):
+    return G.two_hop(_rel(spark, sf_dir), _START, top_k=100)
