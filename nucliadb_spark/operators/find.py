@@ -1,0 +1,155 @@
+"""The flagship /find hybrid-retrieval pipeline (SURVEY §3.1).
+
+Composes the §2 operators exactly like the reference's query
+lifecycle (ref: nucliadb/src/nucliadb/search/search/find.py:65,
+retrieval.py:46 text_block_search, find_merge.py:58):
+
+  prefilter → { keyword BM25 | semantic KNN | graph (constant 1.0,
+  ref retrieval.py:172-206) } → RRF (k=60) window cut → hydration
+  join → top_k
+
+Window algebra (ref parsers/common.py:222-247, find.py:130-135):
+rank_fusion.window = min(max(requested, top_k), 500); the noop
+reranker (rerankers.py:99-120) cuts to top_k.
+
+Physical shape: the three retrievers are independent DataFrame DAGs
+over corpus-sized tables, each ending in a ≤window-row top-k; fusion
+and hydration then run on ≤3·window rows — the expensive work
+parallelizes per retriever, the fusion tail is negligible at any
+scale. Hydration is a broadcast join of the tiny fused id set against
+the documents table (J3) with char-offset snippet extraction (J4,
+ref reader.rs:496-654).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nucliadb_spark.operators import bm25, fusion, knn
+from nucliadb_spark.operators.filters import Expr, _sql_quote
+from nucliadb_spark.sources import tpch
+
+MAX_RANK_FUSION_WINDOW = 500  # ref: nucliadb_models/search.py:352
+
+
+def fusion_window(requested: int, top_k: int) -> int:
+    return min(max(requested, top_k), MAX_RANK_FUSION_WINDOW)
+
+
+def find(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    query_vec_id: int = 0,
+    entity_sources: list[str] | None = None,
+    top_k: int = 10,
+    window: int = 50,
+    min_score: float | None = None,
+    prefilter: Expr | None = None,
+    weights: dict[str, float] | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Hybrid find → (id, score, matched_sources, language, source, snippet)."""
+    win = fusion_window(window, top_k)
+    fields = tpch.fields(spark, sf_dir)
+    vectors = tpch.vectors(spark, sf_dir)
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+    keyword = bm25.bm25_search(
+        fields, query, top_k=win, mode="any", prefilter=prefilter
+    ).select(F.col("rid").alias("id"), "score")
+
+    if prefilter is not None:
+        allowed = fields.filter(prefilter.to_column()).select("rid")
+        vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
+    semantic = knn.exact_knn(
+        vectors, qvec, k=win, similarity="cosine", min_score=min_score
+    )
+
+    sources = {"keyword": keyword, "semantic": semantic}
+    if entity_sources:
+        # graph text blocks carry constant score 1.0
+        # (ref: retrieval.py:42,172-206)
+        gdf = fields
+        if prefilter is not None:
+            gdf = gdf.filter(prefilter.to_column())
+        graph = (
+            gdf.filter(F.col("source").isin(entity_sources))
+            .select(F.col("rid").alias("id"), F.lit(1.0).alias("score"))
+            .orderBy("id")
+            .limit(win)
+        )
+        sources["graph"] = graph
+
+    fused = fusion.rrf(sources, weights=weights, top_k=top_k)
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    return (
+        fused.join(
+            docs.select(
+                F.col("doc_id").cast("long").alias("id"),
+                F.col("lang").alias("language"),
+                "source",
+                F.substring("text", 1, 120).alias("snippet"),
+            ),
+            "id",
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .select("id", "score", "matched_sources", "language", "source", "snippet")
+    )
+
+
+def find_sql(
+    query: str,
+    query_vec_id: int = 0,
+    entity_sources: list[str] | None = None,
+    top_k: int = 10,
+    window: int = 50,
+    min_score: float | None = None,
+    where: str | None = None,
+    weights: dict[str, float] | None = None,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`find` (same window algebra & pipeline)."""
+    win = fusion_window(window, top_k)
+    keyword = (
+        f"SELECT rid AS id, score FROM ({bm25.bm25_sql(tpch.SQL_FIELDS, query, top_k=win, mode='any', where=where)})"
+    )
+    vec_where = None
+    if where is not None:
+        vec_where = (
+            f"rid IN (SELECT rid FROM ({tpch.SQL_FIELDS}) f WHERE {where})"
+        )
+    semantic = knn.exact_knn_sql(
+        tpch.SQL_VECTORS,
+        f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}",
+        dim,
+        k=win,
+        similarity="cosine",
+        min_score=min_score,
+        where=vec_where,
+    )
+    sources_sql = {"keyword": keyword, "semantic": semantic}
+    if entity_sources:
+        lst = ", ".join(_sql_quote(s) for s in entity_sources)
+        gwhere = f"AND ({where})" if where else ""
+        sources_sql["graph"] = f"""
+SELECT rid AS id, 1.0 AS score
+FROM ({tpch.SQL_FIELDS}) f
+WHERE source IN ({lst}) {gwhere}
+ORDER BY id
+LIMIT {win}
+"""
+    fused = fusion.rrf_sql(sources_sql, weights=weights, top_k=top_k)
+    return f"""
+WITH fused AS ({fused})
+SELECT fused.id, fused.score, fused.matched_sources,
+       d.lang AS language, d.source, substring(d.text, 1, 120) AS snippet
+FROM fused
+JOIN documents d ON fused.id = CAST(d.doc_id AS BIGINT)
+ORDER BY fused.score DESC, fused.id ASC
+"""

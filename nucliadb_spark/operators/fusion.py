@@ -1,0 +1,140 @@
+"""Rank fusion: RRF and WeightedCombSum (SURVEY §2.9 R1-R4).
+
+ref: nucliadb/src/nucliadb/search/search/rank_fusion.py:106-254 —
+RRF = Σ_r w(r) / (k + rank_r(d)) with k=60 and 0-based ranks
+(enumerate over each retriever's score-sorted list);
+WeightedCombSum = Σ_r w(r)·score_r(d).
+
+Spark shape: each retriever's result is a small DataFrame (≤ window
+≤ 500 rows — MAX_RANK_FUSION_WINDOW, search.py:352), so fusion is a
+driver-cheap plan: per-source row_number window (the input IS tiny —
+single-partition window is fine and deterministic), unionByName,
+one groupBy(id). Ranks tiebreak on id so both engines agree.
+
+Fused scores are DECIMAL(18,6) for oracle-hash stability.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+RRF_K = 60.0
+SCORE_TYPE = "decimal(18,6)"
+
+
+def _ranked(df: DataFrame, source: str, weight: float) -> DataFrame:
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return df.select("id", "score").withColumn(
+        "rank", F.row_number().over(w) - 1
+    ).select(
+        "id",
+        F.lit(source).alias("source"),
+        F.lit(weight).alias("weight"),
+        "rank",
+        F.col("score").cast("double").alias("src_score"),
+    )
+
+
+def rrf(
+    sources: dict[str, DataFrame],
+    k: float = RRF_K,
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """(id, score, matched_sources). Sources: name -> (id, score)."""
+    weights = weights or {}
+    ranked = [
+        _ranked(df, name, weights.get(name, 1.0)) for name, df in sorted(sources.items())
+    ]
+    all_ranked = reduce(lambda a, b: a.unionByName(b), ranked)
+    return (
+        all_ranked.withColumn("contrib", F.col("weight") / (F.lit(k) + F.col("rank")))
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("contrib"), 6).cast(SCORE_TYPE).alias("score"),
+            F.sort_array(F.collect_set("source")).alias("matched_sources"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
+def rrf_sql(
+    sources_sql: dict[str, str],
+    k: float = RRF_K,
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin. sources_sql: name -> SELECT producing (id, score)."""
+    weights = weights or {}
+    parts = []
+    for name, sql in sorted(sources_sql.items()):
+        w = weights.get(name, 1.0)
+        parts.append(
+            f"""SELECT id, '{name}' AS source, {w!r} AS weight,
+       row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS rank
+FROM ({sql})"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH ranked AS (
+{union}
+)
+SELECT id,
+       ROUND(SUM(weight / ({k!r} + rank)), 6)::DECIMAL(18,6) AS score,
+       list_sort(list(DISTINCT source)) AS matched_sources
+FROM ranked
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {top_k}
+"""
+
+
+def comb_sum(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """WeightedCombSum (R2): Σ w(r)·score_r(d)."""
+    weights = weights or {}
+    parts = [
+        df.select(
+            "id",
+            (F.col("score").cast("double") * F.lit(weights.get(name, 1.0))).alias(
+                "contrib"
+            ),
+        )
+        for name, df in sorted(sources.items())
+    ]
+    all_parts = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        all_parts.groupBy("id")
+        .agg(F.round(F.sum("contrib"), 6).cast(SCORE_TYPE).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
+def comb_sum_sql(
+    sources_sql: dict[str, str],
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> str:
+    weights = weights or {}
+    parts = [
+        f"SELECT id, score::DOUBLE * {weights.get(name, 1.0)!r} AS contrib FROM ({sql})"
+        for name, sql in sorted(sources_sql.items())
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH scored AS (
+{union}
+)
+SELECT id, ROUND(SUM(contrib), 6)::DECIMAL(18,6) AS score
+FROM scored
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {top_k}
+"""

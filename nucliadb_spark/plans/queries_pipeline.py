@@ -1,0 +1,108 @@
+"""Registry entries: rank fusion + the flagship find pipeline
+(SURVEY §2.9 R1/R2/R4, §3.1)."""
+
+from __future__ import annotations
+
+from nucliadb_spark.operators import bm25, find, fusion, knn
+from nucliadb_spark.operators import filters as fx
+from nucliadb_spark.registry import register
+from nucliadb_spark.sources import tpch
+
+# --- the flagship: keyword + semantic + graph → RRF → hydrate -----------
+
+
+@register(
+    "find_hybrid",
+    find.find_sql(
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=10,
+        window=50,
+    ),
+)
+def find_hybrid(spark, sf_dir):
+    return find.find(
+        spark,
+        sf_dir,
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=10,
+        window=50,
+    )
+
+
+# --- find with prefilter + min_score + weights ---------------------------
+
+_PREF = fx.Facet("/s/p/en")
+
+
+@register(
+    "find_prefiltered",
+    find.find_sql(
+        "merge join batch",
+        query_vec_id=3,
+        top_k=10,
+        window=40,
+        min_score=0.1,
+        where=_PREF.to_sql(),
+        weights={"keyword": 1.0, "semantic": 2.0},
+    ),
+)
+def find_prefiltered(spark, sf_dir):
+    return find.find(
+        spark,
+        sf_dir,
+        "merge join batch",
+        query_vec_id=3,
+        top_k=10,
+        window=40,
+        min_score=0.1,
+        prefilter=_PREF,
+        weights={"keyword": 1.0, "semantic": 2.0},
+    )
+
+
+# --- R2: WeightedCombSum over the same two retrievers --------------------
+
+_KW_SQL = (
+    "SELECT rid AS id, score FROM ("
+    + bm25.bm25_sql(tpch.SQL_FIELDS, "window agg stream", top_k=30)
+    + ")"
+)
+_SEM_SQL = knn.exact_knn_sql(
+    tpch.SQL_VECTORS,
+    "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 5",
+    64,
+    k=30,
+)
+
+
+@register(
+    "combsum_fusion",
+    fusion.comb_sum_sql(
+        {"keyword": _KW_SQL, "semantic": _SEM_SQL},
+        weights={"keyword": 0.5, "semantic": 1.5},
+        top_k=15,
+    ),
+)
+def combsum_fusion(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fields = tpch.fields(spark, sf_dir)
+    vectors = tpch.vectors(spark, sf_dir)
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    keyword = bm25.bm25_search(fields, "window agg stream", top_k=30).select(
+        F.col("rid").alias("id"), "score"
+    )
+    semantic = knn.exact_knn(vectors, qvec, k=30)
+    return fusion.comb_sum(
+        {"keyword": keyword, "semantic": semantic},
+        weights={"keyword": 0.5, "semantic": 1.5},
+        top_k=15,
+    )
