@@ -1,0 +1,72 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Each query executes to completion (collect) so the timing covers the
+full DAG including shuffles and top-k merges. The session is warmed
+with one trivial action first so JVM startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nucliadb_spark import registry  # noqa: E402
+from nucliadb_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (catalog SQL, filter compile,
+# BM25 exact + fuzzy, prefiltered hybrid, KNN exact + filtered +
+# multivector, graph path + 2-hop, facets, flagship find).
+HEADLINE = [
+    "catalog_words_paged",
+    "catalog_facets",
+    "filter_expression_tree",
+    "bm25_keyword",
+    "bm25_fuzzy",
+    "bm25_prefiltered",
+    "knn_cosine",
+    "knn_prefiltered",
+    "knn_maxsim",
+    "graph_path_prefix",
+    "graph_two_hop",
+    "find_hybrid",
+]
+
+
+def main() -> None:
+    spark = get_session("bench")
+    spark.range(1).count()  # warm the JVM/session
+
+    queries = registry.queries()
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in sorted(queries) if n not in HEADLINE and n.startswith("stream_")
+    ]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
