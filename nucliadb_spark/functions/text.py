@@ -91,13 +91,20 @@ def fingerprint_sql(expr: str) -> str:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """array<string> of word n-gram shingles (space-joined)."""
+    """array<string> of word n-gram shingles (space-joined).
+
+    Guarded for short docs: Spark's sequence(1, 0) counts DOWN, so
+    docs with < n tokens must short-circuit to an empty array (DuckDB
+    range(1, 1) is naturally empty).
+    """
     toks = tokenize(col)
-    # transform over indexes 0..len-n, slice+join. Pure JVM expressions.
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles_sql(expr: str, n: int = 3) -> str:
@@ -135,4 +142,4 @@ def md5_int60(col: Column, salt: str = "") -> Column:
 
 def md5_int60_sql(expr: str, salt: str = "") -> str:
     salted = f"concat('{salt}', {expr})" if salt else expr
-    return f"from_hex(substring(md5({salted}), 1, 15))::BIGINT"
+    return f"CAST(('0x' || substring(md5({salted}), 1, 15)) AS BIGINT)"

@@ -1,0 +1,417 @@
+"""Deduplication suite for training-data pipelines.
+
+Beyond the reference's own surface (its only dedup is paragraph
+`repeated_in_field` / vector Fssc dedup — SURVEY §2.10 U3), these are
+the operators a 100 TB corpus pipeline needs. All JVM-side Column
+expressions; the portable md5-derived 60-bit hash (functions/text.py
+md5_int60) makes every stage oracle-checkable in DuckDB.
+
+Operators:
+- exact dedup: canonical-form fingerprint → hash groupBy. One shuffle
+  keyed by fingerprint; at 100 TB this is the cheapest possible
+  full-corpus op (map-side partial agg, tiny groups out).
+- MinHash + LSH near-dup: shingle → N minhashes → B bands × R rows →
+  bucket self-join → exact-Jaccard verification of candidates only.
+  The band self-join is the scale path: candidate generation touches
+  only same-bucket rows (shuffle keyed by (band, bucket)), never the
+  full N² pair space.
+- SimHash: per-token signed bit votes → BITS-wide signature; near-dup
+  = identical signature or banded sub-signature match.
+- n-gram Jaccard: exact set Jaccard on distinct shingle arrays.
+- embedding near-dup: cosine over cluster-bucketed pairs (the
+  IVF-bucketed variant — join keyed by cluster label, never N²).
+
+For demonstrable recall on the synthetic corpus (which has no planted
+near-dups), `planted_corpus` derives perturbed copies (truncated
+tail, id+PLANT_OFFSET) of every PLANT_MOD-th document — the dedup
+queries then have known-true pairs to find, and the DuckDB oracle
+verifies the whole pipeline end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nucliadb_spark.functions.text import (
+    md5_int60,
+    md5_int60_sql,
+    tokenize,
+    tokenize_sql,
+    word_shingles,
+)
+from nucliadb_spark.functions.vector import cosine_sql_unrolled
+from nucliadb_spark.functions import vector as V
+
+PLANT_OFFSET = 1_000_000
+PLANT_MOD = 10
+PLANT_TRUNC = 20  # chars dropped from the tail of planted copies
+
+
+# --- canonical forms ------------------------------------------------------
+
+
+def token_set_fingerprint(col) -> F.Column:
+    """md5 of the sorted distinct-token set (bag-of-words identity)."""
+    toks = F.array_distinct(tokenize(col))
+    return F.md5(F.array_join(F.array_sort(toks), " "))
+
+
+def token_set_fingerprint_sql(expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct({tokenize_sql(expr)})), ' '))"
+    )
+
+
+def distinct_shingles(col, n: int = 3) -> F.Column:
+    return F.array_sort(F.array_distinct(word_shingles(col, n)))
+
+
+def distinct_shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokenize_sql(expr)
+    return (
+        f"list_sort(list_distinct([array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') "
+        f"for i in range(1, greatest(len({toks}) - {n - 1}, 0) + 1)]))"
+    )
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by canonical fingerprint:
+    (fingerprint, n_docs, canonical_id, doc_ids)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), token_set_fingerprint(text_col).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("canonical_id"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+def exact_dedup_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH docs AS ({docs_sql}),
+fps AS (
+  SELECT {id_col} AS id, {token_set_fingerprint_sql(text_col)} AS fp FROM docs
+)
+SELECT fp, COUNT(*) AS n_docs, MIN(id) AS canonical_id,
+       list_sort(list(id)) AS doc_ids
+FROM fps
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY fp
+"""
+
+
+# --- planted near-dup corpus ----------------------------------------------
+
+
+def planted_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents ∪ perturbed copies of every PLANT_MOD-th doc."""
+    base = docs.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text"))
+    planted = base.filter(F.col("id") % PLANT_MOD == 0).select(
+        (F.col("id") + PLANT_OFFSET).alias("id"),
+        F.expr(f"substring(text, 1, length(text) - {PLANT_TRUNC})").alias("text"),
+    )
+    return base.unionByName(planted)
+
+
+def planted_corpus_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS id, {text_col} AS text FROM ({docs_sql})
+UNION ALL
+SELECT CAST({id_col} AS BIGINT) + {PLANT_OFFSET} AS id,
+       substring({text_col}, 1, length({text_col}) - {PLANT_TRUNC}) AS text
+FROM ({docs_sql}) WHERE {id_col} % {PLANT_MOD} = 0
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+N_HASHES = 24
+BANDS = 8
+ROWS = 3  # N_HASHES = BANDS * ROWS; threshold ≈ (1/B)^(1/R) ≈ 0.5
+
+
+def minhash_signatures(corpus: DataFrame, n: int = N_HASHES, shingle: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) minhash signature columns."""
+    sh = corpus.select(
+        "id", F.explode(F.array_distinct(word_shingles("text", shingle))).alias("sh")
+    )
+    aggs = [
+        F.min(md5_int60(F.col("sh"), salt=f"s{i}:")).alias(f"sig_{i}") for i in range(n)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_pairs(
+    corpus: DataFrame,
+    n: int = N_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    shingle: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard:
+    (id_a, id_b, jaccard DECIMAL(18,5))."""
+    sigs = minhash_signatures(corpus, n, shingle)
+    band_frames = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        )
+        band_frames.append(sigs.select("id", F.lit(b).alias("band"), key.alias("bkey")))
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    shingled = corpus.select("id", distinct_shingles("text", shingle).alias("shs"))
+    pairs = (
+        cand.join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sa"), "id_a")
+        .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sb"), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sa", "sb")).cast("double")
+        )
+        .withColumn(
+            "uni",
+            (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        )
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 5).cast("decimal(18,5)"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
+def lsh_pairs_sql(
+    corpus_sql: str,
+    n: int = N_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    shingle: int = 3,
+    min_jaccard: float = 0.5,
+) -> str:
+    sig_aggs = ",\n         ".join(
+        f"MIN({md5_int60_sql('sh', salt=f's{i}:')}) AS sig_{i}" for i in range(n)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"""SELECT id, {b} AS band,
+       md5(concat_ws(',', {", ".join(f"sig_{b * rows + r}" for r in range(rows))})) AS bkey
+FROM sigs"""
+        for b in range(bands)
+    )
+    shingles_expr = distinct_shingles_sql("text", shingle)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+shingled AS (
+  SELECT id, {shingles_expr} AS shs FROM corpus
+),
+exploded AS (
+  SELECT id, unnest(shs) AS sh FROM shingled
+),
+sigs AS (
+  SELECT id, {sig_aggs}
+  FROM exploded
+  GROUP BY id
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE AS inter,
+         (len(sa.shs) + len(sb.shs)
+          - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE AS uni
+  FROM cand c
+  JOIN shingled sa ON sa.id = c.id_a
+  JOIN shingled sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, ROUND(inter / uni, 5)::DECIMAL(18,5) AS jaccard
+FROM verified
+WHERE ROUND(inter / uni, 5)::DECIMAL(18,5) >= {min_jaccard!r}
+ORDER BY id_a, id_b
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — per-token hash bit votes weighted by tf."""
+    toks = corpus.select("id", F.explode(tokenize("text")).alias("tok"))
+    hashed = toks.withColumn("h", md5_int60(F.col("tok"), salt="sim:"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    return per_doc.select("id", sig.alias("simhash"))
+
+
+def simhash_sql(corpus_sql: str, bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END" for i in range(bits)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+  SELECT id, unnest({tokenize_sql("text")}) AS tok FROM corpus
+),
+hashed AS (
+  SELECT id, {md5_int60_sql("tok", salt="sim:")} AS h FROM toks
+),
+per_doc AS (
+  SELECT id, {votes}
+  FROM hashed
+  GROUP BY id
+)
+SELECT id, ({sig}) AS simhash FROM per_doc
+"""
+
+
+def simhash_pairs(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs with identical simhash (hamming 0 bucketing).
+
+    Banded sub-signature matching generalizes to hamming ≤ k; the
+    identical-signature bucket join is the degenerate single-band
+    case and the cheapest scale path (one shuffle keyed by simhash).
+    """
+    s = simhash(corpus, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("simhash"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_pairs_sql(corpus_sql: str, bits: int = SIMHASH_BITS) -> str:
+    return f"""
+WITH sh AS ({simhash_sql(corpus_sql, bits)})
+SELECT a.id AS id_a, b.id AS id_b, a.simhash
+FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+# --- n-gram Jaccard on known pairs -------------------------------------------
+
+
+def jaccard_planted(corpus: DataFrame, shingle: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard of each planted pair:
+    (id, jaccard) — recall diagnostic for the planted corpus."""
+    shingled = corpus.select("id", distinct_shingles("text", shingle).alias("shs"))
+    orig = shingled.filter(F.col("id") < PLANT_OFFSET).withColumnRenamed("shs", "sa")
+    copy = shingled.filter(F.col("id") >= PLANT_OFFSET).select(
+        (F.col("id") - PLANT_OFFSET).alias("id"), F.col("shs").alias("sb")
+    )
+    return (
+        orig.join(copy, "id")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn("uni", (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"))
+        .select(
+            "id",
+            F.round(F.col("inter") / F.col("uni"), 5).cast("decimal(18,5)").alias("jaccard"),
+        )
+        .orderBy("id")
+    )
+
+
+def jaccard_planted_sql(corpus_sql: str, shingle: int = 3) -> str:
+    shingles_expr = distinct_shingles_sql("text", shingle)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+shingled AS (SELECT id, {shingles_expr} AS shs FROM corpus),
+joined AS (
+  SELECT o.id,
+         len(list_filter(o.shs, x -> list_contains(c.shs, x)))::DOUBLE AS inter,
+         (len(o.shs) + len(c.shs)
+          - len(list_filter(o.shs, x -> list_contains(c.shs, x))))::DOUBLE AS uni
+  FROM shingled o
+  JOIN shingled c ON c.id = o.id + {PLANT_OFFSET}
+  WHERE o.id < {PLANT_OFFSET}
+)
+SELECT id, ROUND(inter / uni, 5)::DECIMAL(18,5) AS jaccard
+FROM joined
+ORDER BY id
+"""
+
+
+# --- embedding cosine near-dup (cluster-bucketed) ----------------------------
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    labels: list[int],
+    threshold: float = 0.3,
+    dim: int = 64,
+) -> DataFrame:
+    """Same-cluster pairs with cosine ≥ threshold — the IVF-bucketed
+    near-dup join (pairs generated per cluster, never N²)."""
+    e = embeddings.select("vec_id", "embedding", "label").filter(
+        F.col("label").isin(labels)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    raw = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("raw", raw)
+        .filter(F.col("raw") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            F.round("raw", 5).cast("decimal(18,5)").alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dups_sql(labels: list[int], threshold: float = 0.3, dim: int = 64) -> str:
+    lst = ", ".join(str(x) for x in labels)
+    cos = cosine_sql_unrolled("a.embedding", "b.embedding", dim)
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       ROUND({cos}, 5)::DECIMAL(18,5) AS cosine
+FROM embeddings a
+JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.label IN ({lst}) AND b.label IN ({lst})
+  AND {cos} >= {threshold!r}
+ORDER BY id_a, id_b
+"""
