@@ -1,0 +1,228 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, content fingerprinting.
+
+These extend the reference's text processing (its language metadata
+arrives from an external processing pipeline —
+resources.proto FieldMetadata.language) with the in-engine analysis
+ops a 100 TB corpus pipeline needs. Everything is a row-local Column
+expression (whole-stage codegen; zero shuffles except final
+aggregation queries), with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nucliadb_spark.functions.text import (
+    md5_int60,
+    md5_int60_sql,
+    tokenize,
+    tokenize_sql,
+    word_shingles,
+)
+from nucliadb_spark.operators.filters import _sql_quote
+
+# --- language ID (stopword n-gram heuristic) ------------------------------
+# Tiny per-language function-word profiles; score = fraction of tokens
+# in the profile; argmax with deterministic tie order (profile order).
+
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+}
+
+
+def _lang_score(toks: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def _lang_score_sql(toks: str, words: list[str]) -> str:
+    lst = ", ".join(_sql_quote(w) for w in words)
+    return (
+        f"(len(list_filter({toks}, t -> t IN ({lst})))::DOUBLE"
+        f" / greatest(len({toks}), 1)::DOUBLE)"
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, predicted_lang, confidence DECIMAL(18,5))."""
+    toks = tokenize(text_col)
+    scores = {lang: _lang_score(toks, ws) for lang, ws in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        best.alias("predicted_lang"),
+        F.round(best_score, 5).cast("decimal(18,5)").alias("confidence"),
+    ).orderBy("id")
+
+
+def language_id_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = tokenize_sql(text_col)
+    langs = list(LANG_PROFILES)
+    score_cols = ",\n       ".join(
+        f"{_lang_score_sql(toks, LANG_PROFILES[lang])} AS s_{lang}" for lang in langs
+    )
+    best = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN s_{lang} > {best_score} THEN s_{lang} ELSE {best_score} END"
+    return f"""
+WITH docs AS ({docs_sql}),
+scored AS (
+  SELECT {id_col} AS id,
+       {score_cols}
+  FROM docs
+)
+SELECT id,
+       {best} AS predicted_lang,
+       ROUND({best_score}, 5)::DECIMAL(18,5) AS confidence
+FROM scored
+ORDER BY id
+"""
+
+
+# --- quality scoring --------------------------------------------------------
+# Length / stopword-ratio / mean-token-length features and a composite
+# score in [0,1]: docs in a "healthy" band score high.
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_tokens, mean_token_len, stopword_ratio, quality)."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast(
+        "double"
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    # composite: length band [50, 5000] chars, stopword band [0.01, 0.5]
+    len_ok = (n_chars >= 50) & (n_chars <= 5000)
+    stop_ok = (stop_ratio >= 0.01) & (stop_ratio <= 0.5)
+    quality = (
+        F.when(len_ok, 0.5).otherwise(0.0) + F.when(stop_ok, 0.5).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 5).cast("decimal(18,5)").alias("mean_token_len"),
+        F.round(stop_ratio, 5).cast("decimal(18,5)").alias("stopword_ratio"),
+        F.round(quality, 2).cast("decimal(4,2)").alias("quality"),
+    ).orderBy("id")
+
+
+def quality_features_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = tokenize_sql(text_col)
+    stop = ", ".join(_sql_quote(w) for w in STOPWORDS)
+    return f"""
+WITH docs AS ({docs_sql}),
+feat AS (
+  SELECT {id_col} AS id,
+         length({text_col}) AS n_chars,
+         len({toks}) AS n_tokens,
+         length({text_col})::DOUBLE / greatest(len({toks}), 1)::DOUBLE AS mean_tok,
+         len(list_filter({toks}, t -> t IN ({stop})))::DOUBLE
+           / greatest(len({toks}), 1)::DOUBLE AS stop_ratio
+  FROM docs
+)
+SELECT id, n_chars, n_tokens,
+       ROUND(mean_tok, 5)::DECIMAL(18,5) AS mean_token_len,
+       ROUND(stop_ratio, 5)::DECIMAL(18,5) AS stopword_ratio,
+       ROUND((CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END),
+             2)::DECIMAL(4,2) AS quality
+FROM feat
+ORDER BY id
+"""
+
+
+# --- token counting ----------------------------------------------------------
+# whitespace tokens + a BPE-ish subword estimate (ceil(len/4) pieces
+# per word — the standard chars/4 rule applied per token, exact
+# integer arithmetic in both engines).
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = tokenize(text_col)
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    ).orderBy("id")
+
+
+def token_counts_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT {id_col} AS id,
+       len({toks})::BIGINT AS n_tokens,
+       list_aggregate(list_transform({toks}, t -> ceil(length(t) / 4.0)::BIGINT),
+                      'sum')::BIGINT AS n_bpe_tokens
+FROM docs
+ORDER BY id
+"""
+
+
+# --- content fingerprint (winnowing) ------------------------------------------
+# Rolling 5-token window hashes; the document fingerprint is the
+# minimum window hash (winnowing with one global window) plus the
+# distinct-window count — robust to local edits, exact in both engines.
+
+WINDOW = 5
+
+
+def winnow_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, WINDOW)).alias("win"),
+    ).withColumn("h", md5_int60(F.col("win"), salt="winnow:"))
+    return (
+        sh.groupBy("id")
+        .agg(
+            F.min("h").alias("fingerprint"),
+            F.countDistinct("h").alias("n_windows"),
+        )
+        .orderBy("id")
+    )
+
+
+def winnow_fingerprint_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = tokenize_sql(text_col)
+    n = WINDOW
+    shingles = (
+        f"[array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') "
+        f"for i in range(1, greatest(len({toks}) - {n - 1}, 0) + 1)]"
+    )
+    return f"""
+WITH docs AS ({docs_sql}),
+wins AS (
+  SELECT {id_col} AS id, unnest({shingles}) AS win FROM docs
+),
+hashed AS (
+  SELECT id, {md5_int60_sql("win", salt="winnow:")} AS h FROM wins
+)
+SELECT id, MIN(h) AS fingerprint, COUNT(DISTINCT h) AS n_windows
+FROM hashed
+GROUP BY id
+ORDER BY id
+"""

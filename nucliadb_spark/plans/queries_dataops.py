@@ -4,7 +4,7 @@ over the documents and embeddings tables."""
 
 from __future__ import annotations
 
-from nucliadb_spark.operators import dedup
+from nucliadb_spark.operators import dedup, textstats
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 
@@ -64,3 +64,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     e = tpch.table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dups(e, labels=[0, 1, 2], threshold=0.3)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register("text_language_id", textstats.language_id_sql(_DOCS_SQL))
+def text_language_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+@register("text_quality", textstats.quality_features_sql(_DOCS_SQL))
+def text_quality(spark, sf_dir):
+    return textstats.quality_features(_docs(spark, sf_dir))
+
+
+@register("text_token_counts", textstats.token_counts_sql(_DOCS_SQL))
+def text_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+@register("text_fingerprint", textstats.winnow_fingerprint_sql(_DOCS_SQL))
+def text_fingerprint(spark, sf_dir):
+    return textstats.winnow_fingerprint(_docs(spark, sf_dir))
