@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nucliadb_spark.operators import knn
+from nucliadb_spark.operators import ann, knn
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 
@@ -99,6 +99,15 @@ def knn_prefiltered(spark, sf_dir):
 
 
 # --- V6 multivector MaxSim --------------------------------------------------
+
+
+# --- V1 replacement: IVF probe (label cells, mean centroids) --------------
+
+
+@register("ann_ivf_probe", ann.ivf_search_labeled_sql(k=10, nprobe=2, dim=DIM))
+def ann_ivf_probe(spark, sf_dir):
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.ivf_search_labeled(e, _query_df(spark, sf_dir), k=10, nprobe=2, dim=DIM)
 
 
 @register(
