@@ -74,6 +74,18 @@ def build_index(fields: DataFrame, path: str) -> None:
 # --- scoring ------------------------------------------------------------
 
 
+def expand_synonyms(terms: list[str], synonyms: dict[str, list[str]] | None) -> list[str]:
+    """Query rewrite: term → (term OR syn1 OR syn2 ...) — SURVEY T6,
+    ref: search/search/query_parser/parsers/common.py:174-219
+    (keyword-only feature; applied before scoring)."""
+    if not synonyms:
+        return terms
+    out = set(terms)
+    for t in terms:
+        out.update(s.lower() for s in synonyms.get(t, []))
+    return sorted(out)
+
+
 def bm25_search(
     fields: DataFrame,
     query: str,
@@ -82,6 +94,7 @@ def bm25_search(
     fuzzy: bool = False,
     with_ematches: bool = False,
     prefilter: Expr | None = None,
+    synonyms: dict[str, list[str]] | None = None,
     id_col: str = "rid",
     text_col: str = "text",
 ) -> DataFrame:
@@ -94,7 +107,7 @@ def bm25_search(
     filtered corpus. Corpus stats (N, avgdl, df) also use the
     filtered corpus, like a per-shard tantivy searcher would.
     """
-    terms = sorted(set(tokenize_py(query)))
+    terms = expand_synonyms(sorted(set(tokenize_py(query))), synonyms)
     if not terms:
         raise ValueError("empty query")
     if prefilter is not None:
@@ -168,9 +181,10 @@ def bm25_sql(
     fuzzy: bool = False,
     with_ematches: bool = False,
     where: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (same CTE pipeline)."""
-    terms = sorted(set(tokenize_py(query)))
+    terms = expand_synonyms(sorted(set(tokenize_py(query))), synonyms)
     term_list = ", ".join(_sql_quote(t) for t in terms)
     where_sql = f"WHERE {where}" if where else ""
     if fuzzy:

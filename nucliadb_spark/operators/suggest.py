@@ -1,0 +1,189 @@
+"""Suggest / autocomplete (SURVEY §2.3 T9, §2.5 G8) and keyset
+pagination (§2.7 O5).
+
+ref: nidx/src/searcher/shard_suggest.rs:95-180 — suggest runs a
+paragraph fuzzy-prefix search and an entity prefix search in
+parallel and merges (top 10, fuzzy boosted 0.5). Batch shape:
+
+- paragraph side: vocabulary terms matching prefix (boost 1.0) or
+  levenshtein<=1 (boost 0.5) expand into BM25 scoring (the vocabulary
+  is tiny relative to the corpus — the expansion join is broadcast).
+- entity side: distinct node-value prefix scan of the relations
+  table.
+
+search_after (ref: nodereader.proto:382-386, search/search/
+search_after.py): keyset pagination — a pushed-down predicate on the
+(sort_key, tiebreak_id) cursor instead of OFFSET, so deep pages cost
+the same as page one at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nucliadb_spark.functions.text import tokenize_sql
+from nucliadb_spark.operators import bm25
+from nucliadb_spark.operators.filters import _sql_quote
+
+SUGGEST_TOP_K = 10  # ref: shard_suggest.rs:103
+FUZZY_BOOST = 0.5
+
+
+def suggest_paragraphs(
+    fields: DataFrame,
+    prefix: str,
+    top_k: int = SUGGEST_TOP_K,
+) -> DataFrame:
+    """Docs whose vocabulary matches the prefix (exact-prefix 1.0 /
+    fuzzy 0.5), BM25-ranked: (rid, score)."""
+    post = bm25.postings(fields)
+    stats = bm25.doc_stats(fields)
+    corpus = stats.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    vocab = post.select("term").distinct()
+    p = prefix.lower()
+    matched = vocab.filter(
+        F.col("term").startswith(p) | (F.levenshtein(F.col("term"), F.lit(p)) <= 1)
+    ).withColumn(
+        "boost",
+        F.when(F.col("term").startswith(p), F.lit(1.0)).otherwise(F.lit(FUZZY_BOOST)),
+    )
+    dfreq = post.join(F.broadcast(matched), "term").groupBy("term", "boost").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(stats, "rid")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            F.col("boost")
+            * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (bm25.K1 + 1.0)
+            / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("rid")
+        .agg(F.round(F.sum("contrib"), 4).cast(bm25.SCORE_TYPE).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("rid").asc())
+        .limit(top_k)
+    )
+
+
+def suggest_paragraphs_sql(fields_sql: str, prefix: str, top_k: int = SUGGEST_TOP_K) -> str:
+    p = _sql_quote(prefix.lower())
+    return f"""
+WITH fields AS ({fields_sql}),
+toks AS (SELECT rid, unnest({tokenize_sql("text")}) AS term FROM fields),
+post AS (SELECT rid, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+docstats AS (SELECT rid, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),
+matched AS (
+  SELECT term,
+         CASE WHEN starts_with(term, {p}) THEN 1.0 ELSE {FUZZY_BOOST} END AS boost
+  FROM (SELECT DISTINCT term FROM post)
+  WHERE starts_with(term, {p}) OR levenshtein(term, {p}) <= 1
+),
+dfreq AS (
+  SELECT p.term, m.boost, COUNT(*)::DOUBLE AS df
+  FROM post p JOIN matched m USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.rid,
+         SUM(d.boost * ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * p.tf * ({bm25.K1} + 1.0)
+             / (p.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * s.dl / c.avgdl))) AS raw
+  FROM post p
+  JOIN dfreq d USING (term)
+  JOIN docstats s USING (rid)
+  CROSS JOIN corpus c
+  GROUP BY p.rid
+)
+SELECT rid, ROUND(raw, 4)::DECIMAL(18,4) AS score
+FROM scored
+ORDER BY score DESC, rid ASC
+LIMIT {top_k}
+"""
+
+
+def suggest_entities(
+    relations: DataFrame, prefix: str, top_k: int = SUGGEST_TOP_K
+) -> DataFrame:
+    """Entity-name prefix scan over distinct graph nodes (G8):
+    (value, subtype)."""
+    nodes = relations.select(
+        F.col("source_value").alias("value"), F.col("source_subtype").alias("subtype")
+    ).unionAll(
+        relations.select(
+            F.col("target_value").alias("value"), F.col("target_subtype").alias("subtype")
+        )
+    )
+    return (
+        nodes.filter(F.col("value").startswith(prefix))
+        .distinct()
+        .orderBy("value", "subtype")
+        .limit(top_k)
+    )
+
+
+def suggest_entities_sql(relations_sql: str, prefix: str, top_k: int = SUGGEST_TOP_K) -> str:
+    p = _sql_quote(prefix)
+    return f"""
+WITH relations AS ({relations_sql}),
+nodes AS (
+  SELECT source_value AS value, source_subtype AS subtype FROM relations
+  UNION ALL
+  SELECT target_value, target_subtype FROM relations
+)
+SELECT DISTINCT value, subtype
+FROM nodes
+WHERE starts_with(value, {p})
+ORDER BY value, subtype
+LIMIT {top_k}
+"""
+
+
+# --- search_after keyset pagination (O5) -----------------------------------
+
+
+def search_after(
+    df: DataFrame,
+    sort_col: str,
+    cursor_sort_value,
+    cursor_id,
+    page_size: int = 20,
+    id_col: str = "rid",
+    ascending: bool = False,
+) -> DataFrame:
+    """Next page strictly after cursor (sort_value, id) — pushed-down
+    predicate, no OFFSET scan."""
+    s, i = F.col(sort_col), F.col(id_col)
+    if ascending:
+        cond = (s > cursor_sort_value) | ((s == cursor_sort_value) & (i > cursor_id))
+        order = [s.asc(), i.asc()]
+    else:
+        cond = (s < cursor_sort_value) | ((s == cursor_sort_value) & (i > cursor_id))
+        order = [s.desc(), i.asc()]
+    return df.filter(cond).orderBy(*order).limit(page_size)
+
+
+def search_after_sql(
+    source_sql: str,
+    sort_col: str,
+    cursor_sort_value: str,
+    cursor_id,
+    page_size: int = 20,
+    id_col: str = "rid",
+    ascending: bool = False,
+    columns: str = "*",
+) -> str:
+    op = ">" if ascending else "<"
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH src AS ({source_sql})
+SELECT {columns} FROM src
+WHERE {sort_col} {op} {cursor_sort_value}
+   OR ({sort_col} = {cursor_sort_value} AND {id_col} > {cursor_id})
+ORDER BY {sort_col} {direction}, {id_col} ASC
+LIMIT {page_size}
+"""

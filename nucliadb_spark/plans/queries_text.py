@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nucliadb_spark.operators import bm25
+from nucliadb_spark.operators import bm25, suggest
 from nucliadb_spark.operators import filters as fx
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
@@ -101,6 +101,68 @@ def phrase_match(spark, sf_dir):
         .select("rid", "language", "source")
         .orderBy("rid")
     )
+
+
+# --- T6: synonym expansion before scoring --------------------------------
+
+_SYNS = {"join": ["merge"], "fast": ["quick", "big"]}
+
+
+@register(
+    "bm25_synonyms",
+    bm25.bm25_sql(tpch.SQL_FIELDS, "fast join", top_k=20, synonyms=_SYNS),
+)
+def bm25_synonyms(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return bm25.bm25_search(f, "fast join", top_k=20, synonyms=_SYNS)
+
+
+# --- T9: suggest (paragraph fuzzy-prefix + entity prefix) -----------------
+
+
+@register(
+    "suggest_paragraphs",
+    suggest.suggest_paragraphs_sql(tpch.SQL_FIELDS, "filt"),
+)
+def suggest_paragraphs(spark, sf_dir):
+    return suggest.suggest_paragraphs(tpch.fields(spark, sf_dir), "filt")
+
+
+@register(
+    "suggest_entities",
+    suggest.suggest_entities_sql(tpch.SQL_RELATIONS, "customer:19"),
+)
+def suggest_entities(spark, sf_dir):
+    return suggest.suggest_entities(tpch.relations(spark, sf_dir), "customer:19")
+
+
+# --- O5: search_after keyset pagination ------------------------------------
+
+_CURSOR_TS = "TIMESTAMP '1996-06-01 00:00:00'"
+
+
+@register(
+    "search_after_keyset",
+    suggest.search_after_sql(
+        tpch.SQL_RESOURCES,
+        sort_col="created",
+        cursor_sort_value=_CURSOR_TS,
+        cursor_id=5000,
+        page_size=20,
+        columns="rid, title, created",
+    ),
+)
+def search_after_keyset(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    r = tpch.resources(spark, sf_dir)
+    return suggest.search_after(
+        r,
+        sort_col="created",
+        cursor_sort_value=F.lit("1996-06-01 00:00:00").cast("timestamp"),
+        cursor_id=5000,
+        page_size=20,
+    ).select("rid", "title", "created")
 
 
 # --- A1: facet counting over the fields index (labels column) -----------
