@@ -66,4 +66,8 @@ def _load_all() -> None:
         from nucliadb_spark.plans import queries_dataops  # noqa: F401
     except ImportError:
         pass
+    try:
+        from nucliadb_spark.plans import queries_streaming  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True

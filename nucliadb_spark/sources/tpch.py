@@ -39,11 +39,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; Spark reads it as long
-        # nanos (legacy.parquet.nanosAsLong). Floor-truncate to µs —
-        # exactly what DuckDB does reading the same file.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # nanos (legacy.parquet.nanosAsLong). Truncate to µs with
+        # integer division — float division loses precision at
+        # epoch-nanos magnitude (~1.7e18 > 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -1,0 +1,215 @@
+"""Incremental ingest via Structured Streaming (SURVEY §2.1 S1-S2,
+§2.12).
+
+The reference ingests from a NATS queue: each message downloads a
+Resource proto and upserts it into every index, guarded by a sequence
+number (ref: nidx/src/indexer.rs:121-298). The Spark-first analog:
+
+- `readStream` over the arrival directory (file source tracks
+  processed files exactly-once, playing the role of the seq guard),
+- `foreachBatch` upsert of the derived index tables (postings,
+  docstats) — each micro-batch re-derives only ITS rows and appends;
+  dedup/compaction is the S4 merge job,
+- `trigger(availableNow=True)` gives batch-equivalent semantics: the
+  stream drains everything pending and stops — which is also how we
+  prove correctness (stream result == batch result over the same
+  input).
+- event-time windowed aggregation with a watermark covers the
+  late-data policy the reference lacks (nucliadb has no stream
+  semantics — SURVEY §2.12 — so this is engine-added capability).
+
+At scale: the file source lists incrementally; each micro-batch is an
+ordinary Spark job with the same partitioning story as the batch ops;
+state (for windows) is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nucliadb_spark.operators import bm25
+
+
+def stage_arrival_dir(*files: str) -> str:
+    """Copy parquet file(s) into a fresh 'arrival' directory — the
+    file stream source requires a directory (it tracks which files it
+    has consumed, the analog of the reference's NATS seq guard)."""
+    d = tempfile.mkdtemp(prefix="arrivals_")
+    for f in files:
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    return d
+
+
+def _events_stream(spark: SparkSession, arrival_dir: str, schema) -> DataFrame:
+    stream = spark.readStream.schema(schema).parquet(arrival_dir)
+    # ts arrives as long nanos (legacy.parquet.nanosAsLong) → µs
+    # timestamp; integer DIV, not float division (precision at 1e18).
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums via an actual
+    Structured Streaming run (availableNow → memory sink, complete
+    mode), returned as a normal DataFrame.
+
+    Late data beyond the watermark would be dropped in a continuous
+    run; with availableNow over a static file the result equals the
+    batch aggregation — which is exactly what the oracle checks.
+    """
+    name = f"win_{uuid.uuid4().hex[:10]}"
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    agg = (
+        _events_stream(spark, arrival, schema)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).cast("decimal(18,4)").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT w.start AS window_start, event_type, n_events, total_value
+        FROM {name}
+        ORDER BY window_start, event_type
+        """
+    )
+
+
+def windowed_event_counts_sql(window_hours: int = 1) -> str:
+    """Batch twin over the same events table (Spark tumbling windows
+    align to the epoch; date_trunc matches for whole-hour windows)."""
+    return f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4)::DECIMAL(18,4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def incremental_index_ingest(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream documents into the text index (S1/S2): foreachBatch
+    derives postings+docstats for the batch's rows only and appends.
+
+    Exactly-once per file via the source's file tracking + the
+    checkpoint; idempotent re-derivation per batch mirrors the
+    reference's seq guard.
+    """
+    batch_schema = spark.read.parquet(docs_path).schema
+    if os.path.isfile(docs_path):
+        docs_path = stage_arrival_dir(docs_path)
+    stream = spark.readStream.schema(batch_schema).parquet(docs_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        fields = batch_df.select(
+            F.col("doc_id").cast("long").alias("rid"), F.col("text")
+        )
+        bm25.postings(fields).write.mode("append").parquet(f"{index_path}/postings")
+        bm25.doc_stats(fields).write.mode("append").parquet(f"{index_path}/docstats")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --- sessionization (stateful analog, batch-exact) --------------------------
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-user sessions: a new session starts after a >gap pause.
+
+    (user_id, session_id, n_events, session_start, session_end).
+    Batch shape: lag window + running sum of boundaries — two
+    shuffles keyed by user_id (the streaming twin would be
+    applyInPandasWithState with the same gap rule).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    is_new = (
+        F.when(gap.isNull(), 1)
+        .when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(gap) > gap_minutes * 60_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(prev_ts) > {gap_minutes * 60_000_000} THEN 1
+              ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""

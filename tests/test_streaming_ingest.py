@@ -1,0 +1,38 @@
+"""Streaming index maintenance: availableNow drain over the documents
+table must produce the identical text index a batch build produces
+(the reference's at-least-once + seq-guard contract, S1)."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from nucliadb_spark.operators import bm25
+from nucliadb_spark.sources import tpch
+from nucliadb_spark.streaming import ingest
+
+
+def test_incremental_ingest_matches_batch(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        ingest.incremental_index_ingest(
+            spark,
+            docs_path=f"{sf_dir}/documents.parquet",
+            index_path=f"{tmp}/index",
+            checkpoint_path=f"{tmp}/ckpt",
+        )
+        streamed = spark.read.parquet(f"{tmp}/index/postings")
+        fields = tpch.fields(spark, sf_dir)
+        batch = bm25.postings(fields)
+        assert streamed.count() == batch.count()
+        # value-level: anti-joins empty in both directions
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+
+
+def test_sessionization_gap_rule(spark, sf_dir):
+    sessions = ingest.sessionize(tpch.table(spark, sf_dir, "events"))
+    row = sessions.agg(
+        F.sum("n_events").alias("n"), F.count("*").alias("s")
+    ).collect()[0]
+    total_events = tpch.table(spark, sf_dir, "events").count()
+    assert row.n == total_events  # every event lands in exactly one session
+    assert row.s >= 1
