@@ -195,6 +195,46 @@ def faceted_search(
     )
 
 
+def facet_rollup(
+    resources: DataFrame,
+    max_depth: int = 3,
+    labels_column: str = "labels",
+) -> DataFrame:
+    """Hierarchical facet counts with parent accumulation (A4,
+    ref: pg.py:314-359): every label contributes to each of its
+    ancestor paths up to max_depth. (facet, count_)."""
+    parts = F.split(F.col("label"), "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.least(F.size(parts) - 1, F.lit(max_depth))),
+        lambda d: F.concat(F.lit("/"), F.array_join(F.slice(parts, 2, d), "/")),
+    )
+    return (
+        resources.select(F.explode(labels_column).alias("label"))
+        .select(F.explode(ancestors).alias("facet"))
+        .groupBy("facet")
+        .agg(F.count("*").alias("count_"))
+        .orderBy(F.col("count_").desc(), F.col("facet").asc())
+    )
+
+
+def facet_rollup_sql(resources_sql: str, max_depth: int = 3) -> str:
+    return f"""
+WITH resources AS ({resources_sql}),
+labels AS (SELECT unnest(labels) AS label FROM resources),
+ancestors AS (
+  SELECT unnest([
+    '/' || array_to_string(list_slice(string_split(label, '/'), 2, 1 + d), '/')
+    for d in range(1, least(len(string_split(label, '/')) - 1, {max_depth}) + 1)
+  ]) AS facet
+  FROM labels
+)
+SELECT facet, COUNT(*) AS count_
+FROM ancestors
+GROUP BY facet
+ORDER BY count_ DESC, facet ASC
+"""
+
+
 def faceted_search_sql(
     resources_sql: str,
     roots: list[str],

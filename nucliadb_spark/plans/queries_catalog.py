@@ -130,6 +130,14 @@ def catalog_facets(spark, sf_dir):
     )
 
 
+# --- A4: facet hierarchy rollup ------------------------------------------
+
+
+@register("catalog_facet_rollup", cat.facet_rollup_sql(tpch.SQL_RESOURCES))
+def catalog_facet_rollup(spark, sf_dir):
+    return cat.facet_rollup(tpch.resources(spark, sf_dir))
+
+
 # --- A3: totals ---------------------------------------------------------
 
 

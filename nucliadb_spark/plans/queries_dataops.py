@@ -4,9 +4,14 @@ over the documents and embeddings tables."""
 
 from __future__ import annotations
 
-from nucliadb_spark.operators import dedup, textstats
+from nucliadb_spark.functions import models
+from nucliadb_spark.functions.vector import cosine_sql_unrolled
+from nucliadb_spark.operators import bm25, dedup, exporter, multimodal, textstats
+from nucliadb_spark.operators.filters import _sql_quote
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
+
+_COS8 = cosine_sql_unrolled("emb", "qvec", models.STUB_DIM)
 
 _DOCS_SQL = "SELECT doc_id, text FROM documents"
 
@@ -87,3 +92,110 @@ def text_token_counts(spark, sf_dir):
 @register("text_fingerprint", textstats.winnow_fingerprint_sql(_DOCS_SQL))
 def text_fingerprint(spark, sf_dir):
     return textstats.winnow_fingerprint(_docs(spark, sf_dir))
+
+
+# --- multimodal plumbing (mapInPandas decode stubs) -----------------------
+
+
+@register(
+    "multimodal_decode",
+    multimodal.fake_decode_features_sql(multimodal.MEDIA_FROM_DOCUMENTS_SQL)
+    + " ORDER BY media_id",
+)
+def multimodal_decode(spark, sf_dir):
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.fake_decode_features(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    multimodal.frame_sample_sql(multimodal.MEDIA_FROM_DOCUMENTS_SQL)
+    + " ORDER BY media_id, frame_idx",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media).orderBy("media_id", "frame_idx")
+
+
+# --- model-stub pipelines: embed→KNN (V9) and rerank (R5) ------------------
+
+_EMBED_QUERY = "spark join window"
+
+
+@register(
+    "embed_knn_stub",
+    f"""
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+embedded AS (SELECT id, {models.stub_embedding_sql("text")} AS emb FROM docs),
+q AS (SELECT {models.stub_embedding_sql(_sql_quote(_EMBED_QUERY))} AS qvec),
+scored AS (
+  SELECT id, {_COS8} AS raw FROM embedded CROSS JOIN q
+)
+SELECT id, ROUND(raw, 5)::DECIMAL(18,5) AS score
+FROM scored ORDER BY score DESC, id ASC LIMIT 10
+""",
+)
+def embed_knn_stub(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.functions.vector import cosine
+    from nucliadb_spark.operators import knn
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id"),
+        models.stub_embedding(F.col("text")).alias("emb"),
+    )
+    q = spark.createDataFrame([(_EMBED_QUERY,)], "t string").select(
+        models.stub_embedding(F.col("t")).alias("qvec")
+    )
+    return knn.exact_knn(docs, q, k=10, similarity="cosine", id_col="id", vec_col="emb")
+
+
+_RERANK_QUERY = "vector stream batch"
+_RERANK_WINDOW = 20  # min(2*top_k, 200) with top_k=10
+
+
+@register(
+    "rerank_stub",
+    f"""
+WITH candidates AS (
+  SELECT rid AS id, score FROM ({bm25.bm25_sql(tpch.SQL_FIELDS, _RERANK_QUERY, top_k=_RERANK_WINDOW)})
+),
+hydrated AS (
+  SELECT c.id, d.text FROM candidates c JOIN documents d ON c.id = CAST(d.doc_id AS BIGINT)
+)
+SELECT id,
+       ROUND({models.stub_reranker_sql(_sql_quote(_RERANK_QUERY), "text")}, 8)::DECIMAL(18,8) AS rerank_score
+FROM hydrated
+ORDER BY rerank_score DESC, id ASC
+LIMIT 10
+""",
+)
+def rerank_stub(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fields = tpch.fields(spark, sf_dir)
+    cands = bm25.bm25_search(fields, _RERANK_QUERY, top_k=_RERANK_WINDOW).select(
+        F.col("rid").alias("id")
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id"), "text"
+    )
+    rerank = models.make_stub_reranker(_RERANK_QUERY)
+    return (
+        cands.join(docs, "id")
+        .select(
+            "id",
+            F.round(rerank(F.col("text")), 8).cast("decimal(18,8)").alias("rerank_score"),
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
+# --- A3: KB counters ---------------------------------------------------------
+
+
+@register("kb_counters", exporter.kb_counters_sql())
+def kb_counters(spark, sf_dir):
+    return exporter.kb_counters(spark, sf_dir)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from nucliadb_spark.functions.vector import cosine_sql_unrolled
 from nucliadb_spark.operators import filters as fx
 from nucliadb_spark.operators import graph as G
 from nucliadb_spark.registry import register
@@ -90,6 +91,49 @@ _ENTITIES = ["customer:5", "part:7", "supplier:3"]
 @register("graph_neighborhood", G.neighborhood_sql(_R, _ENTITIES, top_k=100))
 def graph_neighborhood(spark, sf_dir):
     return G.neighborhood(_rel(spark, sf_dir), _ENTITIES, top_k=100)
+
+
+# --- G3: semantic node match — KNN ids feed the graph query -----------------
+
+
+@register(
+    "graph_semantic_nodes",
+    f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT e.vec_id AS id
+  FROM embeddings e CROSS JOIN q
+  ORDER BY ROUND({{cos}}, 5) DESC, e.vec_id ASC
+  LIMIT 5
+),
+relations AS ({_R})
+SELECT r.source_value, r.relation_label, r.target_value
+FROM relations r
+JOIN knn k ON r.source_value = concat('part:', k.id)
+ORDER BY r.source_value, r.relation_label, r.target_value
+LIMIT 50
+""".replace("{cos}", cosine_sql_unrolled("e.embedding", "q.qvec", 64)),
+)
+def graph_semantic_nodes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import knn as knn_op
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    top = knn_op.exact_knn(
+        e.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("vector")),
+        q,
+        k=5,
+        similarity="cosine",
+    ).select(F.concat(F.lit("part:"), F.col("id")).alias("source_value"))
+    r = _rel(spark, sf_dir)
+    return (
+        r.join(F.broadcast(top), "source_value")
+        .select("source_value", "relation_label", "target_value")
+        .orderBy("source_value", "relation_label", "target_value")
+        .limit(50)
+    )
 
 
 # --- G7 (bounded): 2-hop expansion customer→order→part ----------------------
