@@ -60,6 +60,12 @@ def doc_stats(fields: DataFrame, id_col: str = "rid", text_col: str = "text") ->
     )
 
 
+def doc_stats_from_postings(post: DataFrame) -> DataFrame:
+    """(rid, dl) derived from postings (dl = Σ tf) — avoids a second
+    tokenize+explode pass over the corpus."""
+    return post.groupBy("rid").agg(F.sum("tf").alias("dl"))
+
+
 def build_index(fields: DataFrame, path: str) -> None:
     """Persist the text index for reuse across queries (the batch
     analog of tantivy segment build, ref: nidx_tantivy/src/lib.rs).
@@ -114,7 +120,7 @@ def bm25_search(
         fields = fields.filter(prefilter.to_column())
 
     post = postings(fields, id_col, text_col)
-    stats = doc_stats(fields, id_col, text_col)
+    stats = doc_stats_from_postings(post)
     corpus = stats.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
@@ -212,7 +218,7 @@ toks AS (
   SELECT rid, unnest({tokenize_sql("text")}) AS term FROM filtered
 ),
 post AS (SELECT rid, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-docstats AS (SELECT rid, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+docstats AS (SELECT rid, SUM(tf) AS dl FROM post GROUP BY rid),
 corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),
 {matched},
 dfreq AS (

@@ -38,9 +38,9 @@ def title_match(query: str, kind: str, column: str = "title") -> Column:
     if kind == "startswith":
         return c.startswith(q)
     if kind == "words":
-        # every query token appears among the title tokens
-        toks = tokenize(F.lit(query))
-        return F.forall(toks, lambda t: F.array_contains(tokenize(column), t))
+        # every query token appears among the title tokens; single
+        # array_except so the title tokenizes once per row
+        return F.size(F.array_except(tokenize(F.lit(query)), tokenize(column))) == 0
     if kind == "fuzzy":
         # any title token within edit distance 1 of the query term
         # (ref fuzzy distance 1: nidx_relation/src/reader.rs:33)

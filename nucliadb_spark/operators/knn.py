@@ -118,6 +118,84 @@ LIMIT {k}
 """
 
 
+def quantized_rerank_knn(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    rerank_top: int = 50,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """1-bit quantized first pass + exact rerank (V3 analog of
+    RaBitQ, ref: nidx_vector/src/vector_types/rabitq.rs:30-255 —
+    1-bit signs, estimated score, exact rerank of the top
+    RERANKING_FACTOR·k).
+
+    First pass scores sign-agreement (integer, exact in any engine) —
+    at scale the sign bits pack 64:1 and the first pass reads 1/32nd
+    of the bytes; only `rerank_top` candidates get full-precision
+    cosine.
+    """
+    sign_dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(query_vec_col),
+            lambda x, y: F.when((x >= 0) == (y >= 0), 1).otherwise(-1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    first_pass = (
+        vectors.crossJoin(F.broadcast(query))
+        .withColumn("qscore", sign_dot)
+        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(rerank_top)
+    )
+    return (
+        first_pass.select(
+            F.col(id_col).alias("id"),
+            F.round(V.cosine(F.col(vec_col), F.col(query_vec_col)), 5)
+            .cast(SCORE_TYPE)
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def quantized_rerank_knn_sql(
+    vectors_sql: str,
+    query_sql: str,
+    dim: int,
+    k: int = 10,
+    rerank_top: int = 50,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    sign_terms = " + ".join(
+        f"(CASE WHEN (v.{vec_col}[{i}] >= 0) = (q.{query_vec_col}[{i}] >= 0) "
+        f"THEN 1 ELSE -1 END)"
+        for i in range(1, dim + 1)
+    )
+    cos = V.cosine_sql_unrolled(f"v.{vec_col}", f"q.{query_vec_col}", dim)
+    return f"""
+WITH vectors AS ({vectors_sql}),
+q AS ({query_sql}),
+first_pass AS (
+  SELECT v.{id_col} AS id, v.{vec_col}, ({sign_terms}) AS qscore
+  FROM vectors v CROSS JOIN q
+  ORDER BY qscore DESC, id ASC
+  LIMIT {rerank_top}
+)
+SELECT f.id, ROUND({cos.replace(f"v.{vec_col}", f"f.{vec_col}")}, 5)::DECIMAL(18,5) AS score
+FROM first_pass f CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
 def maxsim_knn(
     vectors: DataFrame,
     queries: DataFrame,

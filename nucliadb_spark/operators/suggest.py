@@ -37,7 +37,7 @@ def suggest_paragraphs(
     """Docs whose vocabulary matches the prefix (exact-prefix 1.0 /
     fuzzy 0.5), BM25-ranked: (rid, score)."""
     post = bm25.postings(fields)
-    stats = bm25.doc_stats(fields)
+    stats = bm25.doc_stats_from_postings(post)
     corpus = stats.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
     vocab = post.select("term").distinct()
     p = prefix.lower()
@@ -76,7 +76,7 @@ def suggest_paragraphs_sql(fields_sql: str, prefix: str, top_k: int = SUGGEST_TO
 WITH fields AS ({fields_sql}),
 toks AS (SELECT rid, unnest({tokenize_sql("text")}) AS term FROM fields),
 post AS (SELECT rid, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-docstats AS (SELECT rid, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+docstats AS (SELECT rid, SUM(tf) AS dl FROM post GROUP BY rid),
 corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),
 matched AS (
   SELECT term,

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nucliadb_spark.operators import bm25, suggest
+from nucliadb_spark.operators import advanced, bm25, suggest
 from nucliadb_spark.operators import filters as fx
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
@@ -163,6 +163,84 @@ def search_after_keyset(spark, sf_dir):
         cursor_id=5000,
         page_size=20,
     ).select("rid", "title", "created")
+
+
+# --- paragraph index: BM25 over the paragraphs table ----------------------
+
+
+@register(
+    "paragraph_search",
+    "SELECT rid AS paragraph_id, score FROM ("
+    + bm25.bm25_sql(
+        f"SELECT paragraph_id AS rid, text FROM ({tpch.SQL_PARAGRAPHS}) pp",
+        "window shuffle",
+        top_k=20,
+    )
+    + ")",
+)
+def paragraph_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = tpch.paragraphs(spark, sf_dir)
+    return bm25.bm25_search(
+        p, "window shuffle", top_k=20, id_col="paragraph_id"
+    ).select(F.col("rid").alias("paragraph_id"), "score")
+
+
+# --- J4: char-offset paragraph text extraction -----------------------------
+
+
+@register(
+    "paragraph_extract",
+    f"""
+WITH paragraphs AS ({tpch.SQL_PARAGRAPHS}),
+fields AS ({tpch.SQL_FIELDS})
+SELECT p.paragraph_id, p.start, p."end",
+       substring(f.text, p.start + 1, p."end" - p.start) AS extracted
+FROM paragraphs p
+JOIN fields f ON p.rid = f.rid
+WHERE p.rid % 29 = 0
+ORDER BY p.paragraph_id
+""",
+)
+def paragraph_extract(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = tpch.paragraphs(spark, sf_dir).filter(F.col("rid") % 29 == 0)
+    f = tpch.fields(spark, sf_dir).select("rid", F.col("text").alias("full_text"))
+    return (
+        p.join(f, "rid")
+        .select(
+            "paragraph_id",
+            "start",
+            "end",
+            F.expr("substring(full_text, start + 1, end - start)").alias("extracted"),
+        )
+        .orderBy("paragraph_id")
+    )
+
+
+# --- T5: advanced query grammar --------------------------------------------
+
+_ADV = '+spark -vector "batch batch" join merge'
+
+
+@register(
+    "advanced_query",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS})
+SELECT rid, language, source FROM fields
+WHERE {advanced.parse_advanced(_ADV).to_sql()}
+ORDER BY rid
+""",
+)
+def advanced_query(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return (
+        f.filter(advanced.parse_advanced(_ADV).to_column())
+        .select("rid", "language", "source")
+        .orderBy("rid")
+    )
 
 
 # --- A1: facet counting over the fields index (labels column) -----------

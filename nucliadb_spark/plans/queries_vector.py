@@ -98,6 +98,21 @@ def knn_prefiltered(spark, sf_dir):
     return knn.exact_knn(filtered, _query_df(spark, sf_dir), k=10, similarity="cosine")
 
 
+# --- V3: 1-bit quantized first pass + exact rerank -------------------------
+
+
+@register(
+    "knn_quantized_rerank",
+    knn.quantized_rerank_knn_sql(
+        tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, rerank_top=50
+    ),
+)
+def knn_quantized_rerank(spark, sf_dir):
+    return knn.quantized_rerank_knn(
+        _vectors(spark, sf_dir), _query_df(spark, sf_dir), k=10, rerank_top=50
+    )
+
+
 # --- V6 multivector MaxSim --------------------------------------------------
 
 

@@ -158,6 +158,49 @@ FROM documents
 
 
 # ---------------------------------------------------------------------
+# paragraphs: fixed-stride char windows over each document's text —
+# paragraph_id "rid/start-end" with unicode-char offsets, mirroring
+# the reference's paragraph index keys (nidx_paragraph/src/schema.rs
+# `paragraph` = "rid/field/start-end"). Corpus is ASCII so Spark
+# substring == DuckDB substring == python slicing.
+# ---------------------------------------------------------------------
+
+PARAGRAPH_STRIDE = 240
+
+
+def paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    start = F.explode(
+        F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(PARAGRAPH_STRIDE))
+    ).alias("start")
+    p = d.select(F.col("doc_id").cast("long").alias("rid"), "text", "n_chars", start)
+    end = F.least(F.col("start") + PARAGRAPH_STRIDE, F.col("n_chars"))
+    return p.select(
+        "rid",
+        F.concat_ws("/", "rid", F.concat_ws("-", "start", end.cast("long"))).alias(
+            "paragraph_id"
+        ),
+        F.col("start").cast("long").alias("start"),
+        end.cast("long").alias("end"),
+        F.expr(f"substring(text, start + 1, {PARAGRAPH_STRIDE})").alias("text"),
+    )
+
+
+SQL_PARAGRAPHS = f"""
+SELECT CAST(doc_id AS BIGINT) AS rid,
+       concat(doc_id, '/', start, '-', least(start + {PARAGRAPH_STRIDE}, n_chars)) AS paragraph_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least(start + {PARAGRAPH_STRIDE}, n_chars) AS BIGINT) AS "end",
+       substring(text, start + 1, {PARAGRAPH_STRIDE}) AS text
+FROM (
+  SELECT doc_id, text, n_chars,
+         unnest(range(0, n_chars, {PARAGRAPH_STRIDE})) AS start
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------
 # vectors: embeddings table keyed by vec_id; vec_id ↔ doc_id aligns
 # 1:1 with documents (both 500·sf·1000 rows).
 # ---------------------------------------------------------------------
