@@ -61,6 +61,32 @@ def read_arrow_export(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(merged.to_pandas()).drop("__pid__")
 
 
+def scan_batches(df: DataFrame, batch_size: int = 1000):
+    """S5 streaming scan: full-index iterator in batches of
+    batch_size (ref: nidx_text/src/reader.rs:657-716 BatchProducer,
+    batch 1000). Yields lists of Rows; `toLocalIterator` streams one
+    partition at a time to the driver — no full collect."""
+    batch: list = []
+    for row in df.toLocalIterator():
+        batch.append(row)
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def compact(spark: SparkSession, table_path: str, target_partitions: int = 4) -> None:
+    """S4 segment-merge analog: coalesce a table's many small files
+    into target_partitions (the reference log-merges tantivy segments
+    — nidx/src/scheduler/log_merge.rs:59; on a lakehouse this is
+    OPTIMIZE/compaction)."""
+    df = spark.read.parquet(table_path)
+    df.coalesce(target_partitions).write.mode("overwrite").parquet(
+        table_path + ".compact"
+    )
+
+
 def kb_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row KB counters (A3): resources/fields/vectors/relations/
     events — mirrors the reference's counters endpoint shape."""

@@ -196,6 +196,40 @@ LIMIT {k}
 """
 
 
+def dedup_vectors(
+    vectors: DataFrame, vec_col: str = "vector", id_col: str = "rid"
+) -> DataFrame:
+    """V4 `with_duplicates=false` (ref: nidx_vector/src/searcher.rs:
+    150-199 Fssc dedup): keep one row per identical vector — the
+    deterministic survivor is the min id. One shuffle keyed by the
+    vector hash, never by the raw float array."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(vec_col).cast("string"))).orderBy(
+        F.col(id_col).asc()
+    )
+    return (
+        vectors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pick_vectorset(
+    spark, sf_dir: str, vectorsets: dict[str, str], name: str, expect_dim: int
+) -> DataFrame:
+    """V8 vectorset routing (ref: shard_search.rs:94-105 + dimension
+    check searcher.rs:254-262): choose the named embedding table and
+    assert its dimension."""
+    if name not in vectorsets:
+        raise KeyError(f"unknown vectorset {name!r}; have {sorted(vectorsets)}")
+    df = spark.read.parquet(f"{sf_dir}/{vectorsets[name]}.parquet")
+    bad = df.filter(F.size(F.col("embedding")) != expect_dim).limit(1).count()
+    if bad:
+        raise ValueError(f"vectorset {name!r} has vectors of dim != {expect_dim}")
+    return df
+
+
 def maxsim_knn(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,87 @@
+"""Unit tests: planner rules (T7/O3/O6/R3/F8), vector dedup (V4/U3),
+vectorset routing (V8), batch scan (S5), advanced parser (T5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nucliadb_spark.operators import advanced, exporter, knn
+from nucliadb_spark.operators import filters as fx
+from nucliadb_spark.plans import planner
+from nucliadb_spark.sources import tpch
+
+
+def test_exact_match_detection():
+    assert planner.should_disable_vector_search("")
+    assert planner.should_disable_vector_search('  "exact phrase"  ')
+    assert not planner.should_disable_vector_search('find "this" too')
+    assert not planner.should_disable_vector_search("normal query")
+
+
+def test_sort_rules():
+    assert planner.default_sort("hello") == ("score", False)
+    assert planner.default_sort("") == ("created", False)
+    assert planner.default_sort("x", endpoint="catalog") == ("created", False)
+
+
+def test_window_algebra():
+    # rank_fusion.window = min(max(requested, top_k), 500)
+    assert planner.fusion_window(20, 10) == 20
+    assert planner.fusion_window(5, 10) == 10
+    assert planner.fusion_window(900, 10) == 500
+    # reranker window = min(2*top_k, 200)
+    assert planner.reranker_window(10) == 20
+    assert planner.reranker_window(150) == 200
+
+
+def test_single_source_skip():
+    assert not planner.fusion_needed({"keyword": 5, "semantic": 0})
+    assert planner.fusion_needed({"keyword": 5, "semantic": 1})
+
+
+def test_old_filters_translation():
+    legacy = planner.LegacyFilters(
+        filters=["/l/type/economy", ["/n/s/PROCESSED", "/n/s/PENDING"]],
+        keyword_filters=["spark"],
+        range_creation_start="1995-01-01 00:00:00",
+    )
+    expr = planner.translate_old_filters(legacy)
+    sql = expr.to_sql()
+    assert "l/type/economy" in sql and " OR " in sql and "created >=" in sql
+    assert planner.translate_old_filters(planner.LegacyFilters()) is None
+
+
+def test_vector_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, [3.0, 4.0])],
+        "rid long, vector array<float>",
+    )
+    out = knn.dedup_vectors(df).orderBy("rid").collect()
+    assert [r.rid for r in out] == [1, 3]  # min id survives
+
+
+def test_vectorset_routing(spark, sf_dir):
+    vs = {"default": "embeddings"}
+    df = knn.pick_vectorset(spark, sf_dir, vs, "default", expect_dim=64)
+    assert df.count() > 0
+    with pytest.raises(KeyError):
+        knn.pick_vectorset(spark, sf_dir, vs, "missing", 64)
+    with pytest.raises(ValueError):
+        knn.pick_vectorset(spark, sf_dir, vs, "default", expect_dim=128)
+
+
+def test_scan_batches(spark, sf_dir):
+    docs = tpch.table(spark, sf_dir, "documents")
+    total = docs.count()
+    batches = list(exporter.scan_batches(docs.select("doc_id"), batch_size=64))
+    assert sum(len(b) for b in batches) == total
+    assert all(len(b) <= 64 for b in batches)
+
+
+def test_advanced_parser_units():
+    e = advanced.parse_advanced('+a -b "c d" e f')
+    sql = e.to_sql()
+    assert sql.count("list_contains") >= 4 and "NOT" in sql and "c d" in sql
+    with pytest.raises(ValueError):
+        advanced.parse_advanced("   ")
+    # lone operators degrade to should-terms, not crashes
+    assert isinstance(advanced.parse_advanced("x"), fx.Keyword)
