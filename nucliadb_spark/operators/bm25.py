@@ -103,6 +103,8 @@ def bm25_search(
     synonyms: dict[str, list[str]] | None = None,
     id_col: str = "rid",
     text_col: str = "text",
+    post: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: (rid, score[, ematches]).
 
@@ -112,15 +114,22 @@ def bm25_search(
     pushes it into the parquet read; postings derive from the already
     filtered corpus. Corpus stats (N, avgdl, df) also use the
     filtered corpus, like a per-shard tantivy searcher would.
+
+    post/stats: a prebuilt (cached/persisted) index — the serving
+    path; only valid for an unfiltered corpus (prefilter must be
+    None, like tantivy serving from built segments).
     """
     terms = expand_synonyms(sorted(set(tokenize_py(query))), synonyms)
     if not terms:
         raise ValueError("empty query")
     if prefilter is not None:
+        assert post is None and stats is None, "prefilter needs a fresh index"
         fields = fields.filter(prefilter.to_column())
 
-    post = postings(fields, id_col, text_col)
-    stats = doc_stats_from_postings(post)
+    if post is None:
+        post = postings(fields, id_col, text_col)
+    if stats is None:
+        stats = doc_stats_from_postings(post)
     corpus = stats.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )

@@ -48,6 +48,8 @@ def find(
     prefilter: Expr | None = None,
     weights: dict[str, float] | None = None,
     dim: int = 64,
+    post: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid find → (id, score, matched_sources, language, source, snippet)."""
     win = fusion_window(window, top_k)
@@ -60,7 +62,9 @@ def find(
     )
 
     keyword = bm25.bm25_search(
-        fields, query, top_k=win, mode="any", prefilter=prefilter
+        fields, query, top_k=win, mode="any", prefilter=prefilter,
+        post=post if prefilter is None else None,
+        stats=stats if prefilter is None else None,
     ).select(F.col("rid").alias("id"), "score")
 
     if prefilter is not None:

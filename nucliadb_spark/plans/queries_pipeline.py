@@ -22,6 +22,9 @@ from nucliadb_spark.sources import tpch
     ),
 )
 def find_hybrid(spark, sf_dir):
+    from nucliadb_spark.plans.queries_text import _text_index
+
+    post, stats = _text_index(spark, sf_dir)
     return find.find(
         spark,
         sf_dir,
@@ -30,6 +33,8 @@ def find_hybrid(spark, sf_dir):
         entity_sources=["src3", "src11"],
         top_k=10,
         window=50,
+        post=post,
+        stats=stats,
     )
 
 

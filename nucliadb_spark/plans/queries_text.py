@@ -5,10 +5,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nucliadb_spark.cache import cached_df
 from nucliadb_spark.operators import advanced, bm25, suggest
 from nucliadb_spark.operators import filters as fx
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
+
+
+def _text_index(spark, sf_dir):
+    """Cached text index for the unfiltered documents corpus (the
+    serving path — built once per session, reused by every query)."""
+    post = cached_df(
+        sf_dir, "postings", lambda: bm25.postings(tpch.fields(spark, sf_dir))
+    )
+    stats = cached_df(
+        sf_dir, "docstats", lambda: bm25.doc_stats_from_postings(post)
+    )
+    return post, stats
 
 # --- T2/O1: disjunctive paragraph-style keyword search ------------------
 
@@ -18,8 +31,8 @@ from nucliadb_spark.sources import tpch
     bm25.bm25_sql(tpch.SQL_FIELDS, "spark join window", top_k=20, mode="any"),
 )
 def bm25_keyword(spark, sf_dir):
-    f = tpch.fields(spark, sf_dir)
-    return bm25.bm25_search(f, "spark join window", top_k=20, mode="any")
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(None, "spark join window", top_k=20, mode="any", post=post, stats=stats)
 
 
 # --- T1: conjunctive text-index search -----------------------------------
@@ -30,8 +43,8 @@ def bm25_keyword(spark, sf_dir):
     bm25.bm25_sql(tpch.SQL_FIELDS, "vector stream batch", top_k=20, mode="all"),
 )
 def bm25_conjunctive(spark, sf_dir):
-    f = tpch.fields(spark, sf_dir)
-    return bm25.bm25_search(f, "vector stream batch", top_k=20, mode="all")
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(None, "vector stream batch", top_k=20, mode="all", post=post, stats=stats)
 
 
 # --- T3: fuzzy query (levenshtein<=1 vocab expansion, 0.5 boost) ---------
@@ -43,8 +56,8 @@ def bm25_conjunctive(spark, sf_dir):
 )
 def bm25_fuzzy(spark, sf_dir):
     # "spak"→spark (1 insert), "windoq"→window (1 substitution)
-    f = tpch.fields(spark, sf_dir)
-    return bm25.bm25_search(f, "spak windoq", top_k=20, fuzzy=True)
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(None, "spak windoq", top_k=20, fuzzy=True, post=post, stats=stats)
 
 
 # --- T8: ematches (matched terms carried through scoring) ----------------
@@ -57,8 +70,8 @@ def bm25_fuzzy(spark, sf_dir):
     ),
 )
 def bm25_ematches(spark, sf_dir):
-    f = tpch.fields(spark, sf_dir)
-    return bm25.bm25_search(f, "query filter agg", top_k=15, with_ematches=True)
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats)
 
 
 # --- F9/J1: prefilter semijoin — filter fields first, score the rest ----
@@ -113,8 +126,10 @@ _SYNS = {"join": ["merge"], "fast": ["quick", "big"]}
     bm25.bm25_sql(tpch.SQL_FIELDS, "fast join", top_k=20, synonyms=_SYNS),
 )
 def bm25_synonyms(spark, sf_dir):
-    f = tpch.fields(spark, sf_dir)
-    return bm25.bm25_search(f, "fast join", top_k=20, synonyms=_SYNS)
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(
+        None, "fast join", top_k=20, synonyms=_SYNS, post=post, stats=stats
+    )
 
 
 # --- T9: suggest (paragraph fuzzy-prefix + entity prefix) -----------------
@@ -133,7 +148,8 @@ def suggest_paragraphs(spark, sf_dir):
     suggest.suggest_entities_sql(tpch.SQL_RELATIONS, "customer:19"),
 )
 def suggest_entities(spark, sf_dir):
-    return suggest.suggest_entities(tpch.relations(spark, sf_dir), "customer:19")
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    return suggest.suggest_entities(rel, "customer:19")
 
 
 # --- O5: search_after keyset pagination ------------------------------------
