@@ -48,29 +48,60 @@ PATH_COLS = [
 
 
 def _value_match(col: str, value: str, kind: str) -> Column:
+    """Match kinds FULL/PREFIX/WORDS/PREFIX_WORDS × exact/fuzzy
+    (ref: nodereader.proto:156-184, graph_query_parser.rs:480-581).
+
+    fuzzy_prefix: the node has a prefix within edit distance 1 of the
+    query — since lev(s[:k], q) ≥ |k - len(q)|, only prefixes of
+    length len(q)-1 … len(q)+1 can qualify, so three levenshtein
+    probes characterize the tantivy prefix-automaton exactly.
+    """
     c = F.col(col)
+    v = value.lower()
     if kind == "full":
         return c == value
     if kind == "prefix":
         return c.startswith(value)
     if kind == "words":
-        return F.exists(tokenize(col), lambda t: t == F.lit(value.lower()))
+        return F.exists(tokenize(col), lambda t: t == F.lit(v))
+    if kind == "prefix_words":
+        return F.exists(tokenize(col), lambda t: t.startswith(v))
     if kind == "fuzzy":
-        return F.levenshtein(F.lower(c), F.lit(value.lower())) <= FUZZY_DISTANCE
+        return F.levenshtein(F.lower(c), F.lit(v)) <= FUZZY_DISTANCE
+    if kind == "fuzzy_prefix":
+        n = len(v)
+        probes = [
+            F.levenshtein(F.substring(F.lower(c), 1, k), F.lit(v)) <= FUZZY_DISTANCE
+            for k in (max(n - 1, 1), n, n + 1)
+        ]
+        out = probes[0]
+        for p in probes[1:]:
+            out = out | p
+        return out
     raise ValueError(f"unknown match kind {kind}")
 
 
 def _value_match_sql(col: str, value: str, kind: str) -> str:
     q = _sql_quote(value)
-    ql = _sql_quote(value.lower())
+    v = value.lower()
+    ql = _sql_quote(v)
     if kind == "full":
         return f"{col} = {q}"
     if kind == "prefix":
         return f"starts_with({col}, {q})"
     if kind == "words":
         return f"list_contains({tokenize_sql(col)}, {ql})"
+    if kind == "prefix_words":
+        return f"len(list_filter({tokenize_sql(col)}, t -> starts_with(t, {ql}))) > 0"
     if kind == "fuzzy":
         return f"levenshtein(lower({col}), {ql}) <= {FUZZY_DISTANCE}"
+    if kind == "fuzzy_prefix":
+        n = len(v)
+        probes = " OR ".join(
+            f"levenshtein(substring(lower({col}), 1, {k}), {ql}) <= {FUZZY_DISTANCE}"
+            for k in (max(n - 1, 1), n, n + 1)
+        )
+        return f"({probes})"
     raise ValueError(f"unknown match kind {kind}")
 
 

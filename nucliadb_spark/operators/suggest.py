@@ -33,10 +33,11 @@ def suggest_paragraphs(
     fields: DataFrame,
     prefix: str,
     top_k: int = SUGGEST_TOP_K,
+    id_col: str = "rid",
 ) -> DataFrame:
     """Docs whose vocabulary matches the prefix (exact-prefix 1.0 /
     fuzzy 0.5), BM25-ranked: (rid, score)."""
-    post = bm25.postings(fields)
+    post = bm25.postings(fields, id_col=id_col)
     stats = bm25.doc_stats_from_postings(post)
     corpus = stats.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
     vocab = post.select("term").distinct()
