@@ -80,6 +80,37 @@ def build_index(fields: DataFrame, path: str) -> None:
 # --- scoring ------------------------------------------------------------
 
 
+# Common function words per language (standard stop-word collections;
+# behavior ported from nidx/nidx_paragraph/src/query_parser/
+# stop_words.rs — multilingual list, last query term always kept
+# because it may serve as a fuzzy/suggest prefix).
+STOP_WORDS = frozenset(
+    # en
+    "a an and are as at be but by can do does for from how i in is it of on "
+    "or that the to was what when where which who will with".split()
+    # es
+    + "el la los las de que y en un una es por con para".split()
+    # fr
+    + "le les et une est pour dans".split()
+    # de
+    + "der die das und ist ein eine zu den von".split()
+    # it
+    + "il che e sono al".split()
+    # ca
+    + "els no són per és".split()
+)
+
+
+def remove_stop_words(tokens: list[str]) -> list[str]:
+    """Drop stop-word tokens, always keeping the last token
+    (ref: stop_words.rs:94-109 — the last term is preserved even if
+    it is a stop word, for fuzzy-prefix/suggest use)."""
+    if not tokens:
+        return tokens
+    *head, last = tokens
+    return [t for t in head if t not in STOP_WORDS] + [last]
+
+
 def expand_synonyms(terms: list[str], synonyms: dict[str, list[str]] | None) -> list[str]:
     """Query rewrite: term → (term OR syn1 OR syn2 ...) — SURVEY T6,
     ref: search/search/query_parser/parsers/common.py:174-219
@@ -101,6 +132,7 @@ def bm25_search(
     with_ematches: bool = False,
     prefilter: Expr | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    stop_words: bool = False,
     id_col: str = "rid",
     text_col: str = "text",
     post: DataFrame | None = None,
@@ -119,7 +151,10 @@ def bm25_search(
     path; only valid for an unfiltered corpus (prefilter must be
     None, like tantivy serving from built segments).
     """
-    terms = expand_synonyms(sorted(set(tokenize_py(query))), synonyms)
+    toks = tokenize_py(query)
+    if stop_words:
+        toks = remove_stop_words(toks)
+    terms = expand_synonyms(sorted(set(toks)), synonyms)
     if not terms:
         raise ValueError("empty query")
     if prefilter is not None:
@@ -197,9 +232,13 @@ def bm25_sql(
     with_ematches: bool = False,
     where: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    stop_words: bool = False,
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (same CTE pipeline)."""
-    terms = expand_synonyms(sorted(set(tokenize_py(query))), synonyms)
+    toks = tokenize_py(query)
+    if stop_words:
+        toks = remove_stop_words(toks)
+    terms = expand_synonyms(sorted(set(toks)), synonyms)
     term_list = ", ".join(_sql_quote(t) for t in terms)
     where_sql = f"WHERE {where}" if where else ""
     if fuzzy:

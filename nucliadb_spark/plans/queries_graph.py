@@ -139,6 +139,51 @@ def graph_semantic_nodes(spark, sf_dir):
     )
 
 
+# --- G6: graph paths → text blocks (paragraph provenance join) --------------
+# ref: retrieval.py:42,172-206 — paths carry metadata.paragraph_id;
+# the paragraphs they support become a third retriever with constant
+# score 1.0.
+
+
+@register(
+    "graph_text_blocks",
+    f"""
+WITH relations AS ({_R}),
+paragraphs AS ({tpch.SQL_PARAGRAPHS}),
+hits AS (
+  SELECT DISTINCT r.paragraph_id
+  FROM relations r
+  WHERE r.relation_label = 'SUPPLIED_BY'
+    AND r.source_value IN ('part:3', 'part:17', 'part:501')
+    AND r.paragraph_id IS NOT NULL
+)
+SELECT p.paragraph_id, p.text, 1.0::DOUBLE AS score
+FROM paragraphs p
+JOIN hits h ON p.paragraph_id = h.paragraph_id
+ORDER BY p.paragraph_id
+""",
+)
+def graph_text_blocks(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    r = _rel(spark, sf_dir)
+    hits = (
+        r.filter(
+            (F.col("relation_label") == "SUPPLIED_BY")
+            & F.col("source_value").isin("part:3", "part:17", "part:501")
+            & F.col("paragraph_id").isNotNull()
+        )
+        .select("paragraph_id")
+        .distinct()
+    )
+    p = tpch.paragraphs(spark, sf_dir)
+    return (
+        p.join(F.broadcast(hits), "paragraph_id")
+        .select("paragraph_id", "text", F.lit(1.0).alias("score"))
+        .orderBy("paragraph_id")
+    )
+
+
 # --- G7 (bounded): 2-hop expansion customer→order→part ----------------------
 
 _START = fx.And(

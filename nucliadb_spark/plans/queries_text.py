@@ -132,6 +132,46 @@ def bm25_synonyms(spark, sf_dir):
     )
 
 
+# --- T2: stop-word removal before scoring ---------------------------------
+
+_STOPQ = "what is the data for a stream"  # → terms: data, stream (last kept)
+
+
+@register(
+    "bm25_stop_words",
+    bm25.bm25_sql(tpch.SQL_FIELDS, _STOPQ, top_k=20, stop_words=True),
+)
+def bm25_stop_words(spark, sf_dir):
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(
+        None, _STOPQ, top_k=20, stop_words=True, post=post, stats=stats
+    )
+
+
+# --- T4: keyword-exact first, fuzzy only on empty results ------------------
+# (ref: nidx_paragraph/src/reader.rs:104-139 — driver-side conditional
+# second job; the misspelled query has zero exact hits so the fallback
+# fires and the oracle is the fuzzy pipeline.)
+
+_FALLBACK_Q = "spakr windoq"  # no exact vocabulary hits
+
+
+@register(
+    "bm25_fuzzy_fallback",
+    bm25.bm25_sql(tpch.SQL_FIELDS, _FALLBACK_Q, top_k=20, fuzzy=True),
+)
+def bm25_fuzzy_fallback(spark, sf_dir):
+    post, stats = _text_index(spark, sf_dir)
+    exact = bm25.bm25_search(
+        None, _FALLBACK_Q, top_k=20, post=post, stats=stats
+    )
+    if exact.limit(1).count() > 0:  # pragma: no cover - fixture has no exact hit
+        return exact
+    return bm25.bm25_search(
+        None, _FALLBACK_Q, top_k=20, fuzzy=True, post=post, stats=stats
+    )
+
+
 # --- T9: suggest (paragraph fuzzy-prefix + entity prefix) -----------------
 
 

@@ -238,6 +238,10 @@ FROM embeddings
 
 
 def relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triples with provenance: SUPPLIED_BY triples carry the
+    supporting paragraph id of the doc aligned with the part
+    (utils.proto:26-33 RelationMetadata.paragraph_id — the hook for
+    G6 graph-paths→text-blocks)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     supplied = li.select(
@@ -248,6 +252,7 @@ def relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("supplier:"), F.col("l_suppkey")).alias("target_value"),
         F.lit("ENTITY").alias("target_type"),
         F.lit("SUPPLIER").alias("target_subtype"),
+        F.concat(F.col("l_partkey") % 500, F.lit("/0-240")).alias("paragraph_id"),
     ).distinct()
     contains = li.select(
         F.concat(F.lit("order:"), F.col("l_orderkey")).alias("source_value"),
@@ -257,6 +262,7 @@ def relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("part:"), F.col("l_partkey")).alias("target_value"),
         F.lit("ENTITY").alias("target_type"),
         F.lit("PART").alias("target_subtype"),
+        F.lit(None).cast("string").alias("paragraph_id"),
     ).distinct()
     placed = o.select(
         F.concat(F.lit("customer:"), F.col("o_custkey")).alias("source_value"),
@@ -266,6 +272,7 @@ def relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("order:"), F.col("o_orderkey")).alias("target_value"),
         F.lit("ENTITY").alias("target_type"),
         F.lit("ORDER").alias("target_subtype"),
+        F.lit(None).cast("string").alias("paragraph_id"),
     )
     return supplied.unionByName(contains).unionByName(placed)
 
@@ -276,7 +283,8 @@ SELECT DISTINCT
   'ENTITY' AS source_type, 'PART' AS source_subtype,
   'SUPPLIED_BY' AS relation_label,
   concat('supplier:', l_suppkey) AS target_value,
-  'ENTITY' AS target_type, 'SUPPLIER' AS target_subtype
+  'ENTITY' AS target_type, 'SUPPLIER' AS target_subtype,
+  concat(l_partkey % 500, '/0-240') AS paragraph_id
 FROM lineitem
 UNION ALL
 SELECT DISTINCT
@@ -284,7 +292,8 @@ SELECT DISTINCT
   'ENTITY', 'ORDER',
   'CONTAINS',
   concat('part:', l_partkey),
-  'ENTITY', 'PART'
+  'ENTITY', 'PART',
+  NULL
 FROM lineitem
 UNION ALL
 SELECT
@@ -292,6 +301,7 @@ SELECT
   'ENTITY', 'CUSTOMER',
   'PLACED',
   concat('order:', o_orderkey),
-  'ENTITY', 'ORDER'
+  'ENTITY', 'ORDER',
+  NULL
 FROM orders
 """
