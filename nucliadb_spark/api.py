@@ -1,0 +1,125 @@
+"""Public request API: the reference's FindRequest surface
+(nucliadb_models/search.py FindRequest — features, filters, top_k,
+min_score, rank fusion, reranker) executed Spark-first.
+
+This is the layer a nucliadb user would call after switching: one
+dataclass in, one DataFrame out, with the reference's planner rules
+applied (feature pruning T7, window algebra O6/O7, single-source
+fusion skip R3, legacy filter translation F8, reranker R5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nucliadb_spark.functions import models
+from nucliadb_spark.operators import bm25, fusion, knn
+from nucliadb_spark.operators.filters import Expr
+from nucliadb_spark.plans import planner
+from nucliadb_spark.sources import tpch
+
+FEATURES = ("keyword", "semantic", "graph")
+
+
+@dataclass
+class FindRequest:
+    query: str
+    features: list[str] = field(default_factory=lambda: ["keyword", "semantic"])
+    top_k: int = 10
+    window: int = 50
+    min_score: float | None = None
+    filters: Expr | None = None
+    legacy_filters: planner.LegacyFilters | None = None
+    synonyms: dict[str, list[str]] | None = None
+    fusion_weights: dict[str, float] | None = None
+    reranker: str = "noop"  # noop | stub
+    query_vec_id: int = 0
+    entity_sources: list[str] | None = None
+
+
+def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
+    """Execute a FindRequest → (id, score, matched_sources)."""
+    # F8: legacy filters fold into the filter tree
+    filters = req.filters
+    legacy = planner.translate_old_filters(req.legacy_filters) if req.legacy_filters else None
+    if legacy is not None:
+        from nucliadb_spark.operators.filters import And
+
+        filters = legacy if filters is None else And([filters, legacy])
+
+    # T7: exact-match / empty queries disable semantic retrieval
+    features = list(req.features)
+    if "semantic" in features and planner.should_disable_vector_search(req.query):
+        features.remove("semantic")
+
+    win = planner.fusion_window(req.window, req.top_k)
+    fields = tpch.fields(spark, sf_dir)
+    sources: dict[str, DataFrame] = {}
+
+    if "keyword" in features and req.query.strip():
+        sources["keyword"] = bm25.bm25_search(
+            fields,
+            req.query,
+            top_k=win,
+            prefilter=filters,
+            synonyms=req.synonyms,
+        ).select(F.col("rid").alias("id"), "score")
+
+    if "semantic" in features:
+        vectors = tpch.vectors(spark, sf_dir)
+        if filters is not None:
+            allowed = fields.filter(filters.to_column()).select("rid")
+            vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
+        qvec = (
+            tpch.table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == req.query_vec_id)
+            .select(F.col("embedding").alias("qvec"))
+        )
+        sources["semantic"] = knn.exact_knn(
+            vectors, qvec, k=win, min_score=req.min_score
+        )
+
+    if "graph" in features and req.entity_sources:
+        gdf = fields if filters is None else fields.filter(filters.to_column())
+        sources["graph"] = (
+            gdf.filter(F.col("source").isin(req.entity_sources))
+            .select(F.col("rid").alias("id"), F.lit(1.0).alias("score"))
+            .orderBy("id")
+            .limit(win)
+        )
+
+    if not sources:
+        raise ValueError("request selects no retrievers")
+
+    # R3: single source skips fusion entirely
+    if len(sources) == 1:
+        name, df = next(iter(sources.items()))
+        fused = df.select(
+            "id",
+            F.col("score").cast("decimal(18,6)").alias("score"),
+            F.array(F.lit(name)).alias("matched_sources"),
+        ).orderBy(F.col("score").desc(), F.col("id").asc()).limit(req.top_k)
+    else:
+        fused = fusion.rrf(sources, weights=req.fusion_weights, top_k=req.top_k)
+
+    # R5: optional cross-encoder rerank over min(2k, 200) candidates
+    if req.reranker == "stub":
+        docs = tpch.table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("id"), "text"
+        )
+        rerank = models.make_stub_reranker(req.query)
+        rerank_win = planner.reranker_window(req.top_k)
+        fused = (
+            fused.limit(rerank_win)
+            .join(docs, "id")
+            .select(
+                "id",
+                F.round(rerank(F.col("text")), 8).cast("decimal(18,8)").alias("score"),
+                "matched_sources",
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(req.top_k)
+        )
+    return fused

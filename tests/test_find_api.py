@@ -1,0 +1,57 @@
+"""FindRequest API behavior: feature pruning, single-source skip,
+legacy filters, reranker window — the planner rules working together
+in the real pipeline."""
+
+import pytest
+
+from nucliadb_spark import api
+from nucliadb_spark.operators import bm25
+from nucliadb_spark.plans import planner
+from nucliadb_spark.sources import tpch
+
+
+def test_keyword_only_equals_bm25(spark, sf_dir):
+    req = api.FindRequest(query="spark join window", features=["keyword"], top_k=10)
+    out = api.find_request(spark, sf_dir, req).collect()
+    direct = bm25.bm25_search(
+        tpch.fields(spark, sf_dir), "spark join window", top_k=10
+    ).collect()
+    assert [r.id for r in out] == [r.rid for r in direct]
+    assert all(r.matched_sources == ["keyword"] for r in out)
+
+
+def test_quoted_query_disables_semantic(spark, sf_dir):
+    req = api.FindRequest(query='"batch batch"', features=["keyword", "semantic"])
+    # quoted-only query → semantic dropped → keyword-only (T7 + R3)
+    out = api.find_request(spark, sf_dir, req)
+    assert {r.matched_sources[0] for r in out.collect()} == {"keyword"}
+
+
+def test_hybrid_fuses_sources(spark, sf_dir):
+    req = api.FindRequest(query="spark join window", top_k=10)
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert len(rows) == 10
+    assert any(len(r.matched_sources) == 2 for r in rows)
+
+
+def test_legacy_filters_fold_in(spark, sf_dir):
+    legacy = planner.LegacyFilters(filters=["/s/p/en"])
+    req = api.FindRequest(query="merge sort", features=["keyword"], legacy_filters=legacy)
+    out = api.find_request(spark, sf_dir, req)
+    docs = tpch.table(spark, sf_dir, "documents")
+    en_ids = {r.doc_id for r in docs.filter("lang = 'en'").collect()}
+    assert {r.id for r in out.collect()} <= en_ids
+
+
+def test_stub_reranker_reorders(spark, sf_dir):
+    req = api.FindRequest(query="spark join window", top_k=5, reranker="stub")
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert len(rows) == 5
+    scores = [float(r.score) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_no_retrievers_raises(spark, sf_dir):
+    with pytest.raises(ValueError):
+        api.find_request(spark, sf_dir, api.FindRequest(query="", features=["keyword"]))
