@@ -195,6 +195,48 @@ def faceted_search(
     )
 
 
+def catalog_endpoint(
+    resources: DataFrame,
+    query: str | None = None,
+    match_kind: str = "words",
+    filters: Expr | None = None,
+    faceted: list[str] | None = None,
+    sort_by: str = "created",
+    ascending: bool = False,
+    page_number: int = 0,
+    page_size: int = 20,
+) -> dict:
+    """The full catalog response (ref: pg.py:117-172 `search` →
+    Resources{results, facets, total, next_page}): results page,
+    per-root facet counts, filtered total, and next_page via the
+    k+1 trick (fetch size+1 rows, report whether the extra exists —
+    O7, reader.rs:432-449)."""
+    df = resources
+    if query:
+        df = df.filter(title_match(query, match_kind))
+    if filters is not None:
+        df = df.filter(filters.to_column())
+    sort_cols = [
+        F.col(sort_by).asc() if ascending else F.col(sort_by).desc(),
+        F.col("rid").asc(),
+    ]
+    skip = page_number * page_size
+    top = df.orderBy(*sort_cols).limit(skip + page_size + 1)
+    w = Window.orderBy(*sort_cols)
+    rows = (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > skip)
+        .drop("_rn")
+        .collect()
+    )
+    return {
+        "results": rows[:page_size],
+        "next_page": len(rows) > page_size,
+        "total": df.count(),
+        "facets": faceted_search(resources, faceted, filters) if faceted else None,
+    }
+
+
 def facet_rollup(
     resources: DataFrame,
     max_depth: int = 3,
