@@ -21,16 +21,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def cached_df(sf_dir: str, name: str, builder: Callable[[], DataFrame]) -> DataFrame:
-    key = (sf_dir, name)
-    df = _CACHE.get(key)
-    if df is None:
-        df = builder().persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHE[key] = df
-    return df
+    df = builder()
+    # key on the Spark application: a restarted/different session must
+    # rebuild, not serve DataFrames of a dead context
+    app = df.sparkSession.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is None:
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHE[key] = cached
+    return cached
 
 
 def clear() -> None:

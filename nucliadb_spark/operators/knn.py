@@ -196,6 +196,73 @@ LIMIT {k}
 """
 
 
+def matryoshka_knn(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    first_dims: int = 16,
+    rerank_top: int = 50,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Matryoshka two-stage KNN (ref: knowledgebox.proto:203-230
+    matryoshka_dimensions — nested-representation models let a prefix
+    of the vector act as a cheaper embedding): first pass scores the
+    first `first_dims` components (reads 1/4 of the vector bytes with
+    dim 64→16), full-precision rerank of the top candidates."""
+    short_sim = V.cosine(
+        F.slice(F.col(vec_col), 1, first_dims),
+        F.slice(F.col(query_vec_col), 1, first_dims),
+    )
+    first_pass = (
+        vectors.crossJoin(F.broadcast(query))
+        .withColumn("qscore", F.round(short_sim, 5))
+        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(rerank_top)
+    )
+    return (
+        first_pass.select(
+            F.col(id_col).alias("id"),
+            F.round(V.cosine(F.col(vec_col), F.col(query_vec_col)), 5)
+            .cast(SCORE_TYPE)
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def matryoshka_knn_sql(
+    vectors_sql: str,
+    query_sql: str,
+    dim: int,
+    k: int = 10,
+    first_dims: int = 16,
+    rerank_top: int = 50,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    short = V.cosine_sql_unrolled(f"v.{vec_col}", f"q.{query_vec_col}", first_dims)
+    full = V.cosine_sql_unrolled(f"f.{vec_col}", f"q.{query_vec_col}", dim)
+    return f"""
+WITH vectors AS ({vectors_sql}),
+q AS ({query_sql}),
+first_pass AS (
+  SELECT v.{id_col} AS id, v.{vec_col},
+         ROUND({short}, 5) AS qscore
+  FROM vectors v CROSS JOIN q
+  ORDER BY qscore DESC, id ASC
+  LIMIT {rerank_top}
+)
+SELECT f.id, ROUND({full}, 5)::DECIMAL(18,5) AS score
+FROM first_pass f CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
 def dedup_vectors(
     vectors: DataFrame, vec_col: str = "vector", id_col: str = "rid"
 ) -> DataFrame:

@@ -193,6 +193,41 @@ def rerank_stub(spark, sf_dir):
     )
 
 
+# --- corpus vocabulary statistics (training-pipeline analysis op) ----------
+
+
+@register(
+    "vocab_stats",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS}),
+toks AS (SELECT rid, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM fields),
+post AS (SELECT rid, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term,
+       COUNT(*)::BIGINT AS df,
+       SUM(tf)::BIGINT AS total_tf
+FROM post
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 50
+""",
+)
+def vocab_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25 as bm
+
+    post = bm.postings(tpch.fields(spark, sf_dir))
+    return (
+        post.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
 # --- A3: KB counters ---------------------------------------------------------
 
 

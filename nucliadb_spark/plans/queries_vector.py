@@ -113,6 +113,25 @@ def knn_quantized_rerank(spark, sf_dir):
     )
 
 
+# --- matryoshka two-stage KNN (nested-representation prefix dims) ----------
+
+
+@register(
+    "knn_matryoshka",
+    knn.matryoshka_knn_sql(
+        tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, first_dims=16, rerank_top=50
+    ),
+)
+def knn_matryoshka(spark, sf_dir):
+    return knn.matryoshka_knn(
+        _vectors(spark, sf_dir),
+        _query_df(spark, sf_dir),
+        k=10,
+        first_dims=16,
+        rerank_top=50,
+    )
+
+
 # --- V6 multivector MaxSim --------------------------------------------------
 
 
