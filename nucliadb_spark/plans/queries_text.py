@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nucliadb_spark.cache import cached_df
-from nucliadb_spark.operators import advanced, bm25, suggest
+from nucliadb_spark.operators import advanced, augment, bm25, suggest
 from nucliadb_spark.operators import filters as fx
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
@@ -276,6 +276,29 @@ def paragraph_extract(spark, sf_dir):
     )
 
 
+# --- §2.14: neighbouring-paragraphs range join (RAG augmentor) -------------
+
+_HITS_SQL = f"""
+SELECT paragraph_id, rid, start
+FROM ({tpch.SQL_PARAGRAPHS}) p
+WHERE rid IN (7, 42, 137) AND start = 240
+"""
+
+
+@register(
+    "neighbouring_paragraphs",
+    augment.neighbouring_paragraphs_sql(tpch.SQL_PARAGRAPHS, _HITS_SQL),
+)
+def neighbouring_paragraphs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = tpch.paragraphs(spark, sf_dir)
+    hits = p.filter(F.col("rid").isin(7, 42, 137) & (F.col("start") == 240)).select(
+        "paragraph_id", "rid", "start"
+    )
+    return augment.neighbouring_paragraphs(p, hits)
+
+
 # --- T5: advanced query grammar --------------------------------------------
 
 _ADV = '+spark -vector "batch batch" join merge'
@@ -297,6 +320,28 @@ def advanced_query(spark, sf_dir):
         .select("rid", "language", "source")
         .orderBy("rid")
     )
+
+
+# --- CONVERSATION field type: keyword search over messages -----------------
+
+
+@register(
+    "conversation_search",
+    "SELECT rid AS message_key, score FROM ("
+    + bm25.bm25_sql(
+        f"SELECT message_key AS rid, text FROM ({tpch.SQL_MESSAGES}) m",
+        "purchase value",
+        top_k=20,
+    )
+    + ")",
+)
+def conversation_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    m = tpch.messages(spark, sf_dir)
+    return bm25.bm25_search(
+        m, "purchase value", top_k=20, id_col="message_key"
+    ).select(F.col("rid").alias("message_key"), "score")
 
 
 # --- A1: facet counting over the fields index (labels column) -----------

@@ -229,6 +229,48 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------
+# messages: CONVERSATION field type (resources.proto:155-192
+# Conversation/Message) derived from events — one conversation per
+# user, messages ordered by event time, who alternates Q/A.
+# ---------------------------------------------------------------------
+
+
+def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = F.row_number().over(w)
+    return e.select(
+        F.col("user_id").cast("long").alias("conversation_id"),
+        idx.alias("message_idx"),
+        F.col("ts"),
+        F.when(idx % 2 == 1, "QUESTION").otherwise("ANSWER").alias("message_type"),
+        F.concat_ws(
+            " ", F.col("event_type"), F.lit("value"), F.round("value", 0).cast("long")
+        ).alias("text"),
+    ).withColumn(
+        "message_key",
+        F.concat_ws("/", "conversation_id", "message_idx"),
+    )
+
+
+SQL_MESSAGES = """
+SELECT conversation_id, message_idx, ts, message_type, text,
+       concat(conversation_id, '/', message_idx) AS message_key
+FROM (
+  SELECT CAST(user_id AS BIGINT) AS conversation_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS message_idx,
+         ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) % 2 = 1
+              THEN 'QUESTION' ELSE 'ANSWER' END AS message_type,
+         concat_ws(' ', event_type, 'value', CAST(round(value, 0) AS BIGINT)) AS text
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------
 # relations: knowledge-graph triples from lineitem + orders.
 #   part:{pk}     —SUPPLIED_BY→ supplier:{sk}   (distinct, from lineitem)
 #   order:{ok}    —CONTAINS→    part:{pk}       (distinct, from lineitem)
