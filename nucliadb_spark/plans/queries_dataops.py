@@ -228,6 +228,48 @@ def vocab_stats(spark, sf_dir):
     )
 
 
+# --- S6: training-export partitions (dataset.proto:9-15 task types) ---------
+# The reference streams Arrow partitions per task type
+# (nucliadb_dataset/src/nucliadb_dataset/dataset.py:49-202); these are
+# the same projections as oracle-checkable queries — export = .write
+# of these DataFrames (tests/test_export.py covers the Arrow sink).
+
+
+@register(
+    "export_paragraph_classification",
+    f"""
+WITH paragraphs AS ({tpch.SQL_PARAGRAPHS}),
+fields AS ({tpch.SQL_FIELDS})
+SELECT p.paragraph_id, p.text, f.labels
+FROM paragraphs p JOIN fields f ON p.rid = f.rid
+ORDER BY p.paragraph_id
+""",
+)
+def export_paragraph_classification(spark, sf_dir):
+    p = tpch.paragraphs(spark, sf_dir)
+    f = tpch.fields(spark, sf_dir).select("rid", "labels")
+    return (
+        p.join(f, "rid")
+        .select("paragraph_id", "text", "labels")
+        .orderBy("paragraph_id")
+    )
+
+
+@register(
+    "export_field_classification",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS})
+SELECT rid, field_key, text, labels FROM fields ORDER BY rid
+""",
+)
+def export_field_classification(spark, sf_dir):
+    return (
+        tpch.fields(spark, sf_dir)
+        .select("rid", "field_key", "text", "labels")
+        .orderBy("rid")
+    )
+
+
 # --- A3: KB counters ---------------------------------------------------------
 
 

@@ -16,3 +16,11 @@ def stream_windowed_counts(spark, sf_dir):
 @register("event_sessionization", ingest.sessionize_sql())
 def event_sessionization(spark, sf_dir):
     return ingest.sessionize(tpch.table(spark, sf_dir, "events"))
+
+
+@register("stream_sessionization", ingest.sessionize_sql())
+def stream_sessionization(spark, sf_dir):
+    # custom stateful streaming operator (applyInPandasWithState);
+    # a full availableNow drain equals the batch gap-sessionization,
+    # so it shares the batch oracle
+    return ingest.sessionize_stream(spark, sf_dir)

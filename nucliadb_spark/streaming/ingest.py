@@ -145,6 +145,102 @@ def incremental_index_ingest(
     q.awaitTermination()
 
 
+# --- stateful streaming sessionization (applyInPandasWithState) -------------
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization
+    with applyInPandasWithState (the engine-added §2.12 capability the
+    reference lacks). availableNow drain over the static events file;
+    state carries (session_id, last_ts µs, n_events, start µs) per
+    user and closes a session when the gap rule fires.
+
+    Returns the collected sessions as a DataFrame — with a full drain
+    this equals the batch `sessionize` result (proven in tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_id", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            session_id, last_us, n_events, start_us = state.get
+        else:
+            session_id, last_us, n_events, start_us = 0, None, 0, None
+        out = []
+        for us in (rows["ts"].astype("int64") // 1000):  # ns → µs
+            if last_us is None or us - last_us > gap_us:
+                if n_events:
+                    out.append((user_id, session_id, n_events, start_us, last_us))
+                session_id += 1
+                n_events, start_us = 0, us
+            n_events += 1
+            last_us = us
+        if n_events:  # flush the open session (availableNow full drain)
+            out.append((user_id, session_id, n_events, start_us, last_us))
+        state.update((session_id, last_us, n_events, start_us))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+        ).astype({"session_start": "datetime64[us]", "session_end": "datetime64[us]"})
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    q = (
+        _events_stream(spark, arrival, schema)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"SELECT * FROM {name} ORDER BY user_id, session_id"
+    )
+
+
 # --- sessionization (stateful analog, batch-exact) --------------------------
 
 

@@ -28,6 +28,15 @@ def test_incremental_ingest_matches_batch(spark, sf_dir):
         assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stateful_stream_sessionization_matches_batch(spark, sf_dir):
+    """applyInPandasWithState full drain == batch window sessionize."""
+    streamed = ingest.sessionize_stream(spark, sf_dir)
+    batch = ingest.sessionize(tpch.table(spark, sf_dir, "events"))
+    s = [tuple(r) for r in streamed.collect()]
+    b = [tuple(r) for r in batch.collect()]
+    assert s == b
+
+
 def test_sessionization_gap_rule(spark, sf_dir):
     sessions = ingest.sessionize(tpch.table(spark, sf_dir, "events"))
     row = sessions.agg(
