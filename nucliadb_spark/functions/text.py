@@ -108,15 +108,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def word_shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin (list comprehension; range excludes its stop, so
+    this matches the guarded Spark form for short docs too)."""
     toks = tokenize_sql(expr)
     return (
-        f"[array_to_string(list_slice(toks, i, i + {n - 1}), ' ') "
-        f"for i in range(1, greatest(len(toks) - {n - 1}, 0) + 1)]"
-    ).replace("toks", f"({toks})")
-
-
-# DuckDB list comprehension above needs `range`; simpler portable form
-# used by operators: generate shingles via UNNEST + windowing in SQL.
+        f"[array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') "
+        f"for i in range(1, greatest(len({toks}) - {n - 1}, 0) + 1)]"
+    )
 
 
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
