@@ -27,7 +27,37 @@ from nucliadb_spark.operators.filters import Expr, _sql_quote
 
 # --- title match kinds (ref: pg.py:362-394 _prepare_query_search) ------
 
-MATCH_KINDS = ("exact", "startswith", "words", "fuzzy", "endswith", "contains")
+MATCH_KINDS = (
+    "exact",
+    "startswith",
+    "words",
+    "fuzzy",
+    "trigram",
+    "endswith",
+    "contains",
+)
+
+TRIGRAM_THRESHOLD = 0.3  # pg_trgm word_similarity default (pg.py %> operator)
+
+
+def _trigrams(c: Column) -> Column:
+    """pg_trgm-style trigrams of the lowercased, space-padded string
+    (two leading blanks, one trailing — matching PostgreSQL)."""
+    padded = F.concat(F.lit("  "), F.lower(c), F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: F.substring(padded, i, 3),  # type: ignore[arg-type]
+        )
+    )
+
+
+def _trigrams_sql(expr: str) -> str:
+    padded = f"concat('  ', lower({expr}), ' ')"
+    return (
+        f"list_distinct([substring({padded}, i, 3) "
+        f"for i in range(1, length({padded}) - 1)])"
+    )
 
 
 def title_match(query: str, kind: str, column: str = "title") -> Column:
@@ -47,6 +77,13 @@ def title_match(query: str, kind: str, column: str = "title") -> Column:
         return F.exists(
             tokenize(column), lambda t: F.levenshtein(t, F.lit(q)) <= 1
         )
+    if kind == "trigram":
+        # pg_trgm similarity (ref pg.py:386 `%>`): shared/query
+        # trigram ratio ≥ threshold
+        qt = _trigrams(F.lit(query))
+        tt = _trigrams(c)
+        shared = F.size(F.array_intersect(qt, tt)).cast("double")
+        return shared / F.size(qt).cast("double") >= TRIGRAM_THRESHOLD
     if kind == "endswith":
         return c.endswith(q)
     if kind == "contains":
@@ -71,6 +108,13 @@ def title_match_sql(query: str, kind: str, column: str = "title") -> str:
         return (
             f"len(list_filter({tokenize_sql(column)}, "
             f"t -> levenshtein(t, {qs}) <= 1)) > 0"
+        )
+    if kind == "trigram":
+        qt = _trigrams_sql(qs)
+        tt = _trigrams_sql(f"lower({column})")
+        return (
+            f"(len(list_filter({qt}, g -> list_contains({tt}, g)))::DOUBLE"
+            f" / len({qt})::DOUBLE) >= {TRIGRAM_THRESHOLD}"
         )
     if kind == "endswith":
         return f"ends_with({c}, {qs})"

@@ -69,6 +69,32 @@ def catalog_fuzzy_title(spark, sf_dir):
     )
 
 
+# --- T10 trigram title match (pg_trgm %> semantics) ----------------------
+
+
+@register(
+    "catalog_trigram_title",
+    cat.catalog_search_sql(
+        tpch.SQL_RESOURCES,
+        query="widgett blu",  # trigram-similar to 'widget blue ...'
+        match_kind="trigram",
+        sort_by="rid",
+        ascending=True,
+        page_number=0,
+        page_size=50,
+        columns=_CATALOG_COLS,
+    ),
+)
+def catalog_trigram_title(spark, sf_dir):
+    r = tpch.resources(spark, sf_dir)
+    return _select_cols(
+        cat.catalog_search(
+            r, query="widgett blu", match_kind="trigram", sort_by="rid",
+            ascending=True, page_number=0, page_size=50,
+        )
+    )
+
+
 # --- F1/F2/F3/F6: boolean filter tree + date range + hidden ------------
 
 _FILTER_TREE = fx.And(

@@ -69,6 +69,33 @@ def find_prefiltered(spark, sf_dir):
     )
 
 
+# --- F5 in the pipeline: find restricted by security groups ----------------
+
+_SEC = fx.SecurityFilter(groups=["group-2", "group-5"])
+
+
+@register(
+    "find_secured",
+    find.find_sql(
+        "table scan filter",
+        query_vec_id=7,
+        top_k=10,
+        window=40,
+        where=_SEC.to_sql(),
+    ),
+)
+def find_secured(spark, sf_dir):
+    return find.find(
+        spark,
+        sf_dir,
+        "table scan filter",
+        query_vec_id=7,
+        top_k=10,
+        window=40,
+        prefilter=_SEC,
+    )
+
+
 # --- R2: WeightedCombSum over the same two retrievers --------------------
 
 _KW_SQL = (

@@ -138,6 +138,10 @@ def fields(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("/s/p/"), F.col("lang")),
             F.concat(F.lit("/u/s/"), F.col("source")),
         ).alias("labels"),
+        (F.col("doc_id") % 4 != 0).alias("security_public"),
+        F.array(F.concat(F.lit("group-"), F.col("doc_id") % 7)).alias(
+            "security_groups"
+        ),
     )
 
 
@@ -152,7 +156,9 @@ SELECT
   lang AS language,
   source,
   n_chars,
-  [concat('/s/p/', lang), concat('/u/s/', source)] AS labels
+  [concat('/s/p/', lang), concat('/u/s/', source)] AS labels,
+  doc_id % 4 <> 0 AS security_public,
+  [concat('group-', doc_id % 7)] AS security_groups
 FROM documents
 """
 
