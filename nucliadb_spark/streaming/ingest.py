@@ -46,6 +46,9 @@ def stage_arrival_dir(*files: str) -> str:
 
 
 def _events_stream(spark: SparkSession, arrival_dir: str, schema) -> DataFrame:
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     stream = spark.readStream.schema(schema).parquet(arrival_dir)
     # ts arrives as long nanos (legacy.parquet.nanosAsLong) → µs
     # timestamp; integer DIV, not float division (precision at 1e18).
@@ -67,6 +70,9 @@ def windowed_event_counts(
     batch aggregation — which is exactly what the oracle checks.
     """
     name = f"win_{uuid.uuid4().hex[:10]}"
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
     arrival = stage_arrival_dir(src)
@@ -214,6 +220,9 @@ def sessionize_stream(
             columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
         ).astype({"session_start": "datetime64[us]", "session_end": "datetime64[us]"})
 
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
     arrival = stage_arrival_dir(src)
