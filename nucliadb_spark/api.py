@@ -23,6 +23,12 @@ from nucliadb_spark.sources import tpch
 FEATURES = ("keyword", "semantic", "graph")
 
 
+def _without_prequeries(req: "FindRequest") -> "FindRequest":
+    from dataclasses import replace
+
+    return replace(req, prequeries=None)
+
+
 @dataclass
 class FindRequest:
     query: str
@@ -37,10 +43,29 @@ class FindRequest:
     reranker: str = "noop"  # noop | stub
     query_vec_id: int = 0
     entity_sources: list[str] | None = None
+    # prequeries RAG strategy (ref: nucliadb_models/search.py
+    # PreQueriesStrategy): preliminary retrievals whose results fuse
+    # with the main query's under per-query weights
+    prequeries: list[tuple["FindRequest", float]] | None = None
 
 
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
     """Execute a FindRequest → (id, score, matched_sources)."""
+    if req.prequeries:
+        # each prequery retrieves independently; a final weighted RRF
+        # fuses the main result with every prequery result
+        main = find_request(
+            spark, sf_dir, _without_prequeries(req)
+        ).select("id", "score")
+        sources = {"main": main}
+        weights = {"main": 1.0}
+        for i, (pre, w) in enumerate(req.prequeries):
+            name = f"pre_{i}"
+            sources[name] = find_request(
+                spark, sf_dir, _without_prequeries(pre)
+            ).select("id", "score")
+            weights[name] = w
+        return fusion.rrf(sources, weights=weights, top_k=req.top_k)
     # F8: legacy filters fold into the filter tree
     filters = req.filters
     legacy = planner.translate_old_filters(req.legacy_filters) if req.legacy_filters else None

@@ -52,6 +52,20 @@ def test_stub_reranker_reorders(spark, sf_dir):
     assert all(0.0 <= s <= 1.0 for s in scores)
 
 
+def test_prequeries_fuse_with_main(spark, sf_dir):
+    pre = api.FindRequest(query="merge sort key", features=["keyword"], top_k=10)
+    req = api.FindRequest(
+        query="spark join window",
+        features=["keyword"],
+        top_k=10,
+        prequeries=[(pre, 2.0)],
+    )
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert len(rows) == 10
+    srcs = {s for r in rows for s in r.matched_sources}
+    assert srcs == {"main", "pre_0"} or "pre_0" in srcs
+
+
 def test_no_retrievers_raises(spark, sf_dir):
     with pytest.raises(ValueError):
         api.find_request(spark, sf_dir, api.FindRequest(query="", features=["keyword"]))
