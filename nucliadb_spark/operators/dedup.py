@@ -38,6 +38,7 @@ from nucliadb_spark.functions.text import (
     tokenize,
     tokenize_sql,
     word_shingles,
+    word_shingles_from_tokens,
 )
 from nucliadb_spark.functions.vector import cosine_sql_unrolled
 from nucliadb_spark.functions import vector as V
@@ -64,6 +65,19 @@ def token_set_fingerprint_sql(expr: str) -> str:
 
 def distinct_shingles(col, n: int = 3) -> F.Column:
     return F.array_sort(F.array_distinct(word_shingles(col, n)))
+
+
+def _shingled(corpus: DataFrame, shingle: int) -> DataFrame:
+    """(id, shs) with tokens projected once (see
+    word_shingles_from_tokens for why)."""
+    from nucliadb_spark.functions.text import word_shingles_from_tokens
+
+    return corpus.select("id", tokenize("text").alias("toks")).select(
+        "id",
+        F.array_sort(
+            F.array_distinct(word_shingles_from_tokens(F.col("toks"), shingle))
+        ).alias("shs"),
+    )
 
 
 def distinct_shingles_sql(expr: str, n: int = 3) -> str:
@@ -140,14 +154,32 @@ BANDS = 8
 ROWS = 3  # N_HASHES = BANDS * ROWS; threshold ≈ (1/B)^(1/R) ≈ 0.5
 
 
-def minhash_signatures(corpus: DataFrame, n: int = N_HASHES, shingle: int = 3) -> DataFrame:
-    """(id, sig_0..sig_{n-1}) minhash signature columns."""
-    sh = corpus.select(
-        "id", F.explode(F.array_distinct(word_shingles("text", shingle))).alias("sh")
+def minhash_signatures(
+    corpus: DataFrame,
+    n: int = N_HASHES,
+    shingle: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) minhash signature columns.
+
+    hash_fn: 'md5' is oracle-portable (DuckDB computes the identical
+    hash); 'xxhash64' is the Spark-native production alternative."""
+    sh = corpus.select("id", tokenize("text").alias("toks")).select(
+        "id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("toks"), shingle))
+        ).alias("sh"),
     )
-    aggs = [
-        F.min(md5_int60(F.col("sh"), salt=f"s{i}:")).alias(f"sig_{i}") for i in range(n)
-    ]
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(f"s{i}:"), F.col("sh"))).alias(f"sig_{i}")
+            for i in range(n)
+        ]
+    else:
+        aggs = [
+            F.min(md5_int60(F.col("sh"), salt=f"s{i}:")).alias(f"sig_{i}")
+            for i in range(n)
+        ]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -158,19 +190,29 @@ def lsh_pairs(
     rows: int = ROWS,
     shingle: int = 3,
     min_jaccard: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard:
     (id_a, id_b, jaccard DECIMAL(18,5))."""
-    sigs = minhash_signatures(corpus, n, shingle)
-    band_frames = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws(",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        )
-        band_frames.append(sigs.select("id", F.lit(b).alias("band"), key.alias("bkey")))
-    banded = band_frames[0]
-    for bf in band_frames[1:]:
-        banded = banded.unionByName(bf)
+    sigs = minhash_signatures(corpus, n, shingle, hash_fn=hash_fn)
+    # ONE pass over the signatures: an 8-frame union would recompute
+    # the whole signature pipeline per band (measured 8× slower)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     a, bb = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -182,7 +224,7 @@ def lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    shingled = corpus.select("id", distinct_shingles("text", shingle).alias("shs"))
+    shingled = _shingled(corpus, shingle)
     pairs = (
         cand.join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sa"), "id_a")
         .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sb"), "id_b")
@@ -335,7 +377,7 @@ ORDER BY id_a, id_b
 def jaccard_planted(corpus: DataFrame, shingle: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard of each planted pair:
     (id, jaccard) — recall diagnostic for the planted corpus."""
-    shingled = corpus.select("id", distinct_shingles("text", shingle).alias("shs"))
+    shingled = _shingled(corpus, shingle)
     orig = shingled.filter(F.col("id") < PLANT_OFFSET).withColumnRenamed("shs", "sa")
     copy = shingled.filter(F.col("id") >= PLANT_OFFSET).select(
         (F.col("id") - PLANT_OFFSET).alias("id"), F.col("shs").alias("sb")
