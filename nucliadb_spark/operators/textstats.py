@@ -48,8 +48,14 @@ def _lang_score_sql(toks: str, words: list[str]) -> str:
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, predicted_lang, confidence DECIMAL(18,5))."""
-    toks = tokenize(text_col)
+    """(id, predicted_lang, confidence DECIMAL(18,5)).
+
+    Tokens are projected once (a bound column) — per-language scores
+    reference the array 2× each; inlining tokenize() would re-run the
+    tokenizer 8× per row (see SCALE.md plan-shape lessons).
+    """
+    docs = docs.select(F.col(id_col).alias(id_col), tokenize(text_col).alias("_toks"))
+    toks = F.col("_toks")
     scores = {lang: _lang_score(toks, ws) for lang, ws in LANG_PROFILES.items()}
     langs = list(LANG_PROFILES)
     best = F.lit(langs[0])
@@ -102,7 +108,12 @@ def quality_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, n_chars, n_tokens, mean_token_len, stopword_ratio, quality)."""
-    toks = tokenize(text_col)
+    docs = docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        tokenize(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
@@ -157,7 +168,8 @@ ORDER BY id
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    toks = tokenize(text_col)
+    docs = docs.select(F.col(id_col).alias(id_col), tokenize(text_col).alias("_toks"))
+    toks = F.col("_toks")
     bpe = F.aggregate(
         F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
         F.lit(0).cast("long"),
@@ -192,10 +204,16 @@ WINDOW = 5
 
 
 def winnow_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, WINDOW)).alias("win"),
-    ).withColumn("h", md5_int60(F.col("win"), salt="winnow:"))
+    from nucliadb_spark.functions.text import word_shingles_from_tokens
+
+    sh = (
+        docs.select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+        .select(
+            "id",
+            F.explode(word_shingles_from_tokens(F.col("_toks"), WINDOW)).alias("win"),
+        )
+        .withColumn("h", md5_int60(F.col("win"), salt="winnow:"))
+    )
     return (
         sh.groupBy("id")
         .agg(
