@@ -96,6 +96,54 @@ def find_secured(spark, sf_dir):
     )
 
 
+# --- U4/O5: find second page via shown-result skip set ---------------------
+# ref: find.py:122-126 — the search_after token carries the ids already
+# shown; the next page anti-joins them out before the cut.
+
+_SHOWN = [340, 159, 309, 24, 336]  # top-5 of find_hybrid at any sf
+
+
+@register(
+    "find_skip_set",
+    f"""
+WITH page AS ({find.find_sql(
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=15,
+        window=50,
+    )})
+SELECT id, score, matched_sources, language, source, snippet
+FROM page
+WHERE id NOT IN ({", ".join(str(i) for i in _SHOWN)})
+ORDER BY score DESC, id ASC
+LIMIT 10
+""",
+)
+def find_skip_set(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.plans.queries_text import _text_index
+
+    post, stats = _text_index(spark, sf_dir)
+    page = find.find(
+        spark,
+        sf_dir,
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=15,
+        window=50,
+        post=post,
+        stats=stats,
+    )
+    return (
+        page.filter(~F.col("id").isin(_SHOWN))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
 # --- R2: WeightedCombSum over the same two retrievers --------------------
 
 _KW_SQL = (
