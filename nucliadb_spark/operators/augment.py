@@ -71,6 +71,55 @@ ORDER BY hit_paragraph_id, position
 """
 
 
+def conversation_context(
+    messages: DataFrame, hits: DataFrame, before: int = 2, after: int = 2
+) -> DataFrame:
+    """Conversational strategy: surround each hit message with its
+    ±n neighbors in the same conversation (range join on the message
+    ordinal). hits: (message_key, conversation_id, message_idx)."""
+    h = hits.select(
+        F.col("message_key").alias("hit_key"),
+        F.col("conversation_id").alias("hit_conv"),
+        F.col("message_idx").alias("hit_idx"),
+    )
+    return (
+        messages.join(
+            F.broadcast(h),
+            (F.col("conversation_id") == F.col("hit_conv"))
+            & (F.col("message_idx") >= F.col("hit_idx") - before)
+            & (F.col("message_idx") <= F.col("hit_idx") + after),
+        )
+        .select(
+            "hit_key",
+            "message_key",
+            (F.col("message_idx") - F.col("hit_idx")).alias("position"),
+            "message_type",
+            "text",
+        )
+        .orderBy("hit_key", "position")
+    )
+
+
+def conversation_context_sql(
+    messages_sql: str, hits_sql: str, before: int = 2, after: int = 2
+) -> str:
+    return f"""
+WITH messages AS ({messages_sql}),
+hits AS ({hits_sql})
+SELECT h.message_key AS hit_key,
+       m.message_key,
+       m.message_idx - h.message_idx AS position,
+       m.message_type,
+       m.text
+FROM messages m
+JOIN hits h
+  ON m.conversation_id = h.conversation_id
+ AND m.message_idx >= h.message_idx - {before}
+ AND m.message_idx <= h.message_idx + {after}
+ORDER BY hit_key, position
+"""
+
+
 def hierarchy_context(hits: DataFrame, resources: DataFrame) -> DataFrame:
     """Prepend resource title to each hit (hierarchy strategy)."""
     return hits.join(

@@ -344,6 +344,29 @@ def conversation_search(spark, sf_dir):
     ).select(F.col("rid").alias("message_key"), "score")
 
 
+# --- §2.14 conversational strategy: hit messages ± surrounding turns -------
+
+_CONV_HITS_SQL = f"""
+SELECT message_key, conversation_id, message_idx
+FROM ({tpch.SQL_MESSAGES}) m
+WHERE conversation_id IN (3, 11) AND message_idx = 5
+"""
+
+
+@register(
+    "conversation_context",
+    augment.conversation_context_sql(tpch.SQL_MESSAGES, _CONV_HITS_SQL),
+)
+def conversation_context(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    m = tpch.messages(spark, sf_dir)
+    hits = m.filter(
+        F.col("conversation_id").isin(3, 11) & (F.col("message_idx") == 5)
+    ).select("message_key", "conversation_id", "message_idx")
+    return augment.conversation_context(m, hits)
+
+
 # --- A1: facet counting over the fields index (labels column) -----------
 
 
