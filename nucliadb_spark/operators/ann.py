@@ -52,7 +52,7 @@ def build_ivf(
     (k_cells ≤ a few thousand even at 100 TB).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     ml = vectors.withColumn("_features", array_to_vector(F.col(vec_col)))
     model = KMeans(

@@ -13,6 +13,7 @@ CHECK = [
     "dedup_minhash_lsh",
     "catalog_facets",
     "graph_two_hop",
+    "stream_windowed_counts",
 ]
 
 
