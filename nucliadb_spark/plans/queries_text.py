@@ -243,6 +243,28 @@ def paragraph_search(spark, sf_dir):
     ).select(F.col("rid").alias("paragraph_id"), "score")
 
 
+# --- F2 at paragraph level: kind-filtered paragraph search -----------------
+
+
+@register(
+    "paragraph_search_filtered",
+    "SELECT rid AS paragraph_id, score FROM ("
+    + bm25.bm25_sql(
+        f"SELECT paragraph_id AS rid, text FROM ({tpch.SQL_PARAGRAPHS}) pp WHERE pp.kind = 'TEXT'",
+        "stream filter",
+        top_k=20,
+    )
+    + ")",
+)
+def paragraph_search_filtered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = tpch.paragraphs(spark, sf_dir).filter(F.col("kind") == "TEXT")
+    return bm25.bm25_search(
+        p, "stream filter", top_k=20, id_col="paragraph_id"
+    ).select(F.col("rid").alias("paragraph_id"), "score")
+
+
 # --- J4: char-offset paragraph text extraction -----------------------------
 
 

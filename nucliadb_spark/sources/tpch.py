@@ -197,6 +197,9 @@ def paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("long").alias("start"),
         end.cast("long").alias("end"),
         F.expr(f"substring(text, start + 1, {PARAGRAPH_STRIDE})").alias("text"),
+        # paragraph kind (resources.proto:318-342): first window acts
+        # as the TITLE block, the rest are TEXT
+        F.when(F.col("start") == 0, "TITLE").otherwise("TEXT").alias("kind"),
     )
 
 
@@ -205,7 +208,8 @@ SELECT CAST(doc_id AS BIGINT) AS rid,
        concat(doc_id, '/', start, '-', least(start + {PARAGRAPH_STRIDE}, n_chars)) AS paragraph_id,
        CAST(start AS BIGINT) AS start,
        CAST(least(start + {PARAGRAPH_STRIDE}, n_chars) AS BIGINT) AS "end",
-       substring(text, start + 1, {PARAGRAPH_STRIDE}) AS text
+       substring(text, start + 1, {PARAGRAPH_STRIDE}) AS text,
+       CASE WHEN start = 0 THEN 'TITLE' ELSE 'TEXT' END AS kind
 FROM (
   SELECT doc_id, text, n_chars,
          unnest(range(0, n_chars, {PARAGRAPH_STRIDE})) AS start

@@ -56,6 +56,28 @@ def test_multi_field_filter_is_or(two_field_corpus):
     assert (kw, sem) == (2, 2)
 
 
+# --- search_keyword_filtering.rs: keyword filters over field text -----------
+
+
+def test_keyword_filter_combinations(two_field_corpus):
+    # single keyword present in one field
+    one = two_field_corpus.filter(fx.Keyword("one").to_column())
+    assert one.count() == 1
+    # AND of keywords from different fields → none
+    both = two_field_corpus.filter(
+        fx.And([fx.Keyword("one"), fx.Keyword("two")]).to_column()
+    )
+    assert both.count() == 0
+    # OR spans both fields
+    either = two_field_corpus.filter(
+        fx.Or([fx.Keyword("one"), fx.Keyword("two")]).to_column()
+    )
+    assert either.count() == 2
+    # NOT excludes the match
+    not_one = two_field_corpus.filter(fx.Not(fx.Keyword("one")).to_column())
+    assert not_one.count() == 1
+
+
 # --- search_key_filtering.rs: resource / field-key prefix filters -----------
 
 
