@@ -20,3 +20,6 @@ used in any hot path.
 """
 
 __version__ = "0.1.0"
+
+from nucliadb_spark.api import FindRequest, find_request  # noqa: E402,F401
+from nucliadb_spark.session import get_session  # noqa: E402,F401

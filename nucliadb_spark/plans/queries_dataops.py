@@ -270,6 +270,39 @@ def export_field_classification(spark, sf_dir):
     )
 
 
+# --- corpus length distribution (training-pipeline analysis) ----------------
+
+
+@register(
+    "corpus_length_stats",
+    """
+SELECT COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       ROUND(AVG(n_chars), 4)::DECIMAL(18,4) AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 4)::DECIMAL(18,4) AS median_chars,
+       ROUND(quantile_cont(n_chars, 0.95), 4)::DECIMAL(18,4) AS p95_chars
+FROM documents
+""",
+)
+def corpus_length_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = tpch.table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).cast("decimal(18,4)").alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4)
+        .cast("decimal(18,4)")
+        .alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4)
+        .cast("decimal(18,4)")
+        .alias("p95_chars"),
+    )
+
+
 # --- A3: KB counters ---------------------------------------------------------
 
 
