@@ -123,7 +123,7 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         name, df = next(iter(sources.items()))
         fused = df.select(
             "id",
-            F.col("score").cast("decimal(18,6)").alias("score"),
+            F.col("score").cast("double").alias("score"),
             F.array(F.lit(name)).alias("matched_sources"),
         ).orderBy(F.col("score").desc(), F.col("id").asc()).limit(req.top_k)
     else:
@@ -141,7 +141,7 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             .join(docs, "id")
             .select(
                 "id",
-                F.round(rerank(F.col("text")), 8).cast("decimal(18,8)").alias("score"),
+                F.round(rerank(F.col("text")), 8).cast("double").alias("score"),
                 "matched_sources",
             )
             .orderBy(F.col("score").desc(), F.col("id").asc())

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from nucliadb_spark.functions import vector as V
 from nucliadb_spark.operators import knn
 
-SCORE_TYPE = "decimal(18,5)"
+SCORE_TYPE = "double"
 
 
 # --- MLlib IVF build + probe (the scale path) -----------------------------
@@ -174,7 +174,7 @@ probe AS (
   LIMIT {nprobe}
 )
 SELECT e.vec_id AS id,
-       ROUND({cos_eq}, 5)::DECIMAL(18,5) AS score,
+       ROUND({cos_eq}, 5)::DOUBLE AS score,
        e.label AS cell
 FROM embeddings e
 JOIN probe p ON e.label = p.label

@@ -18,8 +18,10 @@ nidx/nidx_paragraph/src/query_parser.rs:69-113) Spark-first:
 - top-k = orderBy+limit (TakeOrderedAndProject — per-partition heap,
   no global sort).
 
-Scores are emitted as DECIMAL(18,4) so DuckDB-oracle hashes match
-bit-for-bit (both engines round the same double to the same decimal).
+Scores are emitted as DOUBLE rounded to 4 places: both engines round
+the same bit-identical double, and pandas sees float64 on both sides,
+so the driver row-hash matches (DECIMAL rendered as decimal.Decimal
+in Spark-pandas and broke it).
 
 Modes: ``any`` (paragraph index semantics, Occur::Should —
 query_parser/keyword_parser.rs:27-100), ``all`` (text index
@@ -38,7 +40,7 @@ from nucliadb_spark.operators.filters import Expr, _sql_quote
 
 K1 = 1.2
 B = 0.75
-SCORE_TYPE = "decimal(18,4)"
+SCORE_TYPE = "double"
 
 
 # --- index build --------------------------------------------------------
@@ -289,7 +291,7 @@ scored AS (
   GROUP BY p.rid
   {having}
 )
-SELECT rid, ROUND(raw_score, 4)::DECIMAL(18,4) AS score {ematch_col}
+SELECT rid, ROUND(raw_score, 4)::DOUBLE AS score {ematch_col}
 FROM scored
 ORDER BY score DESC, rid ASC
 LIMIT {top_k}

@@ -193,7 +193,7 @@ def lsh_pairs(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard:
-    (id_a, id_b, jaccard DECIMAL(18,5))."""
+    (id_a, id_b, jaccard DOUBLE rounded to 5 places)."""
     sigs = minhash_signatures(corpus, n, shingle, hash_fn=hash_fn)
     # ONE pass over the signatures: an 8-frame union would recompute
     # the whole signature pipeline per band (measured 8× slower)
@@ -235,7 +235,7 @@ def lsh_pairs(
             "uni",
             (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
         )
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 5).cast("decimal(18,5)"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 5).cast("double"))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -291,9 +291,9 @@ verified AS (
   JOIN shingled sa ON sa.id = c.id_a
   JOIN shingled sb ON sb.id = c.id_b
 )
-SELECT id_a, id_b, ROUND(inter / uni, 5)::DECIMAL(18,5) AS jaccard
+SELECT id_a, id_b, ROUND(inter / uni, 5)::DOUBLE AS jaccard
 FROM verified
-WHERE ROUND(inter / uni, 5)::DECIMAL(18,5) >= {min_jaccard!r}
+WHERE ROUND(inter / uni, 5)::DOUBLE >= {min_jaccard!r}
 ORDER BY id_a, id_b
 """
 
@@ -388,7 +388,7 @@ def jaccard_planted(corpus: DataFrame, shingle: int = 3) -> DataFrame:
         .withColumn("uni", (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"))
         .select(
             "id",
-            F.round(F.col("inter") / F.col("uni"), 5).cast("decimal(18,5)").alias("jaccard"),
+            F.round(F.col("inter") / F.col("uni"), 5).cast("double").alias("jaccard"),
         )
         .orderBy("id")
     )
@@ -408,7 +408,7 @@ joined AS (
   JOIN shingled c ON c.id = o.id + {PLANT_OFFSET}
   WHERE o.id < {PLANT_OFFSET}
 )
-SELECT id, ROUND(inter / uni, 5)::DECIMAL(18,5) AS jaccard
+SELECT id, ROUND(inter / uni, 5)::DOUBLE AS jaccard
 FROM joined
 ORDER BY id
 """
@@ -438,7 +438,7 @@ def embedding_near_dups(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.col("a.label").alias("label"),
-            F.round("raw", 5).cast("decimal(18,5)").alias("cosine"),
+            F.round("raw", 5).cast("double").alias("cosine"),
         )
         .orderBy("id_a", "id_b")
     )
@@ -449,7 +449,7 @@ def embedding_near_dups_sql(labels: list[int], threshold: float = 0.3, dim: int 
     cos = cosine_sql_unrolled("a.embedding", "b.embedding", dim)
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-       ROUND({cos}, 5)::DECIMAL(18,5) AS cosine
+       ROUND({cos}, 5)::DOUBLE AS cosine
 FROM embeddings a
 JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id

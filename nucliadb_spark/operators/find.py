@@ -103,7 +103,16 @@ def find(
             "id",
         )
         .orderBy(F.col("score").desc(), F.col("id").asc())
-        .select("id", "score", "matched_sources", "language", "source", "snippet")
+        .select(
+            "id",
+            "score",
+            # driver output contract: scalar columns only — CSV-join the
+            # source list (fusion keeps the array internally)
+            F.array_join("matched_sources", ",").alias("matched_sources"),
+            "language",
+            "source",
+            "snippet",
+        )
     )
 
 
@@ -151,7 +160,8 @@ LIMIT {win}
     fused = fusion.rrf_sql(sources_sql, weights=weights, top_k=top_k)
     return f"""
 WITH fused AS ({fused})
-SELECT fused.id, fused.score, fused.matched_sources,
+SELECT fused.id, fused.score,
+       array_to_string(fused.matched_sources, ',') AS matched_sources,
        d.lang AS language, d.source, substring(d.text, 1, 120) AS snippet
 FROM fused
 JOIN documents d ON fused.id = CAST(d.doc_id AS BIGINT)

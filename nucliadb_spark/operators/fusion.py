@@ -11,7 +11,10 @@ driver-cheap plan: per-source row_number window (the input IS tiny —
 single-partition window is fine and deterministic), unionByName,
 one groupBy(id). Ranks tiebreak on id so both engines agree.
 
-Fused scores are DECIMAL(18,6) for oracle-hash stability.
+Fused scores are DOUBLE rounded to 6 places: both engines round the
+same bit-identical double, and pandas sees float64 on both sides, so
+the driver row-hash matches (DECIMAL became decimal.Decimal in pandas
+and broke the hash).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window, functions as F
 
 RRF_K = 60.0
-SCORE_TYPE = "decimal(18,6)"
+SCORE_TYPE = "double"
 
 
 def _ranked(df: DataFrame, source: str, weight: float) -> DataFrame:
@@ -83,7 +86,7 @@ WITH ranked AS (
 {union}
 )
 SELECT id,
-       ROUND(SUM(weight / ({k!r} + rank)), 6)::DECIMAL(18,6) AS score,
+       ROUND(SUM(weight / ({k!r} + rank)), 6)::DOUBLE AS score,
        list_sort(list(DISTINCT source)) AS matched_sources
 FROM ranked
 GROUP BY id
@@ -132,7 +135,7 @@ def comb_sum_sql(
 WITH scored AS (
 {union}
 )
-SELECT id, ROUND(SUM(contrib), 6)::DECIMAL(18,6) AS score
+SELECT id, ROUND(SUM(contrib), 6)::DOUBLE AS score
 FROM scored
 GROUP BY id
 ORDER BY score DESC, id ASC

@@ -23,7 +23,7 @@ At 100 TB the same plan parallelizes linearly (scan-heavy, shuffle
 only carries k rows per partition); the IVF-accelerated path lives in
 operators/ann.py.
 
-Scores are DECIMAL(18,5); similarity math is double with
+Scores are DOUBLE rounded to 5 places; similarity math is double with
 left-associative accumulation, mirrored exactly by the unrolled
 oracle SQL (functions/vector.py), so hashes match bit-for-bit.
 Similarity: dot | cosine (ref: config.rs:163-168); min_score cut V7.
@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from nucliadb_spark.functions import vector as V
 from nucliadb_spark.operators.filters import Expr
 
-SCORE_TYPE = "decimal(18,5)"
+SCORE_TYPE = "double"
 
 
 def _sim(similarity: str, a: Column, b: Column) -> Column:
@@ -110,7 +110,7 @@ scored AS (
          {sim_sql(similarity, f"v.{vec_col}", f"q.{query_vec_col}", dim)} AS raw
   FROM (SELECT * FROM vectors {where_sql}) v CROSS JOIN q
 )
-SELECT id, ROUND(raw, 5)::DECIMAL(18,5) AS score
+SELECT id, ROUND(raw, 5)::DOUBLE AS score
 FROM scored
 {cut}
 ORDER BY score DESC, id ASC
@@ -189,7 +189,7 @@ first_pass AS (
   ORDER BY qscore DESC, id ASC
   LIMIT {rerank_top}
 )
-SELECT f.id, ROUND({cos.replace(f"v.{vec_col}", f"f.{vec_col}")}, 5)::DECIMAL(18,5) AS score
+SELECT f.id, ROUND({cos.replace(f"v.{vec_col}", f"f.{vec_col}")}, 5)::DOUBLE AS score
 FROM first_pass f CROSS JOIN q
 ORDER BY score DESC, id ASC
 LIMIT {k}
@@ -256,7 +256,7 @@ first_pass AS (
   ORDER BY qscore DESC, id ASC
   LIMIT {rerank_top}
 )
-SELECT f.id, ROUND({full}, 5)::DECIMAL(18,5) AS score
+SELECT f.id, ROUND({full}, 5)::DOUBLE AS score
 FROM first_pass f CROSS JOIN q
 ORDER BY score DESC, id ASC
 LIMIT {k}
@@ -350,7 +350,7 @@ per_pair AS (
   FROM vectors v CROSS JOIN queries q
   GROUP BY 1, 2
 )
-SELECT id, ROUND(SUM(best), 5)::DECIMAL(18,5) AS score
+SELECT id, ROUND(SUM(best), 5)::DOUBLE AS score
 FROM per_pair
 GROUP BY id
 ORDER BY score DESC, id ASC

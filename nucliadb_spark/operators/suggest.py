@@ -100,7 +100,7 @@ scored AS (
   CROSS JOIN corpus c
   GROUP BY p.rid
 )
-SELECT rid, ROUND(raw, 4)::DECIMAL(18,4) AS score
+SELECT rid, ROUND(raw, 4)::DOUBLE AS score
 FROM scored
 ORDER BY score DESC, rid ASC
 LIMIT {top_k}

@@ -48,7 +48,7 @@ def _lang_score_sql(toks: str, words: list[str]) -> str:
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, predicted_lang, confidence DECIMAL(18,5)).
+    """(id, predicted_lang, confidence DOUBLE rounded to 5 places).
 
     Tokens are projected once (a bound column) — per-language scores
     reference the array 2× each; inlining tokenize() would re-run the
@@ -67,7 +67,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(
         F.col(id_col).alias("id"),
         best.alias("predicted_lang"),
-        F.round(best_score, 5).cast("decimal(18,5)").alias("confidence"),
+        F.round(best_score, 5).cast("double").alias("confidence"),
     ).orderBy("id")
 
 
@@ -91,7 +91,7 @@ scored AS (
 )
 SELECT id,
        {best} AS predicted_lang,
-       ROUND({best_score}, 5)::DECIMAL(18,5) AS confidence
+       ROUND({best_score}, 5)::DOUBLE AS confidence
 FROM scored
 ORDER BY id
 """
@@ -130,9 +130,9 @@ def quality_features(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(mean_tok, 5).cast("decimal(18,5)").alias("mean_token_len"),
-        F.round(stop_ratio, 5).cast("decimal(18,5)").alias("stopword_ratio"),
-        F.round(quality, 2).cast("decimal(4,2)").alias("quality"),
+        F.round(mean_tok, 5).cast("double").alias("mean_token_len"),
+        F.round(stop_ratio, 5).cast("double").alias("stopword_ratio"),
+        F.round(quality, 2).cast("double").alias("quality"),
     ).orderBy("id")
 
 
@@ -151,11 +151,11 @@ feat AS (
   FROM docs
 )
 SELECT id, n_chars, n_tokens,
-       ROUND(mean_tok, 5)::DECIMAL(18,5) AS mean_token_len,
-       ROUND(stop_ratio, 5)::DECIMAL(18,5) AS stopword_ratio,
+       ROUND(mean_tok, 5)::DOUBLE AS mean_token_len,
+       ROUND(stop_ratio, 5)::DOUBLE AS stopword_ratio,
        ROUND((CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.5 ELSE 0.0 END)
              + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END),
-             2)::DECIMAL(4,2) AS quality
+             2)::DOUBLE AS quality
 FROM feat
 ORDER BY id
 """

@@ -30,9 +30,21 @@ _PLANTED_SQL = dedup.planted_corpus_sql(_DOCS_SQL)
 # --- exact dedup (bag-of-words canonical form) ---------------------------
 
 
-@register("dedup_exact", dedup.exact_dedup_sql(_DOCS_SQL))
+@register(
+    "dedup_exact",
+    "SELECT fp, n_docs, canonical_id, "
+    "array_to_string(doc_ids, ',') AS doc_ids FROM ("
+    + dedup.exact_dedup_sql(_DOCS_SQL)
+    + ")",
+)
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    # driver output contract: stringify doc_ids at the registry boundary
+    return dedup.exact_dedup(_docs(spark, sf_dir)).withColumn(
+        "doc_ids",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ","),
+    )
 
 
 # --- MinHash + LSH candidate pairs + exact-Jaccard verify ----------------
@@ -131,7 +143,7 @@ q AS (SELECT {models.stub_embedding_sql(_sql_quote(_EMBED_QUERY))} AS qvec),
 scored AS (
   SELECT id, {_COS8} AS raw FROM embedded CROSS JOIN q
 )
-SELECT id, ROUND(raw, 5)::DECIMAL(18,5) AS score
+SELECT id, ROUND(raw, 5)::DOUBLE AS score
 FROM scored ORDER BY score DESC, id ASC LIMIT 10
 """,
 )
@@ -165,7 +177,7 @@ hydrated AS (
   SELECT c.id, d.text FROM candidates c JOIN documents d ON c.id = CAST(d.doc_id AS BIGINT)
 )
 SELECT id,
-       ROUND({models.stub_reranker_sql(_sql_quote(_RERANK_QUERY), "text")}, 8)::DECIMAL(18,8) AS rerank_score
+       ROUND({models.stub_reranker_sql(_sql_quote(_RERANK_QUERY), "text")}, 8)::DOUBLE AS rerank_score
 FROM hydrated
 ORDER BY rerank_score DESC, id ASC
 LIMIT 10
@@ -186,7 +198,7 @@ def rerank_stub(spark, sf_dir):
         cands.join(docs, "id")
         .select(
             "id",
-            F.round(rerank(F.col("text")), 8).cast("decimal(18,8)").alias("rerank_score"),
+            F.round(rerank(F.col("text")), 8).cast("double").alias("rerank_score"),
         )
         .orderBy(F.col("rerank_score").desc(), F.col("id").asc())
         .limit(10)
@@ -240,14 +252,19 @@ def vocab_stats(spark, sf_dir):
     f"""
 WITH paragraphs AS ({tpch.SQL_PARAGRAPHS}),
 fields AS ({tpch.SQL_FIELDS})
-SELECT p.paragraph_id, p.text, f.labels
+SELECT p.paragraph_id, p.text,
+       array_to_string(f.labels, ',') AS labels
 FROM paragraphs p JOIN fields f ON p.rid = f.rid
 ORDER BY p.paragraph_id
 """,
 )
 def export_paragraph_classification(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     p = tpch.paragraphs(spark, sf_dir)
-    f = tpch.fields(spark, sf_dir).select("rid", "labels")
+    f = tpch.fields(spark, sf_dir).select(
+        "rid", F.array_join("labels", ",").alias("labels")
+    )
     return (
         p.join(f, "rid")
         .select("paragraph_id", "text", "labels")
@@ -259,13 +276,22 @@ def export_paragraph_classification(spark, sf_dir):
     "export_field_classification",
     f"""
 WITH fields AS ({tpch.SQL_FIELDS})
-SELECT rid, field_key, text, labels FROM fields ORDER BY rid
+SELECT rid, field_key, text,
+       array_to_string(labels, ',') AS labels
+FROM fields ORDER BY rid
 """,
 )
 def export_field_classification(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     return (
         tpch.fields(spark, sf_dir)
-        .select("rid", "field_key", "text", "labels")
+        .select(
+            "rid",
+            "field_key",
+            "text",
+            F.array_join("labels", ",").alias("labels"),
+        )
         .orderBy("rid")
     )
 
@@ -279,9 +305,9 @@ def export_field_classification(spark, sf_dir):
 SELECT COUNT(*) AS n_docs,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       ROUND(AVG(n_chars), 4)::DECIMAL(18,4) AS avg_chars,
-       ROUND(quantile_cont(n_chars, 0.5), 4)::DECIMAL(18,4) AS median_chars,
-       ROUND(quantile_cont(n_chars, 0.95), 4)::DECIMAL(18,4) AS p95_chars
+       ROUND(AVG(n_chars), 4)::DOUBLE AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 4)::DOUBLE AS median_chars,
+       ROUND(quantile_cont(n_chars, 0.95), 4)::DOUBLE AS p95_chars
 FROM documents
 """,
 )
@@ -293,12 +319,12 @@ def corpus_length_stats(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.avg("n_chars"), 4).cast("decimal(18,4)").alias("avg_chars"),
+        F.round(F.avg("n_chars"), 4).cast("double").alias("avg_chars"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 4)
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("median_chars"),
         F.round(F.expr("percentile(n_chars, 0.95)"), 4)
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("p95_chars"),
     )
 

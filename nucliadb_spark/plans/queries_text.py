@@ -65,13 +65,19 @@ def bm25_fuzzy(spark, sf_dir):
 
 @register(
     "bm25_ematches",
-    bm25.bm25_sql(
+    "SELECT rid, score, array_to_string(ematches, ',') AS ematches FROM ("
+    + bm25.bm25_sql(
         tpch.SQL_FIELDS, "query filter agg", top_k=15, with_ematches=True
-    ),
+    )
+    + ")",
 )
 def bm25_ematches(spark, sf_dir):
+    # driver output contract: stringify the ematches array at the
+    # registry boundary (the operator API keeps the array)
     post, stats = _text_index(spark, sf_dir)
-    return bm25.bm25_search(None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats)
+    return bm25.bm25_search(
+        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats
+    ).withColumn("ematches", F.array_join("ematches", ","))
 
 
 # --- F9/J1: prefilter semijoin — filter fields first, score the rest ----

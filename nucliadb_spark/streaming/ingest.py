@@ -82,7 +82,7 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).cast("decimal(18,4)").alias("total_value"),
+            F.round(F.sum("value"), 4).cast("double").alias("total_value"),
         )
     )
     q = (
@@ -110,7 +110,7 @@ def windowed_event_counts_sql(window_hours: int = 1) -> str:
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4)::DECIMAL(18,4) AS total_value
+       ROUND(SUM(value), 4)::DOUBLE AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
