@@ -312,7 +312,9 @@ sessions AS (
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id,
+       session_id::BIGINT AS session_id,
+       COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sessions
 GROUP BY user_id, session_id
