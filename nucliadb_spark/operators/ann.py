@@ -98,6 +98,116 @@ def ivf_search(
     )
 
 
+# --- IVF serving over an existing cell column ------------------------------
+# The serving path for the find() pipeline: the vectors table already
+# carries a cell assignment (`cluster_label`, written at index-build
+# time — at 100 TB the table is PARTITIONED by this column, so the
+# probe join prunes partitions and reads nprobe/k of the data).
+# Centroids are the element-wise per-cell mean, computed once per
+# session (cache.cached_df) — the batch analog of a persisted
+# centroid sidecar file.
+
+
+def cell_centroids(
+    vectors: DataFrame, cell_col: str = "cluster_label", vec_col: str = "vector"
+) -> DataFrame:
+    """(cell, centroid array<double>) element-wise mean per cell —
+    index-build output; tiny (n_cells rows), broadcast at query time."""
+    pos = vectors.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    cent_long = pos.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    return cent_long.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def probe_cells(
+    centroids: DataFrame,
+    query: DataFrame,
+    nprobe: int = 2,
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Top-nprobe cells by query↔centroid cosine → (cell,).
+    Cosines rounded to 6 decimals so sub-ulp AVG differences can't
+    flip the probe order between engines."""
+    return (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            "cell",
+            F.round(V.cosine(F.col("centroid"), F.col(query_vec_col)), 6).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
+
+
+def ivf_serve(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    similarity: str = "cosine",
+    min_score: float | None = None,
+    cell_col: str = "cluster_label",
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-probed top-k over prebuilt centroids: (id, score).
+
+    The probe-limited serving analog of the reference's HNSW search
+    (nidx/nidx_vector/src/searcher.rs:300-312): score only the
+    vectors whose cell survives the probe."""
+    probe = probe_cells(centroids, query, nprobe, query_vec_col)
+    cand = vectors.join(
+        F.broadcast(probe), vectors[cell_col] == probe["cell"], "inner"
+    ).drop("cell")
+    return knn.exact_knn(
+        cand,
+        query,
+        k=k,
+        similarity=similarity,
+        min_score=min_score,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+    )
+
+
+def ivf_cells_where_sql(
+    vectors_sql: str,
+    query_sql: str,
+    dim: int,
+    nprobe: int = 2,
+    cell_col: str = "cluster_label",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    """SQL predicate fragment restricting a vectors scan to the probed
+    cells (DuckDB twin of probe_cells; compose into exact_knn_sql's
+    `where`)."""
+    cos_cq = V.cosine_sql_unrolled("c.centroid", f"q.{query_vec_col}", dim)
+    return f"""{cell_col} IN (
+  WITH vv AS ({vectors_sql}),
+  pos AS (
+    SELECT {cell_col} AS cell, unnest(generate_series(1, {dim})) AS pos,
+           unnest({vec_col}) AS val
+    FROM vv
+  ),
+  cent_long AS (SELECT cell, pos, AVG(val) AS m FROM pos GROUP BY cell, pos),
+  centroids AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cent_long GROUP BY cell)
+  SELECT c.cell
+  FROM centroids c CROSS JOIN ({query_sql}) q
+  ORDER BY ROUND({cos_cq}, 6) DESC, c.cell ASC
+  LIMIT {nprobe}
+)"""
+
+
 # --- label-cell IVF (oracle-checkable variant) -----------------------------
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from nucliadb_spark.cache import cached_df
+from nucliadb_spark.operators import ann as ann_ops
 from nucliadb_spark.operators import bm25, fusion, knn
 from nucliadb_spark.operators.filters import Expr, _sql_quote
 from nucliadb_spark.sources import tpch
@@ -50,8 +52,18 @@ def find(
     dim: int = 64,
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
+    ann: str = "exact",
+    nprobe: int = 2,
 ) -> DataFrame:
-    """Hybrid find → (id, score, matched_sources, language, source, snippet)."""
+    """Hybrid find → (id, score, matched_sources, language, source, snippet).
+
+    ann="ivf" serves the semantic leg from the prebuilt IVF cell
+    assignment (cluster_label) + session-cached centroids instead of a
+    brute-force full scan — the probe-limited serving shape of the
+    reference's HNSW search (nidx/nidx_vector/src/searcher.rs:300-312).
+    At 100 TB this is the only viable flagship plan: the vectors table
+    is partitioned by cell and a query reads nprobe/n_cells of it.
+    """
     win = fusion_window(window, top_k)
     fields = tpch.fields(spark, sf_dir)
     vectors = tpch.vectors(spark, sf_dir)
@@ -67,6 +79,17 @@ def find(
         stats=stats if prefilter is None else None,
     ).select(F.col("rid").alias("id"), "score")
 
+    if ann == "ivf":
+        # centroids are index-build output: built once per session from
+        # the FULL corpus (like the prebuilt segment graph), filters
+        # apply to candidates only
+        centroids = cached_df(
+            sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+        )
+        probe = ann_ops.probe_cells(centroids, qvec, nprobe=nprobe)
+        vectors = vectors.join(
+            F.broadcast(probe), vectors["cluster_label"] == probe["cell"], "inner"
+        ).drop("cell")
     if prefilter is not None:
         allowed = fields.filter(prefilter.to_column()).select("rid")
         vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
@@ -126,17 +149,29 @@ def find_sql(
     where: str | None = None,
     weights: dict[str, float] | None = None,
     dim: int = 64,
+    ann: str = "exact",
+    nprobe: int = 2,
 ) -> str:
     """DuckDB twin of :func:`find` (same window algebra & pipeline)."""
     win = fusion_window(window, top_k)
     keyword = (
         f"SELECT rid AS id, score FROM ({bm25.bm25_sql(tpch.SQL_FIELDS, query, top_k=win, mode='any', where=where)})"
     )
-    vec_where = None
+    vec_conds = []
+    if ann == "ivf":
+        vec_conds.append(
+            ann_ops.ivf_cells_where_sql(
+                tpch.SQL_VECTORS,
+                f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}",
+                dim,
+                nprobe=nprobe,
+            )
+        )
     if where is not None:
-        vec_where = (
+        vec_conds.append(
             f"rid IN (SELECT rid FROM ({tpch.SQL_FIELDS}) f WHERE {where})"
         )
+    vec_where = " AND ".join(vec_conds) if vec_conds else None
     semantic = knn.exact_knn_sql(
         tpch.SQL_VECTORS,
         f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}",

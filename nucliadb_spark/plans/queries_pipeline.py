@@ -38,6 +38,43 @@ def find_hybrid(spark, sf_dir):
     )
 
 
+# --- flagship served from the IVF index (the 100 TB plan shape) ----------
+# Semantic leg probes nprobe=2 of the prebuilt cells instead of
+# scanning the whole vectors table (V1 serving analog of HNSW,
+# nidx/nidx_vector/src/searcher.rs:300-312).
+
+
+@register(
+    "find_hybrid_ivf",
+    find.find_sql(
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=10,
+        window=50,
+        ann="ivf",
+        nprobe=2,
+    ),
+)
+def find_hybrid_ivf(spark, sf_dir):
+    from nucliadb_spark.plans.queries_text import _text_index
+
+    post, stats = _text_index(spark, sf_dir)
+    return find.find(
+        spark,
+        sf_dir,
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=10,
+        window=50,
+        post=post,
+        stats=stats,
+        ann="ivf",
+        nprobe=2,
+    )
+
+
 # --- find with prefilter + min_score + weights ---------------------------
 
 _PREF = fx.Facet("/s/p/en")

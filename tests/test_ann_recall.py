@@ -74,3 +74,36 @@ def test_ivf_recall(spark, corpus):
 
     recall = hits / total
     assert recall >= 0.95, f"IVF recall@{K} = {recall:.3f} < 0.95"
+
+
+def test_ivf_serve_recall(spark, corpus):
+    """The find() serving path (cluster_label column + cached mean
+    centroids, ann.ivf_serve) hits the same recall gate."""
+    vecs, rng = corpus
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "rid long, vector array<float>",
+    )
+    assigned, _ = ann.build_ivf(df, k_cells=8, seed=42)
+    vectors = assigned.withColumnRenamed("cell", "cluster_label").cache()
+    centroids = ann.cell_centroids(vectors).cache()
+
+    hits = total = 0
+    for _ in range(20):
+        base = vecs[rng.integers(0, len(vecs))]
+        fuzz = _normalize(rng.uniform(-1, 1, DIM)) * 0.05
+        qv = [float(x) for x in _normalize(base + fuzz)]
+        q = spark.createDataFrame([(qv,)], "qvec array<float>")
+
+        exact = {r.id for r in knn.exact_knn(df, q, k=K, similarity="cosine").collect()}
+        served = {
+            r.id
+            for r in ann.ivf_serve(
+                vectors, centroids, q, k=K, nprobe=2, similarity="cosine"
+            ).collect()
+        }
+        hits += len(exact & served)
+        total += K
+
+    recall = hits / total
+    assert recall >= 0.95, f"ivf_serve recall@{K} = {recall:.3f} < 0.95"
