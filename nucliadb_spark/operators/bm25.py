@@ -139,6 +139,7 @@ def bm25_search(
     text_col: str = "text",
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: (rid, score[, ematches]).
 
@@ -152,6 +153,15 @@ def bm25_search(
     post/stats: a prebuilt (cached/persisted) index — the serving
     path; only valid for an unfiltered corpus (prefilter must be
     None, like tantivy serving from built segments).
+
+    allowed: the SERVED prefilter — a (rid) frame broadcast-semi-joined
+    into the scoring scan while df/N/avgdl stay GLOBAL. This matches
+    what tantivy's prefilter actually does at serve time: it
+    restricts candidate docs within built segments and does NOT
+    recompute corpus statistics per query
+    (ref: nidx/nidx_paragraph/src/search_query.rs:212-216,
+    nidx/nidx_text/src/reader.rs:148-180). At 100 TB this is the only
+    sane plan — the rebuild path is an index build per query.
     """
     toks = tokenize_py(query)
     if stop_words:
@@ -161,6 +171,7 @@ def bm25_search(
         raise ValueError("empty query")
     if prefilter is not None:
         assert post is None and stats is None, "prefilter needs a fresh index"
+        assert allowed is None, "pick one: rebuild (prefilter) or served (allowed)"
         fields = fields.filter(prefilter.to_column())
 
     if post is None:
@@ -193,6 +204,9 @@ def bm25_search(
     dfreq = hits.groupBy("term", "boost").agg(
         F.count("*").cast("double").alias("df")
     )
+    if allowed is not None:
+        # served prefilter: restrict candidates AFTER global df/stats
+        post = post.join(F.broadcast(allowed), "rid", "semi")
     scored = (
         post.join(F.broadcast(dfreq), "term")
         .join(stats, "rid")
@@ -235,8 +249,14 @@ def bm25_sql(
     where: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
     stop_words: bool = False,
+    served_where: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`bm25_search` (same CTE pipeline)."""
+    """DuckDB twin of :func:`bm25_search` (same CTE pipeline).
+
+    where: rebuild-prefilter twin — restricts the corpus before index
+    stats. served_where: served-prefilter twin (`allowed` in
+    bm25_search) — restricts only the scored candidate docs; df/N/
+    avgdl stay global."""
     toks = tokenize_py(query)
     if stop_words:
         toks = remove_stop_words(toks)
@@ -261,6 +281,11 @@ matched AS (
     )
     ematch_col = ", ematches" if with_ematches else ""
     having = f"HAVING COUNT(*) = {len(terms)}" if mode == "all" else ""
+    served_cond = (
+        f"WHERE p.rid IN (SELECT rid FROM fields WHERE {served_where})"
+        if served_where
+        else ""
+    )
     return f"""
 WITH fields AS ({fields_sql}),
 filtered AS (SELECT * FROM fields {where_sql}),
@@ -288,6 +313,7 @@ scored AS (
   JOIN dfreq d USING (term)
   JOIN docstats s USING (rid)
   CROSS JOIN corpus c
+  {served_cond}
   GROUP BY p.rid
   {having}
 )

@@ -101,6 +101,31 @@ def bm25_prefiltered(spark, sf_dir):
     return bm25.bm25_search(f, "merge sort key", top_k=20, prefilter=_PREFILTER)
 
 
+# --- F9 served: same prefilter, scored from the PREBUILT global index ----
+# The 100 TB serving shape: tantivy applies prefilters within built
+# segments without recomputing corpus stats per query
+# (nidx/nidx_paragraph/src/search_query.rs:212-216). The rebuild
+# variant above stays as the per-shard-stats parity path.
+
+
+@register(
+    "bm25_prefiltered_served",
+    bm25.bm25_sql(
+        tpch.SQL_FIELDS,
+        "merge sort key",
+        top_k=20,
+        served_where=_PREFILTER.to_sql(),
+    ),
+)
+def bm25_prefiltered_served(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    post, stats = _text_index(spark, sf_dir)
+    allowed = f.filter(_PREFILTER.to_column()).select("rid")
+    return bm25.bm25_search(
+        None, "merge sort key", top_k=20, post=post, stats=stats, allowed=allowed
+    )
+
+
 # --- T2 quoted phrase -----------------------------------------------------
 
 
