@@ -321,3 +321,207 @@ WHERE {start.to_sql().replace("source_value", "a.source_value").replace("relatio
 ORDER BY start_value, mid_value, end_value, hop1, hop2
 LIMIT {top_k}
 """
+
+
+# --- G7 proper: iterative graph RAG strategy --------------------------------
+# The reference's graph_strategy loop
+# (nucliadb/src/nucliadb/search/search/graph_strategy.py:315-466):
+#   hop 0  — fuzzy entity detection from the query: each query WORD
+#            fuzzy-matches (distance 1) any word of any node value,
+#            top-50 nodes (fuzzy_search_entities, :468-501 — "Rose
+#            Hamiltn" matches "Rosa Parks" and "Margaret Hamilton");
+#   hop h  — fetch relations touching the frontier, rank them against
+#            the query, keep top_k; newly-seen endpoints of the KEPT
+#            relations (minus explored) become the next frontier.
+# The reranker is the Predict API there; here it is the deterministic
+# md5 stub (functions/models.py) as a pure JVM Column expression, with
+# a per-hop decay so earlier hops outrank later ones. The loop is
+# driver-side (like the reference's), each hop one DataFrame job:
+# frontier/explored stay DataFrames (broadcast semi-joins, no collect).
+
+
+def strategy_detect_entities(
+    relations: DataFrame, query: str, detect_top: int = 50
+) -> DataFrame:
+    """Hop-0 entity detection → (value,). Any query word within
+    levenshtein 1 of any node-value word detects the node."""
+    from nucliadb_spark.functions.text import tokenize_py
+
+    qtoks = tokenize_py(query)
+    qarr = F.array(*[F.lit(t) for t in qtoks])
+    nodes = (
+        relations.select(F.col("source_value").alias("value"))
+        .unionByName(relations.select(F.col("target_value").alias("value")))
+        .distinct()
+    )
+    return (
+        nodes.filter(
+            F.exists(
+                tokenize(F.col("value")),
+                lambda w: F.exists(
+                    qarr, lambda q: F.levenshtein(w, q) <= FUZZY_DISTANCE
+                ),
+            )
+        )
+        .orderBy("value")
+        .limit(detect_top)
+    )
+
+
+def _strategy_score(query: str, hop: int, decay: float) -> Column:
+    """Deterministic relation relevance (rank_relations stub): md5 of
+    query|source|label|target → [0,1], decayed per hop. Pure Column
+    expression — whole-stage codegen, no Python."""
+    pair = F.concat_ws(
+        "|", F.lit(query), "source_value", "relation_label", "target_value"
+    )
+    raw = F.conv(F.substring(F.md5(pair), 1, 8), 16, 10).cast("long") / F.lit(
+        4294967295.0
+    )
+    return F.round(F.lit(decay ** (hop - 1)) * raw, 6).cast("double")
+
+
+def strategy_search(
+    relations: DataFrame,
+    query: str,
+    hops: int = 2,
+    top_k: int = 20,
+    detect_top: int = 50,
+    decay: float = 0.5,
+) -> DataFrame:
+    """Bounded iterative expand-and-rerank loop (G7 proper) →
+    (hop, source_value, relation_label, target_value, score).
+
+    Triples seen at several hops keep their earliest (highest) score.
+    At 100 TB each hop is one broadcast-semi-joined scan of the
+    relations table (frontier ≤ 2·top_k values), hops ≤ 3 — the same
+    bounded fan-out the reference enforces via GraphStrategy.hops.
+    """
+    frontier = strategy_detect_entities(relations, query, detect_top)
+    explored: DataFrame | None = None
+    kept_frames: list[DataFrame] = []
+    for hop in range(1, hops + 1):
+        fr = frontier.select("value")
+        touching = relations.alias("r").join(
+            F.broadcast(fr.alias("f")),
+            (F.col("r.source_value") == F.col("f.value"))
+            | (F.col("r.target_value") == F.col("f.value")),
+            "leftsemi",
+        )
+        kept = (
+            touching.select(
+                F.lit(hop).alias("hop"),
+                "source_value",
+                "relation_label",
+                "target_value",
+                _strategy_score(query, hop, decay).alias("score"),
+            )
+            .orderBy(
+                F.col("score").desc(),
+                "source_value",
+                "relation_label",
+                "target_value",
+            )
+            .limit(top_k)
+        )
+        kept_frames.append(kept)
+        if hop == hops:
+            break
+        explored = (
+            frontier
+            if explored is None
+            else explored.unionByName(frontier).distinct()
+        )
+        knodes = (
+            kept.select(F.col("source_value").alias("value"))
+            .unionByName(kept.select(F.col("target_value").alias("value")))
+            .distinct()
+        )
+        frontier = knodes.join(explored, "value", "anti")
+    allk = kept_frames[0]
+    for f in kept_frames[1:]:
+        allk = allk.unionByName(f)
+    return (
+        allk.groupBy("source_value", "relation_label", "target_value")
+        .agg(F.min("hop").alias("hop"), F.max("score").alias("score"))
+        .select("hop", "source_value", "relation_label", "target_value", "score")
+        .orderBy(
+            F.col("score").desc(), "source_value", "relation_label", "target_value"
+        )
+        .limit(top_k)
+    )
+
+
+def strategy_search_sql(
+    relations_sql: str,
+    query: str,
+    hops: int = 2,
+    top_k: int = 20,
+    detect_top: int = 50,
+    decay: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`strategy_search` — the hop loop unrolled
+    into one CTE chain per hop (hops is a query-time constant)."""
+    from nucliadb_spark.functions.text import tokenize_py
+
+    qtoks = tokenize_py(query)
+    qlist = "[" + ", ".join(_sql_quote(t) for t in qtoks) + "]"
+    qlit = _sql_quote(query)
+
+    def score(hop: int) -> str:
+        pair = (
+            f"concat_ws('|', {qlit}, source_value, relation_label, target_value)"
+        )
+        raw = f"(CAST(('0x' || substring(md5({pair}), 1, 8)) AS BIGINT) / 4294967295.0)"
+        return f"ROUND({decay ** (hop - 1)!r} * {raw}, 6)::DOUBLE"
+
+    ctes = [
+        f"relations AS ({relations_sql})",
+        "nodes AS (SELECT source_value AS value FROM relations "
+        "UNION SELECT target_value FROM relations)",
+        f"""detected AS (
+  SELECT value FROM nodes
+  WHERE len(list_filter({tokenize_sql("value")},
+        w -> len(list_filter({qlist}, q -> levenshtein(w, q) <= {FUZZY_DISTANCE})) > 0)) > 0
+  ORDER BY value LIMIT {detect_top})""",
+        "frontier1 AS (SELECT value FROM detected)",
+    ]
+    for hop in range(1, hops + 1):
+        ctes.append(
+            f"""kept{hop} AS (
+  SELECT {hop} AS hop, source_value, relation_label, target_value,
+         {score(hop)} AS score
+  FROM relations
+  WHERE source_value IN (SELECT value FROM frontier{hop})
+     OR target_value IN (SELECT value FROM frontier{hop})
+  ORDER BY score DESC, source_value, relation_label, target_value
+  LIMIT {top_k})"""
+        )
+        if hop == hops:
+            break
+        if hop == 1:
+            ctes.append("explored1 AS (SELECT value FROM frontier1)")
+        else:
+            ctes.append(
+                f"explored{hop} AS (SELECT value FROM explored{hop - 1} "
+                f"UNION SELECT value FROM frontier{hop})"
+            )
+        ctes.append(
+            f"""frontier{hop + 1} AS (
+  SELECT value FROM (SELECT source_value AS value FROM kept{hop}
+                     UNION SELECT target_value FROM kept{hop})
+  WHERE value NOT IN (SELECT value FROM explored{hop}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM kept{h}" for h in range(1, hops + 1)
+    )
+    return f"""
+WITH {", ".join(ctes)},
+all_kept AS ({union})
+SELECT MIN(hop) AS hop, source_value, relation_label, target_value,
+       MAX(score) AS score
+FROM all_kept
+GROUP BY source_value, relation_label, target_value
+ORDER BY score DESC, source_value, relation_label, target_value
+LIMIT {top_k}
+"""

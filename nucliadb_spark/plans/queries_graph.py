@@ -194,3 +194,17 @@ _START = fx.And(
 @register("graph_two_hop", G.two_hop_sql(_R, _START, top_k=100))
 def graph_two_hop(spark, sf_dir):
     return G.two_hop(_rel(spark, sf_dir), _START, top_k=100)
+
+
+# --- G7 proper: bounded iterative expand-and-rerank strategy ---------------
+# ref: nucliadb/src/nucliadb/search/search/graph_strategy.py:315-466
+
+_STRATEGY_Q = "customr 12 supplier part"
+
+
+@register(
+    "graph_strategy_hops",
+    G.strategy_search_sql(_R, _STRATEGY_Q, hops=2, top_k=20),
+)
+def graph_strategy_hops(spark, sf_dir):
+    return G.strategy_search(_rel(spark, sf_dir), _STRATEGY_Q, hops=2, top_k=20)

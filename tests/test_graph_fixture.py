@@ -136,3 +136,47 @@ def test_alias_relation_projection(kg):
     q = G.Node("Mr. P", side="source")
     labels = [r.relation_label for r in G.relations_projection(kg, q).collect()]
     assert labels == ["ALIAS"]
+
+
+# --- G7 strategy loop on the canonical KG ----------------------------------
+# Ports the fuzzy_search_entities contract from the reference
+# (graph_strategy.py:468-501: each query WORD fuzzy-matches any word
+# of any node — "Rose Hamiltn" finds "Rosa Parks" and "Margaret
+# Hamilton") and the hop-expansion shape of get_graph_results
+# (graph_strategy.py:315-466).
+
+
+def test_strategy_detects_entities_word_fuzzy(kg):
+    # "Margart" (lev 1 of Margaret) + "Ana" (lev 1 of Anna): both
+    # detected; word-position independent like the reference.
+    got = {r.value for r in G.strategy_detect_entities(kg, "Margart Ana").collect()}
+    assert "Margaret" in got
+    assert "Anna" in got
+    assert "Erin" not in got
+
+
+def test_strategy_hop1_contains_frontier_relations(kg):
+    out = G.strategy_search(kg, "Margart rocket", hops=1, top_k=20)
+    triples = _triples(out)
+    # hop 1 must include Margaret's own relations
+    assert ("Margaret", "DEVELOPED", "Apollo") in triples
+    assert ("Margaret", "WORK_IN", "Computer science") in triples
+    # nothing beyond 1 hop of the detected set
+    assert ("Tom", "CHASE", "Jerry") not in triples
+
+
+def test_strategy_second_hop_expands_not_reexplores(kg):
+    one = _triples(G.strategy_search(kg, "Margart", hops=1, top_k=20))
+    two_df = G.strategy_search(kg, "Margart", hops=2, top_k=20).collect()
+    two = {(r.source_value, r.relation_label, r.target_value): r.hop for r in two_df}
+    # hop-2 reaches Apollo IS Rocket via the Apollo endpoint
+    assert ("Apollo", "IS", "Rocket") in two
+    assert two[("Apollo", "IS", "Rocket")] == 2
+    # hop-1 triples keep hop=1 and their undecayed (higher) score
+    for t in one:
+        assert t in two and two[t] == 1
+    scores = {
+        (r.source_value, r.relation_label, r.target_value): r.score for r in two_df
+    }
+    # decay=0.5 bounds every hop-2 score at 0.5 (raw is in [0,1])
+    assert max(s for t, s in scores.items() if two[t] == 2) <= 0.5
