@@ -283,15 +283,24 @@ def dedup_vectors(
 
 
 def pick_vectorset(
-    spark, sf_dir: str, vectorsets: dict[str, str], name: str, expect_dim: int
+    spark, sf_dir: str, vectorsets: dict, name: str, expect_dim: int
 ) -> DataFrame:
     """V8 vectorset routing (ref: shard_search.rs:94-105 + dimension
     check searcher.rs:254-262): choose the named embedding table and
-    assert its dimension."""
+    assert its dimension.
+
+    vectorsets values: either a parquet table name (vector column
+    `embedding`) or a `(builder(spark, sf_dir), dim)` pair (vector
+    column `vector`) as in sources.tpch.VECTORSETS."""
     if name not in vectorsets:
         raise KeyError(f"unknown vectorset {name!r}; have {sorted(vectorsets)}")
-    df = spark.read.parquet(f"{sf_dir}/{vectorsets[name]}.parquet")
-    bad = df.filter(F.size(F.col("embedding")) != expect_dim).limit(1).count()
+    spec = vectorsets[name]
+    if isinstance(spec, str):
+        df, vec_col = spark.read.parquet(f"{sf_dir}/{spec}.parquet"), "embedding"
+    else:
+        builder, _dim = spec
+        df, vec_col = builder(spark, sf_dir), "vector"
+    bad = df.filter(F.size(F.col(vec_col)) != expect_dim).limit(1).count()
     if bad:
         raise ValueError(f"vectorset {name!r} has vectors of dim != {expect_dim}")
     return df

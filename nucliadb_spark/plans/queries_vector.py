@@ -135,6 +135,33 @@ def knn_matryoshka(spark, sf_dir):
 # --- V6 multivector MaxSim --------------------------------------------------
 
 
+# --- V8: second vectorset, routed by name ----------------------------------
+# The KB serves two vectorsets (64-dim multilingual, 32-dim english);
+# the searcher routes by vectorset name and checks the dimension
+# (ref: nidx/src/searcher/shard_search.rs:94-105, searcher.rs:254-262).
+
+_ALT_QUERY_SQL = (
+    "SELECT list_slice(embedding, 1, 32) AS qvec FROM embeddings WHERE vec_id = 2"
+)
+
+
+@register(
+    "knn_vectorset_alt",
+    knn.exact_knn_sql(
+        tpch.SQL_VECTORS_ALT, _ALT_QUERY_SQL, 32, k=10, similarity="cosine"
+    ),
+)
+def knn_vectorset_alt(spark, sf_dir):
+    vs = knn.pick_vectorset(
+        spark, sf_dir, tpch.VECTORSETS, "en-small-2023", expect_dim=32
+    )
+    e = tpch.table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 2).select(
+        F.slice(F.col("embedding"), 1, 32).alias("qvec")
+    )
+    return knn.exact_knn(vs, q, k=10, similarity="cosine")
+
+
 # --- V1 replacement: IVF probe (label cells, mean centroids) --------------
 
 

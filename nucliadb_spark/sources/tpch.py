@@ -246,6 +246,39 @@ FROM embeddings
 """
 
 
+def vectors_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second vectorset (V8): a 32-dim embedding space derived from
+    the same corpus — models a KB serving two vectorsets of different
+    models/dimensions (ref: nidx/src/searcher/shard_search.rs:94-105
+    routes per-vectorset; dim check searcher.rs:254-262)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.lit("kb0").alias("kbid"),
+        F.col("vec_id").cast("long").alias("rid"),
+        F.col("vec_id").cast("long").alias("paragraph_id"),
+        F.slice(F.col("embedding"), 1, 32).alias("vector"),
+        F.col("label").alias("cluster_label"),
+    )
+
+
+SQL_VECTORS_ALT = """
+SELECT
+  'kb0' AS kbid,
+  CAST(vec_id AS BIGINT) AS rid,
+  CAST(vec_id AS BIGINT) AS paragraph_id,
+  list_slice(embedding, 1, 32) AS vector,
+  label AS cluster_label
+FROM embeddings
+"""
+
+# vectorset registry: name -> (builder, dim) — the per-KB vectorset
+# catalog the searcher routes on
+VECTORSETS = {
+    "multilingual-2024": (vectors, 64),
+    "en-small-2023": (vectors_alt, 32),
+}
+
+
 # ---------------------------------------------------------------------
 # messages: CONVERSATION field type (resources.proto:155-192
 # Conversation/Message) derived from events — one conversation per

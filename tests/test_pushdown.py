@@ -60,3 +60,84 @@ def test_facet_filter_prunes_to_needed_columns(stored_resources):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "labels" in read_schema
     assert "title" not in read_schema and "slug" not in read_schema
+
+
+# --- kbid tenant pruning (the single most important scan reduction at
+# 100 TB: every query is kbid-scoped, so the engine tables are written
+# PARTITIONED BY kbid and a query reads only its tenant's files;
+# ref: nidx scopes every search to a shard of one KB,
+# nidx/src/searcher/shard_search.rs:94-105) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def multi_kb_vectors(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kbs") / "vectors")
+    base = tpch.vectors(spark, sf_dir)
+    three = (
+        base.withColumn("kbid", F.lit("kb0"))
+        .unionByName(base.withColumn("kbid", F.lit("kb1")))
+        .unionByName(base.withColumn("kbid", F.lit("kb2")))
+    )
+    three.write.mode("overwrite").partitionBy("kbid").parquet(path)
+    return path
+
+
+def _scan_metrics(df) -> list[dict]:
+    """Execute and read each FileSourceScan's metrics (numFiles,
+    numPartitions, ...) from the executed plan."""
+    df.collect()
+
+    scans: dict[int, dict] = {}
+
+    def walk(p):
+        name = p.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            m = {}
+            it = p.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            scans[p.id()] = m  # dedup re-visits by plan node id
+        ch = p.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+        if name == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+        if name.endswith("QueryStageExec"):  # AQE stage wrappers
+            walk(p.plan())
+        if name == "ReusedExchangeExec":
+            walk(p.child())
+        it = p.subqueries().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return list(scans.values())
+
+
+def test_kbid_filter_prunes_partitions(spark, multi_kb_vectors):
+    df = spark.read.parquet(multi_kb_vectors).filter(F.col("kbid") == "kb1")
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "kbid" in pf and "kb1" in pf, pf
+    # the executed scan must read 1 of the 3 tenant partitions
+    [m] = _scan_metrics(df)
+    assert m["numPartitions"] == 1, m
+    [total] = _scan_metrics(spark.read.parquet(multi_kb_vectors))
+    assert total["numPartitions"] == 3, total
+    assert m["numFiles"] < total["numFiles"], (m, total)
+
+
+def test_kbid_scoped_knn_reads_one_tenant(spark, sf_dir, multi_kb_vectors):
+    from nucliadb_spark.operators import knn
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    tenant = spark.read.parquet(multi_kb_vectors).filter(F.col("kbid") == "kb0")
+    out = knn.exact_knn(tenant, q, k=5)
+    plan = _plan(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "kb0" in pf
+    partitioned = [m for m in _scan_metrics(out) if "numPartitions" in m]
+    assert partitioned and all(m["numPartitions"] == 1 for m in partitioned), partitioned
+    assert out.count() == 5
