@@ -345,3 +345,110 @@ def phrase_match_sql(text_expr: str, phrase: str) -> str:
         f"contains(' ' || array_to_string({tokenize_sql(text_expr)}, ' ') || ' ', "
         f"{_sql_quote(needle)})"
     )
+
+
+# --- T8 complete: highlight char offsets ----------------------------------
+# The reference highlights serve-side by regex-locating each matched
+# term as a whole word in the paragraph text and marking its char span
+# (nucliadb/src/nucliadb/search/search/paragraphs.py:100-160
+# highlight_paragraph — REGEX_TEMPLATE r'(^|\s)({text})(\s|$)').
+# Batch-first twin: offsets derive from the shared tokenizer's token
+# positions (the corpus token contract is single-space joined, so
+# start(pos) = len(join(tokens[:pos], ' ')) + (pos>0)). Runs only on
+# the top-k hit rows after the hydration join — like the reference,
+# highlighting is a per-result serving step, never a corpus scan.
+
+
+def highlight_offsets(
+    hits: DataFrame,
+    fields: DataFrame,
+    id_col: str = "rid",
+    text_col: str = "text",
+) -> DataFrame:
+    """hits (rid, score, ematches array) × fields → (rid, score,
+    highlights) with highlights = 'term@start-end;...' ordered by
+    start offset."""
+    joined = fields.select(F.col(id_col).alias("rid"), text_col).join(
+        F.broadcast(hits), "rid"
+    )
+    toks = tokenize(F.col(text_col))
+    tok = joined.select(
+        "rid",
+        "score",
+        "ematches",
+        F.col(text_col),
+        F.posexplode(toks).alias("pos", "term"),
+    ).filter(F.expr("array_contains(ematches, term)"))
+    start = (
+        F.length(F.array_join(F.slice(tokenize(F.col(text_col)), 1, F.col("pos")), " "))
+        + F.when(F.col("pos") > 0, F.lit(1)).otherwise(F.lit(0))
+    ).alias("start")
+    spans = tok.select("rid", "score", "term", start)
+    return (
+        spans.groupBy("rid", "score")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start", "term"))),
+                    lambda s: F.concat_ws(
+                        "",
+                        s["term"],
+                        F.lit("@"),
+                        s["start"].cast("string"),
+                        F.lit("-"),
+                        (s["start"] + F.length(s["term"])).cast("string"),
+                    ),
+                ),
+                ";",
+            ).alias("highlights")
+        )
+        .select("rid", "score", "highlights")
+        .orderBy(F.col("score").desc(), F.col("rid").asc())
+    )
+
+
+def highlight_sql(
+    hits_sql: str,
+    fields_sql: str,
+) -> str:
+    """DuckDB twin of :func:`highlight_offsets` (same token-position
+    offset derivation; hits_sql must yield (rid, score, ematches))."""
+    return f"""
+WITH hits AS ({hits_sql}),
+fields AS ({fields_sql}),
+tok_src AS (
+  SELECT h.rid, h.score, h.ematches, {tokenize_sql("f.text")} AS toks
+  FROM hits h
+  JOIN fields f ON f.rid = h.rid
+),
+tok_all AS (
+  SELECT rid, score, ematches, toks,
+         unnest([{{'pos': i - 1, 'term': toks[i]}}
+                 for i in range(1, len(toks) + 1)]) AS u
+  FROM tok_src
+),
+tok AS (
+  SELECT rid, score,
+         struct_extract(u, 'term') AS term,
+         struct_extract(u, 'pos') AS pos,
+         toks
+  FROM tok_all
+  WHERE list_contains(ematches, struct_extract(u, 'term'))
+),
+spans AS (
+  SELECT rid, score, term,
+         -- DuckDB list_slice(l, 1, 0) is NULL, Spark slice is []; both
+         -- mean "no preceding tokens" -> offset 0
+         length(coalesce(array_to_string(list_slice(toks, 1, pos), ' '), ''))
+         + CASE WHEN pos > 0 THEN 1 ELSE 0 END AS start
+  FROM tok
+)
+SELECT rid, score,
+       array_to_string(
+         [concat(x.term, '@', x.start, '-', x.start + length(x.term))
+          for x in list_sort(list({{'start': start, 'term': term}}))],
+         ';') AS highlights
+FROM spans
+GROUP BY rid, score
+ORDER BY score DESC, rid ASC
+"""

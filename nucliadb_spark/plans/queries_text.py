@@ -80,6 +80,28 @@ def bm25_ematches(spark, sf_dir):
     ).withColumn("ematches", F.array_join("ematches", ","))
 
 
+# --- T8 complete: per-hit matched-term char offsets -----------------------
+# ref: nucliadb/src/nucliadb/search/search/paragraphs.py:100-160
+# (highlight spans); offsets derive from the shared tokenizer.
+
+
+@register(
+    "bm25_highlight",
+    bm25.highlight_sql(
+        bm25.bm25_sql(
+            tpch.SQL_FIELDS, "query filter agg", top_k=15, with_ematches=True
+        ),
+        tpch.SQL_FIELDS,
+    ),
+)
+def bm25_highlight(spark, sf_dir):
+    post, stats = _text_index(spark, sf_dir)
+    hits = bm25.bm25_search(
+        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats
+    )
+    return bm25.highlight_offsets(hits, tpch.fields(spark, sf_dir))
+
+
 # --- F9/J1: prefilter semijoin — filter fields first, score the rest ----
 
 _PREFILTER = fx.And(

@@ -27,3 +27,30 @@ def test_stop_word_removal_ported_cases():
     ]
     for query, expected in cases:
         assert _clean(query) == expected, query
+
+
+# --- T8 highlight offsets point at the real substrings ---------------------
+
+
+def test_highlight_offsets_point_at_terms(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25
+    from nucliadb_spark.sources import tpch
+
+    fields = tpch.fields(spark, sf_dir)
+    hits = bm25.bm25_search(fields, "query filter agg", top_k=5, with_ematches=True)
+    out = bm25.highlight_offsets(hits, fields)
+    rows = out.join(
+        fields.select("rid", "text"), "rid"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.highlights
+        for span in r.highlights.split(";"):
+            term, rng = span.split("@")
+            start, end = map(int, rng.split("-"))
+            assert r.text[start:end] == term, (term, start, end, r.text[start:end])
+            # whole-word: neighbors are separators or string edges
+            assert start == 0 or not r.text[start - 1].isalnum()
+            assert end == len(r.text) or not r.text[end].isalnum()
