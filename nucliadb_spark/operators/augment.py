@@ -131,3 +131,177 @@ def full_resource_context(paragraphs: DataFrame, hits: DataFrame) -> DataFrame:
     """Expand hits to all paragraphs of their resources."""
     rids = hits.select("rid").distinct()
     return paragraphs.join(F.broadcast(rids), "rid", "semi").orderBy("paragraph_id")
+
+
+# --- field_extension strategy ----------------------------------------------
+# ref: nucliadb_models/search.py:1193-1225 (FieldExtensionStrategy)
+# and its application in search/search/chat/prompt.py: extend the
+# context of each matching resource with the configured extra field
+# ids ({field_type}/{field_name}, e.g. 'a/title'). Batch shape: one
+# broadcast join per requested field id, unioned — the hit set is
+# top-k sized, the field sources are column projections.
+
+
+def field_extension_context(
+    hits: DataFrame,
+    resources: DataFrame,
+    fields: DataFrame,
+    extend_fields: list[str],
+) -> DataFrame:
+    """hits(rid) × requested field ids → (rid, field, text).
+
+    Supported ids on this KB: 'a/title' (resource title field),
+    'a/slug' (resource slug), 't/body' (the body text field).
+    """
+    rids = F.broadcast(hits.select("rid").distinct())
+    parts = []
+    for fid in extend_fields:
+        if fid == "a/title":
+            src = resources.select("rid", F.col("title").alias("text"))
+        elif fid == "a/slug":
+            src = resources.select("rid", F.col("slug").alias("text"))
+        elif fid == "t/body":
+            src = fields.filter(F.col("field_key") == "/t/body").select(
+                "rid", "text"
+            )
+        else:
+            raise ValueError(f"unsupported field id {fid!r}")
+        parts.append(
+            src.join(rids, "rid").select("rid", F.lit(fid).alias("field"), "text")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rid", "field")
+
+
+def field_extension_sql(
+    hits_sql: str,
+    resources_sql: str,
+    fields_sql: str,
+    extend_fields: list[str],
+) -> str:
+    selects = []
+    for fid in extend_fields:
+        if fid == "a/title":
+            selects.append(
+                "SELECT rid, 'a/title' AS field, title AS text FROM resources"
+            )
+        elif fid == "a/slug":
+            selects.append(
+                "SELECT rid, 'a/slug' AS field, slug AS text FROM resources"
+            )
+        elif fid == "t/body":
+            selects.append(
+                "SELECT rid, 't/body' AS field, text FROM fields "
+                "WHERE field_key = '/t/body'"
+            )
+        else:
+            raise ValueError(f"unsupported field id {fid!r}")
+    union = " UNION ALL ".join(f"({s})" for s in selects)
+    return f"""
+WITH hits AS ({hits_sql}),
+resources AS ({resources_sql}),
+fields AS ({fields_sql}),
+ext AS ({union})
+SELECT e.rid, e.field, e.text
+FROM ext e
+WHERE e.rid IN (SELECT DISTINCT rid FROM hits)
+ORDER BY e.rid, e.field
+"""
+
+
+# --- metadata_extension strategy -------------------------------------------
+# ref: nucliadb_models/search.py:1290-1320 (MetadataExtensionStrategy,
+# types origin | classification_labels | ner | extra_metadata) applied
+# in chat/prompt.py — enrich each matching resource's context with the
+# requested metadata families. NER entities come from the relations
+# attached to the resource's paragraphs (utils.proto RelationMetadata
+# paragraph_id provenance).
+
+
+def metadata_extension_context(
+    hits: DataFrame,
+    resources: DataFrame,
+    relations: DataFrame,
+    types: list[str],
+) -> DataFrame:
+    """hits(rid) × metadata types → (rid, meta_type, value)."""
+    rids = F.broadcast(hits.select("rid").distinct())
+    parts = []
+    for t in types:
+        if t == "origin":
+            src = resources.select(
+                "rid",
+                F.concat(F.lit("source="), F.col("origin_source")).alias("value"),
+            )
+        elif t == "classification_labels":
+            src = resources.select(
+                "rid", F.explode("labels").alias("value")
+            ).filter(F.col("value").startswith("/l/"))
+        elif t == "ner":
+            src = (
+                relations.filter(F.col("paragraph_id").isNotNull())
+                .select(
+                    F.split(F.col("paragraph_id"), "/")
+                    .getItem(0)
+                    .cast("long")
+                    .alias("rid"),
+                    F.concat_ws(
+                        ":", F.col("source_subtype"), F.col("source_value")
+                    ).alias("value"),
+                )
+                .distinct()
+            )
+        else:
+            raise ValueError(f"unsupported metadata type {t!r}")
+        parts.append(
+            src.join(rids, "rid").select(
+                "rid", F.lit(t).alias("meta_type"), "value"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rid", "meta_type", "value")
+
+
+def metadata_extension_sql(
+    hits_sql: str,
+    resources_sql: str,
+    relations_sql: str,
+    types: list[str],
+) -> str:
+    selects = []
+    for t in types:
+        if t == "origin":
+            selects.append(
+                "SELECT rid, 'origin' AS meta_type, "
+                "concat('source=', origin_source) AS value FROM resources"
+            )
+        elif t == "classification_labels":
+            selects.append(
+                "SELECT rid, 'classification_labels' AS meta_type, value "
+                "FROM (SELECT rid, unnest(labels) AS value FROM resources) "
+                "WHERE starts_with(value, '/l/')"
+            )
+        elif t == "ner":
+            selects.append(
+                "SELECT DISTINCT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS rid, "
+                "'ner' AS meta_type, "
+                "concat(source_subtype, ':', source_value) AS value "
+                "FROM relations WHERE paragraph_id IS NOT NULL"
+            )
+        else:
+            raise ValueError(f"unsupported metadata type {t!r}")
+    union = " UNION ALL ".join(f"({s})" for s in selects)
+    return f"""
+WITH hits AS ({hits_sql}),
+resources AS ({resources_sql}),
+relations AS ({relations_sql}),
+ext AS ({union})
+SELECT e.rid, e.meta_type, e.value
+FROM ext e
+WHERE e.rid IN (SELECT DISTINCT rid FROM hits)
+ORDER BY e.rid, e.meta_type, e.value
+"""

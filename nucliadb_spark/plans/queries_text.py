@@ -468,3 +468,57 @@ def field_facet_counts(spark, sf_dir):
         .orderBy(F.col("count_").desc(), F.col("facet").asc())
         .limit(50)
     )
+
+
+# --- §2.14: field_extension + metadata_extension RAG strategies ------------
+# ref: nucliadb_models/search.py:1193-1225, 1290-1320 applied in
+# search/search/chat/prompt.py.
+
+_EXT_HITS_SQL = f"""
+SELECT rid FROM ({tpch.SQL_FIELDS}) f WHERE rid IN (7, 42, 137, 296)
+"""
+
+
+def _ext_hits(spark, sf_dir):
+    return (
+        tpch.fields(spark, sf_dir)
+        .filter(F.col("rid").isin(7, 42, 137, 296))
+        .select("rid")
+    )
+
+
+@register(
+    "rag_field_extension",
+    augment.field_extension_sql(
+        _EXT_HITS_SQL,
+        tpch.SQL_RESOURCES,
+        tpch.SQL_FIELDS,
+        ["a/title", "a/slug", "t/body"],
+    ),
+)
+def rag_field_extension(spark, sf_dir):
+    return augment.field_extension_context(
+        _ext_hits(spark, sf_dir),
+        tpch.resources(spark, sf_dir),
+        tpch.fields(spark, sf_dir),
+        ["a/title", "a/slug", "t/body"],
+    )
+
+
+@register(
+    "rag_metadata_extension",
+    augment.metadata_extension_sql(
+        _EXT_HITS_SQL,
+        tpch.SQL_RESOURCES,
+        tpch.SQL_RELATIONS,
+        ["origin", "classification_labels", "ner"],
+    ),
+)
+def rag_metadata_extension(spark, sf_dir):
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    return augment.metadata_extension_context(
+        _ext_hits(spark, sf_dir),
+        tpch.resources(spark, sf_dir),
+        rel,
+        ["origin", "classification_labels", "ner"],
+    )
