@@ -117,3 +117,120 @@ SELECT
   (SELECT COUNT(*) FROM ({tpch.SQL_RELATIONS}) r) AS n_relations,
   (SELECT COUNT(*) FROM events) AS n_events
 """
+
+
+# --- S8 proper: KB export / import ----------------------------------------
+# The reference exports a KB as a typed item stream (resources,
+# binaries, labels, learning config) to blob storage and imports it
+# back (nucliadb/src/nucliadb/export_import/exporter.py:45-186,
+# importer.py). The batch-first portable format is one parquet
+# directory per engine table — executor-parallel on both sides, no
+# driver materialization — plus a manifest for integrity checks.
+
+
+def kb_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from nucliadb_spark.sources import tpch
+
+    return {
+        "fields": tpch.fields(spark, sf_dir),
+        "relations": tpch.relations(spark, sf_dir),
+        "resources": tpch.resources(spark, sf_dir),
+        "vectors": tpch.vectors(spark, sf_dir),
+    }
+
+
+def export_kb(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Write every engine table as parquet under path/<table>."""
+    for name, df in kb_tables(spark, sf_dir).items():
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def import_kb(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Read an exported KB back, one DataFrame per table."""
+    return {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, name))
+    }
+
+
+def _table_digest(name: str, df: DataFrame) -> DataFrame:
+    """(table_name, n_rows, checksum): order-insensitive XOR of a
+    60-bit md5 of each row's canonical scalar string (XOR never
+    overflows, unlike SUM of hashes under ANSI arithmetic)."""
+    from nucliadb_spark.functions.text import md5_int60
+
+    canon = {
+        "resources": F.concat_ws(
+            "|",
+            "rid",
+            "title",
+            "slug",
+            F.date_format("created", "yyyy-MM-dd HH:mm:ss"),
+            "status",
+            F.col("hidden").cast("string"),
+            F.array_join("labels", ","),
+        ),
+        "fields": F.concat_ws("|", "rid", "field_key", "text", "language", "source"),
+        "vectors": F.concat_ws(
+            "|", "rid", F.size("vector").cast("string"), "cluster_label"
+        ),
+        "relations": F.concat_ws(
+            "|",
+            "source_value",
+            "relation_label",
+            "target_value",
+            F.coalesce("paragraph_id", F.lit("-")),
+        ),
+    }[name]
+    return (
+        df.select(md5_int60(canon).alias("h"))
+        .agg(F.count("*").alias("n_rows"), F.expr("bit_xor(h)").alias("checksum"))
+        .select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+    )
+
+
+def kb_export_manifest(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Export the KB, import it back, digest the IMPORTED tables —
+    a green oracle row (digesting the source tables in DuckDB) proves
+    the round trip is content-identical."""
+    export_kb(spark, sf_dir, path)
+    imported = import_kb(spark, path)
+    out = None
+    for name in sorted(imported):
+        d = _table_digest(name, imported[name])
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("table_name")
+
+
+def kb_export_manifest_sql() -> str:
+    from nucliadb_spark.functions.text import md5_int60_sql
+    from nucliadb_spark.sources import tpch
+
+    digests = {
+        "fields": (
+            tpch.SQL_FIELDS,
+            "concat_ws('|', rid, field_key, text, language, source)",
+        ),
+        "relations": (
+            tpch.SQL_RELATIONS,
+            "concat_ws('|', source_value, relation_label, target_value, "
+            "coalesce(paragraph_id, '-'))",
+        ),
+        "resources": (
+            tpch.SQL_RESOURCES,
+            "concat_ws('|', rid, title, slug, strftime(created, '%Y-%m-%d %H:%M:%S'), "
+            "status, hidden, array_to_string(labels, ','))",
+        ),
+        "vectors": (
+            tpch.SQL_VECTORS,
+            "concat_ws('|', rid, len(vector), cluster_label)",
+        ),
+    }
+    parts = [
+        f"""SELECT '{name}' AS table_name, COUNT(*) AS n_rows,
+       bit_xor({md5_int60_sql(canon)}) AS checksum
+FROM ({src})"""
+        for name, (src, canon) in digests.items()
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"

@@ -335,3 +335,17 @@ def corpus_length_stats(spark, sf_dir):
 @register("kb_counters", exporter.kb_counters_sql())
 def kb_counters(spark, sf_dir):
     return exporter.kb_counters(spark, sf_dir)
+
+
+# --- S8 proper: KB export -> import -> integrity manifest -------------------
+# ref: nucliadb/src/nucliadb/export_import/{exporter,importer}.py
+
+
+@register("kb_export_roundtrip", exporter.kb_export_manifest_sql())
+def kb_export_roundtrip(spark, sf_dir):
+    import os
+
+    path = os.path.join(
+        "/tmp/nucliadb_spark_exports", os.path.basename(sf_dir.rstrip("/"))
+    )
+    return exporter.kb_export_manifest(spark, sf_dir, path)

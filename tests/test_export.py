@@ -24,3 +24,25 @@ def test_table_clone_roundtrip(spark, sf_dir):
         back = spark.read.parquet(f"{tmp}/clone")
         assert back.count() == res.count()
         assert back.exceptAll(res).count() == 0
+
+
+# --- S8 proper: full-fidelity KB export/import roundtrip -------------------
+
+
+def test_kb_export_import_identity(spark, sf_dir, tmp_path):
+    from nucliadb_spark.operators import exporter
+
+    path = str(tmp_path / "kb_export")
+    exporter.export_kb(spark, sf_dir, path)
+    imported = exporter.import_kb(spark, path)
+    source = exporter.kb_tables(spark, sf_dir)
+    assert sorted(imported) == sorted(source)
+    for name, src in source.items():
+        imp = imported[name]
+        # parquet normalizes nullability flags; names+types must match
+        assert [(f.name, f.dataType) for f in imp.schema.fields] == [
+            (f.name, f.dataType) for f in src.schema.fields
+        ], name
+        a = sorted(map(tuple, src.collect()))
+        b = sorted(map(tuple, imp.collect()))
+        assert a == b, f"{name}: roundtrip altered content"
