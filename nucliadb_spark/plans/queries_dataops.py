@@ -349,3 +349,42 @@ def kb_export_roundtrip(spark, sf_dir):
         "/tmp/nucliadb_spark_exports", os.path.basename(sf_dir.rstrip("/"))
     )
     return exporter.kb_export_manifest(spark, sf_dir, path)
+
+
+# --- S4: log-merge compaction plan (rows-only; the planner is a
+# driver-side scheduler like the reference's, so it has no SQL twin —
+# its semantics are pinned by tests/test_compaction.py, which ports
+# the reference's own test cases from nidx/src/scheduler/log_merge.rs)
+
+
+@register("segment_merge_plan")
+def segment_merge_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators.compaction import LogMergeSettings, plan_merges
+
+    # synthetic segment set: one "segment" per ingest source, sized by
+    # its doc count (deterministic per sf)
+    sizes = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("source"))
+        .collect()
+    )
+    segments = [(r.source, r["count"], False) for r in sizes]
+    # ceiling low enough that merge jobs split (no output > 60 docs)
+    jobs = plan_merges(
+        LogMergeSettings(
+            min_number_of_segments=2,
+            top_bucket_max_records=60,
+            bottom_bucket_threshold=4,
+        ),
+        segments,
+    )
+    rows = [
+        (job_id, seg_id)
+        for job_id, job in enumerate(jobs)
+        for seg_id in job
+    ]
+    return spark.createDataFrame(rows, "job_id int, segment_id string")
