@@ -76,7 +76,7 @@ PRIORITY: list[str] = [
     "text_fingerprint",
     "vocab_stats",
     "multimodal_decode",
-    "multimodal_frame_sample",
+    "export_paragraph_classification",
     "embed_knn_stub",
     "rerank_stub",
     "corpus_length_stats",
