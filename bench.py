@@ -39,6 +39,11 @@ HEADLINE = [
     "graph_path_prefix",
     "graph_two_hop",
     "find_hybrid",
+    # scale paths (round 2): IVF-served flagship, served prefilter,
+    # LSH near-dup over the documents corpus
+    "find_hybrid_ivf",
+    "bm25_prefiltered_served",
+    "dedup_minhash_lsh",
 ]
 
 
@@ -59,6 +64,14 @@ def main() -> None:
     post, stats = _text_index(spark, SF_DIR)
     post.count(), stats.count()
     cached_df(SF_DIR, "relations", lambda: tpch.relations(spark, SF_DIR)).count()
+    # IVF centroids are index-build output too (ann.cell_centroids)
+    from nucliadb_spark.operators import ann as ann_ops
+
+    cached_df(
+        SF_DIR,
+        "ivf_centroids",
+        lambda: ann_ops.cell_centroids(tpch.vectors(spark, SF_DIR)),
+    ).count()
 
     queries = registry.queries()
     names = [n for n in HEADLINE if n in queries]
