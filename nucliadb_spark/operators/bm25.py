@@ -68,6 +68,15 @@ def doc_stats_from_postings(post: DataFrame) -> DataFrame:
     return post.groupBy("rid").agg(F.sum("tf").alias("dl"))
 
 
+def vocabulary(post: DataFrame) -> DataFrame:
+    """(term,) distinct vocabulary — index-build output, tiny relative
+    to postings. The serving path caches/persists it so fuzzy queries
+    scan the vocab table instead of re-distincting postings per query
+    (the batch analog of tantivy's term dictionary,
+    ref: nidx/nidx_paragraph/src/query_parser/fuzzy_parser.rs)."""
+    return post.select("term").distinct()
+
+
 def build_index(fields: DataFrame, path: str) -> None:
     """Persist the text index for reuse across queries (the batch
     analog of tantivy segment build, ref: nidx_tantivy/src/lib.rs).
@@ -140,6 +149,7 @@ def bm25_search(
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
     allowed: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: (rid, score[, ematches]).
 
@@ -183,13 +193,21 @@ def bm25_search(
     )
 
     if fuzzy:
-        # vocabulary is small (distinct terms); expand query terms to
-        # all vocab terms within edit distance 1, exact match boosted
-        # 1.0 vs fuzzy 0.5 (ref: search_query.rs:235-241).
-        vocab = post.select("term").distinct()
+        # expand query terms to all vocab terms within edit distance 1,
+        # exact match boosted 1.0 vs fuzzy 0.5 (ref: search_query.rs:
+        # 235-241). Scan shape: the length band |len(t)-len(q)| <= 1 is
+        # a necessary condition for distance <= 1 and prunes most of
+        # the vocab inside codegen before the bounded levenshtein
+        # (threshold=1 early-exits the DP, returning -1 above bound).
+        if vocab is None:
+            vocab = vocabulary(post)
         qt = F.array(*[F.lit(t) for t in terms])
         matched = vocab.filter(
-            F.exists(qt, lambda q: F.levenshtein(F.col("term"), q) <= 1)
+            F.exists(
+                qt,
+                lambda q: (F.abs(F.length(F.col("term")) - F.length(q)) <= 1)
+                & (F.levenshtein(F.col("term"), q, 1) >= 0),
+            )
         ).withColumn(
             "boost",
             F.when(F.col("term").isin(terms), F.lit(1.0)).otherwise(F.lit(0.5)),

@@ -73,9 +73,12 @@ def title_match(query: str, kind: str, column: str = "title") -> Column:
         return F.size(F.array_except(tokenize(F.lit(query)), tokenize(column))) == 0
     if kind == "fuzzy":
         # any title token within edit distance 1 of the query term
-        # (ref fuzzy distance 1: nidx_relation/src/reader.rs:33)
+        # (ref fuzzy distance 1: nidx_relation/src/reader.rs:33);
+        # length band + bounded levenshtein keep the scan cheap
         return F.exists(
-            tokenize(column), lambda t: F.levenshtein(t, F.lit(q)) <= 1
+            tokenize(column),
+            lambda t: (F.abs(F.length(t) - F.lit(len(q))) <= 1)
+            & (F.levenshtein(t, F.lit(q), 1) >= 0),
         )
     if kind == "trigram":
         # pg_trgm similarity (ref pg.py:386 `%>`): shared/query
@@ -249,12 +252,19 @@ def catalog_endpoint(
     ascending: bool = False,
     page_number: int = 0,
     page_size: int = 20,
+    with_total: bool = True,
 ) -> dict:
     """The full catalog response (ref: pg.py:117-172 `search` →
     Resources{results, facets, total, next_page}): results page,
     per-root facet counts, filtered total, and next_page via the
     k+1 trick (fetch size+1 rows, report whether the extra exists —
-    O7, reader.rs:432-449)."""
+    O7, reader.rs:432-449).
+
+    with_total=False skips the exact filtered COUNT — at scale the
+    count is a second full scan of the filtered corpus per page
+    request (the reference pays the same SQL COUNT, pg.py:168); when
+    it is requested we persist the filtered frame so the page top-k
+    and the count share one materialization instead of two scans."""
     df = resources
     if query:
         df = df.filter(title_match(query, match_kind))
@@ -265,20 +275,27 @@ def catalog_endpoint(
         F.col("rid").asc(),
     ]
     skip = page_number * page_size
-    top = df.orderBy(*sort_cols).limit(skip + page_size + 1)
-    w = Window.orderBy(*sort_cols)
-    rows = (
-        top.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > skip)
-        .drop("_rn")
-        .collect()
-    )
-    return {
-        "results": rows[:page_size],
-        "next_page": len(rows) > page_size,
-        "total": df.count(),
-        "facets": faceted_search(resources, faceted, filters) if faceted else None,
-    }
+    persisted = with_total and (query or filters is not None)
+    if persisted:
+        df = df.persist()
+    try:
+        top = df.orderBy(*sort_cols).limit(skip + page_size + 1)
+        w = Window.orderBy(*sort_cols)
+        rows = (
+            top.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > skip)
+            .drop("_rn")
+            .collect()
+        )
+        return {
+            "results": rows[:page_size],
+            "next_page": len(rows) > page_size,
+            "total": df.count() if with_total else None,
+            "facets": faceted_search(resources, faceted, filters) if faceted else None,
+        }
+    finally:
+        if persisted:
+            df.unpersist()
 
 
 def facet_rollup(

@@ -67,11 +67,15 @@ def _value_match(col: str, value: str, kind: str) -> Column:
     if kind == "prefix_words":
         return F.exists(tokenize(col), lambda t: t.startswith(v))
     if kind == "fuzzy":
-        return F.levenshtein(F.lower(c), F.lit(v)) <= FUZZY_DISTANCE
+        # |len| band is necessary for distance <= 1 (cheap codegen
+        # prune); bounded levenshtein early-exits the DP above bound
+        return (F.abs(F.length(c) - F.lit(len(v))) <= FUZZY_DISTANCE) & (
+            F.levenshtein(F.lower(c), F.lit(v), FUZZY_DISTANCE) >= 0
+        )
     if kind == "fuzzy_prefix":
         n = len(v)
         probes = [
-            F.levenshtein(F.substring(F.lower(c), 1, k), F.lit(v)) <= FUZZY_DISTANCE
+            F.levenshtein(F.substring(F.lower(c), 1, k), F.lit(v), FUZZY_DISTANCE) >= 0
             for k in (max(n - 1, 1), n, n + 1)
         ]
         out = probes[0]

@@ -34,16 +34,32 @@ def suggest_paragraphs(
     prefix: str,
     top_k: int = SUGGEST_TOP_K,
     id_col: str = "rid",
+    post: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Docs whose vocabulary matches the prefix (exact-prefix 1.0 /
-    fuzzy 0.5), BM25-ranked: (rid, score)."""
-    post = bm25.postings(fields, id_col=id_col)
-    stats = bm25.doc_stats_from_postings(post)
+    fuzzy 0.5), BM25-ranked: (rid, score).
+
+    post/stats/vocab: the prebuilt serving index (suggest is an
+    as-you-type endpoint — it must never rebuild the index per
+    keystroke; pass the session-cached postings/docstats/vocabulary)."""
+    if post is None:
+        post = bm25.postings(fields, id_col=id_col)
+    if stats is None:
+        stats = bm25.doc_stats_from_postings(post)
     corpus = stats.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
-    vocab = post.select("term").distinct()
+    if vocab is None:
+        vocab = bm25.vocabulary(post)
     p = prefix.lower()
+    # prefix probe is a codegen range scan; the fuzzy half prunes with
+    # the |len| <= 1 band before a bounded (threshold=1) levenshtein
     matched = vocab.filter(
-        F.col("term").startswith(p) | (F.levenshtein(F.col("term"), F.lit(p)) <= 1)
+        F.col("term").startswith(p)
+        | (
+            (F.abs(F.length(F.col("term")) - F.lit(len(p))) <= 1)
+            & (F.levenshtein(F.col("term"), F.lit(p), 1) >= 0)
+        )
     ).withColumn(
         "boost",
         F.when(F.col("term").startswith(p), F.lit(1.0)).otherwise(F.lit(FUZZY_BOOST)),

@@ -23,6 +23,11 @@ def _text_index(spark, sf_dir):
     )
     return post, stats
 
+
+def _vocab(sf_dir, post):
+    """Cached term dictionary (fuzzy-serving sidecar of the index)."""
+    return cached_df(sf_dir, "vocab", lambda: bm25.vocabulary(post))
+
 # --- T2/O1: disjunctive paragraph-style keyword search ------------------
 
 
@@ -57,7 +62,10 @@ def bm25_conjunctive(spark, sf_dir):
 def bm25_fuzzy(spark, sf_dir):
     # "spak"→spark (1 insert), "windoq"→window (1 substitution)
     post, stats = _text_index(spark, sf_dir)
-    return bm25.bm25_search(None, "spak windoq", top_k=20, fuzzy=True, post=post, stats=stats)
+    return bm25.bm25_search(
+        None, "spak windoq", top_k=20, fuzzy=True,
+        post=post, stats=stats, vocab=_vocab(sf_dir, post),
+    )
 
 
 # --- T8: ematches (matched terms carried through scoring) ----------------
@@ -221,7 +229,8 @@ def bm25_fuzzy_fallback(spark, sf_dir):
     if exact.limit(1).count() > 0:  # pragma: no cover - fixture has no exact hit
         return exact
     return bm25.bm25_search(
-        None, _FALLBACK_Q, top_k=20, fuzzy=True, post=post, stats=stats
+        None, _FALLBACK_Q, top_k=20, fuzzy=True,
+        post=post, stats=stats, vocab=_vocab(sf_dir, post),
     )
 
 
@@ -233,7 +242,10 @@ def bm25_fuzzy_fallback(spark, sf_dir):
     suggest.suggest_paragraphs_sql(tpch.SQL_FIELDS, "filt"),
 )
 def suggest_paragraphs(spark, sf_dir):
-    return suggest.suggest_paragraphs(tpch.fields(spark, sf_dir), "filt")
+    post, stats = _text_index(spark, sf_dir)
+    return suggest.suggest_paragraphs(
+        None, "filt", post=post, stats=stats, vocab=_vocab(sf_dir, post)
+    )
 
 
 @register(
