@@ -68,6 +68,15 @@ def doc_stats_from_postings(post: DataFrame) -> DataFrame:
     return post.groupBy("rid").agg(F.sum("tf").alias("dl"))
 
 
+def corpus_stats(stats: DataFrame) -> DataFrame:
+    """1-row (n, avgdl) corpus aggregate — index-level metadata (the
+    analog of tantivy's per-segment meta). The serving path caches it
+    so queries don't re-aggregate docstats for two scalars."""
+    return stats.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+
 def vocabulary(post: DataFrame) -> DataFrame:
     """(term,) distinct vocabulary — index-build output, tiny relative
     to postings. The serving path caches/persists it so fuzzy queries
@@ -150,6 +159,7 @@ def bm25_search(
     stats: DataFrame | None = None,
     allowed: DataFrame | None = None,
     vocab: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: (rid, score[, ematches]).
 
@@ -188,9 +198,8 @@ def bm25_search(
         post = postings(fields, id_col, text_col)
     if stats is None:
         stats = doc_stats_from_postings(post)
-    corpus = stats.agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    )
+    if corpus is None:
+        corpus = corpus_stats(stats)
 
     if fuzzy:
         # expand query terms to all vocab terms within edit distance 1,

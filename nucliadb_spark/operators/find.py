@@ -52,6 +52,7 @@ def find(
     dim: int = 64,
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
+    corpus: DataFrame | None = None,
     ann: str = "exact",
     nprobe: int = 2,
 ) -> DataFrame:
@@ -77,6 +78,7 @@ def find(
         fields, query, top_k=win, mode="any", prefilter=prefilter,
         post=post if prefilter is None else None,
         stats=stats if prefilter is None else None,
+        corpus=corpus if prefilter is None else None,
     ).select(F.col("rid").alias("id"), "score")
 
     if ann == "ivf":

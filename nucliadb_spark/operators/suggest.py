@@ -37,6 +37,7 @@ def suggest_paragraphs(
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
     vocab: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Docs whose vocabulary matches the prefix (exact-prefix 1.0 /
     fuzzy 0.5), BM25-ranked: (rid, score).
@@ -48,7 +49,8 @@ def suggest_paragraphs(
         post = bm25.postings(fields, id_col=id_col)
     if stats is None:
         stats = bm25.doc_stats_from_postings(post)
-    corpus = stats.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    if corpus is None:
+        corpus = bm25.corpus_stats(stats)
     if vocab is None:
         vocab = bm25.vocabulary(post)
     p = prefix.lower()

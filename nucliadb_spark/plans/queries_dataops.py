@@ -186,10 +186,13 @@ LIMIT 10
 def rerank_stub(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    fields = tpch.fields(spark, sf_dir)
-    cands = bm25.bm25_search(fields, _RERANK_QUERY, top_k=_RERANK_WINDOW).select(
-        F.col("rid").alias("id")
-    )
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+
+    post, stats = _text_index(spark, sf_dir)
+    cands = bm25.bm25_search(
+        None, _RERANK_QUERY, top_k=_RERANK_WINDOW,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+    ).select(F.col("rid").alias("id"))
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("id"), "text"
     )

@@ -22,7 +22,7 @@ from nucliadb_spark.sources import tpch
     ),
 )
 def find_hybrid(spark, sf_dir):
-    from nucliadb_spark.plans.queries_text import _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
 
     post, stats = _text_index(spark, sf_dir)
     return find.find(
@@ -35,6 +35,7 @@ def find_hybrid(spark, sf_dir):
         window=50,
         post=post,
         stats=stats,
+        corpus=_corpus(sf_dir, stats),
     )
 
 
@@ -57,7 +58,7 @@ def find_hybrid(spark, sf_dir):
     ),
 )
 def find_hybrid_ivf(spark, sf_dir):
-    from nucliadb_spark.plans.queries_text import _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
 
     post, stats = _text_index(spark, sf_dir)
     return find.find(
@@ -70,6 +71,7 @@ def find_hybrid_ivf(spark, sf_dir):
         window=50,
         post=post,
         stats=stats,
+        corpus=_corpus(sf_dir, stats),
         ann="ivf",
         nprobe=2,
     )
@@ -160,7 +162,7 @@ LIMIT 10
 def find_skip_set(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from nucliadb_spark.plans.queries_text import _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
 
     post, stats = _text_index(spark, sf_dir)
     page = find.find(
@@ -173,6 +175,7 @@ def find_skip_set(spark, sf_dir):
         window=50,
         post=post,
         stats=stats,
+        corpus=_corpus(sf_dir, stats),
     )
     return (
         page.filter(~F.col("id").isin(_SHOWN))
@@ -207,16 +210,19 @@ _SEM_SQL = knn.exact_knn_sql(
 def combsum_fusion(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    fields = tpch.fields(spark, sf_dir)
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+
     vectors = tpch.vectors(spark, sf_dir)
     qvec = (
         tpch.table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 5)
         .select(F.col("embedding").alias("qvec"))
     )
-    keyword = bm25.bm25_search(fields, "window agg stream", top_k=30).select(
-        F.col("rid").alias("id"), "score"
-    )
+    post, stats = _text_index(spark, sf_dir)
+    keyword = bm25.bm25_search(
+        None, "window agg stream", top_k=30,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+    ).select(F.col("rid").alias("id"), "score")
     semantic = knn.exact_knn(vectors, qvec, k=30)
     return fusion.comb_sum(
         {"keyword": keyword, "semantic": semantic},

@@ -28,6 +28,11 @@ def _vocab(sf_dir, post):
     """Cached term dictionary (fuzzy-serving sidecar of the index)."""
     return cached_df(sf_dir, "vocab", lambda: bm25.vocabulary(post))
 
+
+def _corpus(sf_dir, stats):
+    """Cached 1-row (n, avgdl) corpus metadata."""
+    return cached_df(sf_dir, "corpusstats", lambda: bm25.corpus_stats(stats))
+
 # --- T2/O1: disjunctive paragraph-style keyword search ------------------
 
 
@@ -37,7 +42,7 @@ def _vocab(sf_dir, post):
 )
 def bm25_keyword(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
-    return bm25.bm25_search(None, "spark join window", top_k=20, mode="any", post=post, stats=stats)
+    return bm25.bm25_search(None, "spark join window", top_k=20, mode="any", post=post, stats=stats, corpus=_corpus(sf_dir, stats))
 
 
 # --- T1: conjunctive text-index search -----------------------------------
@@ -49,7 +54,7 @@ def bm25_keyword(spark, sf_dir):
 )
 def bm25_conjunctive(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
-    return bm25.bm25_search(None, "vector stream batch", top_k=20, mode="all", post=post, stats=stats)
+    return bm25.bm25_search(None, "vector stream batch", top_k=20, mode="all", post=post, stats=stats, corpus=_corpus(sf_dir, stats))
 
 
 # --- T3: fuzzy query (levenshtein<=1 vocab expansion, 0.5 boost) ---------
@@ -64,7 +69,7 @@ def bm25_fuzzy(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
         None, "spak windoq", top_k=20, fuzzy=True,
-        post=post, stats=stats, vocab=_vocab(sf_dir, post),
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post),
     )
 
 
@@ -84,7 +89,7 @@ def bm25_ematches(spark, sf_dir):
     # registry boundary (the operator API keeps the array)
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
-        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats
+        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
     ).withColumn("ematches", F.array_join("ematches", ","))
 
 
@@ -105,7 +110,7 @@ def bm25_ematches(spark, sf_dir):
 def bm25_highlight(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     hits = bm25.bm25_search(
-        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats
+        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
     )
     return bm25.highlight_offsets(hits, tpch.fields(spark, sf_dir))
 
@@ -152,7 +157,7 @@ def bm25_prefiltered_served(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     allowed = f.filter(_PREFILTER.to_column()).select("rid")
     return bm25.bm25_search(
-        None, "merge sort key", top_k=20, post=post, stats=stats, allowed=allowed
+        None, "merge sort key", top_k=20, post=post, stats=stats, corpus=_corpus(sf_dir, stats), allowed=allowed
     )
 
 
@@ -189,7 +194,7 @@ _SYNS = {"join": ["merge"], "fast": ["quick", "big"]}
 def bm25_synonyms(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
-        None, "fast join", top_k=20, synonyms=_SYNS, post=post, stats=stats
+        None, "fast join", top_k=20, synonyms=_SYNS, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
     )
 
 
@@ -205,7 +210,7 @@ _STOPQ = "what is the data for a stream"  # → terms: data, stream (last kept)
 def bm25_stop_words(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
-        None, _STOPQ, top_k=20, stop_words=True, post=post, stats=stats
+        None, _STOPQ, top_k=20, stop_words=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
     )
 
 
@@ -224,13 +229,13 @@ _FALLBACK_Q = "spakr windoq"  # no exact vocabulary hits
 def bm25_fuzzy_fallback(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     exact = bm25.bm25_search(
-        None, _FALLBACK_Q, top_k=20, post=post, stats=stats
+        None, _FALLBACK_Q, top_k=20, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
     )
     if exact.limit(1).count() > 0:  # pragma: no cover - fixture has no exact hit
         return exact
     return bm25.bm25_search(
         None, _FALLBACK_Q, top_k=20, fuzzy=True,
-        post=post, stats=stats, vocab=_vocab(sf_dir, post),
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post),
     )
 
 
@@ -244,7 +249,7 @@ def bm25_fuzzy_fallback(spark, sf_dir):
 def suggest_paragraphs(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     return suggest.suggest_paragraphs(
-        None, "filt", post=post, stats=stats, vocab=_vocab(sf_dir, post)
+        None, "filt", post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post)
     )
 
 
@@ -289,6 +294,19 @@ def search_after_keyset(spark, sf_dir):
 # --- paragraph index: BM25 over the paragraphs table ----------------------
 
 
+def _paragraph_index(spark, sf_dir):
+    """Cached paragraph-level index (paragraphs are the reference's
+    primary search unit — served, never rebuilt per query)."""
+    post = cached_df(
+        sf_dir,
+        "p_postings",
+        lambda: bm25.postings(tpch.paragraphs(spark, sf_dir), id_col="paragraph_id"),
+    )
+    stats = cached_df(sf_dir, "p_docstats", lambda: bm25.doc_stats_from_postings(post))
+    corpus = cached_df(sf_dir, "p_corpusstats", lambda: bm25.corpus_stats(stats))
+    return post, stats, corpus
+
+
 @register(
     "paragraph_search",
     "SELECT rid AS paragraph_id, score FROM ("
@@ -302,9 +320,9 @@ def search_after_keyset(spark, sf_dir):
 def paragraph_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    p = tpch.paragraphs(spark, sf_dir)
+    post, stats, corpus = _paragraph_index(spark, sf_dir)
     return bm25.bm25_search(
-        p, "window shuffle", top_k=20, id_col="paragraph_id"
+        None, "window shuffle", top_k=20, post=post, stats=stats, corpus=corpus
     ).select(F.col("rid").alias("paragraph_id"), "score")
 
 
@@ -425,9 +443,14 @@ def advanced_query(spark, sf_dir):
 def conversation_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    m = tpch.messages(spark, sf_dir)
+    post = cached_df(
+        sf_dir,
+        "m_postings",
+        lambda: bm25.postings(tpch.messages(spark, sf_dir), id_col="message_key"),
+    )
+    stats = cached_df(sf_dir, "m_docstats", lambda: bm25.doc_stats_from_postings(post))
     return bm25.bm25_search(
-        m, "purchase value", top_k=20, id_col="message_key"
+        None, "purchase value", top_k=20, post=post, stats=stats
     ).select(F.col("rid").alias("message_key"), "score")
 
 
