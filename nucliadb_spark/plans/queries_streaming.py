@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+from nucliadb_spark.operators import bm25
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 from nucliadb_spark.streaming import ingest
@@ -16,6 +17,23 @@ def stream_windowed_counts(spark, sf_dir):
 @register("event_sessionization", ingest.sessionize_sql())
 def event_sessionization(spark, sf_dir):
     return ingest.sessionize(tpch.table(spark, sf_dir, "events"))
+
+
+@register(
+    "cdc_search_live",
+    # oracle: same BM25 pipeline over the latest-op-wins live corpus
+    # (upserts + revisions + deletions resolved in SQL)
+    bm25.bm25_sql(
+        ingest.CDC_LIVE_SQL, "refreshed revision stream", top_k=20, mode="any"
+    ),
+)
+def cdc_search_live(spark, sf_dir):
+    """S1 update/delete semantics (nidx deletion lists): BM25 over
+    the live corpus after a CDC log of inserts, revisions and
+    deletes is resolved latest-op-wins. Deleted docs are absent,
+    revised docs score on their new text."""
+    live = ingest.cdc_live_fields(ingest.cdc_log(tpch.fields(spark, sf_dir)))
+    return bm25.bm25_search(live, "refreshed revision stream", top_k=20, mode="any")
 
 
 @register("stream_sessionization", ingest.sessionize_sql())

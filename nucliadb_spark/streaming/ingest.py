@@ -32,6 +32,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from nucliadb_spark.functions.text import tokenize
 from nucliadb_spark.operators import bm25
 
 
@@ -149,6 +150,161 @@ def incremental_index_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+# --- CDC ingest with deletion lists (S1 updates/deletes) --------------------
+#
+# The reference's indexer handles three message kinds per resource:
+# new, modified (delete + reindex), deleted — deletions land in
+# per-segment deletion lists applied at search time and physically
+# purged at merge (ref: nidx/src/indexer.rs:121-298 seq guard +
+# deletions; nidx/nidx_text/tests/test_deletions.rs). Spark-first
+# analog: every op appends to an `oplog(rid, seq, op)` table and
+# upserts additionally append seq-tagged postings segments; the read
+# path resolves latest-op-wins per rid (one map-side-combinable
+# aggregation) and semi-joins postings on (rid, seq); compaction
+# rewrites postings down to the live rows and truncates the oplog —
+# the same purge the reference's force-merge does.
+
+# deterministic CDC derivation from the documents corpus: every doc
+# is inserted at seq=rid; docs with rid%7==0 get a later revision
+# (seq=rid+1e6, text + " refreshed revision"); docs with rid%11==0
+# are deleted at seq=rid+2e6 (delete outranks the revision when both
+# apply, e.g. rid 77).
+_UPD_SUFFIX = " refreshed revision"
+
+
+def cdc_log(fields: DataFrame) -> DataFrame:
+    """(rid, seq, op, text) versioned op log derived from a fields
+    frame — the test/bench stand-in for the reference's NATS stream."""
+    base = fields.select(
+        "rid",
+        F.col("rid").cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        "text",
+    )
+    upd = fields.filter(F.col("rid") % 7 == 0).select(
+        "rid",
+        (F.col("rid") + 1_000_000).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.col("text"), F.lit(_UPD_SUFFIX)).alias("text"),
+    )
+    dele = fields.filter(F.col("rid") % 11 == 0).select(
+        "rid",
+        (F.col("rid") + 2_000_000).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    return base.unionByName(upd).unionByName(dele)
+
+
+CDC_LIVE_SQL = f"""
+SELECT rid, text FROM (
+  SELECT rid, op, text,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS rid, CAST(doc_id AS BIGINT) AS seq,
+           'upsert' AS op, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1000000 AS BIGINT),
+           'upsert', text || '{_UPD_SUFFIX}' FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2000000 AS BIGINT),
+           'delete', NULL FROM documents WHERE doc_id % 11 = 0
+  )
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+def cdc_live_fields(log: DataFrame) -> DataFrame:
+    """Latest-op-wins live corpus (rid, text) from an op log — the
+    batch twin of stream-ingest + deletion-list application. One
+    shuffle keyed rid; max_by keeps the aggregation map-side
+    combinable (no row_number sort)."""
+    return (
+        log.groupBy("rid")
+        .agg(F.max_by(F.struct("op", "text"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select("rid", F.col("last.text").alias("text"))
+    )
+
+
+def cdc_index_ingest(
+    spark: SparkSession,
+    log_path: str,
+    index_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream a CDC op log into the text index: upserts append
+    seq-tagged postings segments, every op appends to the oplog
+    (the deletion list). Exactly-once per file via the source's
+    tracking + checkpoint, mirroring the reference's seq guard."""
+    schema = spark.read.parquet(log_path).schema
+    if os.path.isfile(log_path):
+        log_path = stage_arrival_dir(log_path)
+    stream = spark.readStream.schema(schema).parquet(log_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        ups = batch_df.filter(F.col("op") == "upsert")
+        post = (
+            ups.select(
+                "rid", "seq", F.explode(tokenize("text")).alias("term")
+            )
+            .groupBy("rid", "seq", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+        )
+        post.write.mode("append").parquet(f"{index_path}/postings")
+        batch_df.select("rid", "seq", "op").write.mode("append").parquet(
+            f"{index_path}/oplog"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def live_doc_versions(oplog: DataFrame) -> DataFrame:
+    """(rid, seq) of live docs — latest op per rid where it's an
+    upsert. This IS the deletion-list application, expressed as one
+    partial-aggregatable groupBy instead of per-segment bitsets."""
+    return (
+        oplog.groupBy("rid")
+        .agg(F.max_by("op", "seq").alias("op"), F.max("seq").alias("seq"))
+        .filter(F.col("op") == "upsert")
+        .select("rid", "seq")
+    )
+
+
+def live_postings(post: DataFrame, oplog: DataFrame) -> DataFrame:
+    """Postings restricted to live doc versions: (rid, term, tf).
+    Equi-join on (rid, seq) — dead segments' rows drop out exactly
+    like tantivy's alive-bitset masking at search time."""
+    return post.join(live_doc_versions(oplog), ["rid", "seq"]).select(
+        "rid", "term", "tf"
+    )
+
+
+def compact_cdc_index(spark: SparkSession, index_path: str) -> None:
+    """Physically purge dead postings + truncate the oplog (the
+    reference's deletion-purging force merge, log_merge.rs:59-110).
+    Search results before == after; only the storage shrinks."""
+    post = spark.read.parquet(f"{index_path}/postings")
+    oplog = spark.read.parquet(f"{index_path}/oplog")
+    live = live_doc_versions(oplog)
+    kept_post = post.join(live, ["rid", "seq"])
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    kept_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    live.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
+        f"{tmp}/oplog"
+    )
+    for t in ("postings", "oplog"):
+        shutil.rmtree(f"{index_path}/{t}")
+        shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --- stateful streaming sessionization (applyInPandasWithState) -------------

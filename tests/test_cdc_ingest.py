@@ -1,0 +1,91 @@
+"""CDC ingest with deletion lists (S1 updates/deletes).
+
+Ports the shape of the reference's deletion tests
+(nidx/nidx_text/tests/test_deletions.rs: index -> delete -> search
+must not return the deleted doc; modified resource = delete+reindex,
+nidx/src/indexer.rs:121-298) onto the Spark-first oplog design:
+seq-tagged postings segments + latest-op-wins resolution at read,
+physical purge at compaction.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nucliadb_spark.operators import bm25
+from nucliadb_spark.sources import tpch
+from nucliadb_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def fields(spark, sf_dir):
+    return tpch.fields(spark, sf_dir).select("rid", "text")
+
+
+@pytest.fixture(scope="module")
+def live(fields):
+    return ingest.cdc_live_fields(ingest.cdc_log(fields))
+
+
+def test_deleted_docs_absent(live):
+    # every rid%11==0 was deleted at the highest seq — gone from the
+    # live corpus (including rid 77, which was also revised earlier)
+    assert live.filter(F.col("rid") % 11 == 0).count() == 0
+
+
+def test_revised_docs_serve_new_version_only(live, fields):
+    revised = live.filter((F.col("rid") % 7 == 0) & (F.col("rid") % 11 != 0))
+    n_expected = fields.filter(
+        (F.col("rid") % 7 == 0) & (F.col("rid") % 11 != 0)
+    ).count()
+    assert revised.count() == n_expected
+    # all serve the revision text, and only one version per rid
+    assert revised.filter(~F.col("text").endswith(" refreshed revision")).count() == 0
+    assert revised.select("rid").distinct().count() == revised.count()
+
+
+def test_untouched_docs_unchanged(live, fields):
+    untouched = (F.col("rid") % 7 != 0) & (F.col("rid") % 11 != 0)
+    a = sorted(live.filter(untouched).collect())
+    b = sorted(fields.filter(untouched).collect())
+    assert a == b
+
+
+def test_search_excludes_deleted_and_sees_revisions(live):
+    hits = bm25.bm25_search(live, "refreshed revision", top_k=50, mode="all")
+    rids = [r.rid for r in hits.collect()]
+    assert rids, "revision terms must match revised docs"
+    assert all(r % 7 == 0 and r % 11 != 0 for r in rids)
+
+
+def test_stream_ingest_equals_batch_and_compaction_purges(spark, fields, live):
+    log = ingest.cdc_log(fields)
+    workdir = tempfile.mkdtemp(prefix="cdc_")
+    try:
+        # several files => several arrival events for the file source
+        log.repartition(3).write.parquet(f"{workdir}/log")
+        ingest.cdc_index_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        post = spark.read.parquet(f"{workdir}/index/postings")
+        oplog = spark.read.parquet(f"{workdir}/index/oplog")
+        streamed = ingest.live_postings(post, oplog)
+        batch = bm25.postings(live)
+        assert sorted(streamed.collect()) == sorted(batch.collect())
+
+        raw_rows = post.count()
+        n_live_versions = ingest.live_doc_versions(oplog).count()
+        ingest.compact_cdc_index(spark, f"{workdir}/index")
+        post2 = spark.read.parquet(f"{workdir}/index/postings")
+        oplog2 = spark.read.parquet(f"{workdir}/index/oplog")
+        assert post2.count() < raw_rows  # dead versions purged
+        # deletion-list application is a no-op after the purge:
+        # results identical before/after
+        after = ingest.live_postings(post2, oplog2)
+        assert sorted(after.collect()) == sorted(batch.collect())
+        # oplog truncated to exactly the live versions
+        assert oplog2.count() == n_live_versions
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
