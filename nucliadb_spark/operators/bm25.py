@@ -86,15 +86,47 @@ def vocabulary(post: DataFrame) -> DataFrame:
     return post.select("term").distinct()
 
 
-def build_index(fields: DataFrame, path: str) -> None:
+TERM_BUCKETS = 64
+
+
+def term_bucket_py(term: str, n: int = TERM_BUCKETS) -> int:
+    """Driver-side twin of the on-disk term bucketing. CRC-32 is
+    bit-identical between zlib and the JVM, so query terms map to
+    partition directories without touching the cluster."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n
+
+
+def term_bucket(col, n: int = TERM_BUCKETS) -> F.Column:
+    return F.pmod(F.crc32(F.col(col).cast("binary")), F.lit(n)).cast("int")
+
+
+def build_index(fields: DataFrame, path: str, n_buckets: int = TERM_BUCKETS) -> None:
     """Persist the text index for reuse across queries (the batch
     analog of tantivy segment build, ref: nidx_tantivy/src/lib.rs).
 
-    postings bucketed by term → a query's `term IN` probe prunes
-    files; docstats partitioned like the corpus.
+    postings are hash-partitioned on disk by term bucket
+    (`tb = crc32(term) % n`): a query computes its terms' buckets
+    driver-side and the scan prunes to those directories — the
+    parquet analog of tantivy's term-dictionary seek, and it needs no
+    metastore (plain partitioned parquet works on any object store).
+    docstats/vocab are the small sidecars.
     """
-    postings(fields).write.mode("overwrite").parquet(f"{path}/postings")
+    post = postings(fields).withColumn("tb", term_bucket("term", n_buckets))
+    post.write.mode("overwrite").partitionBy("tb").parquet(f"{path}/postings")
     doc_stats(fields).write.mode("overwrite").parquet(f"{path}/docstats")
+    vocabulary(post).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def read_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, docstats, vocab) back from a built index. postings
+    keeps its `tb` partition column so term probes prune."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/docstats"),
+        spark.read.parquet(f"{path}/vocab"),
+    )
 
 
 # --- scoring ------------------------------------------------------------
@@ -200,6 +232,15 @@ def bm25_search(
         stats = doc_stats_from_postings(post)
     if corpus is None:
         corpus = corpus_stats(stats)
+
+    if not fuzzy and "tb" in post.columns:
+        # on-disk bucketed index: the query's terms map to partition
+        # directories driver-side → scan prunes to |terms| buckets of
+        # the postings table (fuzzy expansion matches unknown terms,
+        # so it scans all buckets)
+        post = post.filter(
+            F.col("tb").isin(sorted({term_bucket_py(t) for t in terms}))
+        )
 
     if fuzzy:
         # expand query terms to all vocab terms within edit distance 1,
