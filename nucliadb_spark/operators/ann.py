@@ -124,6 +124,33 @@ def cell_centroids(
     )
 
 
+def assign_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    keys: tuple[str, ...] = ("rid",),
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Nearest-centroid cell assignment for vectors that arrive AFTER
+    index build — the ingest-time analog of inserting into the
+    reference's HNSW graph (nidx/src/indexer.rs vector path). Tiny
+    broadcast of centroids; deterministic tiebreak (higher cosine,
+    then lower cell id). Output: (*keys, vec_col, cluster_label)."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", F.round(V.cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+    best = scored.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col(vec_col), F.col("cell")),
+            F.struct(F.col("_csim"), -F.col("cell")),
+        ).alias("_b")
+    )
+    return best.select(
+        *keys,
+        F.col(f"_b.{vec_col}").alias(vec_col),
+        F.col("_b.cell").alias("cluster_label"),
+    )
+
+
 def probe_cells(
     centroids: DataFrame,
     query: DataFrame,

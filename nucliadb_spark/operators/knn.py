@@ -118,11 +118,22 @@ LIMIT {k}
 """
 
 
+# RaBitQ serving budget: exact-rerank the top RERANKING_FACTOR·k
+# quantized candidates, capped (ref: nidx_vector/src/vector_types/
+# rabitq.rs:30-36 — factor 100, cap 2000).
+RABITQ_RERANK_FACTOR = 100
+RABITQ_RERANK_CAP = 2000
+
+
+def rabitq_rerank_budget(k: int) -> int:
+    return min(RABITQ_RERANK_FACTOR * k, RABITQ_RERANK_CAP)
+
+
 def quantized_rerank_knn(
     vectors: DataFrame,
     query: DataFrame,
     k: int = 10,
-    rerank_top: int = 50,
+    rerank_top: int | None = None,
     id_col: str = "rid",
     vec_col: str = "vector",
     query_vec_col: str = "qvec",
@@ -135,8 +146,11 @@ def quantized_rerank_knn(
     First pass scores sign-agreement (integer, exact in any engine) —
     at scale the sign bits pack 64:1 and the first pass reads 1/32nd
     of the bytes; only `rerank_top` candidates get full-precision
-    cosine.
+    cosine. rerank_top defaults to the reference's serving budget
+    min(100·k, 2000).
     """
+    if rerank_top is None:
+        rerank_top = rabitq_rerank_budget(k)
     sign_dot = F.aggregate(
         F.zip_with(
             F.col(vec_col),

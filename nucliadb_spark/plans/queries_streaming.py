@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from nucliadb_spark.operators import bm25
+from nucliadb_spark.operators import bm25, knn
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 from nucliadb_spark.streaming import ingest
@@ -34,6 +34,30 @@ def cdc_search_live(spark, sf_dir):
     revised docs score on their new text."""
     live = ingest.cdc_live_fields(ingest.cdc_log(tpch.fields(spark, sf_dir)))
     return bm25.bm25_search(live, "refreshed revision stream", top_k=20, mode="any")
+
+
+_QVEC_SQL = "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 5"
+
+
+@register(
+    "cdc_vector_search_live",
+    knn.exact_knn_sql(ingest.CDC_VECTOR_LIVE_SQL, _QVEC_SQL, dim=64, k=10),
+)
+def cdc_vector_search_live(spark, sf_dir):
+    """S1 vector path: KNN over the live vector set after a CDC log
+    of inserts, re-embeddings and deletes resolves latest-op-wins
+    (the alive-bitset masking of the reference's vector segments)."""
+    from pyspark.sql import functions as F
+
+    live = ingest.cdc_live_vectors(
+        ingest.cdc_vector_log(tpch.vectors(spark, sf_dir))
+    )
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return knn.exact_knn(live, qvec, k=10)
 
 
 @register("stream_sessionization", ingest.sessionize_sql())

@@ -307,6 +307,113 @@ def compact_cdc_index(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --- vector-index CDC (S1 vector path + V1 ingest-time assignment) ----------
+#
+# The reference's indexer also maintains the vector segments per
+# message (insert into HNSW, deletions masked by the alive bitset).
+# Same oplog design as the text CDC; new vectors additionally get
+# their IVF cell assigned at ingest via the broadcast centroid
+# sidecar (ann.assign_cells) — centroid drift is repaired by periodic
+# index rebuild, which is the reference's merge/rebuild story too.
+
+# deterministic vector CDC: rid%6==0 revised to the reversed
+# embedding at seq=rid+1e6; rid%9==0 deleted at seq=rid+2e6.
+
+
+def cdc_vector_log(vectors: DataFrame) -> DataFrame:
+    """(rid, seq, op, vector) versioned vector op log."""
+    v = vectors.select("rid", "vector")
+    base = v.select(
+        "rid",
+        F.col("rid").cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        "vector",
+    )
+    rev = v.filter(F.col("rid") % 6 == 0).select(
+        "rid",
+        (F.col("rid") + 1_000_000).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.reverse("vector").alias("vector"),
+    )
+    dele = v.filter(F.col("rid") % 9 == 0).select(
+        "rid",
+        (F.col("rid") + 2_000_000).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("array<double>").alias("vector"),
+    )
+    return base.unionByName(rev).unionByName(dele)
+
+
+CDC_VECTOR_LIVE_SQL = """
+SELECT rid, vector FROM (
+  SELECT rid, op, vector,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT CAST(vec_id AS BIGINT) AS rid, CAST(vec_id AS BIGINT) AS seq,
+           'upsert' AS op, embedding AS vector FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST(vec_id + 1000000 AS BIGINT),
+           'upsert', list_reverse(embedding) FROM embeddings WHERE vec_id % 6 = 0
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST(vec_id + 2000000 AS BIGINT),
+           'delete', NULL FROM embeddings WHERE vec_id % 9 = 0
+  )
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+def cdc_live_vectors(log: DataFrame) -> DataFrame:
+    """Latest-op-wins live vectors (rid, vector)."""
+    return (
+        log.groupBy("rid")
+        .agg(F.max_by(F.struct("op", "vector"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select("rid", F.col("last.vector").alias("vector"))
+    )
+
+
+def cdc_vector_ingest(
+    spark: SparkSession,
+    log_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    centroids: DataFrame,
+) -> None:
+    """Stream a vector op log into the IVF index: upserts get their
+    cell assigned against the broadcast centroid sidecar and append
+    as seq-tagged segments; every op appends to the oplog."""
+    from nucliadb_spark.operators import ann as ann_ops
+
+    schema = spark.read.parquet(log_path).schema
+    if os.path.isfile(log_path):
+        log_path = stage_arrival_dir(log_path)
+    stream = spark.readStream.schema(schema).parquet(log_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        ups = batch_df.filter(F.col("op") == "upsert")
+        assigned = ann_ops.assign_cells(ups, centroids, keys=("rid", "seq"))
+        assigned.write.mode("append").parquet(f"{index_path}/vectors")
+        batch_df.select("rid", "seq", "op").write.mode("append").parquet(
+            f"{index_path}/oplog"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def live_vector_segments(vecs: DataFrame, oplog: DataFrame) -> DataFrame:
+    """Vector segments restricted to live versions:
+    (rid, vector, cluster_label)."""
+    return vecs.join(live_doc_versions(oplog), ["rid", "seq"]).select(
+        "rid", "vector", "cluster_label"
+    )
+
+
 # --- stateful streaming sessionization (applyInPandasWithState) -------------
 
 

@@ -89,3 +89,46 @@ def test_stream_ingest_equals_batch_and_compaction_purges(spark, fields, live):
         assert oplog2.count() == n_live_versions
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- vector-index CDC (S1 vector path) --------------------------------------
+
+
+def test_vector_cdc_stream_equals_batch_and_ivf_serves(spark, sf_dir):
+    from nucliadb_spark.operators import ann
+    from pyspark.sql import functions as F
+
+    vectors = tpch.vectors(spark, sf_dir)
+    centroids = ann.cell_centroids(vectors)
+    log = ingest.cdc_vector_log(vectors)
+    live = ingest.cdc_live_vectors(log)
+
+    workdir = tempfile.mkdtemp(prefix="vcdc_")
+    try:
+        log.repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_vector_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt",
+            centroids,
+        )
+        vecs = spark.read.parquet(f"{workdir}/index/vectors")
+        oplog = spark.read.parquet(f"{workdir}/index/oplog")
+        streamed = ingest.live_vector_segments(vecs, oplog)
+
+        # deleted rids absent; revised rids carry the new embedding
+        assert streamed.filter(F.col("rid") % 9 == 0).count() == 0
+        batch_assigned = ann.assign_cells(live, centroids)
+        a = {r.rid: (tuple(r.vector), r.cluster_label) for r in streamed.collect()}
+        b = {r.rid: (tuple(r.vector), r.cluster_label) for r in batch_assigned.collect()}
+        assert a == b
+
+        # IVF probe over the streamed live set == over the batch live set
+        qvec = (
+            tpch.table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 5)
+            .select(F.col("embedding").alias("qvec"))
+        )
+        got = ann.ivf_serve(streamed, centroids, qvec, k=5, nprobe=2).collect()
+        want = ann.ivf_serve(batch_assigned, centroids, qvec, k=5, nprobe=2).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -85,3 +85,10 @@ def test_advanced_parser_units():
         advanced.parse_advanced("   ")
     # lone operators degrade to should-terms, not crashes
     assert isinstance(advanced.parse_advanced("x"), fx.Keyword)
+
+
+def test_rabitq_rerank_budget():
+    # ref: nidx_vector/src/vector_types/rabitq.rs:30-36 — 100·k cap 2000
+    assert knn.rabitq_rerank_budget(10) == 1000
+    assert knn.rabitq_rerank_budget(50) == 2000
+    assert knn.rabitq_rerank_budget(1) == 100
