@@ -187,3 +187,37 @@ def knn_maxsim(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return knn.maxsim_knn(_vectors(spark, sf_dir), queries, k=10, similarity="dot")
+
+
+# --- vectorset config normalize_vectors=true --------------------------------
+# ref: nidx/tests/integration/vector_normalization.rs +
+# nidx_vector/src/config.rs:107 — vectors are L2-normalized at index
+# time and scored with plain DOT at query time (cosine semantics
+# without per-query norm work; colinear vectors score 1.0).
+
+from nucliadb_spark.functions import vector as _V  # noqa: E402
+
+_NORM_VEC_SQL = (
+    "SELECT CAST(vec_id AS BIGINT) AS rid, "
+    f"list_transform(embedding, x -> x::DOUBLE / {_V.norm_sql_unrolled('embedding', DIM)}) AS vector "
+    "FROM embeddings"
+)
+_NORM_QUERY_SQL = (
+    "SELECT "
+    f"list_transform(embedding, x -> x::DOUBLE / {_V.norm_sql_unrolled('embedding', DIM)}) AS qvec "
+    "FROM embeddings WHERE vec_id = 0"
+)
+
+
+@register(
+    "knn_normalized",
+    knn.exact_knn_sql(_NORM_VEC_SQL, _NORM_QUERY_SQL, DIM, k=10, similarity="dot"),
+)
+def knn_normalized(spark, sf_dir):
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "vector", _V.l2_normalize(F.col("vector"))
+    )
+    q = _query_df(spark, sf_dir).withColumn(
+        "qvec", _V.l2_normalize(F.col("qvec"))
+    )
+    return knn.exact_knn(vecs, q, k=10, similarity="dot")
