@@ -529,3 +529,118 @@ GROUP BY source_value, relation_label, target_value
 ORDER BY score DESC, source_value, relation_label, target_value
 LIMIT {top_k}
 """
+
+
+# --- vector (semantic) graph search over node + edge embeddings -------------
+# ref: nidx/tests/integration/vector_relation_index.rs +
+# graph_query_parser.rs:480-630 — a VectorMatch clause first KNNs the
+# node-vector / edge-vector sidecars (min_score cut), then the path
+# query matches triples against the resulting (value, score) sets as
+# const-score clauses; tantivy's boolean union SUMS the scores, so a
+# path matching both endpoints and its edge scores ~3 components.
+
+
+def semantic_path_search(
+    relations: DataFrame,
+    node_vecs: DataFrame,
+    edge_vecs: DataFrame,
+    query: DataFrame,
+    min_node: float = 0.7,
+    min_edge: float = 0.7,
+    top_k: int = 100,
+) -> DataFrame:
+    """Paths where ≥1 endpoint semantically matches the query vector;
+    score = Σ matched endpoint cosines + matched edge cosine.
+
+    node_vecs: (value, vector); edge_vecs: (label, vector);
+    query: 1-row (qvec). Matched sets are tiny (min_score-cut KNN
+    output) and broadcast into the triples scan — the big table is
+    touched once, no shuffle.
+    """
+    from nucliadb_spark.functions import vector as V
+
+    nm = (
+        node_vecs.crossJoin(F.broadcast(query))
+        .select(
+            "value",
+            F.round(V.cosine(F.col("vector"), F.col("qvec")), 6).alias("nscore"),
+        )
+        .filter(F.col("nscore") >= min_node)
+    )
+    em = (
+        edge_vecs.crossJoin(F.broadcast(query))
+        .select(
+            "label",
+            F.round(V.cosine(F.col("vector"), F.col("qvec")), 6).alias("escore"),
+        )
+        .filter(F.col("escore") >= min_edge)
+    )
+    src = nm.select(F.col("value").alias("source_value"), F.col("nscore").alias("s_score"))
+    dst = nm.select(F.col("value").alias("target_value"), F.col("nscore").alias("d_score"))
+    edge = em.select(F.col("label").alias("relation_label"), F.col("escore").alias("e_score"))
+    return (
+        relations.join(F.broadcast(src), "source_value", "left")
+        .join(F.broadcast(dst), "target_value", "left")
+        .join(F.broadcast(edge), "relation_label", "left")
+        .filter(F.col("s_score").isNotNull() | F.col("d_score").isNotNull())
+        .select(
+            "source_value",
+            "relation_label",
+            "target_value",
+            F.round(
+                F.coalesce(F.col("s_score"), F.lit(0.0))
+                + F.coalesce(F.col("d_score"), F.lit(0.0))
+                + F.coalesce(F.col("e_score"), F.lit(0.0)),
+                5,
+            )
+            .cast("double")
+            .alias("score"),
+        )
+        .orderBy(
+            F.col("score").desc(), "source_value", "relation_label", "target_value"
+        )
+        .limit(top_k)
+    )
+
+
+def semantic_path_search_sql(
+    relations_sql: str,
+    node_vecs_sql: str,
+    edge_vecs_sql: str,
+    query_sql: str,
+    dim: int,
+    min_node: float = 0.7,
+    min_edge: float = 0.7,
+    top_k: int = 100,
+) -> str:
+    from nucliadb_spark.functions import vector as V
+
+    ncos = V.cosine_sql_unrolled("v.vector", "q.qvec", dim)
+    return f"""
+WITH relations AS ({relations_sql}),
+node_vecs AS ({node_vecs_sql}),
+edge_vecs AS ({edge_vecs_sql}),
+q AS ({query_sql}),
+nm AS (
+  SELECT * FROM (
+    SELECT v.value, ROUND({ncos}, 6) AS nscore
+    FROM node_vecs v CROSS JOIN q
+  ) WHERE nscore >= {min_node!r}
+),
+em AS (
+  SELECT * FROM (
+    SELECT v.label, ROUND({ncos}, 6) AS escore
+    FROM edge_vecs v CROSS JOIN q
+  ) WHERE escore >= {min_edge!r}
+)
+SELECT r.source_value, r.relation_label, r.target_value,
+       ROUND(COALESCE(s.nscore, 0.0) + COALESCE(d.nscore, 0.0)
+             + COALESCE(e.escore, 0.0), 5)::DOUBLE AS score
+FROM relations r
+LEFT JOIN nm s ON r.source_value = s.value
+LEFT JOIN nm d ON r.target_value = d.value
+LEFT JOIN em e ON r.relation_label = e.label
+WHERE s.value IS NOT NULL OR d.value IS NOT NULL
+ORDER BY score DESC, r.source_value, r.relation_label, r.target_value
+LIMIT {top_k}
+"""

@@ -208,3 +208,54 @@ _STRATEGY_Q = "customr 12 supplier part"
 )
 def graph_strategy_hops(spark, sf_dir):
     return G.strategy_search(_rel(spark, sf_dir), _STRATEGY_Q, hops=2, top_k=20)
+
+
+# --- semantic path search over node + edge embeddings -----------------------
+# ref: nidx/tests/integration/vector_relation_index.rs — node values
+# map to the embeddings table (part:{k} ↔ vec_id k % 500, present at
+# every sf); the three relation labels carry edge vectors 11/12/13;
+# query vector = vec_id 7 (so part:7 is an exact semantic self-match).
+
+_NODE_VECS_SQL = (
+    "SELECT concat('part:', p_partkey) AS value, embedding AS vector "
+    "FROM part JOIN embeddings ON vec_id = p_partkey % 500"
+)
+_EDGE_VECS_SQL = (
+    "SELECT t.l AS label, embedding AS vector "
+    "FROM (VALUES ('SUPPLIED_BY', 11), ('CONTAINS', 12), ('PLACED', 13)) t(l, vid) "
+    "JOIN embeddings ON vec_id = t.vid"
+)
+_GQVEC_SQL = "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7"
+
+
+@register(
+    "graph_semantic_paths",
+    G.semantic_path_search_sql(
+        _R, _NODE_VECS_SQL, _EDGE_VECS_SQL, _GQVEC_SQL,
+        dim=64, min_node=0.2, min_edge=0.2, top_k=50,
+    ),
+)
+def graph_semantic_paths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    part = tpch.table(spark, sf_dir, "part")
+    emb = tpch.table(spark, sf_dir, "embeddings")
+    node_vecs = part.join(
+        emb, emb["vec_id"] == part["p_partkey"] % 500
+    ).select(
+        F.concat(F.lit("part:"), F.col("p_partkey")).alias("value"),
+        F.col("embedding").alias("vector"),
+    )
+    labels = spark.createDataFrame(
+        [("SUPPLIED_BY", 11), ("CONTAINS", 12), ("PLACED", 13)], "l string, vid int"
+    )
+    edge_vecs = labels.join(emb, emb["vec_id"] == labels["vid"]).select(
+        F.col("l").alias("label"), F.col("embedding").alias("vector")
+    )
+    qvec = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qvec")
+    )
+    return G.semantic_path_search(
+        _rel(spark, sf_dir), node_vecs, edge_vecs, qvec,
+        min_node=0.2, min_edge=0.2, top_k=50,
+    )
