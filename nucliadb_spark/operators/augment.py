@@ -133,6 +133,157 @@ def full_resource_context(paragraphs: DataFrame, hits: DataFrame) -> DataFrame:
     return paragraphs.join(F.broadcast(rids), "rid", "semi").orderBy("paragraph_id")
 
 
+# --- /augment endpoint: hydration-by-id with prop selectors ----------------
+# ref: nucliadb/src/nucliadb/search/api/v1/augment.py (AugmentRequest →
+# AugmentResources / AugmentParagraphs with SelectProp lists:
+# ResourceTitle, ResourceSummary, ResourceClassificationLabels,
+# FieldEntities, ParagraphText, ParagraphPosition...; models at
+# nucliadb/src/nucliadb/models/internal/augment.py). Unlike the RAG
+# strategies above (which start from retrieval hits), this surface takes
+# EXPLICIT id lists from the caller and hydrates the requested props.
+#
+# Batch shape: the id list is request-sized (tiny) — broadcast it as a
+# literal IN-filter so the resources/relations scans prune to the
+# requested keys; each prop family is a column projection, unioned into
+# the long (id, prop, value) layout that mirrors the per-prop response
+# maps.
+
+
+def augment_resources(
+    resources: DataFrame,
+    relations: DataFrame,
+    rids: list[int],
+    props: list[str],
+) -> DataFrame:
+    """Hydrate explicit resource ids → (rid, prop, value).
+
+    Props: 'title' (ResourceTitle), 'slug' (basic slug),
+    'classification_labels' (ResourceClassificationLabels, the /l/
+    user labels), 'origin' (Origin metadata), 'ner' (FieldEntities —
+    entities whose relations carry paragraph provenance in this rid)."""
+    res = resources.filter(F.col("rid").isin(rids))
+    parts = []
+    for prop in props:
+        if prop == "title":
+            src = res.select("rid", F.col("title").alias("value"))
+        elif prop == "slug":
+            src = res.select("rid", F.col("slug").alias("value"))
+        elif prop == "classification_labels":
+            src = res.select("rid", F.explode("labels").alias("value")).filter(
+                F.col("value").startswith("/l/")
+            )
+        elif prop == "origin":
+            src = res.select(
+                "rid", F.concat(F.lit("source="), F.col("origin_source")).alias("value")
+            )
+        elif prop == "ner":
+            src = (
+                relations.filter(F.col("paragraph_id").isNotNull())
+                .select(
+                    F.split(F.col("paragraph_id"), "/")
+                    .getItem(0)
+                    .cast("long")
+                    .alias("rid"),
+                    F.concat_ws(
+                        ":", F.col("source_subtype"), F.col("source_value")
+                    ).alias("value"),
+                )
+                .filter(F.col("rid").isin(rids))
+                .distinct()
+            )
+        else:
+            raise ValueError(f"unsupported resource prop {prop!r}")
+        parts.append(src.select("rid", F.lit(prop).alias("prop"), "value"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rid", "prop", "value")
+
+
+def augment_resources_sql(
+    resources_sql: str,
+    relations_sql: str,
+    rids: list[int],
+    props: list[str],
+) -> str:
+    id_list = ", ".join(str(r) for r in rids)
+    selects = []
+    for prop in props:
+        if prop == "title":
+            selects.append(
+                f"SELECT rid, 'title' AS prop, title AS value FROM resources "
+                f"WHERE rid IN ({id_list})"
+            )
+        elif prop == "slug":
+            selects.append(
+                f"SELECT rid, 'slug' AS prop, slug AS value FROM resources "
+                f"WHERE rid IN ({id_list})"
+            )
+        elif prop == "classification_labels":
+            selects.append(
+                "SELECT rid, 'classification_labels' AS prop, value FROM ("
+                f"SELECT rid, unnest(labels) AS value FROM resources WHERE rid IN ({id_list})"
+                ") WHERE starts_with(value, '/l/')"
+            )
+        elif prop == "origin":
+            selects.append(
+                f"SELECT rid, 'origin' AS prop, concat('source=', origin_source) AS value "
+                f"FROM resources WHERE rid IN ({id_list})"
+            )
+        elif prop == "ner":
+            selects.append(
+                "SELECT DISTINCT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS rid, "
+                "'ner' AS prop, concat(source_subtype, ':', source_value) AS value "
+                "FROM relations WHERE paragraph_id IS NOT NULL "
+                f"AND CAST(string_split(paragraph_id, '/')[1] AS BIGINT) IN ({id_list})"
+            )
+        else:
+            raise ValueError(f"unsupported resource prop {prop!r}")
+    union = " UNION ALL ".join(f"({s})" for s in selects)
+    return f"""
+WITH resources AS ({resources_sql}),
+relations AS ({relations_sql})
+SELECT rid, prop, value FROM ({union})
+ORDER BY rid, prop, value
+"""
+
+
+def augment_paragraphs_by_id(
+    paragraphs: DataFrame,
+    resources: DataFrame,
+    paragraph_ids: list[str],
+) -> DataFrame:
+    """Hydrate explicit paragraph ids → text + position + kind + parent
+    title (ParagraphText / ParagraphPosition / Paragraph page props +
+    the HierarchyResourceStrategy's title, augment.py models).
+
+    Wide layout (one row per requested id): (paragraph_id, rid, start,
+    end, kind, text, title)."""
+    p = paragraphs.filter(F.col("paragraph_id").isin(paragraph_ids))
+    return (
+        p.join(F.broadcast(resources.select("rid", "title")), "rid")
+        .select("paragraph_id", "rid", "start", "end", "kind", "text", "title")
+        .orderBy("paragraph_id")
+    )
+
+
+def augment_paragraphs_by_id_sql(
+    paragraphs_sql: str,
+    resources_sql: str,
+    paragraph_ids: list[str],
+) -> str:
+    id_list = ", ".join(f"'{i}'" for i in paragraph_ids)
+    return f"""
+WITH paragraphs AS ({paragraphs_sql}),
+resources AS ({resources_sql})
+SELECT p.paragraph_id, p.rid, p.start, p."end", p.kind, p.text, r.title
+FROM paragraphs p
+JOIN resources r ON p.rid = r.rid
+WHERE p.paragraph_id IN ({id_list})
+ORDER BY p.paragraph_id
+"""
+
+
 # --- field_extension strategy ----------------------------------------------
 # ref: nucliadb_models/search.py:1193-1225 (FieldExtensionStrategy)
 # and its application in search/search/chat/prompt.py: extend the

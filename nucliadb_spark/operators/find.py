@@ -141,6 +141,100 @@ def find(
     )
 
 
+def retrieve(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    query_vec_id: int = 0,
+    entity_sources: list[str] | None = None,
+    top_k: int = 10,
+    window: int = 50,
+    post: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """The /retrieve endpoint analog (ref nucliadb/src/nucliadb/search/
+    api/v1/retrieve.py + search/search/retrieval.py:46 text_block_search):
+    same fused text-block search as find(), but each match carries its
+    score *history* — the per-index scores (KeywordScore / SemanticScore
+    / GraphScore, nucliadb_models/retrieval.py:169-213) plus the fused
+    RRF value the noop reranker passes through as the final score.
+
+    Output: (id, score, keyword_score, semantic_score[, graph_score],
+    matched_sources) — per-source columns are NULL when that index
+    didn't return the id. Physically identical to find(): independent
+    top-k retriever DAGs, fusion on ≤3·window rows.
+    """
+    win = fusion_window(window, top_k)
+    fields = tpch.fields(spark, sf_dir)
+    vectors = tpch.vectors(spark, sf_dir)
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    keyword = bm25.bm25_search(
+        fields, query, top_k=win, mode="any", post=post, stats=stats, corpus=corpus
+    ).select(F.col("rid").alias("id"), "score")
+    semantic = knn.exact_knn(vectors, qvec, k=win, similarity="cosine")
+    sources = {"keyword": keyword, "semantic": semantic}
+    if entity_sources:
+        graph = (
+            fields.filter(F.col("source").isin(entity_sources))
+            .select(F.col("rid").alias("id"), F.lit(1.0).alias("score"))
+            .orderBy("id")
+            .limit(win)
+        )
+        sources["graph"] = graph
+    fused = fusion.rrf_with_scores(sources, top_k=top_k)
+    return fused.select(
+        "id",
+        "score",
+        *[f"{n}_score" for n in sorted(sources)],
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
+def retrieve_sql(
+    query: str,
+    query_vec_id: int = 0,
+    entity_sources: list[str] | None = None,
+    top_k: int = 10,
+    window: int = 50,
+) -> str:
+    """DuckDB twin of :func:`retrieve`."""
+    win = fusion_window(window, top_k)
+    keyword = (
+        f"SELECT rid AS id, score FROM ({bm25.bm25_sql(tpch.SQL_FIELDS, query, top_k=win, mode='any')})"
+    )
+    semantic = knn.exact_knn_sql(
+        tpch.SQL_VECTORS,
+        f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}",
+        64,
+        k=win,
+        similarity="cosine",
+    )
+    sources_sql = {"keyword": keyword, "semantic": semantic}
+    if entity_sources:
+        lst = ", ".join(_sql_quote(s) for s in entity_sources)
+        sources_sql["graph"] = f"""
+SELECT rid AS id, 1.0 AS score
+FROM ({tpch.SQL_FIELDS}) f
+WHERE source IN ({lst})
+ORDER BY id
+LIMIT {win}
+"""
+    fused = fusion.rrf_with_scores_sql(sources_sql, top_k=top_k)
+    score_cols = ", ".join(f"{n}_score" for n in sorted(sources_sql))
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score, {score_cols},
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
 def find_sql(
     query: str,
     query_vec_id: int = 0,

@@ -95,6 +95,79 @@ LIMIT {top_k}
 """
 
 
+def rrf_with_scores(
+    sources: dict[str, DataFrame],
+    k: float = RRF_K,
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """RRF fusion keeping the per-source score history (the /retrieve
+    endpoint's ``Scores.history``: one KeywordScore/SemanticScore/
+    GraphScore per index the match came from, plus the fused RRF value
+    — ref nucliadb_models/retrieval.py:169-213, retrieval.py:46).
+
+    Output: (id, score, <name>_score ... one DOUBLE per source, null
+    when that index didn't return the id, matched_sources)."""
+    weights = weights or {}
+    ranked = [
+        _ranked(df, name, weights.get(name, 1.0)) for name, df in sorted(sources.items())
+    ]
+    all_ranked = reduce(lambda a, b: a.unionByName(b), ranked)
+    per_source = [
+        F.round(
+            F.max(F.when(F.col("source") == name, F.col("src_score"))), 6
+        ).cast(SCORE_TYPE).alias(f"{name}_score")
+        for name in sorted(sources)
+    ]
+    return (
+        all_ranked.withColumn("contrib", F.col("weight") / (F.lit(k) + F.col("rank")))
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("contrib"), 6).cast(SCORE_TYPE).alias("score"),
+            *per_source,
+            F.sort_array(F.collect_set("source")).alias("matched_sources"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
+def rrf_with_scores_sql(
+    sources_sql: dict[str, str],
+    k: float = RRF_K,
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`rrf_with_scores`."""
+    weights = weights or {}
+    parts = []
+    for name, sql in sorted(sources_sql.items()):
+        w = weights.get(name, 1.0)
+        parts.append(
+            f"""SELECT id, '{name}' AS source, {w!r} AS weight, score AS src_score,
+       row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS rank
+FROM ({sql})"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    per_source = ",\n       ".join(
+        f"ROUND(MAX(CASE WHEN source = '{name}' THEN src_score END), 6)::DOUBLE AS {name}_score"
+        for name in sorted(sources_sql)
+    )
+    return f"""
+WITH ranked AS (
+{union}
+)
+SELECT id,
+       ROUND(SUM(weight / ({k!r} + rank)), 6)::DOUBLE AS score,
+       {per_source},
+       list_sort(list(DISTINCT source)) AS matched_sources
+FROM ranked
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {top_k}
+"""
+
+
 def comb_sum(
     sources: dict[str, DataFrame],
     weights: dict[str, float] | None = None,

@@ -18,7 +18,18 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # guarantee executor Python workers can unpickle our UDFs
+            # no matter where the host created the session from
+            # (shipping.py — the --py-files deployment story)
+            from nucliadb_spark.shipping import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -136,6 +147,10 @@ def _load_all() -> None:
         pass
     try:
         from nucliadb_spark.plans import queries_streaming  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from nucliadb_spark.plans import queries_api  # noqa: F401
     except ImportError:
         pass
     _LOADED = True
