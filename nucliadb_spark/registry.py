@@ -38,46 +38,64 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 registry queries (insertion order) per
-# round — r1 checked exactly queries[0:50]. Order the round's
-# must-grade set first: previously-red rows (now fixed), new operators,
-# then previously-unchecked; queries with a green CORRECTNESS_r01 row
-# go last (their evidence already exists).
+# round — r1/r2 each checked exactly queries[0:50]. Order the round's
+# must-grade set first: queries with NO green CORRECTNESS row in any
+# prior round (r1 ∪ r2), then new round-3 operators, then flagships
+# for fresh re-confirmation; everything ever-green goes last (its
+# evidence already exists in CORRECTNESS_r01/r02.json).
 PRIORITY: list[str] = [
-    # r1 red rows, fixed by the DOUBLE/stringify output-contract change
+    # never-green: red in r2 (ts schema regression, fixed) …
+    "stream_windowed_counts",
+    "event_sessionization",
+    "stream_sessionization",
+    # … or simply outside the first-50 window in both r1 and r2
+    "knn_normalized",
+    "graph_semantic_paths",
+    "multimodal_frame_sample",
+    "export_field_classification",
+    "kb_counters",
+    "cdc_search_live",
+    "cdc_vector_search_live",
+    "retrieve_scores",
+    "augment_resources",
+    "augment_paragraphs",
+    "summarize_stub",
+    # new round-3 operators get graded on first appearance
+    # (insert here as they land)
+    # flagships + scale paths: re-confirm green every round
     "find_hybrid",
+    "find_hybrid_ivf",
     "find_prefiltered",
     "bm25_keyword",
-    "bm25_conjunctive",
+    "bm25_prefiltered_served",
     "bm25_fuzzy",
+    "knn_cosine",
+    "knn_quantized_rerank",
+    "ann_ivf_probe",
+    "graph_strategy_hops",
+    "knn_vectorset_alt",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "kb_export_roundtrip",
+    "segment_merge_plan",
+    # remaining ever-green, in rough §2 order
+    "bm25_conjunctive",
     "bm25_ematches",
     "bm25_prefiltered",
     "bm25_synonyms",
     "bm25_stop_words",
     "bm25_fuzzy_fallback",
+    "bm25_highlight",
     "suggest_paragraphs",
     "paragraph_search",
     "paragraph_search_filtered",
-    "knn_cosine",
     "knn_dot",
     "knn_min_score",
     "knn_prefiltered",
-    "knn_quantized_rerank",
     "knn_matryoshka",
     "knn_maxsim",
-    "ann_ivf_probe",
-    # new operators this round
-    "find_hybrid_ivf",
-    "bm25_prefiltered_served",
-    "graph_strategy_hops",
-    "knn_vectorset_alt",
-    "bm25_highlight",
     "rag_field_extension",
     "rag_metadata_extension",
-    "kb_export_roundtrip",
-    "segment_merge_plan",
-    # r1-unchecked rows (registry positions 51-74 in r1)
-    "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -94,8 +112,6 @@ PRIORITY: list[str] = [
     "find_secured",
     "find_skip_set",
     "combsum_fusion",
-    "stream_windowed_counts",
-    "event_sessionization",
 ]
 
 

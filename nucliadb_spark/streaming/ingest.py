@@ -47,13 +47,13 @@ def stage_arrival_dir(*files: str) -> str:
 
 
 def _events_stream(spark: SparkSession, arrival_dir: str, schema) -> DataFrame:
-    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf, normalize_ts
 
     ensure_nanos_conf(spark)
     stream = spark.readStream.schema(schema).parquet(arrival_dir)
-    # ts arrives as long nanos (legacy.parquet.nanosAsLong) → µs
-    # timestamp; integer DIV, not float division (precision at 1e18).
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # ts arrives either as long nanos (legacy testdata) or
+    # TIMESTAMP_NTZ (current testdata) — normalize to TIMESTAMP.
+    return normalize_ts(stream)
 
 
 def windowed_event_counts(
