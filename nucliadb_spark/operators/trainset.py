@@ -1,0 +1,235 @@
+"""Trainset generators — the rest of the dataset.proto task-type
+family (SURVEY §2 S6; ref nucliadb_protos/dataset.proto:9-18 and
+nucliadb/src/nucliadb/train/generators/*.py).
+
+Round 1/2 shipped FIELD_CLASSIFICATION + PARAGRAPH_CLASSIFICATION;
+this module adds the remaining six task types re-expressed as pure
+DataFrame projections (narrow, shuffle-free except where a join to
+labels is required — each oracle-checkable and exportable through
+exporter.export_arrow_stream):
+
+- SENTENCE_CLASSIFICATION  (generators/sentence_classifier.py:44-103)
+- TOKEN_CLASSIFICATION     (generators/token_classifier.py:44-117)
+- IMAGE_CLASSIFICATION     (generators/image_classifier.py:38-89)
+- PARAGRAPH_STREAMING      (generators/paragraph_streaming.py:31-76)
+- QUESTION_ANSWER_STREAMING(generators/question_answer_streaming.py:33-106)
+- FIELD_STREAMING          (generators/field_streaming.py:37-123)
+
+Scale notes: every generator is a projection over fields/paragraphs
+with at most one broadcast-able join (labels live on the same row in
+our brain projection, so most need none). The reference streams these
+row-by-row from the searcher gRPC API; here the same payloads are a
+DataFrame any sink can partition-parallel write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nucliadb_spark.functions.text import (
+    md5_int60,
+    md5_int60_sql,
+    tokenize,
+    tokenize_sql,
+)
+
+# Sentences: fixed-stride char windows WITHIN each paragraph window —
+# the corpus is synthetic word soup with no punctuation, so the
+# sentence boundary rule is a deterministic stride (mirrors how
+# paragraphs themselves are derived, sources/tpch.py PARAGRAPH_STRIDE).
+SENTENCE_STRIDE = 60
+
+
+def sentences(paragraphs: DataFrame) -> DataFrame:
+    """Explode paragraph windows into sentence windows.
+
+    sentence_id = '<paragraph_id>/<soff>-<send>' with offsets relative
+    to the paragraph, matching the reference's nested position keys
+    (train/generators/sentence_classifier.py:72-88).
+    """
+    plen = F.col("end") - F.col("start")
+    p = paragraphs.select(
+        "rid",
+        "paragraph_id",
+        plen.alias("_plen"),
+        F.col("text").alias("_ptext"),
+        F.explode(
+            F.sequence(F.lit(0), plen - 1, F.lit(SENTENCE_STRIDE))
+        ).alias("soff"),
+    )
+    send = F.least(F.col("soff") + SENTENCE_STRIDE, F.col("_plen"))
+    return p.select(
+        "rid",
+        "paragraph_id",
+        F.concat_ws(
+            "/",
+            "paragraph_id",
+            F.concat_ws("-", "soff", send.cast("long")),
+        ).alias("sentence_id"),
+        F.expr(f"substring(_ptext, soff + 1, {SENTENCE_STRIDE})").alias("text"),
+    )
+
+
+def sentences_sql(paragraphs_sql: str) -> str:
+    return f"""
+SELECT rid, paragraph_id,
+       concat(paragraph_id, '/', soff, '-', least(soff + {SENTENCE_STRIDE}, plen)) AS sentence_id,
+       substring(ptext, soff + 1, {SENTENCE_STRIDE}) AS text
+FROM (
+  SELECT rid, paragraph_id, "end" - start AS plen, text AS ptext,
+         unnest(range(0, "end" - start, {SENTENCE_STRIDE})) AS soff
+  FROM ({paragraphs_sql})
+)
+"""
+
+
+# Token classification: a fixed entity dictionary (the reference's
+# entity groups, train/generators/token_classifier.py:60-66 filters on
+# `/e/<group>` labels) mapped over the shared tokenizer. Single-token
+# entities tag as B-<GROUP>; everything else is the outside tag 'O' —
+# the BIO scheme the reference emits (token_classifier.py:186-219).
+ENTITY_TAGS: dict[str, str] = {
+    "spark": "TECH",
+    "query": "TECH",
+    "hash": "TECH",
+    "customer": "ACTOR",
+    "supplier": "ACTOR",
+    "table": "OBJECT",
+    "window": "OBJECT",
+    "stream": "OBJECT",
+}
+
+
+def _tag_token(tok: Column) -> Column:
+    expr: Column = F.lit("O")
+    for word, grp in reversed(list(ENTITY_TAGS.items())):
+        expr = F.when(tok == word, F.lit(f"B-{grp}")).otherwise(expr)
+    return expr
+
+
+def token_classification(fields: DataFrame) -> DataFrame:
+    """(rid, field_key, tokens, tags) — space-joined token/BIO-tag
+    sequences of equal length. Pure per-row array transform: no
+    explode, no shuffle — the whole job is one codegen'd scan."""
+    toks = tokenize("text")
+    return fields.select(
+        "rid",
+        "field_key",
+        F.array_join(toks, " ").alias("tokens"),
+        F.array_join(F.transform(toks, _tag_token), " ").alias("tags"),
+    )
+
+
+def token_classification_sql(fields_sql: str) -> str:
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN 'B-{g}'" for w, g in ENTITY_TAGS.items()
+    )
+    toks = tokenize_sql("text")
+    return f"""
+SELECT rid, field_key,
+       array_to_string({toks}, ' ') AS tokens,
+       array_to_string(
+         list_transform({toks}, t -> CASE {cases} ELSE 'O' END), ' ') AS tags
+FROM ({fields_sql})
+"""
+
+
+def question_answer(fields: DataFrame, paragraphs: DataFrame) -> DataFrame:
+    """QUESTION_ANSWER_STREAMING payloads: one QA pair per field —
+    question derived from the field's first token, answer = the TITLE
+    paragraph, with its paragraph_id as provenance (the reference
+    streams question/answer/paragraph-ids triples,
+    question_answer_streaming.py:58-96)."""
+    q = fields.select(
+        "rid",
+        F.col("language"),
+        F.concat(
+            F.lit("what is "), F.element_at(tokenize("text"), 1), F.lit("?")
+        ).alias("question"),
+    )
+    a = paragraphs.filter(F.col("kind") == "TITLE").select(
+        "rid",
+        F.col("paragraph_id").alias("answer_paragraph"),
+        F.col("text").alias("answer"),
+    )
+    return q.join(a, "rid").select(
+        "rid", "question", "answer", "answer_paragraph", "language"
+    )
+
+
+def question_answer_sql(fields_sql: str, paragraphs_sql: str) -> str:
+    first_tok = f"list_element({tokenize_sql('f.text')}, 1)"
+    return f"""
+SELECT f.rid AS rid,
+       concat('what is ', {first_tok}, '?') AS question,
+       p.text AS answer,
+       p.paragraph_id AS answer_paragraph,
+       f.language AS language
+FROM ({fields_sql}) f
+JOIN ({paragraphs_sql}) p ON f.rid = p.rid AND p.kind = 'TITLE'
+"""
+
+
+def image_classification(media: DataFrame, fields: DataFrame) -> DataFrame:
+    """IMAGE_CLASSIFICATION payloads: image-typed media rows labeled
+    with their resource's classification labels (image_classifier.py
+    selects page images + their labels). Binary stays out of the
+    output contract — payload identity travels as (n_bytes, md5)."""
+    imgs = media.filter(F.col("content_type") == "image/png")
+    labels = fields.select(
+        F.col("rid").alias("media_id"), F.array_join("labels", ",").alias("labels")
+    )
+    return imgs.join(labels, "media_id").select(
+        "media_id",
+        "content_type",
+        "n_bytes",
+        F.md5(F.col("content")).alias("content_md5"),
+        "labels",
+    )
+
+
+def image_classification_sql(media_sql: str, fields_sql: str) -> str:
+    return f"""
+SELECT m.media_id AS media_id, m.content_type AS content_type,
+       m.n_bytes AS n_bytes,
+       md5(m.content::VARCHAR) AS content_md5,
+       array_to_string(f.labels, ',') AS labels
+FROM ({media_sql}) m
+JOIN ({fields_sql}) f ON m.media_id = f.rid
+WHERE m.content_type = 'image/png'
+"""
+
+
+# --- pipeline ops beyond the reference --------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5-hash(id) mod 100 < rate(stratum). Unlike df.sampleBy this is
+    reproducible across engines and runs (the portable 60-bit md5
+    hash, functions/text.py) — which is what a training-data pipeline
+    needs for auditable subset lineage. Narrow: filter only."""
+    bucket = md5_int60(F.col(id_col).cast("string"), salt="sample:") % 100
+    rate: Column = F.lit(0)
+    for stratum, pct in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate)
+
+
+def stratified_sample_sql(
+    docs_sql: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> str:
+    cases = " ".join(f"WHEN {strata_col} = '{s}' THEN {p}" for s, p in rates.items())
+    bucket = f"{md5_int60_sql(f'CAST({id_col} AS VARCHAR)', salt='sample:')} % 100"
+    return f"""
+SELECT * FROM ({docs_sql})
+WHERE {bucket} < CASE {cases} ELSE 0 END
+"""

@@ -1,0 +1,250 @@
+"""Registry entries: the remaining dataset.proto task types
+(SENTENCE/TOKEN/IMAGE classification, PARAGRAPH/QA/FIELD streaming —
+ref nucliadb_protos/dataset.proto:9-18, train/generators/*.py) plus
+training-pipeline ops (deterministic stratified sampling, one-pass
+clean-corpus composition) and time-series operators over events
+(as-of join, multi-grain rollup, exact percentiles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from nucliadb_spark.functions.text import tokenize_sql
+from nucliadb_spark.operators import dedup, multimodal, timeseries, trainset
+from nucliadb_spark.operators.dedup import token_set_fingerprint, token_set_fingerprint_sql
+from nucliadb_spark.registry import register
+from nucliadb_spark.sources import tpch
+
+_EVENTS_SQL = "SELECT event_id, ts, user_id, event_type, value FROM events"
+
+
+def _events(spark, sf_dir):
+    return tpch.table(spark, sf_dir, "events")
+
+
+# --- SENTENCE_CLASSIFICATION (dataset.proto:12) -----------------------------
+
+
+@register(
+    "export_sentence_classification",
+    f"""
+WITH s AS ({trainset.sentences_sql(tpch.SQL_PARAGRAPHS)}),
+fields AS ({tpch.SQL_FIELDS})
+SELECT s.sentence_id AS sentence_id, s.paragraph_id AS paragraph_id,
+       s.text AS text, array_to_string(f.labels, ',') AS labels
+FROM s JOIN fields f ON s.rid = f.rid
+ORDER BY sentence_id
+""",
+)
+def export_sentence_classification(spark, sf_dir):
+    """S6/SENTENCE_CLASSIFICATION: sentence windows labeled from the
+    parent field (generators/sentence_classifier.py:44-103)."""
+    s = trainset.sentences(tpch.paragraphs(spark, sf_dir))
+    f = tpch.fields(spark, sf_dir).select(
+        "rid", F.array_join("labels", ",").alias("labels")
+    )
+    return (
+        s.join(f, "rid")
+        .select("sentence_id", "paragraph_id", "text", "labels")
+        .orderBy("sentence_id")
+    )
+
+
+# --- TOKEN_CLASSIFICATION (dataset.proto:13) --------------------------------
+
+
+@register(
+    "export_token_classification",
+    trainset.token_classification_sql(tpch.SQL_FIELDS) + " ORDER BY rid",
+)
+def export_token_classification(spark, sf_dir):
+    """S6/TOKEN_CLASSIFICATION: BIO tag sequences over the shared
+    tokenizer (generators/token_classifier.py:44-117). Shuffle-free:
+    one codegen'd scan with per-row array transforms."""
+    return trainset.token_classification(tpch.fields(spark, sf_dir)).orderBy("rid")
+
+
+# --- QUESTION_ANSWER_STREAMING (dataset.proto:16) ---------------------------
+
+
+@register(
+    "export_question_answer",
+    trainset.question_answer_sql(tpch.SQL_FIELDS, tpch.SQL_PARAGRAPHS)
+    + " ORDER BY rid",
+)
+def export_question_answer(spark, sf_dir):
+    """S6/QUESTION_ANSWER_STREAMING: one QA pair per field with
+    paragraph provenance (generators/question_answer_streaming.py)."""
+    return trainset.question_answer(
+        tpch.fields(spark, sf_dir), tpch.paragraphs(spark, sf_dir)
+    ).orderBy("rid")
+
+
+# --- IMAGE_CLASSIFICATION (dataset.proto:14) --------------------------------
+
+
+@register(
+    "export_image_classification",
+    trainset.image_classification_sql(
+        multimodal.MEDIA_FROM_DOCUMENTS_SQL, tpch.SQL_FIELDS
+    )
+    + " ORDER BY media_id",
+)
+def export_image_classification(spark, sf_dir):
+    """S6/IMAGE_CLASSIFICATION: image-typed media + resource labels
+    (generators/image_classifier.py:38-89); payload identity travels
+    as (n_bytes, md5), binary stays out of the output contract."""
+    docs = tpch.table(spark, sf_dir, "documents")
+    return trainset.image_classification(
+        multimodal.media_from_documents(docs), tpch.fields(spark, sf_dir)
+    ).orderBy("media_id")
+
+
+# --- PARAGRAPH_STREAMING (dataset.proto:15) ---------------------------------
+
+
+@register(
+    "export_paragraph_streaming",
+    f"""
+WITH p AS ({tpch.SQL_PARAGRAPHS})
+SELECT paragraph_id, rid, start, "end", kind, text
+FROM p ORDER BY rid, start
+""",
+)
+def export_paragraph_streaming(spark, sf_dir):
+    """S6/PARAGRAPH_STREAMING: full paragraph payload stream
+    (generators/paragraph_streaming.py:31-76)."""
+    return (
+        tpch.paragraphs(spark, sf_dir)
+        .select("paragraph_id", "rid", "start", "end", "kind", "text")
+        .orderBy("rid", "start")
+    )
+
+
+# --- FIELD_STREAMING (dataset.proto:17) -------------------------------------
+
+
+@register(
+    "export_field_streaming",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS})
+SELECT rid, field_key, field_type, language, source, n_chars,
+       array_to_string(labels, ',') AS labels,
+       security_public, text
+FROM fields ORDER BY rid
+""",
+)
+def export_field_streaming(spark, sf_dir):
+    """S6/FIELD_STREAMING: field payloads with full metadata
+    (generators/field_streaming.py:37-123)."""
+    return (
+        tpch.fields(spark, sf_dir)
+        .select(
+            "rid",
+            "field_key",
+            "field_type",
+            "language",
+            "source",
+            "n_chars",
+            F.array_join("labels", ",").alias("labels"),
+            "security_public",
+            "text",
+        )
+        .orderBy("rid")
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+SAMPLE_RATES = {"en": 50, "de": 40, "fr": 30, "es": 20, "zh": 10}
+_DOCS_META_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
+@register(
+    "sample_stratified",
+    trainset.stratified_sample_sql(_DOCS_META_SQL, SAMPLE_RATES)
+    + " ORDER BY doc_id",
+)
+def sample_stratified(spark, sf_dir):
+    """Per-language deterministic sampling via the portable md5
+    bucket — reproducible subset lineage across engines/runs (unlike
+    df.sampleBy's RNG). Pure filter: pushed to the scan."""
+    docs = tpch.table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return trainset.stratified_sample(docs, SAMPLE_RATES).orderBy("doc_id")
+
+
+# --- one-pass clean-corpus composition --------------------------------------
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+WITH c AS ({dedup.planted_corpus_sql("SELECT doc_id, text FROM documents")}),
+feat AS (
+  SELECT id, text,
+         {token_set_fingerprint_sql('text')} AS fp,
+         length(text) AS n_chars,
+         len({tokenize_sql('text')}) AS n_tokens,
+         MIN(id) OVER (PARTITION BY {token_set_fingerprint_sql('text')}) AS canonical_id
+  FROM c
+)
+SELECT id, n_chars, n_tokens
+FROM feat
+WHERE id = canonical_id AND n_chars BETWEEN 50 AND 5000
+ORDER BY id
+""",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Training-data cleaning as ONE composed job: exact-dedup
+    survivor selection + length-band quality gate, over the planted
+    corpus (so the dedup stage provably removes rows). Single shuffle:
+    fingerprint + features are per-row exprs, the only wide op is the
+    MIN window keyed by fingerprint."""
+    from nucliadb_spark.functions.text import tokenize
+
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = dedup.planted_corpus(docs)
+    feat = c.select(
+        "id",
+        token_set_fingerprint("text").alias("fp"),
+        F.length("text").alias("n_chars"),
+        F.size(tokenize("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp")
+    return (
+        feat.withColumn("canonical_id", F.min("id").over(w))
+        .filter(
+            (F.col("id") == F.col("canonical_id"))
+            & F.col("n_chars").between(50, 5000)
+        )
+        .select("id", "n_chars", "n_tokens")
+        .orderBy("id")
+    )
+
+
+# --- time-series: as-of join / rollup / percentiles -------------------------
+
+
+@register("events_asof_join", timeseries.asof_join_sql(_EVENTS_SQL))
+def events_asof_join(spark, sf_dir):
+    """As-of join: attribute each purchase to the latest strictly
+    prior click by the same user. Spark side is the single-window
+    union composition (one shuffle on user_id, no range-join candidate
+    explosion); the DuckDB oracle is the engine-native ASOF LEFT JOIN
+    — two independent implementations of the semantics."""
+    return timeseries.asof_join(_events(spark, sf_dir))
+
+
+@register("events_rollup", timeseries.rollup_counts_sql(_EVENTS_SQL))
+def events_rollup(spark, sf_dir):
+    """Hypertable-style multi-grain continuous-aggregate shape:
+    day×type, day, grand total in one ROLLUP pass."""
+    return timeseries.rollup_counts(_events(spark, sf_dir))
+
+
+@register("events_percentiles", timeseries.value_percentiles_sql(_EVENTS_SQL))
+def events_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (percentile_cont semantics)."""
+    return timeseries.value_percentiles(_events(spark, sf_dir))

@@ -61,7 +61,17 @@ PRIORITY: list[str] = [
     "augment_paragraphs",
     "summarize_stub",
     # new round-3 operators get graded on first appearance
-    # (insert here as they land)
+    "export_sentence_classification",
+    "export_token_classification",
+    "export_question_answer",
+    "export_image_classification",
+    "export_paragraph_streaming",
+    "export_field_streaming",
+    "sample_stratified",
+    "pipeline_clean_corpus",
+    "events_asof_join",
+    "events_rollup",
+    "events_percentiles",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",
@@ -163,6 +173,10 @@ def _load_all() -> None:
         pass
     try:
         from nucliadb_spark.plans import queries_streaming  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from nucliadb_spark.plans import queries_trainset  # noqa: F401
     except ImportError:
         pass
     try:

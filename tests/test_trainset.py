@@ -1,0 +1,85 @@
+"""Hand-built-expectation tests for the trainset generators and the
+time-series operators — independent of the DuckDB oracle (which runs
+the same spec; these rows are computed by hand)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from nucliadb_spark.operators import timeseries, trainset
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_hand_case(spark):
+    rows = [
+        # user 1: click@10:00, click@10:30, purchase@10:45, purchase@10:10
+        Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1, event_type="click", value=1.0),
+        Row(event_id=2, ts=_ts("2024-01-01 10:30:00"), user_id=1, event_type="click", value=1.0),
+        Row(event_id=3, ts=_ts("2024-01-01 10:45:00"), user_id=1, event_type="purchase", value=9.0),
+        Row(event_id=4, ts=_ts("2024-01-01 10:10:00"), user_id=1, event_type="purchase", value=5.0),
+        # user 2: purchase with NO prior click (left-join null), view ignored
+        Row(event_id=5, ts=_ts("2024-01-01 09:00:00"), user_id=2, event_type="view", value=0.0),
+        Row(event_id=6, ts=_ts("2024-01-01 09:30:00"), user_id=2, event_type="purchase", value=3.0),
+        Row(event_id=7, ts=_ts("2024-01-01 09:40:00"), user_id=2, event_type="click", value=1.0),
+    ]
+    out = {
+        r["event_id"]: (r["right_event_id"], r["gap_us"])
+        for r in timeseries.asof_join(spark.createDataFrame(rows)).collect()
+    }
+    assert out[3] == (2, 15 * 60 * 1_000_000)  # latest prior click wins
+    assert out[4] == (1, 10 * 60 * 1_000_000)  # earlier purchase → earlier click
+    assert out[6] == (None, None)  # no prior click: left-join semantics
+
+
+def test_rollup_grains(spark):
+    rows = [
+        Row(ts=_ts("2024-01-01 01:00:00"), event_type="click", value=1.0),
+        Row(ts=_ts("2024-01-01 02:00:00"), event_type="view", value=2.0),
+        Row(ts=_ts("2024-01-02 01:00:00"), event_type="click", value=4.0),
+    ]
+    out = timeseries.rollup_counts(spark.createDataFrame(rows)).collect()
+    by_key = {(r["day"], r["event_type"]): (r["grain"], r["n_events"], r["total_value"]) for r in out}
+    assert by_key[("2024-01-01", "click")] == (0, 1, 1.0)
+    assert by_key[("2024-01-01", "ALL")] == (1, 2, 3.0)
+    assert by_key[("ALL", "ALL")] == (3, 3, 7.0)
+    assert ("ALL", "click") not in by_key  # rollup, not cube
+
+
+def test_token_classification_tags(spark):
+    fields = spark.createDataFrame(
+        [Row(rid=1, field_key="/t/body", text="the spark Table runs")]
+    )
+    r = trainset.token_classification(fields).collect()[0]
+    assert r["tokens"] == "the spark table runs"
+    assert r["tags"] == "O B-TECH B-OBJECT O"
+
+
+def test_sentences_cover_paragraph_exactly(spark):
+    paras = spark.createDataFrame(
+        [Row(rid=1, paragraph_id="1/0-130", start=0, end=130, text="x" * 130)]
+    )
+    out = trainset.sentences(paras).orderBy("sentence_id").collect()
+    # stride 60 over 130 chars → windows [0,60) [60,120) [120,130)
+    assert [r["sentence_id"] for r in out] == [
+        "1/0-130/0-60",
+        "1/0-130/120-130",
+        "1/0-130/60-120",
+    ]
+    assert sum(len(r["text"]) for r in out) == 130
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "zh") for i in range(200)]
+    )
+    a = {r["doc_id"] for r in trainset.stratified_sample(docs, {"en": 50, "zh": 10}).collect()}
+    b = {r["doc_id"] for r in trainset.stratified_sample(docs, {"en": 50, "zh": 10}).collect()}
+    assert a == b  # reproducible across runs
+    en = sum(1 for d in a if d % 2)
+    zh = len(a) - en
+    assert 30 <= en <= 70 and 0 <= zh <= 25  # rates roughly honored
