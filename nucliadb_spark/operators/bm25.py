@@ -78,12 +78,14 @@ def corpus_stats(stats: DataFrame) -> DataFrame:
 
 
 def vocabulary(post: DataFrame) -> DataFrame:
-    """(term,) distinct vocabulary — index-build output, tiny relative
-    to postings. The serving path caches/persists it so fuzzy queries
-    scan the vocab table instead of re-distincting postings per query
-    (the batch analog of tantivy's term dictionary,
+    """(term, df) vocabulary with document frequencies — index-build
+    output, tiny relative to postings. The serving path caches/persists
+    it so queries broadcast-join term stats instead of re-aggregating
+    df from the full postings per query, and fuzzy queries scan the
+    vocab table instead of re-distincting postings (the batch analog
+    of tantivy's term dictionary, which stores doc_freq per term,
     ref: nidx/nidx_paragraph/src/query_parser/fuzzy_parser.rs)."""
-    return post.select("term").distinct()
+    return post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
 
 
 TERM_BUCKETS = 64
@@ -224,6 +226,7 @@ def bm25_search(
     if prefilter is not None:
         assert post is None and stats is None, "prefilter needs a fresh index"
         assert allowed is None, "pick one: rebuild (prefilter) or served (allowed)"
+        assert vocab is None, "prefilter df must come from the filtered corpus"
         fields = fields.filter(prefilter.to_column())
 
     if post is None:
@@ -263,20 +266,35 @@ def bm25_search(
             F.when(F.col("term").isin(terms), F.lit(1.0)).otherwise(F.lit(0.5)),
         )
     else:
-        matched = (
-            post.sparkSession.createDataFrame([(t,) for t in terms], "term string")
-            .withColumn("boost", F.lit(1.0))
-        )
+        # literal IN predicate lands on the postings scan itself
+        # (batch-stats pruning in the cache / row-group pruning on
+        # parquet), instead of shipping every posting into a join
+        post = post.filter(F.col("term").isin(terms))
+        if vocab is not None:
+            # served path: df from the prebuilt term dictionary —
+            # zero extra postings passes per query
+            matched = vocab.filter(F.col("term").isin(terms)).withColumn(
+                "boost", F.lit(1.0)
+            )
+        else:
+            # rebuild path: df from the (already term-filtered)
+            # postings of this query's corpus
+            matched = (
+                post.groupBy("term")
+                .agg(F.count("*").cast("double").alias("df"))
+                .withColumn("boost", F.lit(1.0))
+            )
 
-    hits = post.join(F.broadcast(matched), "term")
-    dfreq = hits.groupBy("term", "boost").agg(
-        F.count("*").cast("double").alias("df")
-    )
+    if fuzzy:
+        # fuzzy matched terms are not statically known: df rides on
+        # the vocab rows; the broadcast join prunes the postings scan
+        matched = matched.select("term", "df", "boost")
+
     if allowed is not None:
         # served prefilter: restrict candidates AFTER global df/stats
         post = post.join(F.broadcast(allowed), "rid", "semi")
     scored = (
-        post.join(F.broadcast(dfreq), "term")
+        post.join(F.broadcast(matched), "term")
         .join(stats, "rid")
         .crossJoin(F.broadcast(corpus))
         .withColumn(

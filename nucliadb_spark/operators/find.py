@@ -53,6 +53,7 @@ def find(
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
     corpus: DataFrame | None = None,
+    vocab: DataFrame | None = None,
     ann: str = "exact",
     nprobe: int = 2,
 ) -> DataFrame:
@@ -79,6 +80,7 @@ def find(
         post=post if prefilter is None else None,
         stats=stats if prefilter is None else None,
         corpus=corpus if prefilter is None else None,
+        vocab=vocab if prefilter is None else None,
     ).select(F.col("rid").alias("id"), "score")
 
     if ann == "ivf":

@@ -1,0 +1,166 @@
+"""Iterative graph algorithms on DataFrames — driver-side loops of
+narrow join/agg steps, the Spark-native shape for algorithms the
+reference embeds in its graph index (multi-hop traversal beyond the
+bounded self-join, ref nucliadb/src/nucliadb/search/search/
+graph_strategy.py:315-466) and for the transitive-closure step a
+dedup pipeline needs after pair-finding (LSH gives PAIRS; removal
+needs CLUSTERS: A~B, B~C must collapse into one group even when A≁C).
+
+Scale notes (the loop is the plan — each point is load-bearing):
+- every iteration is one shuffle keyed by the frontier/edge key;
+  `localCheckpoint(eager=True)` after each step truncates lineage so
+  iteration N doesn't replay iterations 1..N-1 (and keeps the plan
+  from growing unboundedly);
+- BFS state is (visited, frontier): joins are frontier-sized, not
+  graph-sized — at 100 TB the frontier broadcast-joins against the
+  bucketed edge table while it stays small, and AQE switches to a
+  shuffle join when it grows;
+- label propagation state is one (node, label) row per node; the
+  iteration count is the graph diameter, and near-dup graphs are
+  shallow (dup clusters are cliques-ish), so convergence is fast.
+  For adversarial long-chain graphs, the large-star/small-star
+  variant halves diameter per round; the simple form is kept here
+  because dedup components are tiny and the oracle must stay
+  expressible as a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bfs_reachability(
+    edges: DataFrame,
+    start: str,
+    max_hops: int = 3,
+    src_col: str = "source_value",
+    dst_col: str = "target_value",
+) -> DataFrame:
+    """Directed BFS: (node, hop) for every node reachable from
+    `start` in ≤ max_hops, hop = length of the shortest path.
+
+    Level-synchronous: the frontier of hop h joins the edge table
+    once; an anti-join against the visited set dedups, which also
+    makes first-visit == min-hop.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).distinct()
+    frontier = spark.createDataFrame([(start, 0)], "node string, hop int")
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(F.broadcast(frontier), e["a"] == frontier["node"])
+            .select(F.col("b").alias("node"), F.lit(h).alias("hop"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.orderBy("hop", "node")
+
+
+def bfs_reachability_sql(
+    edges_sql: str,
+    start: str,
+    max_hops: int = 3,
+    src_col: str = "source_value",
+    dst_col: str = "target_value",
+) -> str:
+    """Recursive-CTE twin: UNION-dedup on (node, hop) bounds the
+    expansion; MIN(hop) per node equals BFS first-visit depth."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT {src_col} AS a, {dst_col} AS b FROM ({edges_sql})
+),
+reach(node, hop) AS (
+  SELECT '{start}' AS node, 0 AS hop
+  UNION
+  SELECT e.b, reach.hop + 1
+  FROM reach JOIN e ON e.a = reach.node
+  WHERE reach.hop < {max_hops}
+)
+SELECT node, MIN(hop) AS hop
+FROM reach
+GROUP BY node
+ORDER BY hop, node
+"""
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node in the undirected pair graph;
+    cluster_id = min node id of the component (min-label propagation
+    to fixpoint). The dedup-pipeline step after lsh_pairs/
+    simhash_pairs: keep one doc per cluster_id, drop the rest."""
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(
+        F.col("node").alias("id"), F.col("label").alias("cluster_id")
+    ).orderBy("id")
+
+
+def connected_components_sql(
+    pairs_sql: str, a_col: str = "id_a", b_col: str = "id_b"
+) -> str:
+    """Recursive-CTE twin: per-node reachable set (UNION-dedup
+    terminates on cycles), min reachable id = component label."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+e AS (
+  SELECT {a_col} AS a, {b_col} AS b FROM p
+  UNION
+  SELECT {b_col} AS a, {a_col} AS b FROM p
+),
+reach(src, node) AS (
+  SELECT a AS src, a AS node FROM e GROUP BY a
+  UNION
+  SELECT reach.src, e.b
+  FROM reach JOIN e ON e.a = reach.node
+)
+SELECT src AS id, MIN(node) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY id
+"""

@@ -66,11 +66,10 @@ def suggest_paragraphs(
         "boost",
         F.when(F.col("term").startswith(p), F.lit(1.0)).otherwise(F.lit(FUZZY_BOOST)),
     )
-    dfreq = post.join(F.broadcast(matched), "term").groupBy("term", "boost").agg(
-        F.count("*").cast("double").alias("df")
-    )
+    # df rides on the vocab rows (term dictionary stores doc_freq) —
+    # no per-keystroke postings aggregation
     scored = (
-        post.join(F.broadcast(dfreq), "term")
+        post.join(F.broadcast(matched.select("term", "df", "boost")), "term")
         .join(stats, "rid")
         .crossJoin(F.broadcast(corpus))
         .withColumn(

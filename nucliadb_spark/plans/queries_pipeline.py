@@ -22,7 +22,7 @@ from nucliadb_spark.sources import tpch
     ),
 )
 def find_hybrid(spark, sf_dir):
-    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
 
     post, stats = _text_index(spark, sf_dir)
     return find.find(
@@ -36,6 +36,7 @@ def find_hybrid(spark, sf_dir):
         post=post,
         stats=stats,
         corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
     )
 
 
@@ -58,7 +59,7 @@ def find_hybrid(spark, sf_dir):
     ),
 )
 def find_hybrid_ivf(spark, sf_dir):
-    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
 
     post, stats = _text_index(spark, sf_dir)
     return find.find(
@@ -72,6 +73,7 @@ def find_hybrid_ivf(spark, sf_dir):
         post=post,
         stats=stats,
         corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
         ann="ivf",
         nprobe=2,
     )
@@ -162,7 +164,7 @@ LIMIT 10
 def find_skip_set(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
 
     post, stats = _text_index(spark, sf_dir)
     page = find.find(
@@ -176,6 +178,7 @@ def find_skip_set(spark, sf_dir):
         post=post,
         stats=stats,
         corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
     )
     return (
         page.filter(~F.col("id").isin(_SHOWN))
@@ -210,7 +213,7 @@ _SEM_SQL = knn.exact_knn_sql(
 def combsum_fusion(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
 
     vectors = tpch.vectors(spark, sf_dir)
     qvec = (
@@ -222,6 +225,7 @@ def combsum_fusion(spark, sf_dir):
     keyword = bm25.bm25_search(
         None, "window agg stream", top_k=30,
         post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
     ).select(F.col("rid").alias("id"), "score")
     semantic = knn.exact_knn(vectors, qvec, k=30)
     return fusion.comb_sum(

@@ -42,7 +42,7 @@ def _corpus(sf_dir, stats):
 )
 def bm25_keyword(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
-    return bm25.bm25_search(None, "spark join window", top_k=20, mode="any", post=post, stats=stats, corpus=_corpus(sf_dir, stats))
+    return bm25.bm25_search(None, "spark join window", top_k=20, mode="any", post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post))
 
 
 # --- T1: conjunctive text-index search -----------------------------------
@@ -54,7 +54,7 @@ def bm25_keyword(spark, sf_dir):
 )
 def bm25_conjunctive(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
-    return bm25.bm25_search(None, "vector stream batch", top_k=20, mode="all", post=post, stats=stats, corpus=_corpus(sf_dir, stats))
+    return bm25.bm25_search(None, "vector stream batch", top_k=20, mode="all", post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post))
 
 
 # --- T3: fuzzy query (levenshtein<=1 vocab expansion, 0.5 boost) ---------
@@ -89,7 +89,7 @@ def bm25_ematches(spark, sf_dir):
     # registry boundary (the operator API keeps the array)
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
-        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
+        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post)
     ).withColumn("ematches", F.array_join("ematches", ","))
 
 
@@ -110,7 +110,7 @@ def bm25_ematches(spark, sf_dir):
 def bm25_highlight(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     hits = bm25.bm25_search(
-        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
+        None, "query filter agg", top_k=15, with_ematches=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post)
     )
     return bm25.highlight_offsets(hits, tpch.fields(spark, sf_dir))
 
@@ -157,7 +157,7 @@ def bm25_prefiltered_served(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     allowed = f.filter(_PREFILTER.to_column()).select("rid")
     return bm25.bm25_search(
-        None, "merge sort key", top_k=20, post=post, stats=stats, corpus=_corpus(sf_dir, stats), allowed=allowed
+        None, "merge sort key", top_k=20, post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post), allowed=allowed
     )
 
 
@@ -194,7 +194,7 @@ _SYNS = {"join": ["merge"], "fast": ["quick", "big"]}
 def bm25_synonyms(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
-        None, "fast join", top_k=20, synonyms=_SYNS, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
+        None, "fast join", top_k=20, synonyms=_SYNS, post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post)
     )
 
 
@@ -210,7 +210,7 @@ _STOPQ = "what is the data for a stream"  # → terms: data, stream (last kept)
 def bm25_stop_words(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     return bm25.bm25_search(
-        None, _STOPQ, top_k=20, stop_words=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
+        None, _STOPQ, top_k=20, stop_words=True, post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post)
     )
 
 
@@ -229,7 +229,7 @@ _FALLBACK_Q = "spakr windoq"  # no exact vocabulary hits
 def bm25_fuzzy_fallback(spark, sf_dir):
     post, stats = _text_index(spark, sf_dir)
     exact = bm25.bm25_search(
-        None, _FALLBACK_Q, top_k=20, post=post, stats=stats, corpus=_corpus(sf_dir, stats)
+        None, _FALLBACK_Q, top_k=20, post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post)
     )
     if exact.limit(1).count() > 0:  # pragma: no cover - fixture has no exact hit
         return exact

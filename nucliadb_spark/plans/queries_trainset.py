@@ -248,3 +248,51 @@ def events_rollup(spark, sf_dir):
 def events_percentiles(spark, sf_dir):
     """Exact per-type value percentiles (percentile_cont semantics)."""
     return timeseries.value_percentiles(_events(spark, sf_dir))
+
+
+# --- iterative graph algorithms ---------------------------------------------
+
+
+@register(
+    "graph_reachability",
+    __import__("nucliadb_spark.operators.iterative", fromlist=["x"]).bfs_reachability_sql(
+        tpch.SQL_RELATIONS, "customer:1", max_hops=3
+    ),
+)
+def graph_reachability(spark, sf_dir):
+    """Level-synchronous BFS over the relation triples: every node
+    within 3 hops of customer:1 with its shortest-path depth (the
+    unbounded-traversal analog of graph.two_hop; oracle is a
+    recursive CTE). Ref: search/search/graph_strategy.py:315-466
+    expands hop-by-hop the same way."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators.iterative import bfs_reachability
+
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    return bfs_reachability(rel, "customer:1", max_hops=3)
+
+
+@register(
+    "dedup_clusters",
+    __import__("nucliadb_spark.operators.iterative", fromlist=["x"]).connected_components_sql(
+        "SELECT id_a, id_b FROM (" + dedup.lsh_pairs_sql(
+            dedup.planted_corpus_sql("SELECT doc_id, text FROM documents")
+        ) + ")"
+    ),
+)
+def dedup_clusters(spark, sf_dir):
+    """Transitive closure of the LSH near-dup pairs: (id, cluster_id)
+    with cluster_id = min doc id of the connected component — the
+    keep-one-per-cluster step a dedup pipeline runs after
+    pair-finding. Min-label propagation to fixpoint; oracle is the
+    recursive-CTE reachable-set minimum."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators.iterative import connected_components
+
+    corpus = dedup.planted_corpus(
+        tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    sigs = cached_df(sf_dir, "lsh_sigs", lambda: dedup.minhash_signatures(corpus))
+    shingled = cached_df(sf_dir, "lsh_shingles", lambda: dedup._shingled(corpus, 3))
+    pairs = dedup.lsh_pairs(corpus, sigs=sigs, shingled=shingled)
+    return connected_components(pairs)

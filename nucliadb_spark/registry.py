@@ -72,6 +72,8 @@ PRIORITY: list[str] = [
     "events_asof_join",
     "events_rollup",
     "events_percentiles",
+    "graph_reachability",
+    "dedup_clusters",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

@@ -83,3 +83,26 @@ def test_stratified_sample_deterministic(spark):
     en = sum(1 for d in a if d % 2)
     zh = len(a) - en
     assert 30 <= en <= 70 and 0 <= zh <= 25  # rates roughly honored
+
+
+def test_connected_components_transitive_chain(spark):
+    # A~B, B~C, D~E: two components even though A≁C directly
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    from nucliadb_spark.operators.iterative import connected_components
+
+    out = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_bfs_min_hop(spark):
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("s", "b")],
+        "source_value string, target_value string",
+    )
+    from nucliadb_spark.operators.iterative import bfs_reachability
+
+    out = {r["node"]: r["hop"] for r in bfs_reachability(edges, "s", max_hops=3).collect()}
+    # b is reachable via a (2 hops) AND directly (1 hop) → min wins
+    assert out == {"s": 0, "a": 1, "b": 1, "c": 2}
