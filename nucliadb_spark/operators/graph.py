@@ -298,7 +298,10 @@ def two_hop(
     a = relations.filter(start.to_column()).alias("a")
     b = relations.alias("b")
     return (
-        a.join(b, F.col("a.target_value") == F.col("b.source_value"))
+        # broadcast the SELECTIVE first hop, not the full edge table —
+        # without the hint the planner sees both sides under the
+        # autoBroadcast threshold and may build the 10^6-row side
+        F.broadcast(a).join(b, F.col("a.target_value") == F.col("b.source_value"))
         .select(
             F.col("a.source_value").alias("start_value"),
             F.col("a.relation_label").alias("hop1"),

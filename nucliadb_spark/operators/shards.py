@@ -1,0 +1,113 @@
+"""Shard management: rollover re-sharding + validation (SURVEY §2.1
+S-layer ops; ref nucliadb/src/nucliadb/common/cluster/rollover.py —
+create_rollover_shards:110, index_to_rollover_index:234,
+cutover_shards:408, validate_indexed_data:459 — and rebalance.py).
+
+The reference rolls a KB over to a fresh shard layout by re-indexing
+every resource into new shards, cutting over, then validating counts.
+The Spark-first analog of a "shard" is a partition directory keyed by
+a deterministic routing hash; rollover is one repartition-by-routing
+write, cutover is a path swap, and validation is a count/assignment
+audit — all expressible as plain aggregations:
+
+- routing is the portable md5 bucket (functions/text.md5_int60), so
+  any engine (and the oracle) computes the identical placement;
+- the movement plan (old_shard → new_shard matrix) is one groupBy —
+  at 100 TB this is the map of how much data each executor pair
+  ships, which is exactly what you review before running a rollover;
+- `write_sharded` materializes the new layout partitioned by shard:
+  partition pruning then serves per-shard queries (kbid/shard is the
+  leading partition key, SCALE.md table layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nucliadb_spark.functions.text import md5_int60, md5_int60_sql
+
+
+def shard_of(col, n_shards: int, epoch: int = 0):
+    """Deterministic routing: md5-bucket of the rid, salted by the
+    layout epoch so consecutive layouts decorrelate (a plain mod
+    re-shard moves ~100% of rows; decorrelated hashing moves the
+    unavoidable (1 - 1/n_new) fraction but never systematically)."""
+    return (md5_int60(col.cast("string"), salt=f"shard{epoch}:") % n_shards).cast(
+        "int"
+    )
+
+
+def shard_of_sql(expr: str, n_shards: int, epoch: int = 0) -> str:
+    return (
+        f"CAST({md5_int60_sql(f'CAST({expr} AS VARCHAR)', salt=f'shard{epoch}:')}"
+        f" % {n_shards} AS INT)"
+    )
+
+
+def rollover_plan(
+    resources: DataFrame,
+    n_old: int,
+    n_new: int,
+    id_col: str = "rid",
+) -> DataFrame:
+    """(old_shard, new_shard, n_resources) movement matrix for
+    rolling the corpus from an n_old-shard layout (epoch 0) to an
+    n_new-shard layout (epoch 1). One narrow projection + one
+    groupBy; map-side partial aggregation collapses each input
+    partition to ≤ n_old·n_new rows before the shuffle."""
+    rid = F.col(id_col)
+    return (
+        resources.select(
+            shard_of(rid, n_old, epoch=0).alias("old_shard"),
+            shard_of(rid, n_new, epoch=1).alias("new_shard"),
+        )
+        .groupBy("old_shard", "new_shard")
+        .agg(F.count("*").cast("long").alias("n_resources"))
+        .orderBy("old_shard", "new_shard")
+    )
+
+
+def rollover_plan_sql(
+    resources_sql: str, n_old: int, n_new: int, id_col: str = "rid"
+) -> str:
+    return f"""
+SELECT {shard_of_sql(id_col, n_old, epoch=0)} AS old_shard,
+       {shard_of_sql(id_col, n_new, epoch=1)} AS new_shard,
+       COUNT(*) AS n_resources
+FROM ({resources_sql})
+GROUP BY 1, 2
+ORDER BY old_shard, new_shard
+"""
+
+
+def write_sharded(
+    df: DataFrame, path: str, n_shards: int, id_col: str = "rid", epoch: int = 1
+) -> None:
+    """Materialize the rollover target layout: parquet partitioned by
+    the routing shard (the index_to_rollover_index bulk phase as one
+    partitioned write). Readers prune to single shards via the
+    partition column."""
+    df.withColumn("shard", shard_of(F.col(id_col), n_shards, epoch=epoch)).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)
+
+
+def read_sharded(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def validate_rollover(old: DataFrame, new: DataFrame, id_col: str = "rid") -> dict:
+    """The validate_indexed_data:459 analog: every source row landed
+    in the new layout exactly once, none invented. Two anti-joins +
+    a dup check — returns counts (all must be zero except n)."""
+    missing = old.select(id_col).join(new.select(id_col), id_col, "left_anti").count()
+    invented = new.select(id_col).join(old.select(id_col), id_col, "left_anti").count()
+    dups = (
+        new.groupBy(id_col).count().filter(F.col("count") > 1).count()
+    )
+    return {
+        "n": old.count(),
+        "missing": missing,
+        "invented": invented,
+        "duplicated": dups,
+    }

