@@ -44,6 +44,10 @@ HEADLINE = [
     "find_hybrid_ivf",
     "bm25_prefiltered_served",
     "dedup_minhash_lsh",
+    # round 3: as-of attribution over the events stream + the
+    # one-shuffle clean-corpus composition
+    "events_asof_join",
+    "pipeline_clean_corpus",
 ]
 
 
