@@ -111,3 +111,53 @@ def validate_rollover(old: DataFrame, new: DataFrame, id_col: str = "rid") -> di
         "invented": invented,
         "duplicated": dups,
     }
+
+
+def shard_sizes(
+    resources: DataFrame, n_shards: int, id_col: str = "rid", epoch: int = 0
+) -> DataFrame:
+    """(shard, n_resources) for the current layout — the input the
+    rebalancer reviews (ref rebalance.py:70 get_rebalance_shards)."""
+    return (
+        resources.select(shard_of(F.col(id_col), n_shards, epoch=epoch).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_resources"))
+        .orderBy("shard")
+    )
+
+
+def rebalance_moves(sizes: dict[int, int]) -> list[tuple[int, int, int]]:
+    """Greedy move plan (from_shard, to_shard, n) evening shard sizes
+    to within ±1 of the mean — the planner half of the reference's
+    rebalance loop (rebalance.py:147-180 moves resources from shards
+    over the size threshold into the smallest shards). Pure scalar
+    planning on per-shard counts: runs on the driver by design, like
+    every planner rule."""
+    if not sizes:
+        return []
+    total = sum(sizes.values())
+    n = len(sizes)
+    base, extra = divmod(total, n)
+    # targets: `extra` shards (lowest ids, deterministic) get base+1
+    targets = {
+        s: base + (1 if i < extra else 0)
+        for i, s in enumerate(sorted(sizes))
+    }
+    donors = [(s, sizes[s] - targets[s]) for s in sorted(sizes) if sizes[s] > targets[s]]
+    takers = [(s, targets[s] - sizes[s]) for s in sorted(sizes) if sizes[s] < targets[s]]
+    moves: list[tuple[int, int, int]] = []
+    di = ti = 0
+    while di < len(donors) and ti < len(takers):
+        d, dn = donors[di]
+        t, tn = takers[ti]
+        m = min(dn, tn)
+        moves.append((d, t, m))
+        dn -= m
+        tn -= m
+        donors[di] = (d, dn)
+        takers[ti] = (t, tn)
+        if dn == 0:
+            di += 1
+        if tn == 0:
+            ti += 1
+    return moves

@@ -93,3 +93,97 @@ def summarize_stub(spark, sf_dir):
     return summarize.summarize_fields(
         tpch.fields(spark, sf_dir), _SUM_RIDS, kind="simple"
     )
+
+
+# --- legacy /search: separate per-index result sets in ONE response --------
+# ref: nucliadb/src/nucliadb/search/api/v1/search.py +
+# nucliadb_models/search.py:289-296 KnowledgeboxSearchResults
+# (sentences = vector index, paragraphs = paragraph index,
+# fulltext = document index — each its own ranked list, NOT fused).
+
+_LS_Q = "window shuffle"
+_LS_VEC = 3
+
+
+def _legacy_search_sql() -> str:
+    from nucliadb_spark.operators import bm25, knn
+
+    para = (
+        "SELECT 'paragraphs' AS result_type, rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            f"SELECT paragraph_id AS rid, text FROM ({tpch.SQL_PARAGRAPHS}) pp",
+            _LS_Q,
+            top_k=10,
+        )
+        + ")"
+    )
+    full = (
+        "SELECT 'fulltext' AS result_type, CAST(rid AS VARCHAR) AS id, score FROM ("
+        + bm25.bm25_sql(tpch.SQL_FIELDS, _LS_Q, top_k=10)
+        + ")"
+    )
+    sent = (
+        "SELECT 'sentences' AS result_type, CAST(id AS VARCHAR) AS id, score FROM ("
+        + knn.exact_knn_sql(
+            tpch.SQL_VECTORS,
+            f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_LS_VEC}",
+            64,
+            k=10,
+        )
+        + ")"
+    )
+    return (
+        f"{para}\nUNION ALL\n{full}\nUNION ALL\n{sent}\n"
+        "ORDER BY result_type, score DESC, id"
+    )
+
+
+@register("legacy_search", _legacy_search_sql())
+def legacy_search(spark, sf_dir):
+    """Legacy /search: each index's top-10 as its own result set,
+    distinguished by result_type (the response sections of
+    KnowledgeboxSearchResults) — union of three independent
+    TakeOrdered DAGs, no fusion."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25, knn
+    from nucliadb_spark.plans.queries_text import (
+        _corpus,
+        _paragraph_index,
+        _text_index,
+        _vocab,
+    )
+    from nucliadb_spark.plans.queries_vector import _query_df, _vectors
+
+    ppost, pstats, pcorpus = _paragraph_index(spark, sf_dir)
+    para = bm25.bm25_search(
+        None, _LS_Q, top_k=10, post=ppost, stats=pstats, corpus=pcorpus
+    ).select(
+        F.lit("paragraphs").alias("result_type"),
+        F.col("rid").cast("string").alias("id"),
+        "score",
+    )
+    post, stats = _text_index(spark, sf_dir)
+    full = bm25.bm25_search(
+        None, _LS_Q, top_k=10, post=post, stats=stats,
+        corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post),
+    ).select(
+        F.lit("fulltext").alias("result_type"),
+        F.col("rid").cast("string").alias("id"),
+        "score",
+    )
+    qv = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _LS_VEC)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    sent = knn.exact_knn(tpch.vectors(spark, sf_dir), qv, k=10).select(
+        F.lit("sentences").alias("result_type"),
+        F.col("id").cast("string").alias("id"),
+        "score",
+    )
+    return (
+        para.unionByName(full)
+        .unionByName(sent)
+        .orderBy("result_type", F.col("score").desc(), "id")
+    )

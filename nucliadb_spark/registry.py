@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "graph_reachability",
     "dedup_clusters",
     "shard_rollover_plan",
+    "legacy_search",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

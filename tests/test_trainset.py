@@ -124,3 +124,37 @@ def test_rollover_roundtrip(spark, sf_dir, tmp_path):
     one = spark.read.parquet(path).filter("shard = 3")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() > 0
+
+
+def test_rebalance_moves_invariants():
+    from nucliadb_spark.operators.shards import rebalance_moves
+
+    sizes = {0: 100, 1: 10, 2: 55, 3: 3, 4: 32}
+    moves = rebalance_moves(dict(sizes))
+    after = dict(sizes)
+    for frm, to, n in moves:
+        assert n > 0 and frm != to
+        after[frm] -= n
+        after[to] += n
+    assert sum(after.values()) == sum(sizes.values())  # conservation
+    assert max(after.values()) - min(after.values()) <= 1  # balanced
+    assert rebalance_moves(dict(sizes)) == moves  # deterministic
+    assert rebalance_moves({0: 5, 1: 5}) == []  # already balanced
+
+
+def test_shard_sizes_matches_rollover_plan(spark, sf_dir):
+    from nucliadb_spark.operators import shards
+    from nucliadb_spark.sources import tpch
+
+    res = tpch.resources(spark, sf_dir).select("rid")
+    sizes = {
+        r["shard"]: r["n_resources"]
+        for r in shards.shard_sizes(res, 4, epoch=0).collect()
+    }
+    plan = shards.rollover_plan(res, n_old=4, n_new=6).collect()
+    from collections import defaultdict
+
+    by_old = defaultdict(int)
+    for r in plan:
+        by_old[r["old_shard"]] += r["n_resources"]
+    assert dict(by_old) == sizes  # the movement matrix partitions each old shard
