@@ -1,0 +1,118 @@
+"""Physical-plan shape guards for the hot paths — the properties that
+make these operators survive 100×, asserted on the executed plan so a
+regression (wrong broadcast side, lost pushdown, extra shuffle) fails
+a test instead of a benchmark.
+
+String-matching on plans is inherently approximate; each assertion
+targets one load-bearing marker, not the whole plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_bm25_served_pushes_term_filter(spark, sf_dir):
+    """Non-fuzzy serving must land the literal term IN (...) predicate
+    on the postings scan itself, not only inside a join."""
+    from nucliadb_spark.operators import bm25
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    post, stats = _text_index(spark, sf_dir)
+    df = bm25.bm25_search(
+        None, "spark join window", top_k=20, mode="any",
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )
+    plan = _plan(df)
+    scans = [
+        ln for ln in plan.splitlines()
+        if "InMemoryTableScan" in ln and "term#" in ln and " IN (" in ln
+    ]
+    assert scans, f"no term-IN predicate on a postings scan:\n{plan[:2000]}"
+
+
+def test_two_hop_broadcasts_filtered_side(spark, sf_dir):
+    """The selective first hop must be the broadcast build side; the
+    full edge table must stream (regression: the planner used to
+    build the 10^6-row side)."""
+    from nucliadb_spark.operators import filters as fx
+    from nucliadb_spark.operators import graph as G
+    from nucliadb_spark.sources import tpch
+
+    start = fx.And(
+        [G.Node("customer:12", side="source", kind="full"), G.Relation("PLACED")]
+    )
+    df = G.two_hop(tpch.relations(spark, sf_dir), start, top_k=100)
+    plan = _plan(df)
+    # the build (broadcast) subtree must contain the start filter
+    m = re.search(r"BroadcastExchange(.*)", plan, re.S)
+    assert m and "customer:12" in m.group(1), plan[:2000]
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """As-of = union + one window pass: exactly one hash-partitioning
+    exchange (by user), never a range-join explosion."""
+    from nucliadb_spark.operators.timeseries import asof_join
+    from nucliadb_spark.sources import tpch
+
+    df = asof_join(tpch.table(spark, sf_dir, "events"))
+    plan = _plan(df)
+    assert _n_shuffles(plan) == 1, plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_rollup_single_aggregation_pass(spark, sf_dir):
+    """Multi-grain rollup: one Expand + one shuffle, with map-side
+    partial aggregation."""
+    from nucliadb_spark.operators.timeseries import rollup_counts
+    from nucliadb_spark.sources import tpch
+
+    plan = _plan(rollup_counts(tpch.table(spark, sf_dir, "events")))
+    assert plan.count("Expand") >= 1
+    assert _n_shuffles(plan) == 1, plan[:2000]
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_clean_corpus_single_shuffle(spark, sf_dir):
+    """Fingerprint + quality features are per-row; the only wide op
+    is the MIN window keyed by fingerprint."""
+    from nucliadb_spark import registry
+
+    df = registry.queries()["pipeline_clean_corpus"](spark, sf_dir)
+    plan = _plan(df)
+    assert _n_shuffles(plan) == 1, plan[:2000]
+
+
+def test_token_classification_shuffle_free(spark, sf_dir):
+    from nucliadb_spark.operators.trainset import token_classification
+    from nucliadb_spark.sources import tpch
+
+    df = token_classification(tpch.fields(spark, sf_dir))
+    plan = _plan(df)
+    assert _n_shuffles(plan) == 0, plan[:2000]
+    assert "Generate" not in plan  # no explode: per-row array transform
+
+
+def test_graph_leg_pushes_source_filter(spark, sf_dir):
+    """find()'s graph leg must push source IN (...) into the parquet
+    scan (PushedFilters), not filter post-scan."""
+    from nucliadb_spark.sources import tpch
+
+    df = (
+        tpch.fields(spark, sf_dir)
+        .filter(F.col("source").isin(["src3", "src11"]))
+        .select("rid")
+    )
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*In\(source", plan), plan[:1500]
