@@ -44,22 +44,34 @@ def bfs_reachability(
     makes first-visit == min-hop.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).distinct()
+    # the deduped edge table is touched once per hop: persist it so
+    # only hop 1 pays the distinct shuffle (it unpersists on return)
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .persist()
+    )
     frontier = spark.createDataFrame([(start, 0)], "node string, hop int")
     visited = frontier
-    for h in range(1, max_hops + 1):
-        nxt = (
-            e.join(F.broadcast(frontier), e["a"] == frontier["node"])
-            .select(F.col("b").alias("node"), F.lit(h).alias("hop"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if not nxt.take(1):
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited.orderBy("hop", "node")
+    try:
+        for h in range(1, max_hops + 1):
+            # frontier/visited are small (node sets): eager checkpoint
+            # both truncates lineage AND prevents recomputation of
+            # earlier hops by take(1)/union/next-join
+            nxt = (
+                e.join(F.broadcast(frontier), e["a"] == frontier["node"])
+                .select(F.col("b").alias("node"), F.lit(h).alias("hop"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not nxt.take(1):
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited.orderBy("hop", "node")
+    finally:
+        e.unpersist()
 
 
 def bfs_reachability_sql(
