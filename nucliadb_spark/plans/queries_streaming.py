@@ -66,3 +66,18 @@ def stream_sessionization(spark, sf_dir):
     # a full availableNow drain equals the batch gap-sessionization,
     # so it shares the batch oracle
     return ingest.sessionize_stream(spark, sf_dir)
+
+
+@register("stream_sliding_counts", ingest.sliding_event_counts_sql())
+def stream_sliding_counts(spark, sf_dir):
+    """Hopping 1h/30m windows via a real availableNow streaming run;
+    the oracle enumerates the covering epoch-aligned window starts."""
+    return ingest.sliding_event_counts(spark, sf_dir)
+
+
+@register("stream_session_window", ingest.session_window_counts_sql())
+def stream_session_window(spark, sf_dir):
+    """Built-in session_window streaming sessionization (merging
+    window state store) — declarative twin of the
+    applyInPandasWithState sessionizer, same batch oracle."""
+    return ingest.session_window_counts(spark, sf_dir)

@@ -76,6 +76,8 @@ PRIORITY: list[str] = [
     "dedup_clusters",
     "shard_rollover_plan",
     "legacy_search",
+    "stream_sliding_counts",
+    "stream_session_window",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

@@ -583,3 +583,130 @@ FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+
+# --- sliding (hopping) windows + built-in session windows -------------------
+# §2.12 depth: tumbling windows above; these cover the other two
+# window kinds Structured Streaming supports. Both run as real
+# availableNow streaming jobs (batch-equivalent drain) so the oracle
+# can check them.
+
+
+def sliding_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = 3600,
+    slide_s: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hopping-window counts/sums: each event lands in
+    window_s/slide_s overlapping windows. State per key is bounded by
+    the watermark horizon × overlap factor."""
+    name = f"slide_{uuid.uuid4().hex[:10]}"
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    agg = (
+        _events_stream(spark, arrival, schema)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_s} seconds", f"{slide_s} seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT w.start AS window_start, event_type, n_events, total_value
+        FROM {name}
+        ORDER BY window_start, event_type
+        """
+    )
+
+
+def sliding_event_counts_sql(window_s: int = 3600, slide_s: int = 1800) -> str:
+    """Batch twin: enumerate the covering window starts per event
+    (slots are epoch-aligned, exactly Spark's window() alignment)."""
+    return f"""
+SELECT make_timestamp(slot * {slide_s} * 1000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4)::DOUBLE AS total_value
+FROM (
+  SELECT e.*,
+         unnest(range(
+           CAST(floor((epoch(ts) - {window_s}) / {slide_s}) + 1 AS BIGINT),
+           CAST(floor(epoch(ts) / {slide_s}) AS BIGINT) + 1
+         )) AS slot
+  FROM events e
+)
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def session_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user gap sessions via the BUILT-IN session_window operator
+    (merging-window state store) — the declarative twin of the
+    applyInPandasWithState sessionizer above; both equal the batch
+    lag/sum oracle. Session end = last event + gap (Spark's
+    convention), oracle adds the gap to MAX(ts)."""
+    name = f"sw_{uuid.uuid4().hex[:10]}"
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    agg = (
+        _events_stream(spark, arrival, schema)
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT user_id, w.start AS session_start, w.end AS session_end, n_events
+        FROM {name}
+        ORDER BY user_id, session_start
+        """
+    )
+
+
+def session_window_counts_sql(gap_minutes: int = 30) -> str:
+    return f"""
+SELECT user_id, session_start,
+       session_end + INTERVAL {gap_minutes} MINUTE AS session_end,
+       n_events
+FROM ({sessionize_sql(gap_minutes)})
+ORDER BY user_id, session_start
+"""
