@@ -557,3 +557,34 @@ def rag_metadata_extension(spark, sf_dir):
         rel,
         ["origin", "classification_labels", "ner"],
     )
+
+
+# --- with_duplicates=false: repeat-flag filter over the served index ------
+# ref: nidx/nidx_paragraph/src/search_query.rs:218-223 — a Must term
+# on the index-time repeated_in_field flag; corpus stats stay global.
+
+
+@register(
+    "paragraph_search_no_dups",
+    "SELECT rid AS paragraph_id, score FROM ("
+    + bm25.bm25_sql(
+        f"SELECT paragraph_id AS rid, text, repeated_in_field FROM ({tpch.SQL_PARAGRAPHS_FLAGGED}) pf",
+        "window shuffle",
+        top_k=20,
+        served_where="repeated_in_field = 0",
+    )
+    + ")",
+)
+def paragraph_search_no_dups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    post, stats, corpus = _paragraph_index(spark, sf_dir)
+    allowed = (
+        tpch.paragraphs_flagged(spark, sf_dir)
+        .filter(F.col("repeated_in_field") == 0)
+        .select(F.col("paragraph_id").alias("rid"))
+    )
+    return bm25.bm25_search(
+        None, "window shuffle", top_k=20,
+        post=post, stats=stats, corpus=corpus, allowed=allowed,
+    ).select(F.col("rid").alias("paragraph_id"), "score")

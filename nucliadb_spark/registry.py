@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "legacy_search",
     "stream_sliding_counts",
     "stream_session_window",
+    "paragraph_search_no_dups",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

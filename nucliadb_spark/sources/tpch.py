@@ -417,3 +417,30 @@ SELECT
   NULL
 FROM orders
 """
+
+
+def flag_repeats(paragraphs_df: DataFrame) -> DataFrame:
+    """Add `repeated_in_field`: 0 for the first occurrence of a text
+    within its resource, 1 for subsequent identical windows — the
+    index-time repeat flag tantivy stores per paragraph and the
+    `with_duplicates=false` query filters on
+    (nidx/nidx_paragraph/src/search_query.rs:218-223)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rid", "text").orderBy("start")
+    return paragraphs_df.withColumn(
+        "repeated_in_field",
+        (F.row_number().over(w) > 1).cast("int"),
+    )
+
+
+def paragraphs_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flag_repeats(paragraphs(spark, sf_dir))
+
+
+SQL_PARAGRAPHS_FLAGGED = f"""
+SELECT *,
+       CASE WHEN ROW_NUMBER() OVER (PARTITION BY rid, text ORDER BY start) > 1
+            THEN 1 ELSE 0 END AS repeated_in_field
+FROM ({SQL_PARAGRAPHS})
+"""

@@ -158,3 +158,20 @@ def test_shard_sizes_matches_rollover_plan(spark, sf_dir):
     for r in plan:
         by_old[r["old_shard"]] += r["n_resources"]
     assert dict(by_old) == sizes  # the movement matrix partitions each old shard
+
+
+def test_repeated_in_field_flag(spark):
+    # synthetic paragraphs with an exact within-rid repeat
+    rows = [
+        Row(rid=1, paragraph_id="1/0-5", start=0, end=5, text="hello", kind="TITLE"),
+        Row(rid=1, paragraph_id="1/5-10", start=5, end=10, text="hello", kind="TEXT"),
+        Row(rid=1, paragraph_id="1/10-15", start=10, end=15, text="world", kind="TEXT"),
+        Row(rid=2, paragraph_id="2/0-5", start=0, end=5, text="hello", kind="TITLE"),
+    ]
+    from nucliadb_spark.sources.tpch import flag_repeats
+
+    flagged = flag_repeats(spark.createDataFrame(rows))
+    out = {r["paragraph_id"]: r["repeated_in_field"] for r in flagged.collect()}
+    # first occurrence per (rid, text) keeps 0; the within-rid repeat
+    # is flagged; the same text in ANOTHER rid is NOT a repeat
+    assert out == {"1/0-5": 0, "1/5-10": 1, "1/10-15": 0, "2/0-5": 0}
