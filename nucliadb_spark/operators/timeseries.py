@@ -25,12 +25,15 @@ def asof_join(
     left_type: str = "purchase",
     right_type: str = "click",
     key: str = "user_id",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For every `left_type` event, the most recent strictly-prior
     `right_type` event by the same key.
 
     (event_id, user_id, ts, click_event_id, gap_us) — gap_us NULL when
-    no prior right event exists (left join semantics).
+    no prior right event exists (left join semantics). tolerance_us
+    (pandas merge_asof-style): a prior match further back than the
+    tolerance is treated as no match.
 
     Plan: filter to the two types (pushed to the scan), tag the right
     stream's id/ts into nullable columns, then one
@@ -61,19 +64,20 @@ def asof_join(
         F.last("_rid", ignorenulls=True).over(w).alias("right_event_id"),
         F.last("_rts", ignorenulls=True).over(w).alias("_prev_rts"),
     )
-    return (
-        out.filter(F.col("event_type") == left_type)
-        .select(
+    gap = (F.unix_micros("ts") - F.unix_micros("_prev_rts")).cast("long")
+    res = out.filter(F.col("event_type") == left_type).select(
+        "event_id", key, "ts", "right_event_id", gap.alias("gap_us")
+    )
+    if tolerance_us is not None:
+        in_tol = F.col("gap_us") <= tolerance_us
+        res = res.select(
             "event_id",
             key,
             "ts",
-            "right_event_id",
-            (F.unix_micros("ts") - F.unix_micros("_prev_rts"))
-            .cast("long")
-            .alias("gap_us"),
+            F.when(in_tol, F.col("right_event_id")).alias("right_event_id"),
+            F.when(in_tol, F.col("gap_us")).alias("gap_us"),
         )
-        .orderBy("event_id")
-    )
+    return res.orderBy("event_id")
 
 
 def asof_join_sql(

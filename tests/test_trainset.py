@@ -175,3 +175,19 @@ def test_repeated_in_field_flag(spark):
     # first occurrence per (rid, text) keeps 0; the within-rid repeat
     # is flagged; the same text in ANOTHER rid is NOT a repeat
     assert out == {"1/0-5": 0, "1/5-10": 1, "1/10-15": 0, "2/0-5": 0}
+
+
+def test_asof_join_tolerance(spark):
+    rows = [
+        Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1, event_type="click", value=1.0),
+        Row(event_id=2, ts=_ts("2024-01-01 12:00:00"), user_id=1, event_type="purchase", value=9.0),
+        Row(event_id=3, ts=_ts("2024-01-01 12:30:00"), user_id=1, event_type="purchase", value=9.0),
+    ]
+    out = {
+        r["event_id"]: r["right_event_id"]
+        for r in timeseries.asof_join(
+            spark.createDataFrame(rows), tolerance_us=120 * 60 * 1_000_000
+        ).collect()
+    }
+    assert out[2] == 1  # exactly 2h back: tolerance is inclusive
+    assert out[3] is None  # 2.5h back: match dropped by tolerance
