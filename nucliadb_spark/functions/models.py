@@ -70,3 +70,21 @@ def stub_reranker_sql(query_lit: str, text_expr: str) -> str:
 def embed_column(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return stub_embedding(c)
+
+
+# --- detected entities (the /predict detect-entities boundary) --------------
+# ref: nucliadb/src/nucliadb/search/search/query_parser/fetcher.py:238-257
+# (get_detected_entities → Predict NER); the RELATIONS feature feeds
+# them to the graph index as entry points. Deterministic stub: the
+# graph's node-id grammar (`<subtype>:<id>`) recognized in the query
+# string, driver-side (query parsing is driver-side in the reference
+# too).
+
+import re as _re
+
+_ENTITY_RE = _re.compile(r"\b(customer|order|part|supplier):\d+\b")
+
+
+def detect_entity_values_py(query: str) -> list[str]:
+    """Full node values ("part:17") detected in the query text."""
+    return sorted({m.group(0) for m in _ENTITY_RE.finditer(query)})

@@ -96,22 +96,32 @@ class Not(Expr):
 class Facet(Expr):
     """Label/facet path filter with hierarchical prefix semantics.
 
+    Accepts either system paths ("/l/...") or query aliases
+    ("/classification.labels/...") — aliases translate at compile time
+    (functions/labels.py, ref nucliadb_models/labels.py:61-67).
+
     ref: filters.py `Label`, search_query.rs facet term queries.
     """
 
     facet: str
     column: str = "labels"
 
+    def _system(self) -> str:
+        from nucliadb_spark.functions.labels import translate_alias_to_system_label
+
+        return translate_alias_to_system_label(self.facet)
+
     def to_column(self) -> Column:
-        f_ = self.facet
+        f_ = self._system()
         return F.exists(
             F.col(self.column),
             lambda l: (l == F.lit(f_)) | l.startswith(f_ + "/"),
         )
 
     def to_sql(self) -> str:
-        q = _sql_quote(self.facet)
-        qp = _sql_quote(self.facet + "/")
+        f_ = self._system()
+        q = _sql_quote(f_)
+        qp = _sql_quote(f_ + "/")
         return (
             f"len(list_filter({self.column}, "
             f"l -> l = {q} OR starts_with(l, {qp}))) > 0"

@@ -187,3 +187,106 @@ def legacy_search(spark, sf_dir):
         .unionByName(sent)
         .orderBy("result_type", F.col("score").desc(), "id")
     )
+
+
+# --- label alias translation (planner rule) --------------------------------
+# ref: nucliadb_models/labels.py:39-67 — the Spark side filters with
+# the ALIAS path; the oracle is hand-written against the SYSTEM path,
+# proving the translation (not just internal consistency).
+
+
+@register(
+    "catalog_filter_alias",
+    f"""
+WITH resources AS ({tpch.SQL_RESOURCES})
+SELECT status, COUNT(*) AS n
+FROM resources
+WHERE len(list_filter(labels,
+      l -> l = '/n/s/PROCESSED' OR starts_with(l, '/n/s/PROCESSED/'))) > 0
+GROUP BY status ORDER BY status
+""",
+)
+def catalog_filter_alias(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators.filters import Facet
+
+    res = tpch.resources(spark, sf_dir)
+    return (
+        res.filter(Facet("/metadata.status/PROCESSED").to_column())
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
+# --- RELATIONS feature: detected entities feed the graph leg ---------------
+# ref: fetcher.py:238-257 get_detected_entities (Predict NER) +
+# find's relations source: entity entry points → triples with
+# paragraph provenance → text blocks at score 1.0, fused via RRF.
+
+_REL_Q = "spark shuffle partition part:3 part:17"
+
+
+def _relations_feature_sql() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import bm25, fusion
+
+    ents = detect_entity_values_py(_REL_Q)
+    lst = ", ".join(f"'{e}'" for e in ents)
+    kw = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(tpch.SQL_FIELDS, "spark shuffle partition", top_k=50)
+        + ")"
+    )
+    graph = f"""
+SELECT DISTINCT CAST(string_split(r.paragraph_id, '/')[1] AS BIGINT) AS id,
+       1.0::DOUBLE AS score
+FROM ({tpch.SQL_RELATIONS}) r
+WHERE (r.source_value IN ({lst}) OR r.target_value IN ({lst}))
+  AND r.paragraph_id IS NOT NULL
+"""
+    rrf = fusion.rrf_sql({"keyword": kw, "graph": graph}, top_k=10)
+    return (
+        "SELECT id, score, array_to_string(matched_sources, ',') AS matched_sources "
+        f"FROM ({rrf})"
+    )
+
+
+@register("find_relations_feature", _relations_feature_sql())
+def find_relations_feature(spark, sf_dir):
+    """find() with the RELATIONS feature: NER-detected entity nodes
+    become graph entry points; their provenance paragraphs join the
+    fusion at constant score 1.0 (ref retrieval.py graph source +
+    fetcher.py detected entities)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import bm25, fusion
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    ents = detect_entity_values_py(_REL_Q)
+    post, stats = _text_index(spark, sf_dir)
+    keyword = bm25.bm25_search(
+        None, "spark shuffle partition", top_k=50,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    ).select(F.col("rid").alias("id"), "score")
+
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    graph = (
+        rel.filter(
+            (F.col("source_value").isin(ents) | F.col("target_value").isin(ents))
+            & F.col("paragraph_id").isNotNull()
+        )
+        .select(
+            F.split("paragraph_id", "/").getItem(0).cast("long").alias("id"),
+            F.lit(1.0).alias("score"),
+        )
+        .distinct()
+    )
+    fused = fusion.rrf({"keyword": keyword, "graph": graph}, top_k=10)
+    return fused.select(
+        "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
+    )

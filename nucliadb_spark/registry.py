@@ -79,6 +79,8 @@ PRIORITY: list[str] = [
     "stream_sliding_counts",
     "stream_session_window",
     "paragraph_search_no_dups",
+    "catalog_filter_alias",
+    "find_relations_feature",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

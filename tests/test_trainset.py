@@ -191,3 +191,26 @@ def test_asof_join_tolerance(spark):
     }
     assert out[2] == 1  # exactly 2h back: tolerance is inclusive
     assert out[3] is None  # 2.5h back: match dropped by tolerance
+
+
+def test_label_alias_translation():
+    from nucliadb_spark.functions.labels import (
+        translate_alias_to_system_label,
+        translate_system_to_alias_label,
+    )
+
+    assert translate_alias_to_system_label("/classification.labels/type/x") == "/l/type/x"
+    assert translate_alias_to_system_label("/metadata.status/PROCESSED") == "/n/s/PROCESSED"
+    assert translate_alias_to_system_label("/l/already/system") == "/l/already/system"
+    assert translate_system_to_alias_label("/n/s/PROCESSED") == "/metadata.status/PROCESSED"
+    assert translate_system_to_alias_label("/l/type/x") == "/classification.labels/type/x"
+
+
+def test_detect_entities_stub():
+    from nucliadb_spark.functions.models import detect_entity_values_py
+
+    assert detect_entity_values_py("spark part:3 and part:17 supplier:5x order:") == [
+        "part:17",
+        "part:3",
+    ]
+    assert detect_entity_values_py("no entities here") == []
