@@ -1,0 +1,97 @@
+"""Large-corpus probe: generate a deterministic word-soup corpus well
+beyond the driver's sf0.1 (default 500k docs ≈ 1000× sf0.001, 60M
+tokens, plus 500k dim-64 vectors), build the serving indexes once,
+and time the hot query paths. Records the evidence behind SCALE.md's
+"Measured scaling" table — run:  python scripts/scale_probe.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from nucliadb_spark.operators import ann as ann_ops
+from nucliadb_spark.operators import bm25, knn
+from nucliadb_spark.session import get_session
+
+VOCAB = (
+    "the a spark query row data table scan merge part window small hash join "
+    "order batch stream dup filter customer line value agg sort column key big "
+    "slow fast group supplier shuffle partition spill cache index vector graph "
+    "facet token"
+).split()
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    spark = get_session("scale-probe")
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("rid"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (F.pmod(F.xxhash64("id"), F.lit(100)) + 60).cast("int")),
+                lambda i: F.element_at(
+                    vocab, (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(VOCAB))) + 1).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    post = bm25.postings(docs).persist()
+    n_post = post.count()
+    stats = bm25.doc_stats_from_postings(post).persist(); stats.count()
+    vocab_df = bm25.vocabulary(post).persist(); vocab_df.count()
+    corpus = bm25.corpus_stats(stats).persist(); corpus.count()
+    print(f"index build ({n_docs} docs, {n_post} postings): {time.perf_counter()-t0:.1f}s")
+
+    def t(label, fn, n=3):
+        fn()
+        ts = []
+        for _ in range(n):
+            s = time.perf_counter(); fn(); ts.append(round(time.perf_counter() - s, 2))
+        print(label, ts, flush=True)
+
+    t("bm25 served (3 terms)", lambda: bm25.bm25_search(
+        None, "spark join window", top_k=20, mode="any",
+        post=post, stats=stats, corpus=corpus, vocab=vocab_df).collect())
+    t("bm25 fuzzy served", lambda: bm25.bm25_search(
+        None, "spak windoq", top_k=20, fuzzy=True,
+        post=post, stats=stats, corpus=corpus, vocab=vocab_df).collect())
+
+    vecs = spark.range(n_docs).select(
+        F.col("id").alias("rid"),
+        F.col("id").alias("paragraph_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)).cast("double") - 1000.0) / 1000.0,
+        ).alias("vector"),
+    ).persist()
+    vecs.count()
+    qvec = vecs.filter(F.col("rid") == 7).select(F.col("vector").alias("qvec"))
+    t("exact knn (500k x dim64)", lambda: knn.exact_knn(vecs, qvec, k=10).collect())
+
+    t0 = time.perf_counter()
+    assigned, centroids = ann_ops.build_ivf(vecs, k_cells=64)
+    assigned = assigned.withColumnRenamed("cell", "cluster_label").persist()
+    assigned.count()
+    centroids = centroids.persist(); centroids.count()
+    print(f"ivf build (64 cells): {time.perf_counter()-t0:.1f}s")
+
+    def probe():
+        p = ann_ops.probe_cells(centroids, qvec, nprobe=4)
+        v = assigned.join(
+            F.broadcast(p), assigned["cluster_label"] == p["cell"], "inner"
+        ).drop("cell")
+        knn.exact_knn(v, qvec, k=10).collect()
+
+    t("ivf probe (4/64 cells)", probe)
+
+
+if __name__ == "__main__":
+    main()
