@@ -588,3 +588,46 @@ def paragraph_search_no_dups(spark, sf_dir):
         None, "window shuffle", top_k=20,
         post=post, stats=stats, corpus=corpus, allowed=allowed,
     ).select(F.col("rid").alias("paragraph_id"), "score")
+
+
+# --- /suggest combined response: both sections in one query ----------------
+# ref: nucliadb/src/nucliadb/search/api/v1/suggest.py — the endpoint
+# returns paragraph matches AND entity matches for the same typed
+# prefix (KnowledgeboxSuggestResults.paragraphs/.entities). One user
+# string, two indexes, two sections (not fused).
+
+_SUGGEST_Q = "part"
+
+
+@register(
+    "suggest_combined",
+    f"""
+SELECT 'paragraphs' AS section, CAST(rid AS VARCHAR) AS id, score
+FROM ({suggest.suggest_paragraphs_sql(tpch.SQL_FIELDS, _SUGGEST_Q)})
+UNION ALL
+SELECT 'entities' AS section, value AS id, 0.0::DOUBLE AS score
+FROM ({suggest.suggest_entities_sql(tpch.SQL_RELATIONS, _SUGGEST_Q)})
+ORDER BY section, score DESC, id
+""",
+)
+def suggest_combined(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    post, stats = _text_index(spark, sf_dir)
+    paras = suggest.suggest_paragraphs(
+        None, _SUGGEST_Q, post=post, stats=stats,
+        corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post),
+    ).select(
+        F.lit("paragraphs").alias("section"),
+        F.col("rid").cast("string").alias("id"),
+        "score",
+    )
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    ents = suggest.suggest_entities(rel, _SUGGEST_Q).select(
+        F.lit("entities").alias("section"),
+        F.col("value").alias("id"),
+        F.lit(0.0).alias("score"),
+    )
+    return paras.unionByName(ents).orderBy(
+        "section", F.col("score").desc(), "id"
+    )

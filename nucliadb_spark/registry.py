@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     "paragraph_search_no_dups",
     "catalog_filter_alias",
     "find_relations_feature",
+    "suggest_combined",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",
