@@ -290,3 +290,58 @@ def find_relations_feature(spark, sf_dir):
     return fused.select(
         "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
     )
+
+
+# --- /ask retrieval + citations phase --------------------------------------
+# ref: nucliadb/src/nucliadb/search/search/chat/ask.py:146-400 — the
+# endpoint runs find(), builds context, streams an LLM answer with
+# citations. The LLM call is the out-of-engine boundary (like
+# /summarize); the deterministic phase graded here is the ranked
+# citation set with hydrated snippets, answer = the top citation's
+# snippet (the same extractive stub convention as summarize_stub).
+
+
+def _ask_sql() -> str:
+    inner = find.find_sql(
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=5,
+        window=50,
+    )
+    return f"""
+SELECT row_number() OVER (ORDER BY score DESC, id ASC) AS rank,
+       id, score, snippet,
+       row_number() OVER (ORDER BY score DESC, id ASC) = 1 AS is_answer
+FROM ({inner})
+ORDER BY rank
+"""
+
+
+@register("ask_stub", _ask_sql())
+def ask_stub(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    post, stats = _text_index(spark, sf_dir)
+    hits = find.find(
+        spark,
+        sf_dir,
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=5,
+        window=50,
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .select("rank", "id", "score", "snippet", (F.col("rank") == 1).alias("is_answer"))
+        .orderBy("rank")
+    )

@@ -82,6 +82,7 @@ PRIORITY: list[str] = [
     "catalog_filter_alias",
     "find_relations_feature",
     "suggest_combined",
+    "ask_stub",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",
