@@ -345,3 +345,85 @@ def ask_stub(spark, sf_dir):
         .select("rank", "id", "score", "snippet", (F.col("rank") == 1).alias("is_answer"))
         .orderBy("rank")
     )
+
+
+# --- F8: legacy filters translation, oracle-graded --------------------------
+# ref: search/search/query.py old-style `filters=[...]` +
+# range_creation_*; the oracle predicate is HAND-WRITTEN against the
+# translated system semantics, so a translation bug hash-fails.
+
+
+@register(
+    "old_filters_translation",
+    f"""
+WITH resources AS ({tpch.SQL_RESOURCES})
+SELECT status, COUNT(*) AS n
+FROM resources
+WHERE (len(list_filter(labels, l -> l = '/l/brand/Brand#11' OR starts_with(l, '/l/brand/Brand#11/'))) > 0
+       OR len(list_filter(labels, l -> l = '/l/brand/Brand#22' OR starts_with(l, '/l/brand/Brand#22/'))) > 0)
+  AND created >= TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY status ORDER BY status
+""",
+)
+def old_filters_translation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.plans.planner import LegacyFilters, translate_old_filters
+
+    legacy = LegacyFilters(
+        filters=[["/l/brand/Brand#11", "/l/brand/Brand#22"]],
+        range_creation_start="1995-06-01 00:00:00",
+    )
+    expr = translate_old_filters(legacy)
+    return (
+        tpch.resources(spark, sf_dir)
+        .filter(expr.to_column())
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
+# --- V4: vector dedup in the serving path, oracle-graded --------------------
+# planted exact-duplicate vectors must collapse to the min-id
+# survivor before top-k (ref nidx_vector/src/searcher.rs:150-199).
+
+_DD_VEC_SQL = f"""
+SELECT rid, vector FROM (
+  SELECT rid, vector,
+         ROW_NUMBER() OVER (PARTITION BY vector ORDER BY rid) AS rn
+  FROM (
+    SELECT rid, vector FROM ({tpch.SQL_VECTORS})
+    UNION ALL
+    SELECT rid + 100000 AS rid, vector FROM ({tpch.SQL_VECTORS}) WHERE rid % 10 = 0
+  )
+) WHERE rn = 1
+"""
+
+
+@register(
+    "knn_dedup",
+    __import__("nucliadb_spark.operators.knn", fromlist=["x"]).exact_knn_sql(
+        _DD_VEC_SQL,
+        "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 5",
+        64,
+        k=10,
+    ),
+)
+def knn_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import knn
+
+    v = tpch.vectors(spark, sf_dir).select("rid", "vector")
+    planted = v.filter(F.col("rid") % 10 == 0).select(
+        (F.col("rid") + 100000).alias("rid"), "vector"
+    )
+    corpus = v.unionByName(planted)
+    dd = knn.dedup_vectors(corpus)
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return knn.exact_knn(dd, qvec, k=10)

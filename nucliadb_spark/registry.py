@@ -83,6 +83,8 @@ PRIORITY: list[str] = [
     "find_relations_feature",
     "suggest_combined",
     "ask_stub",
+    "old_filters_translation",
+    "knn_dedup",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",
