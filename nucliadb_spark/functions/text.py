@@ -158,3 +158,43 @@ def md5_int60(col: Column, salt: str = "") -> Column:
 def md5_int60_sql(expr: str, salt: str = "") -> str:
     salted = f"concat('{salt}', {expr})" if salt else expr
     return f"CAST(('0x' || substring(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+# --- diacritics folding (relation-node normalization) -----------------------
+# ref: nidx/nidx_relation/src/schema.rs:123-137 — node values
+# normalize via ASCII transliteration (deunicode) + lowercase, so
+# accented queries match ASCII-indexed entities. Spark has no
+# transliterator; a translate() table covers the Latin-1/Latin-A
+# range the reference's corpora use (extend the table for more
+# scripts — the full deunicode table is overkill for entity names).
+
+# Latin-1 + Latin-Extended-A chars whose NFD form is an ASCII base +
+# combining marks — exactly the set DuckDB's strip_accents folds, so
+# the SQL twin is bit-identical. (Generated with unicodedata; chars
+# like ß/Ð/đ have no combining decomposition and are left alone by
+# BOTH engines.)
+_ACCENTS = (
+    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝàáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+    "ĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİĴĵĶķĹĺĻļĽľ"
+    "ŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽž"
+)
+_PLAIN = (
+    "AAAAAACEEEEIIIINOOOOOUUUUYaaaaaaceeeeiiiinooooouuuuyy"
+    "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIJjKkLlLlLl"
+    "NnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUuWwYyYZzZzZz"
+)
+assert len(_ACCENTS) == len(_PLAIN)
+
+
+def fold_diacritics(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(c, _ACCENTS, _PLAIN))
+
+
+def fold_diacritics_py(s: str) -> str:
+    return s.translate(str.maketrans(_ACCENTS, _PLAIN)).lower()
+
+
+def fold_diacritics_sql(expr: str) -> str:
+    """DuckDB twin: strip_accents covers the same combining marks."""
+    return f"lower(strip_accents({expr}))"

@@ -125,10 +125,15 @@ LIMIT {top_k}
 
 
 def suggest_entities(
-    relations: DataFrame, prefix: str, top_k: int = SUGGEST_TOP_K
+    relations: DataFrame, prefix: str, top_k: int = SUGGEST_TOP_K, fold: bool = False
 ) -> DataFrame:
     """Entity-name prefix scan over distinct graph nodes (G8):
-    (value, subtype)."""
+    (value, subtype).
+
+    fold=True applies the reference's relation-node normalization to
+    BOTH sides (ASCII transliteration + lowercase,
+    nidx_relation/src/schema.rs:123-137) so accented queries match
+    ASCII-indexed entities and vice versa."""
     nodes = relations.select(
         F.col("source_value").alias("value"), F.col("source_subtype").alias("subtype")
     ).unionAll(
@@ -136,16 +141,31 @@ def suggest_entities(
             F.col("target_value").alias("value"), F.col("target_subtype").alias("subtype")
         )
     )
+    if fold:
+        from nucliadb_spark.functions.text import fold_diacritics, fold_diacritics_py
+
+        match = fold_diacritics(F.col("value")).startswith(fold_diacritics_py(prefix))
+    else:
+        match = F.col("value").startswith(prefix)
     return (
-        nodes.filter(F.col("value").startswith(prefix))
+        nodes.filter(match)
         .distinct()
         .orderBy("value", "subtype")
         .limit(top_k)
     )
 
 
-def suggest_entities_sql(relations_sql: str, prefix: str, top_k: int = SUGGEST_TOP_K) -> str:
-    p = _sql_quote(prefix)
+def suggest_entities_sql(
+    relations_sql: str, prefix: str, top_k: int = SUGGEST_TOP_K, fold: bool = False
+) -> str:
+    if fold:
+        from nucliadb_spark.functions.text import fold_diacritics_py, fold_diacritics_sql
+
+        p = _sql_quote(fold_diacritics_py(prefix))
+        value_expr = fold_diacritics_sql("value")
+    else:
+        p = _sql_quote(prefix)
+        value_expr = "value"
     return f"""
 WITH relations AS ({relations_sql}),
 nodes AS (
@@ -155,7 +175,7 @@ nodes AS (
 )
 SELECT DISTINCT value, subtype
 FROM nodes
-WHERE starts_with(value, {p})
+WHERE starts_with({value_expr}, {p})
 ORDER BY value, subtype
 LIMIT {top_k}
 """

@@ -631,3 +631,20 @@ def suggest_combined(spark, sf_dir):
     return paras.unionByName(ents).orderBy(
         "section", F.col("score").desc(), "id"
     )
+
+
+# --- G8 + node normalization: accented query matches ASCII entities --------
+# ref: nidx_relation/src/schema.rs:123-137 (deunicode + lowercase on
+# both sides). The Spark fold is a translate() over the NFD-foldable
+# Latin range — bit-identical to DuckDB's strip_accents, so the
+# oracle exercises the SAME fold on the value side while the query
+# literal is folded driver-side.
+
+
+@register(
+    "suggest_entities_folded",
+    suggest.suggest_entities_sql(tpch.SQL_RELATIONS, "Custómér:19", fold=True),
+)
+def suggest_entities_folded(spark, sf_dir):
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    return suggest.suggest_entities(rel, "Custómér:19", fold=True)

@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "ask_stub",
     "old_filters_translation",
     "knn_dedup",
+    "suggest_entities_folded",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

@@ -214,3 +214,22 @@ def test_detect_entities_stub():
         "part:3",
     ]
     assert detect_entity_values_py("no entities here") == []
+
+
+def test_fold_diacritics_three_way(spark):
+    import duckdb
+
+    from nucliadb_spark.functions.text import (
+        fold_diacritics,
+        fold_diacritics_py,
+        fold_diacritics_sql,
+    )
+
+    samples = ["José Ñoño CAFÉ", "Žluťoučký kůň", "customér:19", "ASCII only", "ß stays"]
+    py = [fold_diacritics_py(s) for s in samples]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    sp = [r["o"] for r in df.select("i", fold_diacritics("s").alias("o")).orderBy("i").collect()]
+    con = duckdb.connect()
+    dk = [con.execute(f"SELECT {fold_diacritics_sql('?')}", [s]).fetchone()[0] for s in samples]
+    assert sp == py == dk
+    assert py[0] == "jose nono cafe"
