@@ -74,7 +74,7 @@ def main() -> None:
     ).persist()
     vecs.count()
     qvec = vecs.filter(F.col("rid") == 7).select(F.col("vector").alias("qvec"))
-    t("exact knn (500k x dim64)", lambda: knn.exact_knn(vecs, qvec, k=10).collect())
+    t(f"exact knn ({n_docs} x dim64)", lambda: knn.exact_knn(vecs, qvec, k=10).collect())
 
     t0 = time.perf_counter()
     assigned, centroids = ann_ops.build_ivf(vecs, k_cells=64)
