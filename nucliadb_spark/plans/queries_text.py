@@ -648,3 +648,29 @@ def suggest_combined(spark, sf_dir):
 def suggest_entities_folded(spark, sf_dir):
     rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
     return suggest.suggest_entities(rel, "Custómér:19", fold=True)
+
+
+# --- multi-tenant: kbid-scoped search with PER-KB index stats --------------
+# ref: nidx/src/searcher/shard_search.rs:94-105 — every query resolves
+# the kbid's own shards; corpus stats are per-KB by construction (each
+# KB is its own index). The oracle computes stats within the WHERE'd
+# tenant corpus — a global-stats implementation would hash-mismatch.
+
+
+@register(
+    "multi_kb_scoped_search",
+    bm25.bm25_sql(
+        tpch.SQL_FIELDS_MULTI_KB,
+        "spark join window",
+        top_k=20,
+        where="kbid = 'kb1'",
+    ),
+)
+def multi_kb_scoped_search(spark, sf_dir):
+    from nucliadb_spark.operators.filters import FieldEquals
+
+    f = tpch.fields_multi_kb(spark, sf_dir)
+    return bm25.bm25_search(
+        f, "spark join window", top_k=20,
+        prefilter=FieldEquals("kbid", "kb1"),
+    )

@@ -86,6 +86,7 @@ PRIORITY: list[str] = [
     "old_filters_translation",
     "knn_dedup",
     "suggest_entities_folded",
+    "multi_kb_scoped_search",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",

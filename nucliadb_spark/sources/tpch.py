@@ -444,3 +444,31 @@ SELECT *,
             THEN 1 ELSE 0 END AS repeated_in_field
 FROM ({SQL_PARAGRAPHS})
 """
+
+
+def fields_multi_kb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant variant of `fields`: documents split across two
+    KBs (kbid = 'kb' || doc_id % 2). The reference is fundamentally
+    multi-tenant — every search is kbid-scoped and each KB owns its
+    own shards/indexes (nidx/src/searcher/shard_search.rs:94-105), so
+    corpus statistics (N, avgdl, df) are PER KB, never global across
+    tenants. At 100 TB, kbid is the leading partition key: a scoped
+    query's scan prunes to one tenant's files before anything else."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("kb"), F.col("doc_id") % 2).alias("kbid"),
+        F.col("doc_id").cast("long").alias("rid"),
+        F.col("text"),
+        F.col("lang").alias("language"),
+        F.col("source"),
+    )
+
+
+SQL_FIELDS_MULTI_KB = """
+SELECT concat('kb', doc_id % 2) AS kbid,
+       CAST(doc_id AS BIGINT) AS rid,
+       text,
+       lang AS language,
+       source
+FROM documents
+"""

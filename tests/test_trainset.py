@@ -233,3 +233,21 @@ def test_fold_diacritics_three_way(spark):
     dk = [con.execute(f"SELECT {fold_diacritics_sql('?')}", [s]).fetchone()[0] for s in samples]
     assert sp == py == dk
     assert py[0] == "jose nono cafe"
+
+
+def test_multi_kb_per_tenant_stats(spark, sf_dir):
+    """The same document must score DIFFERENTLY inside its KB than in
+    the global corpus — per-tenant index stats, not a post-filter."""
+    from nucliadb_spark.operators import bm25
+    from nucliadb_spark.operators.filters import FieldEquals
+    from nucliadb_spark.sources import tpch
+
+    f = tpch.fields_multi_kb(spark, sf_dir)
+    scoped = bm25.bm25_search(
+        f, "spark join window", top_k=50, prefilter=FieldEquals("kbid", "kb1")
+    ).collect()
+    glob = bm25.bm25_search(f, "spark join window", top_k=200).collect()
+    assert all(r["rid"] % 2 == 1 for r in scoped)  # isolation
+    g = {r["rid"]: r["score"] for r in glob}
+    diffs = [r for r in scoped if r["rid"] in g and r["score"] != g[r["rid"]]]
+    assert diffs, "scoped scores identical to global — stats are not per-KB"
