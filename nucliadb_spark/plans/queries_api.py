@@ -427,3 +427,31 @@ def knn_dedup(spark, sf_dir):
         .select(F.col("embedding").alias("qvec"))
     )
     return knn.exact_knn(dd, qvec, k=10)
+
+
+# --- R3 oracle-graded: single-source request skips fusion ------------------
+# ref: search/search/rank_fusion.py — one retriever means no RRF; the
+# scores must be the retriever's OWN (an accidental RRF pass would
+# rescale every score and hash-mismatch against the raw-BM25 oracle).
+
+
+@register(
+    "find_single_source",
+    """
+SELECT rid AS id, score, 'keyword' AS matched_sources FROM ("""
+    + __import__("nucliadb_spark.operators.bm25", fromlist=["x"]).bm25_sql(
+        tpch.SQL_FIELDS, "window agg stream", top_k=10
+    )
+    + ") ORDER BY score DESC, id ASC",
+)
+def find_single_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query="window agg stream", features=["keyword"], top_k=10
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
+    )

@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "knn_dedup",
     "suggest_entities_folded",
     "multi_kb_scoped_search",
+    "find_single_source",
     # flagships + scale paths: re-confirm green every round
     "find_hybrid",
     "find_hybrid_ivf",
