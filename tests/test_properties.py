@@ -77,3 +77,95 @@ def test_fingerprint_order_insensitive(spark, texts):
     a = _spark_eval(spark, texts, lambda c: token_set_fingerprint(c))
     b = _spark_eval(spark, perms, lambda c: token_set_fingerprint(c))
     assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user
+            st.integers(0, 10_000),       # seconds offset
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, events):
+    """The windowed as-of composition equals the O(n²) definition:
+    for each purchase, the prior click with the greatest ts."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from nucliadb_spark.operators.timeseries import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + datetime.timedelta(seconds=s),
+            user_id=u,
+            event_type=t,
+            value=1.0,
+        )
+        for i, (u, s, t) in enumerate(events)
+    ]
+    got = {
+        r["event_id"]: r["right_event_id"]
+        for r in asof_join(spark.createDataFrame(rows)).collect()
+    }
+    for i, (u, s, t) in enumerate(events):
+        if t != "purchase":
+            continue
+        cands = [
+            (s2, j)
+            for j, (u2, s2, t2) in enumerate(events)
+            if u2 == u and t2 == "click"
+            and (s2, j) < (s, i)  # strictly prior in (ts, event_id) order
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, got[i], expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    from pyspark.sql import Row
+
+    from nucliadb_spark.operators.iterative import connected_components
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for p in pairs for n in p}
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expect = {n: min(ns) for ns in comp.values() for n in ns}
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+        ).collect()
+    }
+    assert got == expect
