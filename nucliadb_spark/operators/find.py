@@ -154,6 +154,7 @@ def retrieve(
     post: DataFrame | None = None,
     stats: DataFrame | None = None,
     corpus: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """The /retrieve endpoint analog (ref nucliadb/src/nucliadb/search/
     api/v1/retrieve.py + search/search/retrieval.py:46 text_block_search):
@@ -176,7 +177,8 @@ def retrieve(
         .select(F.col("embedding").alias("qvec"))
     )
     keyword = bm25.bm25_search(
-        fields, query, top_k=win, mode="any", post=post, stats=stats, corpus=corpus
+        fields, query, top_k=win, mode="any",
+        post=post, stats=stats, corpus=corpus, vocab=vocab,
     ).select(F.col("rid").alias("id"), "score")
     semantic = knn.exact_knn(vectors, qvec, k=win, similarity="cosine")
     sources = {"keyword": keyword, "semantic": semantic}

@@ -26,7 +26,7 @@ from nucliadb_spark.sources import tpch
     ),
 )
 def retrieve_scores(spark, sf_dir):
-    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
 
     post, stats = _text_index(spark, sf_dir)
     return find.retrieve(
@@ -40,6 +40,7 @@ def retrieve_scores(spark, sf_dir):
         post=post,
         stats=stats,
         corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
     )
 
 
