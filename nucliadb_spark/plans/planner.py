@@ -105,3 +105,18 @@ def translate_old_filters(legacy: LegacyFilters) -> fx.Expr | None:
     if not clauses:
         return None
     return fx.And(clauses) if len(clauses) > 1 else clauses[0]
+
+
+DEFAULT_SEMANTIC_MIN_SCORE = 0.7  # ref: query_parser/parsers/common.py:38
+
+
+def semantic_min_score(model_supplied: float | None) -> float:
+    """The reference's fallback rule: the embedding model (Predict)
+    normally supplies the semantic relevance threshold; when it
+    doesn't, 0.7 applies (parsers/common.py:35-44). Registry queries
+    pass explicit thresholds because the deterministic stub
+    embeddings have a different score distribution than a real
+    model — the RULE is what's ported, the constant is honored."""
+    return (
+        model_supplied if model_supplied is not None else DEFAULT_SEMANTIC_MIN_SCORE
+    )

@@ -92,3 +92,11 @@ def test_rabitq_rerank_budget():
     assert knn.rabitq_rerank_budget(10) == 1000
     assert knn.rabitq_rerank_budget(50) == 2000
     assert knn.rabitq_rerank_budget(1) == 100
+
+
+def test_semantic_min_score_default():
+    from nucliadb_spark.plans.planner import semantic_min_score
+
+    assert semantic_min_score(None) == 0.7  # parsers/common.py:38 fallback
+    assert semantic_min_score(0.25) == 0.25  # model-supplied wins
+    assert semantic_min_score(0.0) == 0.0  # explicit zero is NOT "missing"
