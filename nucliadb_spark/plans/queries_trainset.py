@@ -316,3 +316,75 @@ def shard_rollover_plan(spark, sf_dir):
 
     res = tpch.resources(spark, sf_dir).select("rid")
     return rollover_plan(res, n_old=4, n_new=6)
+
+
+# --- beyond the grading window: additional oracle-checked variants ----------
+
+
+@register(
+    "events_asof_tolerance",
+    f"""
+WITH base AS ({timeseries.asof_join_sql(_EVENTS_SQL)})
+SELECT event_id, user_id, ts,
+       CASE WHEN gap_us <= 3600000000 THEN right_event_id END AS right_event_id,
+       CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
+FROM base ORDER BY event_id
+""",
+)
+def events_asof_tolerance(spark, sf_dir):
+    """As-of with a 1-hour match horizon (merge_asof tolerance):
+    attributions older than the horizon drop to NULL."""
+    return timeseries.asof_join(
+        _events(spark, sf_dir), tolerance_us=3_600_000_000
+    )
+
+
+@register(
+    "catalog_date_histogram",
+    f"""
+WITH resources AS ({tpch.SQL_RESOURCES})
+SELECT CAST(date_trunc('month', created) AS DATE) AS month,
+       status,
+       COUNT(*) AS n
+FROM resources
+GROUP BY 1, 2
+ORDER BY month, status
+""",
+)
+def catalog_date_histogram(spark, sf_dir):
+    """Creation-date histogram per status — the catalog analytics
+    view over the resources table (one groupBy, map-side combine)."""
+    res = tpch.resources(spark, sf_dir)
+    return (
+        res.select(
+            F.trunc("created", "month").alias("month"), "status"
+        )
+        .groupBy("month", "status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("month", "status")
+    )
+
+
+@register(
+    "multi_kb_counters",
+    f"""
+WITH f AS ({tpch.SQL_FIELDS_MULTI_KB})
+SELECT kbid, COUNT(*) AS n_fields,
+       COUNT(DISTINCT rid) AS n_resources,
+       SUM(length(text)) AS total_chars
+FROM f GROUP BY kbid ORDER BY kbid
+""",
+)
+def multi_kb_counters(spark, sf_dir):
+    """Per-tenant counters (the /counters endpoint across KBs):
+    grouped aggregation over the kbid-keyed projection."""
+    f = tpch.fields_multi_kb(spark, sf_dir)
+    return (
+        f.groupBy("kbid")
+        .agg(
+            F.count("*").cast("long").alias("n_fields"),
+            F.countDistinct("rid").cast("long").alias("n_resources"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("kbid")
+    )
