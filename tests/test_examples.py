@@ -1,0 +1,67 @@
+"""EXAMPLES.md executes — the documented user-facing snippets run
+against the fixture data (doc-rot guard: an API rename breaks this
+before it breaks a user)."""
+
+from __future__ import annotations
+
+
+def test_find_request_example(spark, sf_dir):
+    from nucliadb_spark import api
+    from nucliadb_spark.operators import filters as fx
+
+    req = api.FindRequest(
+        query="spark shuffle partition",
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        min_score=0.1,
+        filters=fx.Facet("/s/p/en"),
+        fusion_weights={"semantic": 2.0},
+        reranker="stub",
+        entity_sources=["src3"],
+    )
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert rows and {"id", "score"} <= set(rows[0].asDict())
+
+
+def test_pipeline_example(spark, sf_dir):
+    from nucliadb_spark.operators import dedup, trainset
+    from nucliadb_spark.operators.iterative import connected_components
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_pairs(dedup.planted_corpus(docs.select("doc_id", "text")))
+    clusters = connected_components(pairs)
+    keep = clusters.filter("id = cluster_id")
+    assert 0 < keep.count() <= clusters.count()
+
+    sample = trainset.stratified_sample(docs, {"en": 50, "de": 40, "zh": 10})
+    assert 0 < sample.count() < docs.count()
+
+    tok = trainset.token_classification(tpch.fields(spark, sf_dir))
+    assert tok.first()["tags"].count(" ") == tok.first()["tokens"].count(" ")
+
+
+def test_timeseries_example(spark, sf_dir):
+    from nucliadb_spark.operators import timeseries
+    from nucliadb_spark.sources import tpch
+
+    events = tpch.table(spark, sf_dir, "events")
+    asof = timeseries.asof_join(events, "purchase", "click", tolerance_us=3_600_000_000)
+    assert asof.columns == ["event_id", "user_id", "ts", "right_event_id", "gap_us"]
+    assert timeseries.rollup_counts(events).count() > 0
+    assert timeseries.value_percentiles(events).count() == 5
+
+
+def test_shards_example(spark, sf_dir, tmp_path):
+    from nucliadb_spark.operators import shards
+    from nucliadb_spark.sources import tpch
+
+    res = tpch.resources(spark, sf_dir)
+    plan = shards.rollover_plan(res.select("rid"), n_old=4, n_new=6)
+    assert plan.columns == ["old_shard", "new_shard", "n_resources"]
+    sizes = {
+        r["shard"]: r["n_resources"]
+        for r in shards.shard_sizes(res.select("rid"), 4).collect()
+    }
+    moves = shards.rebalance_moves(sizes)
+    assert isinstance(moves, list)
