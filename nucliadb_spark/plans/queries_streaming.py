@@ -81,3 +81,18 @@ def stream_session_window(spark, sf_dir):
     window state store) — declarative twin of the
     applyInPandasWithState sessionizer, same batch oracle."""
     return ingest.session_window_counts(spark, sf_dir)
+
+
+@register(
+    "cdc_facet_counts",
+    ingest.CDC_FACET_COUNTS_SQL.format(
+        resources_sql=__import__(
+            "nucliadb_spark.sources.tpch", fromlist=["x"]
+        ).SQL_RESOURCES
+    ),
+)
+def cdc_facet_counts(spark, sf_dir):
+    """Incrementally-maintained facet counts (streaming IVM):
+    micro-batches append partial counts, the read merges with one
+    sum — provably equal to the batch aggregation."""
+    return ingest.cdc_facet_counts(spark, sf_dir)

@@ -710,3 +710,73 @@ SELECT user_id, session_start,
 FROM ({sessionize_sql(gap_minutes)})
 ORDER BY user_id, session_start
 """
+
+
+# --- incremental facet-count maintenance (IVM) ------------------------------
+# The reference recomputes facet counts per query from the index; the
+# streaming engine can instead MAINTAIN them: each micro-batch appends
+# its partial counts, reads merge with one sum (merge-on-read, exactly
+# the partial-aggregation shape the batch groupBy uses, made
+# incremental). Compaction of the partials is the same S4 merge job.
+
+
+def cdc_facet_counts(
+    spark: SparkSession, sf_dir: str, partials_dir: str | None = None
+) -> DataFrame:
+    """Maintain per-label facet counts incrementally over a resources
+    stream (2 arrival files → ≥2 micro-batches via maxFilesPerTrigger)
+    and return the merged view: (label, n). Equal to the batch
+    aggregation over the same corpus — which is what the oracle
+    checks."""
+    from nucliadb_spark.sources import tpch
+
+    src = tempfile.mkdtemp(prefix="facets_src_")
+    out = partials_dir or tempfile.mkdtemp(prefix="facets_partials_")
+    ckpt = tempfile.mkdtemp(prefix="facets_ckpt_")
+    # stage the resources projection as TWO files so availableNow +
+    # maxFilesPerTrigger=1 provably runs multiple micro-batches
+    res = tpch.resources(spark, sf_dir).select("rid", "labels")
+    res.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode("labels").alias("label"))
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("label")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy("label")
+    )
+    rows = merged.collect()  # materialize before the partials dir is removed
+    if partials_dir is None:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "label string, n long")
+
+
+CDC_FACET_COUNTS_SQL = """
+SELECT label, COUNT(*) AS n
+FROM (SELECT unnest(labels) AS label FROM ({resources_sql}))
+GROUP BY label
+ORDER BY label
+"""
