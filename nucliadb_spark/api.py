@@ -84,13 +84,35 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     sources: dict[str, DataFrame] = {}
 
     if "keyword" in features and req.query.strip():
-        sources["keyword"] = bm25.bm25_search(
-            fields,
-            req.query,
-            top_k=win,
-            prefilter=filters,
-            synonyms=req.synonyms,
-        ).select(F.col("rid").alias("id"), "score")
+        if filters is None:
+            # unfiltered requests serve from the session-cached index
+            # (postings/docstats/corpus/vocab sidecars) — an API
+            # endpoint must not rebuild the index per request
+            from nucliadb_spark.plans.queries_text import (
+                _corpus,
+                _text_index,
+                _vocab,
+            )
+
+            post, stats = _text_index(spark, sf_dir)
+            sources["keyword"] = bm25.bm25_search(
+                None,
+                req.query,
+                top_k=win,
+                synonyms=req.synonyms,
+                post=post,
+                stats=stats,
+                corpus=_corpus(sf_dir, stats),
+                vocab=_vocab(sf_dir, post),
+            ).select(F.col("rid").alias("id"), "score")
+        else:
+            sources["keyword"] = bm25.bm25_search(
+                fields,
+                req.query,
+                top_k=win,
+                prefilter=filters,
+                synonyms=req.synonyms,
+            ).select(F.col("rid").alias("id"), "score")
 
     if "semantic" in features:
         vectors = tpch.vectors(spark, sf_dir)
