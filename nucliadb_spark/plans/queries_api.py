@@ -456,3 +456,34 @@ def find_single_source(spark, sf_dir):
     return api.find_request(spark, sf_dir, req).select(
         "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
     )
+
+
+# --- T7 oracle-graded: quoted exact-match query disables the semantic leg --
+# ref: query parser exact-match detection — a fully-quoted query
+# skips vector search; the remaining single retriever returns RAW
+# BM25 scores (if T7 regressed, the semantic leg would join the
+# fusion and every score would become an RRF value → hash mismatch).
+
+
+@register(
+    "find_exact_match_query",
+    """
+SELECT rid AS id, score, 'keyword' AS matched_sources FROM ("""
+    + __import__("nucliadb_spark.operators.bm25", fromlist=["x"]).bm25_sql(
+        tpch.SQL_FIELDS, "window agg stream", top_k=10
+    )
+    + ") ORDER BY score DESC, id ASC",
+)
+def find_exact_match_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query='"window agg stream"',
+        features=["keyword", "semantic"],  # semantic dropped by T7
+        top_k=10,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
+    )
