@@ -19,6 +19,7 @@ from nucliadb_spark.functions.text import (
     tokenize,
     tokenize_sql,
     word_shingles,
+    word_shingles_from_tokens,
 )
 from nucliadb_spark.operators.filters import _sql_quote
 
@@ -242,5 +243,125 @@ hashed AS (
 SELECT id, MIN(h) AS fingerprint, COUNT(DISTINCT h) AS n_windows
 FROM hashed
 GROUP BY id
+ORDER BY id
+"""
+
+
+# --- repetition signals (Gopher-style quality filters) -----------------------
+# The Gopher/MassiveText quality rules cut documents dominated by
+# repeated content: duplicate n-gram fraction, fraction of the doc
+# covered by the single most frequent n-gram, and consecutive-token
+# repetition. All three are row-local array expressions here (zero
+# shuffles — each doc computes its own signals inside whole-stage
+# codegen), which is what makes the filter linear at 100 TB. The
+# DuckDB twin verifies via unnest+GROUP BY, numerically identical.
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bigrams, dup_bigram_frac, top_bigram_frac,
+        consec_repeat_frac) — all fracs DOUBLE rounded to 5 places.
+
+    - dup_bigram_frac: 1 - distinct/total bigrams (how much of the
+      doc is re-used phrasing).
+    - top_bigram_frac: tokens covered by the most frequent bigram
+      (2 * mode_count / n_tokens). The mode count is computed
+      row-locally: sort the bigram array, then a single aggregate()
+      pass tracks the longest equal-run.
+    - consec_repeat_frac: fraction of adjacent token pairs that are
+      the same token (stutter).
+    """
+    docs = docs.select(F.col(id_col).alias(id_col), tokenize(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    docs = docs.select(
+        F.col(id_col),
+        toks,
+        F.array_sort(word_shingles_from_tokens(toks, 2)).alias("_bg"),
+    )
+    bg = F.col("_bg")
+    n_toks = F.size(toks)
+    n_bg = F.size(bg)
+
+    zero = F.lit(0).cast("long")
+    run_state = F.struct(
+        F.lit(" ").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    mode_count = F.aggregate(bg, run_state, _step, lambda acc: acc["best"])
+
+    consec = F.when(
+        n_toks >= 2,
+        F.aggregate(
+            F.zip_with(
+                F.slice(toks, 1, n_toks - 1),
+                F.slice(toks, 2, n_toks - 1),
+                lambda a, b: (a == b).cast("long"),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(zero)
+
+    dbl = lambda c: F.round(c, 5).cast("double")  # noqa: E731
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_bg.cast("long").alias("n_bigrams"),
+        dbl(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double")
+            / F.greatest(n_bg, F.lit(1)).cast("double")
+        ).alias("dup_bigram_frac"),
+        dbl(
+            F.lit(2.0) * mode_count.cast("double")
+            / F.greatest(n_toks, F.lit(1)).cast("double")
+        ).alias("top_bigram_frac"),
+        dbl(
+            consec.cast("double") / F.greatest(n_toks - 1, F.lit(1)).cast("double")
+        ).alias("consec_repeat_frac"),
+    ).orderBy("id")
+
+
+def repetition_signals_sql(
+    docs_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from nucliadb_spark.functions.text import word_shingles_sql
+
+    toks = tokenize_sql(text_col)
+    bigrams = word_shingles_sql(text_col, 2)
+    return f"""
+WITH docs AS ({docs_sql}),
+tok AS (
+  SELECT {id_col} AS id, {toks} AS toks, {bigrams} AS bgs FROM docs
+),
+bg AS (SELECT id, unnest(bgs) AS bg FROM tok),
+cnt AS (SELECT id, bg, COUNT(*) AS c FROM bg GROUP BY id, bg),
+agg AS (
+  SELECT id, SUM(c) AS n_bg, MAX(c) AS topc, COUNT(*) AS dist
+  FROM cnt GROUP BY id
+),
+consec AS (
+  SELECT id, len(toks) AS n_toks,
+         len([1 for i in range(1, len(toks)) if toks[i] = toks[i+1]]) AS nrep
+  FROM tok
+)
+SELECT consec.id AS id,
+       COALESCE(agg.n_bg, 0)::BIGINT AS n_bigrams,
+       ROUND(1.0 - COALESCE(agg.dist, 0)::DOUBLE
+             / greatest(COALESCE(agg.n_bg, 0), 1)::DOUBLE, 5)::DOUBLE
+         AS dup_bigram_frac,
+       ROUND(2.0 * COALESCE(agg.topc, 0)::DOUBLE
+             / greatest(consec.n_toks, 1)::DOUBLE, 5)::DOUBLE
+         AS top_bigram_frac,
+       ROUND(consec.nrep::DOUBLE
+             / greatest(consec.n_toks - 1, 1)::DOUBLE, 5)::DOUBLE
+         AS consec_repeat_frac
+FROM consec LEFT JOIN agg USING (id)
 ORDER BY id
 """

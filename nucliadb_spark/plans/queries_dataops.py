@@ -6,7 +6,15 @@ from __future__ import annotations
 
 from nucliadb_spark.functions import models
 from nucliadb_spark.functions.vector import cosine_sql_unrolled
-from nucliadb_spark.operators import bm25, dedup, exporter, multimodal, textstats
+from nucliadb_spark.operators import (
+    bm25,
+    contamination,
+    dedup,
+    exporter,
+    multimodal,
+    pii,
+    textstats,
+)
 from nucliadb_spark.operators.filters import _sql_quote
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
@@ -112,6 +120,33 @@ def text_token_counts(spark, sf_dir):
 @register("text_fingerprint", textstats.winnow_fingerprint_sql(_DOCS_SQL))
 def text_fingerprint(spark, sf_dir):
     return textstats.winnow_fingerprint(_docs(spark, sf_dir))
+
+
+@register("text_repetition", textstats.repetition_signals_sql(_DOCS_SQL))
+def text_repetition(spark, sf_dir):
+    return textstats.repetition_signals(_docs(spark, sf_dir))
+
+
+@register("text_pii_scan", pii.pii_scan_sql(pii.plant_pii_sql(_DOCS_SQL)))
+def text_pii_scan(spark, sf_dir):
+    return pii.pii_scan(pii.plant_pii(_docs(spark, sf_dir)))
+
+
+_EVAL_SQL = f"SELECT * FROM ({_DOCS_SQL}) WHERE doc_id % {contamination.EVAL_MOD} = 0"
+
+
+@register(
+    "contamination_ngram_overlap",
+    contamination.contamination_check_sql(
+        contamination.plant_contamination_sql(_DOCS_SQL), _EVAL_SQL
+    ),
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    _, ev = contamination.eval_split(docs)
+    return contamination.contamination_check(
+        contamination.plant_contamination(docs), ev
+    )
 
 
 # --- multimodal plumbing (mapInPandas decode stubs) -----------------------

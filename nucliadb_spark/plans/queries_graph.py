@@ -259,3 +259,23 @@ def graph_semantic_paths(spark, sf_dir):
         _rel(spark, sf_dir), node_vecs, edge_vecs, qvec,
         min_node=0.2, min_edge=0.2, top_k=50,
     )
+
+
+# --- entities service, served from the relation index ---------------------
+# (EntitiesManager: undirected NODES search for one group's members,
+#  /e-facet scan for the group names — ingest/orm/entities.py:84-168)
+
+from nucliadb_spark.operators import entities as E  # noqa: E402
+
+
+@register(
+    "entities_group_members",
+    E.entities_group_members_sql(_R, "PART"),
+)
+def entities_group_members(spark, sf_dir):
+    return E.entities_group_members(_rel(spark, sf_dir), "PART")
+
+
+@register("entities_groups", E.entities_groups_summary_sql(_R))
+def entities_groups(spark, sf_dir):
+    return E.entities_groups_summary(_rel(spark, sf_dir))
