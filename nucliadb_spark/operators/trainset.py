@@ -233,3 +233,74 @@ def stratified_sample_sql(
 SELECT * FROM ({docs_sql})
 WHERE {bucket} < CASE {cases} ELSE 0 END
 """
+
+
+# --- domain-mixture resampling ---------------------------------------------
+# DoReMi/The-Pile-style static mixing: given target proportions per
+# domain (language, source, ...), keep the LARGEST corpus subset whose
+# domain mix equals the target. The binding domain (smallest
+# count/target ratio) survives whole; every other domain downsamples
+# deterministically via the portable md5 bucket, so the subset is
+# reproducible across engines and runs. Plan shape: one tiny groupBy
+# for the counts, the thresholds broadcast back — the corpus itself
+# is touched by exactly one filter pass (no shuffle of data rows).
+
+
+def mixture_resample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """(id, stratum) rows of the resampled subset, ordered by id.
+
+    keep_frac(d) = target_d * scale / count_d with
+    scale = min_d(count_d / target_d); keep iff
+    (md5(id) % 2^20) < keep_frac * 2^20. Domains absent from
+    `targets` are dropped (target 0)."""
+    tgt: Column = F.lit(0.0)
+    for stratum, frac in targets.items():
+        tgt = F.when(F.col(strata_col) == stratum, F.lit(frac)).otherwise(tgt)
+    t = docs.select(
+        F.col(id_col), F.col(strata_col), tgt.alias("_tgt")
+    ).filter(F.col("_tgt") > 0)
+    cnts = t.groupBy(strata_col, "_tgt").agg(F.count("*").cast("long").alias("_cnt"))
+    scale = cnts.agg(F.min(F.col("_cnt") / F.col("_tgt")).alias("_scale"))
+    thr = cnts.crossJoin(F.broadcast(scale)).select(
+        F.col(strata_col),
+        ((F.col("_tgt") * F.col("_scale")) / F.col("_cnt")).alias("_keep"),
+    )
+    bucket = (
+        md5_int60(F.col(id_col).cast("string"), salt="mix:") % 1048576
+    ).cast("double")
+    return (
+        t.join(F.broadcast(thr), strata_col)
+        .filter(bucket < F.col("_keep") * 1048576)
+        .select(F.col(id_col).alias("id"), F.col(strata_col).alias("stratum"))
+        .orderBy("id")
+    )
+
+
+def mixture_resample_sql(
+    docs_sql: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> str:
+    cases = " ".join(f"WHEN {strata_col} = '{s}' THEN {f!r}" for s, f in targets.items())
+    bucket = f"{md5_int60_sql(f'CAST({id_col} AS VARCHAR)', salt='mix:')} % 1048576"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {strata_col},
+         CASE {cases} ELSE 0.0 END AS tgt
+  FROM ({docs_sql})
+  WHERE (CASE {cases} ELSE 0.0 END) > 0
+),
+cnts AS (SELECT {strata_col}, tgt, COUNT(*)::BIGINT AS cnt FROM t GROUP BY 1, 2),
+scale AS (SELECT MIN(cnt / tgt) AS s FROM cnts),
+thr AS (SELECT {strata_col}, (tgt * s) / cnt AS keep FROM cnts, scale)
+SELECT t.{id_col} AS id, t.{strata_col} AS stratum
+FROM t JOIN thr USING ({strata_col})
+WHERE ({bucket})::DOUBLE < keep * 1048576
+ORDER BY id
+"""

@@ -175,6 +175,22 @@ def sample_stratified(spark, sf_dir):
     return trainset.stratified_sample(docs, SAMPLE_RATES).orderBy("doc_id")
 
 
+# --- domain-mixture resampling (static mixing to target proportions) --------
+
+MIX_TARGETS = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+
+
+@register(
+    "sample_mixture",
+    trainset.mixture_resample_sql("SELECT doc_id, lang FROM documents", MIX_TARGETS),
+)
+def sample_mixture(spark, sf_dir):
+    """Largest subset matching the target language mix: the binding
+    domain survives whole, the rest downsample via the md5 bucket."""
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return trainset.mixture_resample(docs, MIX_TARGETS)
+
+
 # --- one-pass clean-corpus composition --------------------------------------
 
 
