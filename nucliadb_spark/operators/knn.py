@@ -210,6 +210,105 @@ LIMIT {k}
 """
 
 
+def sq8_rerank_knn(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    rerank_top: int = 50,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Scalar (int8) quantized first pass + exact rerank — the SQ8
+    sibling of the 1-bit RaBitQ path (V3; ref serving config
+    nidx_vector/src/config.rs VectorType variants).
+
+    Components quantize to 0..255 against the dataset-global
+    [min, max] (one tiny agg, broadcast back); the first pass ranks
+    by the INTEGER dot product of quantized vectors — exact in any
+    engine, and at 100 TB the u8 codes read 1/4 of the float bytes
+    (packed to binary in a real sidecar; array<int> here keeps the
+    oracle twin exact). Only `rerank_top` survivors pay the
+    full-precision cosine.
+    """
+    lo, hi = F.col("_lo"), F.col("_hi")
+    stats = vectors.agg(
+        F.min(F.array_min(F.col(vec_col))).alias("_lo"),
+        F.max(F.array_max(F.col(vec_col))).alias("_hi"),
+    )
+
+    def q8(col: Column) -> Column:
+        return F.transform(
+            col, lambda x: F.round((x - lo) / (hi - lo) * 255.0).cast("int")
+        )
+
+    qv = vectors.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.col(vec_col), q8(F.col(vec_col)).alias("_q8")
+    )
+    qq = query.crossJoin(F.broadcast(stats)).select(
+        F.col(query_vec_col), q8(F.col(query_vec_col)).alias("_q8q")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_q8"), F.col("_q8q"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    first_pass = (
+        qv.crossJoin(F.broadcast(qq))
+        .withColumn("qscore", int_dot)
+        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(rerank_top)
+    )
+    return (
+        first_pass.select(
+            F.col(id_col).alias("id"),
+            F.round(V.cosine(F.col(vec_col), F.col(query_vec_col)), 5)
+            .cast(SCORE_TYPE)
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def sq8_rerank_knn_sql(
+    vectors_sql: str,
+    query_sql: str,
+    dim: int,
+    k: int = 10,
+    rerank_top: int = 50,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    def q8(expr: str, i: int) -> str:
+        return f"round((({expr}[{i}]) - s.lo) / (s.hi - s.lo) * 255.0)::BIGINT"
+
+    dot_terms = " + ".join(
+        f"({q8('v.' + vec_col, i)} * {q8('q.' + query_vec_col, i)})"
+        for i in range(1, dim + 1)
+    )
+    cos = V.cosine_sql_unrolled(f"f.{vec_col}", f"q.{query_vec_col}", dim)
+    return f"""
+WITH vectors AS ({vectors_sql}),
+q AS ({query_sql}),
+s AS (
+  SELECT MIN(list_min({vec_col})) AS lo, MAX(list_max({vec_col})) AS hi
+  FROM vectors
+),
+first_pass AS (
+  SELECT v.{id_col} AS id, v.{vec_col}, ({dot_terms}) AS qscore
+  FROM vectors v CROSS JOIN q CROSS JOIN s
+  ORDER BY qscore DESC, id ASC
+  LIMIT {rerank_top}
+)
+SELECT f.id, ROUND({cos}, 5)::DOUBLE AS score
+FROM first_pass f CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
 def matryoshka_knn(
     vectors: DataFrame,
     query: DataFrame,

@@ -351,6 +351,49 @@ def paragraph_search_filtered(spark, sf_dir):
 # --- J4: char-offset paragraph text extraction -----------------------------
 
 
+# --- resource-scoped paragraph search (GET /resource/{rid}/search) ---------
+# The reference restricts a paragraph query to one resource by pushing
+# the rid as a key filter into the built index while BM25 stats stay
+# global (search/api/v1/resource/search.py:59,
+# search/requesters/utils.py paragraph_query_to_pb with a rid filter)
+# — i.e. the served-prefilter shape, never an index rebuild.
+
+_RES_SEARCH_RID = 3
+
+
+@register(
+    "resource_search",
+    "SELECT rid AS paragraph_id, score FROM ("
+    + bm25.bm25_sql(
+        "SELECT paragraph_id AS rid, text, rid AS resource_id FROM ("
+        + tpch.SQL_PARAGRAPHS
+        + ")",
+        "window merge",
+        top_k=20,
+        served_where=f"resource_id = {_RES_SEARCH_RID}",
+    )
+    + ")",
+)
+def resource_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    post, stats, corpus = _paragraph_index(spark, sf_dir)
+    allowed = (
+        tpch.paragraphs(spark, sf_dir)
+        .filter(F.col("rid") == _RES_SEARCH_RID)
+        .select(F.col("paragraph_id").alias("rid"))
+    )
+    return bm25.bm25_search(
+        None,
+        "window merge",
+        top_k=20,
+        post=post,
+        stats=stats,
+        corpus=corpus,
+        allowed=allowed,
+    ).select(F.col("rid").alias("paragraph_id"), "score")
+
+
 @register(
     "paragraph_extract",
     f"""

@@ -113,6 +113,19 @@ def knn_quantized_rerank(spark, sf_dir):
     )
 
 
+# --- SQ8 scalar-quantized first pass + exact rerank -------------------------
+
+
+@register(
+    "knn_sq8_rerank",
+    knn.sq8_rerank_knn_sql(tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, rerank_top=50),
+)
+def knn_sq8_rerank(spark, sf_dir):
+    return knn.sq8_rerank_knn(
+        _vectors(spark, sf_dir), _query_df(spark, sf_dir), k=10, rerank_top=50
+    )
+
+
 # --- matryoshka two-stage KNN (nested-representation prefix dims) ----------
 
 
