@@ -38,20 +38,23 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 registry queries (insertion order) per
-# round — r1/r2 each checked exactly queries[0:50]. Order the round's
-# must-grade set first: queries with NO green CORRECTNESS row in any
-# prior round (r1 ∪ r2), then new round-3 operators, then flagships
-# for fresh re-confirmation; everything ever-green goes last (its
-# evidence already exists in CORRECTNESS_r01/r02.json).
+# round — r1/r2 each checked exactly queries[0:50]. No round-3 run was
+# recorded, so the round-4 window re-targets everything without a green
+# row in r1 ∪ r2: the two r2-red streaming queries (ts schema fix to
+# re-confirm), then every never-graded query including the round-4
+# additions. Four seats were freed by deferring queries whose §2 row
+# already has green evidence through siblings (summarize_stub,
+# ask_stub, multimodal_frame_sample, catalog_date_histogram).
+# Everything ever-green goes after the window — its evidence exists in
+# CORRECTNESS_r01/r02.json.
 PRIORITY: list[str] = [
-    # never-green: red in r2 (ts schema regression, fixed) …
+    # r2-red (events.ts TIMESTAMP_NTZ regression), fixed in r3
     "stream_windowed_counts",
     "event_sessionization",
+    # never graded in any recorded round
     "stream_sessionization",
-    # … or simply outside the first-50 window in both r1 and r2
     "knn_normalized",
     "graph_semantic_paths",
-    "multimodal_frame_sample",
     "export_field_classification",
     "kb_counters",
     "cdc_search_live",
@@ -59,8 +62,6 @@ PRIORITY: list[str] = [
     "retrieve_scores",
     "augment_resources",
     "augment_paragraphs",
-    "summarize_stub",
-    # new round-3 operators get graded on first appearance
     "export_sentence_classification",
     "export_token_classification",
     "export_question_answer",
@@ -82,13 +83,30 @@ PRIORITY: list[str] = [
     "catalog_filter_alias",
     "find_relations_feature",
     "suggest_combined",
-    "ask_stub",
     "old_filters_translation",
     "knn_dedup",
     "suggest_entities_folded",
     "multi_kb_scoped_search",
     "find_single_source",
-    # flagships + scale paths: re-confirm green every round
+    # round-4 additions
+    "resource_search",
+    "knn_sq8_rerank",
+    "entities_group_members",
+    "entities_groups",
+    "text_repetition",
+    "text_pii_scan",
+    "contamination_ngram_overlap",
+    "cdc_facet_counts",
+    "sample_mixture",
+    "events_asof_tolerance",
+    "multi_kb_counters",
+    "find_exact_match_query",
+    # --- end of the 50-query graded window ---
+    "summarize_stub",
+    "ask_stub",
+    "multimodal_frame_sample",
+    "catalog_date_histogram",
+    # flagships + scale paths: re-confirm green when seats allow
     "find_hybrid",
     "find_hybrid_ivf",
     "find_prefiltered",
