@@ -83,14 +83,20 @@ def main() -> None:
         names.append("stream_windowed_counts")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         # one untimed warm-up run (codegen compile, broadcast build),
         # then the measured run — matching the reference's
-        # pytest-benchmark warm-round methodology.
-        queries[name](spark, SF_DIR).collect()
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # pytest-benchmark warm-round methodology. A failing query is
+        # recorded and skipped rather than sinking the whole bench
+        # (r2 lost its bench line to one testdata schema change).
+        try:
+            queries[name](spark, SF_DIR).collect()
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -100,6 +106,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

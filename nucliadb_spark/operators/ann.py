@@ -319,3 +319,138 @@ CROSS JOIN q
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """
+
+
+# --- IVF + SQ8 (compressed cells + exact rerank) ---------------------------
+# The full 100 TB serving shape: probe prunes to nprobe cells, the
+# first pass inside the surviving cells ranks by the INTEGER dot
+# product of scalar-quantized (u8) codes — a quarter of the float
+# bytes, exact in any engine — and only `rerank_top` survivors pay
+# full-precision cosine. This composes the reference's two serving
+# optimizations (HNSW candidate pruning ≈ probe; RaBitQ quantized
+# first pass ≈ SQ8, ref nidx/nidx_vector/src/vector_types/rabitq.rs
+# rerank_top flow) in their batch-native forms. The quantization
+# range [lo, hi] is a corpus-global index-build artifact (one tiny
+# agg, broadcast back), as is the centroid table.
+
+
+def ivf_sq8_search_labeled(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_top: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, score, cell) — IVF probe → SQ8 int-dot first pass →
+    exact cosine rerank, on the precomputed `label` cell column."""
+    pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent_long = pos.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    centroids = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            "label",
+            F.round(V.cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("label").asc())
+        .limit(nprobe)
+        .select("label")
+    )
+    stats = embeddings.agg(
+        F.min(F.array_min("embedding")).alias("_lo"),
+        F.max(F.array_max("embedding")).alias("_hi"),
+    )
+    lo, hi = F.col("_lo"), F.col("_hi")
+
+    def q8(col):
+        return F.transform(
+            col, lambda x: F.round((x - lo) / (hi - lo) * 255.0).cast("int")
+        )
+
+    cand = (
+        embeddings.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(query))
+        .crossJoin(F.broadcast(stats))
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            q8(F.col("embedding")),
+            q8(F.col("qvec")),
+            lambda x, y: (x * y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    first_pass = (
+        cand.withColumn("qscore", int_dot)
+        .orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
+        .limit(rerank_top)
+    )
+    return (
+        first_pass.select(
+            F.col("vec_id").alias("id"),
+            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 5)
+            .cast(SCORE_TYPE)
+            .alias("score"),
+            F.col("label").alias("cell"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_sq8_search_labeled_sql(
+    k: int = 10, nprobe: int = 2, rerank_top: int = 50, dim: int = 64
+) -> str:
+    cos_cq = V.cosine_sql_unrolled("c.centroid", "q.qvec", dim)
+    cos_fq = V.cosine_sql_unrolled("f.embedding", "f.qvec", dim)
+
+    def q8(expr: str, i: int) -> str:
+        return f"round((({expr}[{i}]) - s.lo) / (s.hi - s.lo) * 255.0)::BIGINT"
+
+    dot_terms = " + ".join(
+        f"({q8('e.embedding', i)} * {q8('q.qvec', i)})" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pos AS (
+  SELECT label, unnest(generate_series(1, {dim})) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent_long AS (
+  SELECT label, pos, AVG(val) AS m FROM pos GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM cent_long GROUP BY label
+),
+probe AS (
+  SELECT c.label
+  FROM centroids c CROSS JOIN q
+  ORDER BY ROUND({cos_cq}, 6) DESC, c.label ASC
+  LIMIT {nprobe}
+),
+s AS (
+  SELECT MIN(list_min(embedding)) AS lo, MAX(list_max(embedding)) AS hi
+  FROM embeddings
+),
+first_pass AS (
+  SELECT e.vec_id, e.embedding, e.label, q.qvec, ({dot_terms}) AS qscore
+  FROM embeddings e
+  JOIN probe p ON e.label = p.label
+  CROSS JOIN q CROSS JOIN s
+  ORDER BY qscore DESC, e.vec_id ASC
+  LIMIT {rerank_top}
+)
+SELECT f.vec_id AS id,
+       ROUND({cos_fq}, 5)::DOUBLE AS score,
+       f.label AS cell
+FROM first_pass f
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""

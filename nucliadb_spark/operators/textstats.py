@@ -328,6 +328,186 @@ def repetition_signals(
     ).orderBy("id")
 
 
+# --- unigram LM quality (CCNet-style perplexity proxy) -----------------------
+# CCNet/RedPajama filter corpora by language-model perplexity; the
+# in-engine analog scores each document by the mean negative log10
+# probability of its tokens under the corpus's own unigram model.
+# The model (token → logp) is an index-build artifact: one
+# explode+groupBy over the corpus. Scoring is explode + model join +
+# groupBy(doc) — at testdata scale the model broadcasts; at 100 TB
+# vocabulary it stays a shuffle join on the token key (Zipf skew is
+# benign here: the heavy tokens are spread over the doc side, and AQE
+# splits any oversized partition).
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, logp DOUBLE) — log10 of the corpus unigram probability."""
+    counts = (
+        docs.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("double").alias("n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log10(F.col("c").cast("double") / F.col("n")).alias("logp"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logp DOUBLE rounded to 5 places).
+
+    Higher avg_neg_logp = rarer vocabulary = "surprising" text (the
+    unigram stand-in for LM perplexity; CCNet buckets head/middle/tail
+    on exactly this kind of score). Tokens are scored with duplicates
+    kept — a doc repeating one common word scores low.
+    """
+    if model is None:
+        model = unigram_model(docs, text_col)
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg("logp"), 5).cast("double").alias("avg_neg_logp"),
+        )
+        .orderBy("id")
+    )
+
+
+def unigram_logprob_sql(
+    docs_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH docs AS ({docs_sql}),
+tok AS (
+  SELECT {id_col} AS id, unnest({toks}) AS token FROM docs
+),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c)::DOUBLE AS n FROM counts),
+model AS (
+  SELECT token, log10(c::DOUBLE / n) AS logp FROM counts CROSS JOIN tot
+)
+SELECT t.id AS id,
+       COUNT(*)::BIGINT AS n_tokens,
+       ROUND(-AVG(m.logp), 5)::DOUBLE AS avg_neg_logp
+FROM tok t JOIN model m USING (token)
+GROUP BY t.id
+ORDER BY id
+"""
+
+
+# --- quality funnel (per-rule drop report) -----------------------------------
+# The Gopher/Dolma-style cleaning pipelines report how many documents
+# each rule rejects — the funnel is what a pipeline operator tunes
+# thresholds against. One pass: every rule is a CASE aggregate over
+# the row-local features (no per-rule scans), one final 1-row shuffle.
+
+FUNNEL_RULES: list[tuple[str, str]] = [
+    # (rule name, human description) — predicates defined in both
+    # engines below; ORDER here is the output order.
+    ("too_short", "n_chars < 50"),
+    ("too_long", "n_chars > 5000"),
+    ("low_stopword", "stopword_ratio < 0.01"),
+    ("high_stopword", "stopword_ratio > 0.5"),
+    ("repetitive", "dup_bigram_frac > 0.30"),
+    ("stutter", "consec_repeat_frac > 0.10"),
+]
+
+
+def quality_funnel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(rule, n_fail, frac DOUBLE) per rule + a final ('pass_all',
+    n_pass, frac) row — the cleaning-funnel report."""
+    feats = quality_features(docs, id_col, text_col).select(
+        "id", "n_chars", "stopword_ratio"
+    )
+    reps = repetition_signals(docs, id_col, text_col).select(
+        "id", "dup_bigram_frac", "consec_repeat_frac"
+    )
+    j = feats.join(reps, "id")
+    preds = {
+        "too_short": F.col("n_chars") < 50,
+        "too_long": F.col("n_chars") > 5000,
+        "low_stopword": F.col("stopword_ratio") < 0.01,
+        "high_stopword": F.col("stopword_ratio") > 0.5,
+        "repetitive": F.col("dup_bigram_frac") > 0.30,
+        "stutter": F.col("consec_repeat_frac") > 0.10,
+    }
+    fail_any = None
+    aggs = [F.count("*").alias("_n")]
+    for rule, _ in FUNNEL_RULES:
+        p = preds[rule]
+        aggs.append(F.sum(p.cast("long")).alias(rule))
+        fail_any = p if fail_any is None else (fail_any | p)
+    aggs.append(F.sum((~fail_any).cast("long")).alias("pass_all"))
+    row = j.agg(*aggs)
+    # unpivot the single aggregate row into (rule, n_fail, frac)
+    pairs = [
+        F.struct(F.lit(rule).alias("rule"), F.col(rule).alias("n"))
+        for rule, _ in FUNNEL_RULES
+    ] + [F.struct(F.lit("pass_all").alias("rule"), F.col("pass_all").alias("n"))]
+    return (
+        row.select(F.col("_n"), F.explode(F.array(*pairs)).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n").cast("long").alias("n_docs"),
+            F.round(F.col("r.n").cast("double") / F.col("_n").cast("double"), 5)
+            .cast("double")
+            .alias("frac"),
+        )
+        .orderBy("rule")
+    )
+
+
+def quality_funnel_sql(
+    docs_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    feats = quality_features_sql(docs_sql, id_col, text_col)
+    reps = repetition_signals_sql(docs_sql, id_col, text_col)
+    preds = {
+        "too_short": "f.n_chars < 50",
+        "too_long": "f.n_chars > 5000",
+        "low_stopword": "f.stopword_ratio < 0.01",
+        "high_stopword": "f.stopword_ratio > 0.5",
+        "repetitive": "r.dup_bigram_frac > 0.30",
+        "stutter": "r.consec_repeat_frac > 0.10",
+    }
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN {preds[rule]} THEN 1 ELSE 0 END) AS {rule}"
+        for rule, _ in FUNNEL_RULES
+    )
+    fail_any = " OR ".join(preds[rule] for rule, _ in FUNNEL_RULES)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{rule}' AS rule, {rule} AS n, _n FROM agg" for rule, _ in FUNNEL_RULES
+    )
+    return f"""
+WITH feats AS ({feats}),
+reps AS ({reps}),
+agg AS (
+  SELECT COUNT(*) AS _n,
+         {sums},
+         SUM(CASE WHEN NOT ({fail_any}) THEN 1 ELSE 0 END) AS pass_all
+  FROM feats f JOIN reps r USING (id)
+)
+SELECT rule, n::BIGINT AS n_docs, ROUND(n::DOUBLE / _n::DOUBLE, 5)::DOUBLE AS frac
+FROM ({branches}
+UNION ALL
+SELECT 'pass_all' AS rule, pass_all AS n, _n FROM agg)
+ORDER BY rule
+"""
+
+
 def repetition_signals_sql(
     docs_sql: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

@@ -304,3 +304,98 @@ FROM t JOIN thr USING ({strata_col})
 WHERE ({bucket})::DOUBLE < keep * 1048576
 ORDER BY id
 """
+
+
+# --- sequence packing (concat-and-chunk) ------------------------------------
+# LLM pretraining packs documents into fixed-length token sequences by
+# concatenating the corpus and chunking at seq_len boundaries
+# (GPT-style "concat and chunk"). The op assigns every document its
+# span in that virtual token stream: which training sequence it starts
+# in, which it ends in, and how many sequences it touches — the
+# bookkeeping a packing writer needs to emit shards.
+#
+# Scale shape: the stream is defined PER SOURCE (partitionBy(source),
+# ordered by doc_id), so the cumulative sum is a bounded window per
+# domain shard, not one global single-partition scan. At 100 TB you'd
+# sub-shard big sources on a doc_id range — same two-level offset
+# arithmetic, since chunk ids only need to be unique within a shard.
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """(source, id, n_tokens, start_offset, first_seq, last_seq,
+    n_seqs) — token offsets into the per-source concat stream and the
+    seq_len-sized training sequences each document spans.
+
+    Token counts use the same BPE-ish estimate as token_counts
+    (ceil(len/4) subword pieces per whitespace token).
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    t = docs.select(
+        F.col(by).alias("source"), F.col(id_col).alias("id"), bpe.alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("id")
+    # bind the running sum ONCE — referencing the expression from
+    # several output columns would make the Window operator compute
+    # the same running sum per reference (7× in the physical plan)
+    t = t.withColumn("_cum", F.sum("n_tokens").over(w))
+    cum = F.col("_cum")
+    first_seq = F.floor((cum - F.col("n_tokens")) / seq_len).cast("long")
+    # an empty doc occupies no sequence: last := first for stability
+    last_seq = F.greatest(F.floor((cum - 1) / seq_len).cast("long"), first_seq)
+    return t.select(
+        "source",
+        "id",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
+    ).orderBy("source", "id")
+
+
+def pack_sequences_sql(
+    docs_sql: str,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH docs AS ({docs_sql}),
+t AS (
+  SELECT {by} AS source, {id_col} AS id,
+         list_aggregate(list_transform({toks}, x -> ceil(length(x) / 4.0)::BIGINT),
+                        'sum')::BIGINT AS n_tokens
+  FROM docs
+),
+c AS (
+  SELECT source, id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT source, id, n_tokens,
+       (cum - n_tokens)::BIGINT AS start_offset,
+       ((cum - n_tokens) // {seq_len})::BIGINT AS first_seq,
+       greatest((cum - 1) // {seq_len}, (cum - n_tokens) // {seq_len})::BIGINT
+         AS last_seq,
+       (greatest((cum - 1) // {seq_len}, (cum - n_tokens) // {seq_len})
+        - ((cum - n_tokens) // {seq_len}) + 1)::BIGINT AS n_seqs
+FROM c
+ORDER BY source, id
+"""

@@ -132,6 +132,25 @@ def text_pii_scan(spark, sf_dir):
     return pii.pii_scan(pii.plant_pii(_docs(spark, sf_dir)))
 
 
+@register("text_unigram_logprob", textstats.unigram_logprob_sql(_DOCS_SQL))
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM-quality score: mean negative log10 unigram
+    probability under the corpus's own unigram model. The model
+    (token → logp) is an index-build sidecar."""
+    from nucliadb_spark.cache import cached_df
+
+    docs = _docs(spark, sf_dir)
+    model = cached_df(sf_dir, "unigram_model", lambda: textstats.unigram_model(docs))
+    return textstats.unigram_logprob(docs, model=model)
+
+
+@register("text_quality_funnel", textstats.quality_funnel_sql(_DOCS_SQL))
+def text_quality_funnel(spark, sf_dir):
+    """Gopher/Dolma-style cleaning-funnel report: per-rule rejection
+    counts + the pass-all survivor count, one aggregation pass."""
+    return textstats.quality_funnel(_docs(spark, sf_dir))
+
+
 _EVAL_SQL = f"SELECT * FROM ({_DOCS_SQL}) WHERE doc_id % {contamination.EVAL_MOD} = 0"
 
 

@@ -96,3 +96,11 @@ def cdc_facet_counts(spark, sf_dir):
     micro-batches append partial counts, the read merges with one
     sum — provably equal to the batch aggregation."""
     return ingest.cdc_facet_counts(spark, sf_dir)
+
+
+@register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
+def stream_exact_dedup(spark, sf_dir):
+    """Ingest-side exact-dedup gate as a real streaming run:
+    content-hash groupBy state over the drained corpus; a full
+    availableNow drain equals the batch COUNT(DISTINCT md5(text))."""
+    return ingest.stream_dedup_counts(spark, sf_dir)

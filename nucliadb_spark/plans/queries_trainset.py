@@ -175,6 +175,22 @@ def sample_stratified(spark, sf_dir):
     return trainset.stratified_sample(docs, SAMPLE_RATES).orderBy("doc_id")
 
 
+# --- sequence packing (concat-and-chunk spans) ------------------------------
+
+
+@register(
+    "pack_sequences",
+    trainset.pack_sequences_sql("SELECT doc_id, text, source FROM documents"),
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing bookkeeping: each doc's
+    token span in the per-source concat stream and the seq_len-sized
+    training sequences it touches. Window cumsum per source — no
+    global single-partition scan."""
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return trainset.pack_sequences(docs)
+
+
 # --- domain-mixture resampling (static mixing to target proportions) --------
 
 MIX_TARGETS = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}

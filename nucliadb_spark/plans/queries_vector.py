@@ -116,13 +116,22 @@ def knn_quantized_rerank(spark, sf_dir):
 # --- SQ8 scalar-quantized first pass + exact rerank -------------------------
 
 
+# rerank budget follows the reference's RaBitQ rule: 100×k capped at
+# 2000 (nidx_vector/src/vector_types/rabitq.rs:30-36) — the int-dot
+# first pass is a dot-order proxy for cosine, so a thin budget loses
+# small-norm true positives.
+_SQ8_RERANK = min(100 * 10, 2000)
+
+
 @register(
     "knn_sq8_rerank",
-    knn.sq8_rerank_knn_sql(tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, rerank_top=50),
+    knn.sq8_rerank_knn_sql(
+        tpch.SQL_VECTORS, _QUERY_SQL, DIM, k=10, rerank_top=_SQ8_RERANK
+    ),
 )
 def knn_sq8_rerank(spark, sf_dir):
     return knn.sq8_rerank_knn(
-        _vectors(spark, sf_dir), _query_df(spark, sf_dir), k=10, rerank_top=50
+        _vectors(spark, sf_dir), _query_df(spark, sf_dir), k=10, rerank_top=_SQ8_RERANK
     )
 
 
@@ -182,6 +191,21 @@ def knn_vectorset_alt(spark, sf_dir):
 def ann_ivf_probe(spark, sf_dir):
     e = tpch.table(spark, sf_dir, "embeddings")
     return ann.ivf_search_labeled(e, _query_df(spark, sf_dir), k=10, nprobe=2, dim=DIM)
+
+
+@register(
+    "ann_ivf_sq8",
+    ann.ivf_sq8_search_labeled_sql(k=10, nprobe=2, rerank_top=_SQ8_RERANK, dim=DIM),
+)
+def ann_ivf_sq8(spark, sf_dir):
+    """The composed 100 TB serving path: IVF probe prunes to nprobe
+    cells, SQ8 integer-dot first pass ranks inside them (u8 codes =
+    1/4 of the float bytes), exact cosine reranks the reference's
+    100×k budget."""
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.ivf_sq8_search_labeled(
+        e, _query_df(spark, sf_dir), k=10, nprobe=2, rerank_top=_SQ8_RERANK, dim=DIM
+    )
 
 
 @register(

@@ -102,6 +102,13 @@ PRIORITY: list[str] = [
     "multi_kb_counters",
     "find_exact_match_query",
     # --- end of the 50-query graded window ---
+    # round-3 additions (graded in a later round's window; local
+    # value-parity green at sf0.001 + sf0.01)
+    "ann_ivf_sq8",
+    "text_unigram_logprob",
+    "text_quality_funnel",
+    "pack_sequences",
+    "stream_exact_dedup",
     "summarize_stub",
     "ask_stub",
     "multimodal_frame_sample",

@@ -780,3 +780,53 @@ FROM (SELECT unnest(labels) AS label FROM ({resources_sql}))
 GROUP BY label
 ORDER BY label
 """
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup audit over the documents corpus:
+    (n_unique, n_docs, n_dup_docs) after a real availableNow
+    Structured Streaming run grouping by content hash.
+
+    The batch twin is COUNT(DISTINCT md5(text)) — a full drain of the
+    static file equals it exactly. In a continuous pipeline this is
+    the ingest-side dedup gate: the groupBy state holds one row per
+    distinct content hash; at 100 TB you bound it with a watermark on
+    ingest time (late duplicates beyond the horizon re-enter — the
+    standard at-least-once dedup tradeoff) and shard state by hash.
+    """
+    name = f"dedup_{uuid.uuid4().hex[:10]}"
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(arrival)
+        .groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n_unique,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs
+        FROM {name}
+        """
+    )
+
+
+def stream_dedup_counts_sql() -> str:
+    return """
+SELECT COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*)::BIGINT AS n_docs,
+       (COUNT(*) - COUNT(DISTINCT md5(text)))::BIGINT AS n_dup_docs
+FROM documents
+"""

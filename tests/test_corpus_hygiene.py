@@ -133,3 +133,105 @@ def test_entities_groups_roundtrip(spark, sf_dir):
     # the summary count and the member listing agree when under top_k
     if groups["SUPPLIER"] <= entities.GROUP_TOP_K:
         assert len(members) == groups["SUPPLIER"]
+
+
+# --- unigram LM quality -----------------------------------------------------
+
+
+def test_unigram_logprob_rare_scores_higher(spark):
+    # "common" appears many times, "xyzzy"/"plugh" once each: the doc
+    # made of rare tokens must be more surprising (higher neg logp).
+    df = spark.createDataFrame(
+        [(i, "common common common") for i in range(1, 9)]
+        + [(9, "xyzzy plugh"), (10, "common common")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in textstats.unigram_logprob(df).collect()}
+    assert rows[9]["avg_neg_logp"] > rows[1]["avg_neg_logp"]
+    assert rows[1]["avg_neg_logp"] == rows[10]["avg_neg_logp"]  # same token mix
+    assert rows[9]["n_tokens"] == 2
+
+
+def test_unigram_model_probabilities_sum(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    model = {r["token"]: r["logp"] for r in textstats.unigram_model(df).collect()}
+    # p(a)=2/5, p(b)=2/5, p(c)=1/5
+    import math
+
+    assert abs(model["a"] - math.log10(2 / 5)) < 1e-12
+    assert abs(model["c"] - math.log10(1 / 5)) < 1e-12
+
+
+# --- quality funnel ---------------------------------------------------------
+
+
+def test_quality_funnel_planted(spark):
+    healthy = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the quiet woods where it finds a stream of clear water"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "tiny"),  # too_short + low_stopword
+            (2, healthy),  # passes everything
+            (3, "zz " * 40),  # stutter + repetitive + low_stopword
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["rule"]: r for r in textstats.quality_funnel(df).collect()}
+    assert rows["too_short"]["n_docs"] == 1  # doc 1 (4 chars)
+    assert rows["pass_all"]["n_docs"] == 1
+    assert rows["stutter"]["n_docs"] == 1
+    # doc 3, plus doc 1: a 0-bigram doc has dup_bigram_frac 1.0
+    # (degenerate-short docs are exactly what the funnel should cut)
+    assert rows["repetitive"]["n_docs"] == 2
+    assert abs(rows["pass_all"]["frac"] - 1 / 3) < 1e-4
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    out = trainset.pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text", "source"), seq_len=512
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        offset = 0
+        for r in rows:  # ordered by id within source
+            assert r["start_offset"] == offset
+            assert r["first_seq"] == offset // 512
+            end = offset + r["n_tokens"]
+            expect_last = max((end - 1) // 512, r["first_seq"])
+            assert r["last_seq"] == expect_last
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1 >= 1
+            offset = end
+
+
+# --- IVF + SQ8 --------------------------------------------------------------
+
+
+def test_ivf_sq8_matches_exact_ivf(spark, sf_dir):
+    """SQ8 first pass + rerank inside the probed cells must agree
+    with the full-precision IVF search on the same cells (rerank_top
+    50 >> k 10, clusters well separated)."""
+    from nucliadb_spark.operators import ann
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    exact = [r["id"] for r in ann.ivf_search_labeled(e, q, k=10, nprobe=2).collect()]
+    sq8 = [
+        r["id"]
+        for r in ann.ivf_sq8_search_labeled(
+            e, q, k=10, nprobe=2, rerank_top=1000
+        ).collect()
+    ]
+    overlap = len(set(exact) & set(sq8))
+    assert overlap >= 9, (exact, sq8)

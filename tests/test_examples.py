@@ -65,3 +65,28 @@ def test_shards_example(spark, sf_dir, tmp_path):
     }
     moves = shards.rebalance_moves(sizes)
     assert isinstance(moves, list)
+
+
+def test_hygiene_packing_example(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import ann, textstats, trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    model = textstats.unigram_model(docs)
+    scored = textstats.unigram_logprob(docs, model=model)
+    assert scored.columns == ["id", "n_tokens", "avg_neg_logp"]
+
+    funnel = {r["rule"]: r["n_docs"] for r in textstats.quality_funnel(docs).collect()}
+    assert "pass_all" in funnel and len(funnel) == 7
+
+    packed = trainset.pack_sequences(
+        docs.select("doc_id", "text", "source"), seq_len=2048
+    )
+    assert packed.filter("n_seqs < 1").count() == 0
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    hits = ann.ivf_sq8_search_labeled(e, q, k=10, nprobe=2)
+    assert hits.count() == 10
