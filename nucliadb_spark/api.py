@@ -35,7 +35,11 @@ class FindRequest:
     features: list[str] = field(default_factory=lambda: ["keyword", "semantic"])
     top_k: int = 10
     window: int = 50
+    # the reference's MinScore model splits thresholds per index
+    # (nucliadb_models/search.py:786-797): `semantic` cuts the vector
+    # leg, `bm25` (default 0) cuts the keyword leg
     min_score: float | None = None
+    min_score_bm25: float = 0.0
     filters: Expr | None = None
     legacy_filters: planner.LegacyFilters | None = None
     synonyms: dict[str, list[str]] | None = None
@@ -100,6 +104,7 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 req.query,
                 top_k=win,
                 synonyms=req.synonyms,
+                min_score=req.min_score_bm25 or None,
                 post=post,
                 stats=stats,
                 corpus=_corpus(sf_dir, stats),
@@ -112,6 +117,7 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 top_k=win,
                 prefilter=filters,
                 synonyms=req.synonyms,
+                min_score=req.min_score_bm25 or None,
             ).select(F.col("rid").alias("id"), "score")
 
     if "semantic" in features:

@@ -194,8 +194,14 @@ def bm25_search(
     allowed: DataFrame | None = None,
     vocab: DataFrame | None = None,
     corpus: DataFrame | None = None,
+    min_score: float | None = None,
 ) -> DataFrame:
     """BM25 top-k: (rid, score[, ematches]).
+
+    min_score: drop results scoring below the threshold before the
+    top-k cut (the text index's min_score collection rule, ref
+    nidx/nidx_text/src/reader.rs:293-303; applied to the rounded
+    score so the SQL twin cuts identically).
 
     prefilter: field-level filter evaluated BEFORE scoring — the
     reference's prefilter-semijoin plan shape (J1, reader.rs:148-180).
@@ -318,11 +324,10 @@ def bm25_search(
     out_cols = ["rid", F.round("raw_score", 4).cast(SCORE_TYPE).alias("score")]
     if with_ematches:
         out_cols.append(F.col("ematches"))
-    return (
-        by_doc.select(*out_cols)
-        .orderBy(F.col("score").desc(), F.col("rid").asc())
-        .limit(top_k)
-    )
+    out = by_doc.select(*out_cols)
+    if min_score is not None:
+        out = out.filter(F.col("score") >= min_score)
+    return out.orderBy(F.col("score").desc(), F.col("rid").asc()).limit(top_k)
 
 
 def bm25_sql(
@@ -336,6 +341,7 @@ def bm25_sql(
     synonyms: dict[str, list[str]] | None = None,
     stop_words: bool = False,
     served_where: str | None = None,
+    min_score: float | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (same CTE pipeline).
 
@@ -405,6 +411,7 @@ scored AS (
 )
 SELECT rid, ROUND(raw_score, 4)::DOUBLE AS score {ematch_col}
 FROM scored
+{f"WHERE ROUND(raw_score, 4) >= {min_score!r}" if min_score is not None else ""}
 ORDER BY score DESC, rid ASC
 LIMIT {top_k}
 """

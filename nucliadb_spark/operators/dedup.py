@@ -467,3 +467,60 @@ WHERE a.label IN ({lst}) AND b.label IN ({lst})
   AND {cos} >= {threshold!r}
 ORDER BY id_a, id_b
 """
+
+
+# --- quality-aware survivor selection --------------------------------------
+# A production dedup pipeline keeps the BEST document per near-dup
+# cluster, not an arbitrary one: the survivor is chosen by quality
+# score (then length, then id for determinism). One window pass over
+# the clustered members — n_members rides the same partitioning, so
+# survivor election is a single cluster_id shuffle.
+
+
+def best_survivors(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """(cluster_id, survivor_id, n_members, best_quality).
+
+    clusters: (id, cluster_id) from connected_components; quality:
+    (id, ..., n_chars, quality) from textstats.quality_features.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(quality.select("id", "n_chars", "quality"), "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("n_chars").desc(), F.col("id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("survivor_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality").alias("best_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def best_survivors_sql(clusters_sql: str, quality_sql: str) -> str:
+    return f"""
+WITH clusters AS ({clusters_sql}),
+q AS ({quality_sql}),
+j AS (
+  SELECT c.id, c.cluster_id, q.quality, q.n_chars
+  FROM clusters c JOIN q USING (id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, n_chars DESC, id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM j
+)
+SELECT cluster_id, id AS survivor_id, n_members::BIGINT AS n_members,
+       quality AS best_quality
+FROM r WHERE rn = 1
+ORDER BY cluster_id
+"""

@@ -458,6 +458,59 @@ def find_single_source(spark, sf_dir):
     )
 
 
+# --- prequeries RAG strategy, oracle-graded --------------------------------
+# ref: nucliadb_models/search.py PreQueriesStrategy — preliminary
+# retrievals run independently; a final weighted RRF fuses the main
+# result with every prequery result. Keyword-only retrievers keep the
+# oracle exact: each source is a raw-BM25 list, the fusion is rrf_sql.
+
+_PREQ_MAIN = "window agg stream"
+_PREQ = [("vector index probe", 2.0), ("shard merge compaction", 0.5)]
+
+
+def _preq_oracle() -> str:
+    from nucliadb_spark.operators import bm25, fusion
+
+    sources = {
+        "main": "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(tpch.SQL_FIELDS, _PREQ_MAIN, top_k=10)
+        + ")"
+    }
+    weights = {"main": 1.0}
+    for i, (q, w) in enumerate(_PREQ):
+        sources[f"pre_{i}"] = (
+            "SELECT rid AS id, score FROM ("
+            + bm25.bm25_sql(tpch.SQL_FIELDS, q, top_k=10)
+            + ")"
+        )
+        weights[f"pre_{i}"] = w
+    inner = fusion.rrf_sql(sources, weights=weights, top_k=10)
+    return (
+        "SELECT id, score, array_to_string(matched_sources, ',') AS matched_sources "
+        f"FROM ({inner})"
+    )
+
+
+@register("find_prequeries", _preq_oracle())
+def find_prequeries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_PREQ_MAIN,
+        features=["keyword"],
+        top_k=10,
+        prequeries=[
+            (api.FindRequest(query=q, features=["keyword"], top_k=10), w)
+            for q, w in _PREQ
+        ],
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
+    )
+
+
 # --- T7 oracle-graded: quoted exact-match query disables the semantic leg --
 # ref: query parser exact-match detection — a fully-quoted query
 # skips vector search; the remaining single retriever returns RAW

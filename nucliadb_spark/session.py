@@ -33,7 +33,10 @@ def get_session(app_name: str = "nucliadb_spark", shuffle_partitions: int | None
         # events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in the adapter (tpch.events) to µs timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver heap IS the executor heap — size it for
+        # the persisted serving indexes (the box has 128 GiB; an 8g
+        # heap GC-thrashes once postings+vectors are cached)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

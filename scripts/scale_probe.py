@@ -28,6 +28,9 @@ VOCAB = (
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_session("scale-probe")
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     docs = spark.range(n_docs).select(
@@ -91,6 +94,58 @@ def main() -> None:
         knn.exact_knn(v, qvec, k=10).collect()
 
     t("ivf probe (4/64 cells)", probe)
+
+    # IVF + SQ8: int-dot first pass inside the probed cells, exact
+    # rerank of the 100x k budget (quantization stats broadcast)
+    sq8_stats = assigned.agg(
+        F.min(F.array_min("vector")).alias("_lo"),
+        F.max(F.array_max("vector")).alias("_hi"),
+    ).persist()
+    sq8_stats.count()
+
+    def probe_sq8():
+        p = ann_ops.probe_cells(centroids, qvec, nprobe=4)
+        v = assigned.join(
+            F.broadcast(p), assigned["cluster_label"] == p["cell"], "inner"
+        ).drop("cell")
+        lo, hi = F.col("_lo"), F.col("_hi")
+
+        def q8(col):
+            return F.transform(
+                col, lambda x: F.round((x - lo) / (hi - lo) * 255.0).cast("int")
+            )
+
+        cand = v.crossJoin(F.broadcast(qvec)).crossJoin(F.broadcast(sq8_stats))
+        int_dot = F.aggregate(
+            F.zip_with(q8(F.col("vector")), q8(F.col("qvec")),
+                       lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        first = (cand.withColumn("qs", int_dot)
+                 .orderBy(F.col("qs").desc(), F.col("rid").asc()).limit(1000))
+        from nucliadb_spark.functions import vector as V
+        (first.select("rid", F.round(V.cosine(F.col("vector"), F.col("qvec")), 5)
+                      .alias("score"))
+         .orderBy(F.col("score").desc(), F.col("rid").asc()).limit(10).collect())
+
+    t("ivf+sq8 probe (4/64 cells, rerank 1000)", probe_sq8)
+
+    # corpus-hygiene ops at probe scale
+    from nucliadb_spark.operators import textstats, trainset
+
+    docs2 = docs.select(
+        F.col("rid").alias("doc_id"), "text",
+        F.concat(F.lit("src"), F.pmod("rid", F.lit(8)).cast("string")).alias("source"),
+    ).persist()
+    docs2.count()
+    t0 = time.perf_counter()
+    model = textstats.unigram_model(docs2).persist(); model.count()
+    print(f"unigram model build: {time.perf_counter()-t0:.1f}s")
+    t("unigram logprob (scored docs)", lambda: textstats.unigram_logprob(
+        docs2, model=model).count())
+    t("quality funnel", lambda: textstats.quality_funnel(docs2).collect())
+    t("pack_sequences (per-source cumsum)", lambda: trainset.pack_sequences(
+        docs2, seq_len=2048).count())
 
 
 if __name__ == "__main__":

@@ -69,3 +69,24 @@ def test_prequeries_fuse_with_main(spark, sf_dir):
 def test_no_retrievers_raises(spark, sf_dir):
     with pytest.raises(ValueError):
         api.find_request(spark, sf_dir, api.FindRequest(query="", features=["keyword"]))
+
+
+def test_min_score_bm25_cuts_keyword_leg(spark, sf_dir):
+    # reference MinScore model: bm25 threshold filters the keyword
+    # index results before fusion (nucliadb_models/search.py:786-797)
+    base = api.FindRequest(query="spark join window", features=["keyword"], top_k=20)
+    full = api.find_request(spark, sf_dir, base).collect()
+    assert full, "baseline must return hits"
+    cut_at = sorted((r.score for r in full), reverse=True)[len(full) // 2]
+    cut = api.find_request(
+        spark,
+        sf_dir,
+        api.FindRequest(
+            query="spark join window",
+            features=["keyword"],
+            top_k=20,
+            min_score_bm25=cut_at,
+        ),
+    ).collect()
+    assert 0 < len(cut) < len(full)
+    assert all(r.score >= cut_at for r in cut)

@@ -116,3 +116,63 @@ def test_graph_leg_pushes_source_filter(spark, sf_dir):
     )
     plan = _plan(df)
     assert re.search(r"PushedFilters: \[.*In\(source", plan), plan[:1500]
+
+
+def test_pack_sequences_single_data_shuffle(spark, sf_dir):
+    """Packing must be ONE hash shuffle on the pack key (plus the
+    deterministic output sort's range exchange) and ONE window
+    expression — the cumsum must not be recomputed per output column."""
+    from nucliadb_spark.operators import trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    df = trainset.pack_sequences(docs)
+    df.collect()
+    plan = _plan(df)
+    # AQE repeats the subtree under "== Initial Plan =="; count only
+    # the final plan section
+    final = plan.split("== Initial Plan ==")[0]
+    assert _n_shuffles(final) == 1, plan[:1500]
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("sum(n_tokens") == 1, opt[:1500]
+
+
+def test_unigram_model_broadcast_join(spark, sf_dir):
+    """Doc scoring joins the unigram model by BROADCAST at this scale
+    (the model is a vocab-sized sidecar, never shuffled with docs)."""
+    from nucliadb_spark.operators import textstats
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    df = textstats.unigram_logprob(docs, model=textstats.unigram_model(docs))
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_quality_funnel_one_scan_no_join(spark, sf_dir):
+    """The funnel computes every rule row-locally in one projection:
+    exactly one scan of documents, no join of feature frames."""
+    from nucliadb_spark.operators import textstats
+    from nucliadb_spark.sources import tpch
+
+    df = textstats.quality_funnel(tpch.table(spark, sf_dir, "documents"))
+    df.collect()
+    # AQE repeats the subtree under "== Initial Plan =="
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_ivf_sq8_probe_broadcasts(spark, sf_dir):
+    """The SQ8 path must broadcast the probe/query/stats sides and
+    end in a TakeOrderedAndProject — the corpus side streams."""
+    from nucliadb_spark.operators import ann
+    from nucliadb_spark.sources import tpch
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    df = ann.ivf_sq8_search_labeled(e, q, k=10, nprobe=2)
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 3, plan[:2000]
