@@ -416,13 +416,51 @@ def kb_export_roundtrip(spark, sf_dir):
     return exporter.kb_export_manifest(spark, sf_dir, path)
 
 
-# --- S4: log-merge compaction plan (rows-only; the planner is a
-# driver-side scheduler like the reference's, so it has no SQL twin —
-# its semantics are pinned by tests/test_compaction.py, which ports
-# the reference's own test cases from nidx/src/scheduler/log_merge.rs)
+# --- S4: log-merge compaction plan --------------------------------------
+# The planner (ref: nidx/src/scheduler/log_merge.rs:59-135) is a
+# sequential fold over size-ordered segments, so its SQL twin is a
+# recursive CTE that walks one segment per step carrying the bucket
+# state (bucket start log2, running record count) — the input is tiny
+# (one row per ingest source), so recursion cost is irrelevant.
+# Parity with the Python planner is additionally pinned by
+# tests/test_compaction.py (ported reference cases) and a randomized
+# cross-check in tests/test_compaction.py::test_merge_plan_oracle_random.
+
+_MERGE_PLAN_SQL = """
+WITH RECURSIVE segs AS (
+  SELECT source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY source
+), ordered AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, source) AS idx,
+         LOG2(GREATEST(cnt, 4)) AS size_log
+  FROM segs WHERE cnt <= 60
+), walk AS (
+  SELECT idx, source, cnt, size_log,
+         0 AS bucket_id, size_log AS bstart_log,
+         0 AS job_in_bucket, cnt AS acc
+  FROM ordered WHERE idx = 1
+  UNION ALL
+  SELECT o.idx, o.source, o.cnt, o.size_log,
+         CASE WHEN o.size_log <= w.bstart_log - 1.0 THEN w.bucket_id + 1 ELSE w.bucket_id END,
+         CASE WHEN o.size_log <= w.bstart_log - 1.0 THEN o.size_log ELSE w.bstart_log END,
+         CASE WHEN o.size_log <= w.bstart_log - 1.0 THEN 0
+              WHEN w.acc > 60 THEN w.job_in_bucket + 1
+              ELSE w.job_in_bucket END,
+         CASE WHEN o.size_log <= w.bstart_log - 1.0 OR w.acc > 60 THEN o.cnt
+              ELSE w.acc + o.cnt END
+  FROM walk w JOIN ordered o ON o.idx = w.idx + 1
+), kept AS (
+  SELECT * FROM walk
+  QUALIFY COUNT(*) OVER (PARTITION BY bucket_id) >= 2
+      AND COUNT(*) OVER (PARTITION BY bucket_id, job_in_bucket) >= 2
+)
+SELECT CAST(DENSE_RANK() OVER (ORDER BY bucket_id, job_in_bucket) - 1 AS INT) AS job_id,
+       source AS segment_id
+FROM kept
+"""
 
 
-@register("segment_merge_plan")
+@register("segment_merge_plan", _MERGE_PLAN_SQL)
 def segment_merge_plan(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -123,3 +123,36 @@ def test_plan_table_merges_reads_footers_only(spark, tmp_path):
     plan = plan_table_merges(src, LogMergeSettings(min_number_of_segments=2))
     # tiny equal files land in one bottom bucket
     assert len(plan) == 1
+
+
+def test_merge_plan_oracle_random():
+    """The recursive-CTE DuckDB oracle for segment_merge_plan must
+    replicate plan_merges exactly on arbitrary segment distributions
+    (multiple buckets, oversized skips, dropped singleton buckets)."""
+    import random
+
+    import duckdb
+
+    from nucliadb_spark.plans.queries_dataops import _MERGE_PLAN_SQL
+
+    sql = _MERGE_PLAN_SQL.replace(
+        "SELECT source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY source",
+        "SELECT source, cnt FROM seg_sizes",
+    )
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(1, 30)
+        sizes = [
+            (f"s{i:02d}", rng.choice([1, 3, 5, 12, 25, 26, 30, 59, 60, 61, 100]))
+            for i in range(n)
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE seg_sizes(source VARCHAR, cnt BIGINT)")
+        con.executemany("INSERT INTO seg_sizes VALUES (?,?)", sizes)
+        got = sorted(con.execute(sql).fetchall())
+        ordered = sorted(sizes, key=lambda s: (-s[1], s[0]))
+        jobs = plan_merges(
+            LogMergeSettings(2, 60, 4), [(s, c, False) for s, c in ordered]
+        )
+        want = sorted((j, s) for j, job in enumerate(jobs) for s in job)
+        assert got == want, sizes
