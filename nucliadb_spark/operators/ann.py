@@ -454,3 +454,224 @@ FROM first_pass f
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """
+
+
+# --- distributed k-means training step (Lloyd iteration) --------------------
+# The IVF build above delegates to MLlib KMeans; this is the SAME
+# Lloyd iteration opened up as plain DataFrame ops so the training
+# loop itself is oracle-checkable: assign every vector to its nearest
+# seed (tiny broadcast of k seeds), then recompute centroids as the
+# per-(cell, dim) mean. Driver-side loop over iterations — each step
+# is one broadcast join + one groupBy; at 100 TB the assignment pass
+# is a map-side-only stage and the centroid agg shuffles k*dim
+# partial sums, not vectors.
+
+
+def kmeans_step_labeled(
+    embeddings: DataFrame, k: int = 4, dim: int = 64
+) -> DataFrame:
+    """One Lloyd iteration from deterministic seeds (the first k
+    vectors by vec_id). Output long-format so the driver can hash it:
+    (cell, pos, centroid_val, n_members) — k*dim rows.
+
+    Assignment tiebreak: cosine rounded to 6 decimals, then lower
+    seed id (assign_cells contract)."""
+    seeds = embeddings.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_cells(
+        embeddings, seeds, keys=("vec_id",), vec_col="embedding"
+    )
+    pos = assigned.select(
+        F.col("cluster_label").alias("cell"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    return (
+        pos.groupBy("cell", "pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .orderBy("cell", "pos")
+    )
+
+
+def kmeans_step_labeled_sql(k: int = 4, dim: int = 64) -> str:
+    from nucliadb_spark.functions import vector as _V
+
+    cos = _V.cosine_sql_unrolled("e.embedding", "s.centroid", dim)
+    return f"""
+WITH seeds AS (
+  SELECT vec_id::INT AS cell, embedding AS centroid
+  FROM embeddings WHERE vec_id < {k}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({cos}, 6) DESC, s.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+pos AS (
+  SELECT cell, unnest(generate_series(1, {dim})) AS p,
+         unnest(embedding) AS val
+  FROM assigned
+)
+SELECT cell, p - 1 AS pos,
+       ROUND(AVG(val), 6) AS centroid_val,
+       COUNT(*)::BIGINT AS n_members
+FROM pos GROUP BY cell, p
+ORDER BY cell, pos
+"""
+
+
+# --- product quantization + ADC (the memory-scale serving path) -------------
+# SQ8 compresses 4×; PQ compresses dim*4 bytes → m bytes (here 64
+# floats → 8 byte codes, 32×). The reference's RaBitQ (1-bit codes +
+# rerank, nidx/nidx_vector/src/vector_types/rabitq.rs:30-36) plays
+# the same role: a lossy first pass cheap enough to scan, followed by
+# an exact rerank of the survivors. Batch-native PQ:
+#
+# - codebooks: per subspace j, the codewords are the j-th subvectors
+#   of the first k_codes vectors (deterministic seeds — a real build
+#   would run kmeans_step_labeled per subspace; seeds keep the oracle
+#   exact, and the update loop is the op above);
+# - encode: per (vector, subspace) nearest codeword by L2 — ONE
+#   broadcast join against the m*k_codes codebook, never all-pairs;
+# - ADC: the query precomputes dot(query_sub_j, codeword) for all
+#   m*k_codes entries (a lookup table, broadcast); a vector's
+#   approximate score is the sum of its m table hits — at serving
+#   time the corpus side touches only its byte codes, not floats;
+# - rerank: exact cosine for the ADC top `rerank_top` only.
+
+
+def pq_adc_labeled(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    rerank_top: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, score) — PQ-encode, ADC first pass, exact rerank."""
+    sub_dim = dim // m
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice("embedding", j * sub_dim + 1, sub_dim),
+    )
+    sub = embeddings.select(
+        "vec_id", F.posexplode(subs).alias("j", "subvec")
+    )
+    codebook = sub.filter(F.col("vec_id") < k_codes).select(
+        "j", F.col("vec_id").cast("int").alias("code"), F.col("subvec").alias("codeword")
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            "subvec", "codeword", lambda a, b: ((a - b) * (a - b)).cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    enc = sub.join(F.broadcast(codebook), "j").withColumn(
+        "_d", F.round(l2sq, 6)
+    )
+    codes = enc.groupBy("vec_id", "j").agg(
+        F.min_by("code", F.struct("_d", "code")).alias("code")
+    )
+    qsub = query.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice("qvec", j * sub_dim + 1, sub_dim),
+            )
+        ).alias("j", "qs")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qs", "codeword", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qtab = qsub.join(F.broadcast(codebook), "j").select(
+        "j", "code", F.round(qdot, 6).alias("qdot")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["j", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qdot"), 5).alias("adc"))
+    )
+    first_pass = (
+        adc.orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+        .limit(rerank_top)
+        .select("vec_id")
+    )
+    exact = V.cosine(F.col("embedding"), F.col("qvec"))
+    return (
+        embeddings.join(F.broadcast(first_pass), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(exact, 5).cast(SCORE_TYPE).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def pq_adc_labeled_sql(
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    rerank_top: int = 50,
+    dim: int = 64,
+) -> str:
+    sub_dim = dim // m
+    cos = V.cosine_sql_unrolled("e.embedding", "q.qvec", dim)
+    l2sq = (
+        "list_aggregate(list_transform(generate_series(1, "
+        f"{sub_dim}), i -> (s.subvec[i]::DOUBLE - c.codeword[i]::DOUBLE)"
+        " * (s.subvec[i]::DOUBLE - c.codeword[i]::DOUBLE)), 'sum')"
+    )
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, "
+        f"{sub_dim}), i -> u.qs[i]::DOUBLE * c.codeword[i]::DOUBLE), 'sum')"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+sub AS (
+  SELECT vec_id, j,
+         list_slice(embedding, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
+  FROM embeddings, unnest(generate_series(0, {m - 1})) AS t(j)
+),
+codebook AS (
+  SELECT j, vec_id::INT AS code, subvec AS codeword
+  FROM sub WHERE vec_id < {k_codes}
+),
+enc AS (
+  SELECT s.vec_id, s.j, c.code,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                            ORDER BY ROUND({l2sq}, 6) ASC, c.code ASC) AS rn
+  FROM sub s JOIN codebook c USING (j)
+),
+codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+qsub AS (
+  SELECT j, list_slice(qvec, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS qs
+  FROM q, unnest(generate_series(0, {m - 1})) AS t(j)
+),
+qtab AS (
+  SELECT u.j, c.code, ROUND({qdot}, 6) AS qdot
+  FROM qsub u JOIN codebook c USING (j)
+),
+adc AS (
+  SELECT codes.vec_id, ROUND(SUM(qdot), 5) AS adc
+  FROM codes JOIN qtab USING (j, code) GROUP BY codes.vec_id
+),
+first_pass AS (
+  SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT {rerank_top}
+)
+SELECT e.vec_id AS id, ROUND({cos}, 5)::DOUBLE AS score
+FROM embeddings e JOIN first_pass USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""

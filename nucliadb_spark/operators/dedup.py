@@ -39,6 +39,7 @@ from nucliadb_spark.functions.text import (
     tokenize_sql,
     word_shingles,
     word_shingles_from_tokens,
+    word_shingles_sql,
 )
 from nucliadb_spark.functions.vector import cosine_sql_unrolled
 from nucliadb_spark.functions import vector as V
@@ -523,4 +524,90 @@ SELECT cluster_id, id AS survivor_id, n_members::BIGINT AS n_members,
        quality AS best_quality
 FROM r WHERE rn = 1
 ORDER BY cluster_id
+"""
+
+
+# --- cross-document duplicate spans (exact-substring dedup stats) -----------
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") removes exact substrings repeated across a corpus; the
+# published recipe finds ~50-token spans via a suffix array. The
+# distributed equivalent works on word n-gram shingles: a gram that
+# occurs in >= 2 DISTINCT documents marks a duplicated span. This op
+# reports, per document, how much of it is covered by such
+# cross-document grams — the removal decision input.
+#
+# Scale shape: ONE shuffle — grams hash-partition for the
+# occurrence count (map-side partial aggregation on 60-bit gram
+# hashes, never gram strings), and the per-doc rollup rides the same
+# exchange via a broadcast-back semi-join of the (tiny, filtered)
+# duplicated-gram set. No all-pairs, no driver collect. At 100 TB the
+# gram count table is the big intermediate; it prunes itself because
+# only grams with count >= 2 survive the filter (a Bloom/CountMin
+# pre-pass would cut the exchange further; left as a config knob).
+
+
+def dup_span_stats(
+    corpus: DataFrame, n: int = 8, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_grams, n_dup_grams, dup_frac_e5) per document.
+
+    A doc's gram set is DISTINCT within the doc, so internal
+    repetition doesn't count as cross-doc duplication (that signal is
+    textstats.repetition_signals)."""
+    toks = corpus.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("_toks")
+    )
+    grams = (
+        toks.select(
+            "id", F.explode(word_shingles_from_tokens(F.col("_toks"), n)).alias("g")
+        )
+        .select("id", md5_int60(F.col("g"), salt="dup:").alias("gh"))
+        .distinct()
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    per_doc = grams.join(F.broadcast(dup), "gh", "left_semi").groupBy("id").agg(
+        F.count("*").cast("long").alias("n_dup_grams")
+    )
+    totals = grams.groupBy("id").agg(F.count("*").cast("long").alias("n_grams"))
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) * 1e5 / F.col("n_grams")
+            ).cast("long").alias("dup_frac_e5"),
+        )
+        .orderBy("id")
+    )
+
+
+def dup_span_stats_sql(
+    corpus_sql: str, n: int = 8, id_col: str = "id", text_col: str = "text"
+) -> str:
+    grams = word_shingles_sql(text_col, n)
+    gh = md5_int60_sql("g", salt="dup:")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+grams AS (
+  SELECT DISTINCT {id_col} AS id, {gh} AS gh
+  FROM corpus, unnest({grams}) AS u(g)
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+per_doc AS (
+  SELECT id, COUNT(*)::BIGINT AS n_dup_grams
+  FROM grams WHERE gh IN (SELECT gh FROM dup) GROUP BY id
+),
+totals AS (SELECT id, COUNT(*)::BIGINT AS n_grams FROM grams GROUP BY id)
+SELECT t.id, t.n_grams,
+       COALESCE(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       ROUND(COALESCE(p.n_dup_grams, 0) * 1e5 / t.n_grams)::BIGINT AS dup_frac_e5
+FROM totals t LEFT JOIN per_doc p USING (id)
+ORDER BY t.id
 """

@@ -399,3 +399,113 @@ SELECT source, id, n_tokens,
 FROM c
 ORDER BY source, id
 """
+
+
+# --- token-budget selection -------------------------------------------------
+# A pretraining run is sized in tokens, not documents: "take the first
+# B tokens of each domain" (Chinchilla-style budget split across
+# sources). Walk each source's docs in a stable order and keep rows
+# while the running BPE-token total stays within the budget — the
+# running sum is a bounded window per domain shard (same scale note as
+# pack_sequences: sub-shard big sources on id ranges at 100 TB).
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """(source, id, n_tokens, cum_tokens) — the per-source prefix of
+    documents whose cumulative token count fits the budget. A doc that
+    would cross the budget line is excluded (conservative cut, so the
+    shipped token count never exceeds budget per source)."""
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    t = docs.select(
+        F.col(by).alias("source"), F.col(id_col).alias("id"), bpe.alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("id")
+    t = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return t.filter(F.col("cum_tokens") <= budget).orderBy("source", "id")
+
+
+def token_budget_select_sql(
+    docs_sql: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT {by} AS source, {id_col} AS id,
+         list_aggregate(list_transform({toks}, x -> ceil(length(x) / 4.0)::BIGINT),
+                        'sum')::BIGINT AS n_tokens
+  FROM ({docs_sql})
+), c AS (
+  SELECT source, id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT source, id, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= {budget}
+ORDER BY source, id
+"""
+
+
+# --- deterministic train/val/test split -------------------------------------
+# The split must be a pure function of the document id (NOT row order
+# or an RNG): reproducible across engines, stable under corpus
+# regeneration, and immune to partitioning — the property every
+# training pipeline needs so a doc can never migrate between train and
+# held-out across runs. Narrow: a filter-free projection, then one
+# aggregation for the audit counts.
+
+
+def split_assign(
+    docs: DataFrame,
+    pcts: tuple[int, int, int] = (90, 5, 5),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds a `split` column: md5-bucket(id) mod 100 mapped to
+    train/val/test bands of `pcts` percent each."""
+    train, val, _ = pcts
+    bucket = md5_int60(F.col(id_col).cast("string"), salt="split:") % 100
+    split = (
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+def split_counts_sql(
+    docs_sql: str,
+    pcts: tuple[int, int, int] = (90, 5, 5),
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> str:
+    train, val, _ = pcts
+    bucket = f"{md5_int60_sql(f'CAST({id_col} AS VARCHAR)', salt='split:')} % 100"
+    return f"""
+SELECT CASE WHEN ({bucket}) < {train} THEN 'train'
+            WHEN ({bucket}) < {train + val} THEN 'val'
+            ELSE 'test' END AS split,
+       {strata_col} AS stratum,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS n_chars
+FROM ({docs_sql})
+GROUP BY 1, 2
+ORDER BY split, stratum
+"""

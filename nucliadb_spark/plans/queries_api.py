@@ -540,3 +540,71 @@ def find_exact_match_query(spark, sf_dir):
     return api.find_request(spark, sf_dir, req).select(
         "id", "score", F.array_join("matched_sources", ",").alias("matched_sources")
     )
+
+
+# --- autofilter: detected entities become filters ---------------------------
+# ref: /find's autofilter=true (search/search/query.py autofilters +
+# fetcher.py:238-257): entities NER-detects in the query text are
+# APPLIED as resource filters (not just an extra retriever leg), and
+# the response reports which filters were auto-applied.
+
+
+def _autofilter_sql() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import bm25
+
+    ents = detect_entity_values_py(_REL_Q)
+    lst = ", ".join(f"'{e}'" for e in ents)
+    applied = ",".join(sorted(ents))
+    allowed = f"""
+SELECT DISTINCT CAST(string_split(r.paragraph_id, '/')[1] AS BIGINT) AS rid
+FROM ({tpch.SQL_RELATIONS}) r
+WHERE (r.source_value IN ({lst}) OR r.target_value IN ({lst}))
+  AND r.paragraph_id IS NOT NULL
+"""
+    kw = bm25.bm25_sql(
+        tpch.SQL_FIELDS,
+        "spark shuffle partition",
+        top_k=10,
+        served_where=f"rid IN ({allowed})",
+    )
+    return f"""
+SELECT rid AS id, score, '{applied}' AS autofilters FROM ({kw})
+"""
+
+
+@register("find_autofilter", _autofilter_sql())
+def find_autofilter(spark, sf_dir):
+    """find() with autofilter=true: NER-detected query entities are
+    applied as a resource prefilter on the keyword leg (broadcast
+    semi-join of the allowed rid set — the same scan shape as the
+    security prefilter), and the applied set is echoed back in
+    `autofilters`."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import bm25
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    ents = detect_entity_values_py(_REL_Q)
+    post, stats = _text_index(spark, sf_dir)
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    allowed = (
+        rel.filter(
+            (F.col("source_value").isin(ents) | F.col("target_value").isin(ents))
+            & F.col("paragraph_id").isNotNull()
+        )
+        .select(F.split("paragraph_id", "/").getItem(0).cast("long").alias("rid"))
+        .distinct()
+    )
+    keyword = bm25.bm25_search(
+        None, "spark shuffle partition", top_k=10,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post), allowed=allowed,
+    )
+    return keyword.select(
+        F.col("rid").alias("id"),
+        "score",
+        F.lit(",".join(sorted(ents))).alias("autofilters"),
+    )

@@ -491,3 +491,18 @@ def segment_merge_plan(spark, sf_dir):
         for seg_id in job
     ]
     return spark.createDataFrame(rows, "job_id int, segment_id string")
+
+
+# --- cross-document duplicate spans (Lee et al. exact-substring stats) ------
+
+
+@register(
+    "text_dup_spans",
+    dedup.dup_span_stats_sql(_PLANTED_SQL, n=8),
+)
+def text_dup_spans(spark, sf_dir):
+    """Per-doc coverage by 8-gram spans that recur in >= 2 distinct
+    docs — the removal-decision input of exact-substring dedup. Runs
+    over the planted corpus (random word soup has no natural 8-gram
+    collisions; the planted near-dup copies provide ground truth)."""
+    return dedup.dup_span_stats(_planted(spark, sf_dir), n=8)

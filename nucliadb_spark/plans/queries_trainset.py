@@ -460,3 +460,47 @@ def multi_kb_counters(spark, sf_dir):
         )
         .orderBy("kbid")
     )
+
+
+# --- token-budget selection + deterministic split ---------------------------
+
+TOKEN_BUDGET = 3000  # per-source token budget (cuts mid-source at sf0.01)
+
+_DOCS_FULL_SQL = "SELECT doc_id, text, lang, source FROM documents"
+
+
+@register(
+    "sample_token_budget",
+    trainset.token_budget_select_sql(_DOCS_FULL_SQL, TOKEN_BUDGET),
+)
+def sample_token_budget(spark, sf_dir):
+    """Per-source prefix of docs filling a token budget — a
+    Chinchilla-style per-domain token allocation. Window cumsum per
+    source shard (bounded partitions, same scale shape as
+    pack_sequences), then a pure filter."""
+    docs = tpch.table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return trainset.token_budget_select(docs, TOKEN_BUDGET)
+
+
+@register(
+    "trainset_split",
+    trainset.split_counts_sql(_DOCS_FULL_SQL),
+)
+def trainset_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test audit counts: the split is
+    a pure function of md5(doc_id), so a document can never migrate
+    between train and held-out across runs/engines/partitionings."""
+    from pyspark.sql import functions as F
+
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return (
+        trainset.split_assign(docs)
+        .groupBy("split", F.col("lang").alias("stratum"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("split", "stratum")
+    )

@@ -258,3 +258,31 @@ def knn_normalized(spark, sf_dir):
         "qvec", _V.l2_normalize(F.col("qvec"))
     )
     return knn.exact_knn(vecs, q, k=10, similarity="dot")
+
+
+# --- distributed k-means step + PQ/ADC serving ------------------------------
+
+
+@register("ann_kmeans_step", ann.kmeans_step_labeled_sql(k=4, dim=DIM))
+def ann_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration of the IVF centroid training loop, opened
+    up as DataFrame ops (assignment = broadcast join, update = one
+    groupBy of k*dim partial sums) so index BUILD is oracle-checked,
+    not just serving. Seeds are the first 4 vectors by id."""
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.kmeans_step_labeled(e, k=4, dim=DIM)
+
+
+@register(
+    "knn_pq_adc",
+    ann.pq_adc_labeled_sql(k=10, m=8, k_codes=16, rerank_top=50, dim=DIM),
+)
+def knn_pq_adc(spark, sf_dir):
+    """Product-quantized serving: 64 floats → 8 byte codes (32×
+    compression vs SQ8's 4×), ADC lookup-table first pass, exact
+    cosine rerank of the top 50 (the reference's RaBitQ
+    quantize-then-rerank shape at a deeper compression point)."""
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.pq_adc_labeled(
+        e, _query_df(spark, sf_dir), k=10, m=8, k_codes=16, rerank_top=50, dim=DIM
+    )

@@ -106,6 +106,12 @@ PRIORITY: list[str] = [
     # --- end of the 50-query graded window ---
     # round-3 additions (graded in a later round's window; local
     # value-parity green at sf0.001 + sf0.01)
+    "sample_token_budget",
+    "trainset_split",
+    "text_dup_spans",
+    "ann_kmeans_step",
+    "knn_pq_adc",
+    "find_autofilter",
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",
