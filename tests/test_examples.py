@@ -90,3 +90,29 @@ def test_hygiene_packing_example(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     hits = ann.ivf_sq8_search_labeled(e, q, k=10, nprobe=2)
     assert hits.count() == 10
+
+
+def test_budget_split_pq_example(spark, sf_dir):
+    from nucliadb_spark.operators import ann, dedup, trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    sel = trainset.token_budget_select(docs, budget=3000)
+    assert {"source", "id", "n_tokens", "cum_tokens"} <= set(sel.columns)
+    assert sel.count() > 0
+
+    split = trainset.split_assign(docs)
+    assert set(r.split for r in split.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+    spans = dedup.dup_span_stats(dedup.planted_corpus(docs.select("doc_id", "text")))
+    assert spans.filter("n_dup_grams > 0").count() > 0  # planted dups detected
+
+    emb = tpch.table(spark, sf_dir, "embeddings")
+    step = ann.kmeans_step_labeled(emb, k=4)
+    assert step.count() == 4 * 64
+
+    q = emb.filter("vec_id = 0").selectExpr("embedding AS qvec")
+    hits = ann.pq_adc_labeled(emb, q, k=10).collect()
+    assert len(hits) == 10 and hits[0].id == 0  # self-match survives rerank

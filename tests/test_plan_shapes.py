@@ -176,3 +176,62 @@ def test_ivf_sq8_probe_broadcasts(spark, sf_dir):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 3, plan[:2000]
+
+
+def test_token_budget_single_data_shuffle(spark, sf_dir):
+    """The budget cut is one window pass per source shard: exactly one
+    hash exchange of data rows (for the partitionBy), no join."""
+    from nucliadb_spark.operators import trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    plan = _plan(trainset.token_budget_select(docs, 3000))
+    assert _n_shuffles(plan) == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_split_assign_shuffle_free(spark, sf_dir):
+    """The split is a projection — md5 bucket per row, no exchange."""
+    from nucliadb_spark.operators import trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    plan = _plan(trainset.split_assign(docs))
+    assert _n_shuffles(plan) == 0, plan[:2000]
+
+
+def test_dup_spans_broadcasts_dup_set(spark, sf_dir):
+    """The duplicated-gram set (tiny after the count>=2 filter) must
+    be the broadcast side of the per-doc semi-join; corpus grams must
+    not shuffle twice for it."""
+    from nucliadb_spark.operators import dedup
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(dedup.dup_span_stats(dedup.planted_corpus(docs)))
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_kmeans_step_broadcasts_seeds(spark, sf_dir):
+    """Assignment must broadcast the k seeds (tiny), never shuffle the
+    vectors against them."""
+    from nucliadb_spark.operators import ann
+    from nucliadb_spark.sources import tpch
+
+    emb = tpch.table(spark, sf_dir, "embeddings")
+    plan = _plan(ann.kmeans_step_labeled(emb, k=4))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_pq_adc_broadcasts_codebook_and_table(spark, sf_dir):
+    """Codebook (m*k_codes rows) and ADC table are broadcast; the
+    corpus side streams through map-side joins."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import ann
+    from nucliadb_spark.sources import tpch
+
+    emb = tpch.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).selectExpr("embedding AS qvec")
+    plan = _plan(ann.pq_adc_labeled(emb, q, k=10))
+    assert plan.count("BroadcastExchange") >= 2, plan[:2000]
