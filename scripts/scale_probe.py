@@ -147,6 +147,23 @@ def main() -> None:
     t("pack_sequences (per-source cumsum)", lambda: trainset.pack_sequences(
         docs2, seq_len=2048).count())
 
+    # round-3b ops at probe scale
+    from nucliadb_spark.operators import dedup
+
+    t("token_budget_select (per-source cumsum)", lambda: trainset.
+      token_budget_select(docs2, budget=1_000_000).count())
+    t("split_assign + audit counts", lambda: trainset.split_assign(docs2)
+      .groupBy("split").count().collect())
+    t("dup_span_stats (8-gram self-dup)", lambda: dedup.dup_span_stats(
+        docs2.selectExpr("doc_id AS id", "text")).count())
+
+    # PQ-ADC over the full vector corpus (no probe — measures the
+    # byte-code first pass itself at n_docs scale)
+    qv = vecs.filter(F.col("rid") == 7).select(F.col("vector").alias("qvec"))
+    emb = vecs.select(F.col("rid").alias("vec_id"), F.col("vector").alias("embedding"))
+    t("pq_adc (m=8, 16 codes, rerank 50)", lambda: ann_ops.pq_adc_labeled(
+        emb, qv, k=10).collect())
+
 
 if __name__ == "__main__":
     main()
