@@ -611,3 +611,128 @@ SELECT t.id, t.n_grams,
 FROM totals t LEFT JOIN per_doc p USING (id)
 ORDER BY t.id
 """
+
+
+# --- row-local minhash bands (the streaming/ingest-side form) ---------------
+# The batch signature build aggregates exploded shingles per doc; an
+# arriving document can compute the SAME signatures as one row-local
+# expression (min over its own shingle hashes) — no shuffle, so the
+# gate works inside a Structured Streaming micro-batch. Identical
+# band keys to lsh_pairs' index (same salts, same md5 band hash).
+
+
+def row_minhash_bands(
+    text_col: str = "text",
+    n: int = N_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    shingle: int = 3,
+):
+    """Column: array<struct<band int, bkey string>> for one document."""
+    from nucliadb_spark.functions.text import word_shingles_from_tokens
+
+    toks = tokenize(text_col)
+    shs = F.array_distinct(word_shingles_from_tokens(toks, shingle))
+
+    # NB: the per-salt hasher must be built by a one-parameter
+    # factory — a `lambda s, i=i:` would make F.transform pass the
+    # ARRAY INDEX as the second argument (PySpark's binary-lambda
+    # form), silently replacing the salt.
+    def _hasher(salt: str):
+        return lambda s: md5_int60(s, salt=salt)
+
+    sigs = [
+        F.array_min(F.transform(shs, _hasher(f"s{i}:"))) for i in range(n)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[sigs[b * rows + r] for r in range(rows)])
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def banded_from_sigs(
+    sigs: DataFrame, bands: int = BANDS, rows: int = ROWS
+) -> DataFrame:
+    """(id, band, bkey) — the LSH band-bucket index from a signature
+    frame (one pass; see lsh_pairs for why not a per-band union)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def incremental_lsh_sql(
+    base_sql: str,
+    arrivals_sql: str,
+    n: int = N_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    shingle: int = 3,
+    min_jaccard: float = 0.5,
+) -> str:
+    """DuckDB twin of the arrivals-vs-base LSH gate: candidates from
+    band-bucket equality across the two sides, verified by exact
+    Jaccard. (arrival_id, base_id, jaccard)."""
+    sig_aggs = ",\n         ".join(
+        f"MIN({md5_int60_sql('sh', salt=f's{i}:')}) AS sig_{i}" for i in range(n)
+    )
+
+    def banded(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"""SELECT id, {b} AS band,
+       md5(concat_ws(',', {", ".join(f"sig_{b * rows + r}" for r in range(rows))})) AS bkey
+FROM {src}"""
+            for b in range(bands)
+        )
+
+    shingles_expr = distinct_shingles_sql("text", shingle)
+    return f"""
+WITH base AS ({base_sql}),
+arr AS ({arrivals_sql}),
+base_sh AS (SELECT id, {shingles_expr} AS shs FROM base),
+arr_sh AS (SELECT id, {shingles_expr} AS shs FROM arr),
+base_sigs AS (
+  SELECT id, {sig_aggs} FROM (SELECT id, unnest(shs) AS sh FROM base_sh) GROUP BY id
+),
+arr_sigs AS (
+  SELECT id, {sig_aggs} FROM (SELECT id, unnest(shs) AS sh FROM arr_sh) GROUP BY id
+),
+base_band AS ({banded('base_sigs')}),
+arr_band AS ({banded('arr_sigs')}),
+cand AS (
+  SELECT DISTINCT a.id AS arrival_id, b.id AS base_id
+  FROM arr_band a JOIN base_band b ON a.band = b.band AND a.bkey = b.bkey
+),
+verified AS (
+  SELECT c.arrival_id, c.base_id,
+         len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE AS inter,
+         (len(sa.shs) + len(sb.shs)
+          - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE AS uni
+  FROM cand c
+  JOIN arr_sh sa ON sa.id = c.arrival_id
+  JOIN base_sh sb ON sb.id = c.base_id
+)
+SELECT arrival_id, base_id, ROUND(inter / uni, 5)::DOUBLE AS jaccard
+FROM verified
+WHERE ROUND(inter / uni, 5)::DOUBLE >= {min_jaccard!r}
+ORDER BY arrival_id, base_id
+"""

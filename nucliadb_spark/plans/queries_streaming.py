@@ -104,3 +104,12 @@ def stream_exact_dedup(spark, sf_dir):
     content-hash groupBy state over the drained corpus; a full
     availableNow drain equals the batch COUNT(DISTINCT md5(text))."""
     return ingest.stream_dedup_counts(spark, sf_dir)
+
+
+@register("stream_neardup_gate", ingest.stream_neardup_gate_sql())
+def stream_neardup_gate(spark, sf_dir):
+    """Ingest-side NEAR-dup gate: arriving docs compute row-local
+    minhash bands and stream-static-join the prebuilt corpus band
+    index (candidates) + shingle sets (exact-Jaccard verify) — a
+    full availableNow drain equals the batch arrivals-vs-base LSH."""
+    return ingest.stream_neardup_gate(spark, sf_dir)

@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "ann_kmeans_step",
     "knn_pq_adc",
     "find_autofilter",
+    "stream_neardup_gate",
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",

@@ -830,3 +830,106 @@ SELECT COUNT(DISTINCT md5(text)) AS n_unique,
        (COUNT(*) - COUNT(DISTINCT md5(text)))::BIGINT AS n_dup_docs
 FROM documents
 """
+
+
+# --- streaming near-dup gate (LSH against the prebuilt corpus index) --------
+# The ingest-side answer to "is this arriving document a near-dup of
+# anything already indexed?". The corpus side is the PREBUILT band
+# index + shingle sets (index-build sidecars, cached once); the
+# arriving document computes its signatures ROW-LOCALLY
+# (dedup.row_minhash_bands — no shuffle inside the micro-batch), so
+# the whole gate is stateless stream-static joins: bands equality for
+# candidates, shingle-set join for the exact-Jaccard verify. At
+# 100 TB the band index join is keyed by (band, bkey) — an arriving
+# doc touches only its 8 buckets, never the corpus.
+
+
+def stream_neardup_gate(
+    spark: SparkSession, sf_dir: str, min_jaccard: float = 0.5
+) -> DataFrame:
+    """(arrival_id, base_id, jaccard) for arrivals that near-dup an
+    indexed document — run as a real availableNow Structured
+    Streaming drain of the planted-variant arrivals; equals the batch
+    arrivals-vs-base LSH exactly (the registered oracle)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.functions.text import tokenize, word_shingles_from_tokens
+    from nucliadb_spark.operators import dedup
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"), "text"
+    )
+    banded = cached_df(
+        sf_dir,
+        "lsh_band_index",
+        lambda: dedup.banded_from_sigs(dedup.minhash_signatures(docs)),
+    ).select(F.col("id").alias("base_id"), "band", "bkey")
+    shingled = cached_df(
+        sf_dir, "lsh_shingles_base", lambda: dedup._shingled(docs, 3)
+    ).select(F.col("id").alias("base_id"), F.col("shs").alias("base_shs"))
+
+    # arrivals: the planted perturbed copies, staged as files
+    arrivals = docs.filter(F.col("id") % dedup.PLANT_MOD == 0).select(
+        (F.col("id") + dedup.PLANT_OFFSET).alias("id"),
+        F.expr(f"substring(text, 1, length(text) - {dedup.PLANT_TRUNC})").alias(
+            "text"
+        ),
+    )
+    arrival_dir = tempfile.mkdtemp(prefix="neardup_arrivals_")
+    arrivals.coalesce(1).write.mode("overwrite").parquet(arrival_dir)
+    schema = spark.read.parquet(arrival_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(arrival_dir)
+    toks = tokenize("text")
+    enriched = stream.select(
+        F.col("id").alias("arrival_id"),
+        F.array_sort(
+            F.array_distinct(word_shingles_from_tokens(toks, 3))
+        ).alias("arr_shs"),
+        F.explode(dedup.row_minhash_bands("text")).alias("bb"),
+    ).select(
+        "arrival_id",
+        "arr_shs",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    inter = F.size(F.array_intersect("arr_shs", "base_shs")).cast("double")
+    uni = (F.size("arr_shs") + F.size("base_shs") - inter).cast("double")
+    verified = (
+        enriched.join(banded, ["band", "bkey"])  # stream-static
+        .join(shingled, "base_id")  # stream-static
+        .withColumn("jaccard", F.round(inter / uni, 5).cast("double"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("arrival_id", "base_id", "jaccard")
+    )
+    name = f"neardup_{uuid.uuid4().hex[:10]}"
+    q = (
+        verified.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival_dir, ignore_errors=True)
+    # a doc can collide in several bands — collapse to distinct pairs
+    return spark.sql(
+        f"""
+        SELECT DISTINCT arrival_id, base_id, jaccard FROM {name}
+        ORDER BY arrival_id, base_id
+        """
+    )
+
+
+def stream_neardup_gate_sql() -> str:
+    from nucliadb_spark.operators import dedup
+
+    base = "SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents"
+    arr = f"""
+SELECT CAST(doc_id AS BIGINT) + {dedup.PLANT_OFFSET} AS id,
+       substring(text, 1, length(text) - {dedup.PLANT_TRUNC}) AS text
+FROM documents WHERE doc_id % {dedup.PLANT_MOD} = 0
+"""
+    return dedup.incremental_lsh_sql(base, arr)
