@@ -554,17 +554,48 @@ def pq_adc_labeled(
     k_codes: int = 16,
     rerank_top: int = 50,
     dim: int = 64,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """(id, score) — PQ-encode, ADC first pass, exact rerank."""
+    """(id, score) — PQ-encode, ADC first pass, exact rerank.
+
+    nprobe: compose with the IVF probe (FAISS's IVFPQ, the canonical
+    100 TB ANN layout): candidates restrict to the nprobe closest
+    `label` cells while the codebook stays a FULL-corpus index-build
+    artifact — cells prune I/O, codes prune compute."""
     sub_dim = dim // m
+    candidates = embeddings
+    if nprobe is not None:
+        pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+        cent_long = pos.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+        centroids = cent_long.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        probe = (
+            centroids.crossJoin(F.broadcast(query))
+            .select(
+                "label",
+                F.round(V.cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+            )
+            .orderBy(F.col("csim").desc(), F.col("label").asc())
+            .limit(nprobe)
+            .select("label")
+        )
+        candidates = embeddings.join(F.broadcast(probe), "label")
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.slice("embedding", j * sub_dim + 1, sub_dim),
     )
-    sub = embeddings.select(
+    # codebook seeds come from the FULL corpus (index-build artifact),
+    # candidate codes only from the probed cells
+    sub_all = embeddings.select(
         "vec_id", F.posexplode(subs).alias("j", "subvec")
     )
-    codebook = sub.filter(F.col("vec_id") < k_codes).select(
+    sub = candidates.select(
+        "vec_id", F.posexplode(subs).alias("j", "subvec")
+    )
+    codebook = sub_all.filter(F.col("vec_id") < k_codes).select(
         "j", F.col("vec_id").cast("int").alias("code"), F.col("subvec").alias("codeword")
     )
     l2sq = F.aggregate(
@@ -625,9 +656,11 @@ def pq_adc_labeled_sql(
     k_codes: int = 16,
     rerank_top: int = 50,
     dim: int = 64,
+    nprobe: int | None = None,
 ) -> str:
     sub_dim = dim // m
     cos = V.cosine_sql_unrolled("e.embedding", "q.qvec", dim)
+    cos_cq = V.cosine_sql_unrolled("c.centroid", "q.qvec", dim)
     l2sq = (
         "list_aggregate(list_transform(generate_series(1, "
         f"{sub_dim}), i -> (s.subvec[i]::DOUBLE - c.codeword[i]::DOUBLE)"
@@ -637,16 +670,41 @@ def pq_adc_labeled_sql(
         "list_aggregate(list_transform(generate_series(1, "
         f"{sub_dim}), i -> u.qs[i]::DOUBLE * c.codeword[i]::DOUBLE), 'sum')"
     )
+    if nprobe is not None:
+        probe_ctes = f"""
+pos AS (
+  SELECT label, unnest(generate_series(1, {dim})) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent_long AS (SELECT label, pos, AVG(val) AS m FROM pos GROUP BY label, pos),
+centroids AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent_long GROUP BY label),
+probe AS (
+  SELECT c.label FROM centroids c CROSS JOIN q
+  ORDER BY ROUND({cos_cq}, 6) DESC, c.label ASC
+  LIMIT {nprobe}
+),
+candidates AS (
+  SELECT e.* FROM embeddings e JOIN probe p ON e.label = p.label
+),"""
+    else:
+        probe_ctes = """
+candidates AS (SELECT * FROM embeddings),"""
     return f"""
-WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-sub AS (
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),{probe_ctes}
+sub_all AS (
   SELECT vec_id, j,
          list_slice(embedding, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
   FROM embeddings, unnest(generate_series(0, {m - 1})) AS t(j)
 ),
+sub AS (
+  SELECT vec_id, j,
+         list_slice(embedding, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
+  FROM candidates, unnest(generate_series(0, {m - 1})) AS t(j)
+),
 codebook AS (
   SELECT j, vec_id::INT AS code, subvec AS codeword
-  FROM sub WHERE vec_id < {k_codes}
+  FROM sub_all WHERE vec_id < {k_codes}
 ),
 enc AS (
   SELECT s.vec_id, s.j, c.code,
@@ -672,6 +730,112 @@ first_pass AS (
 )
 SELECT e.vec_id AS id, ROUND({cos}, 5)::DOUBLE AS score
 FROM embeddings e JOIN first_pass USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
+# --- 1-bit quantization + Hamming first pass (RaBitQ analog) ----------------
+# The reference's deepest compression point is RaBitQ: 1-bit codes
+# scanned first, then an exact rerank of min(100*k, 2000) survivors
+# (ref: nidx/nidx_vector/src/vector_types/rabitq.rs:30-36; gating
+# config.rs:170-173). The batch-native analog: each vector's sign
+# bits pack into two 32-bit words (dim 64 → 16 bytes of float32
+# become 8 bytes of code, and the words live in ordinary BIGINT
+# columns); the first pass ranks by Hamming similarity via
+# bit_count(xor) — pure integer ops, bit-identical in any engine —
+# and only the survivors pay full-precision cosine. Sign bits are a
+# crude angle sketch, which is exactly why the rerank budget is 100×k
+# in the reference.
+
+
+def _sign_word(vec_col, lo: int, bits: int = 32):
+    """BIGINT with bit j set iff vec[lo + j] >= 0 — an unrolled sum of
+    disjoint powers of two (== bitwise OR; 2^31 max fits BIGINT).
+    Unrolled Python-side: the shift amounts are compile-time
+    constants, so no higher-order function is involved at all."""
+    word = F.lit(0).cast("long")
+    for j in range(bits):
+        word = word + F.when(
+            F.element_at(vec_col, lo + j + 1) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return word
+
+
+def rabitq_1bit_labeled(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    rerank_top: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, score) — sign-bit codes, Hamming-similarity first pass,
+    exact cosine rerank of `rerank_top` survivors (the reference uses
+    min(100*k, 2000); at test scale a tighter budget keeps the funnel
+    visible)."""
+    assert dim == 64, "packing below is written for dim 64 (2x32 words)"
+    emb = embeddings.select(
+        "vec_id",
+        "embedding",
+        _sign_word(F.col("embedding"), 0).alias("w0"),
+        _sign_word(F.col("embedding"), 32).alias("w1"),
+    )
+    q = query.select(
+        "qvec",
+        _sign_word(F.col("qvec"), 0).alias("q0"),
+        _sign_word(F.col("qvec"), 32).alias("q1"),
+    )
+    hsim = F.lit(dim) - (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    )
+    first = (
+        emb.crossJoin(F.broadcast(q))
+        .withColumn("hsim", hsim)
+        .orderBy(F.col("hsim").desc(), F.col("vec_id").asc())
+        .limit(rerank_top)
+    )
+    return (
+        first.select(
+            F.col("vec_id").alias("id"),
+            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 5)
+            .cast(SCORE_TYPE)
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def rabitq_1bit_labeled_sql(
+    k: int = 10, rerank_top: int = 50, dim: int = 64
+) -> str:
+    cos = V.cosine_sql_unrolled("f.embedding", "f.qvec", dim)
+
+    def word(src: str, lo: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {src}[{lo + j + 1}] >= 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+            for j in range(32)
+        )
+        return f"({terms})"
+
+    return f"""
+WITH q AS (
+  SELECT embedding AS qvec,
+         {word('embedding', 0)} AS q0,
+         {word('embedding', 32)} AS q1
+  FROM embeddings WHERE vec_id = 0
+),
+first_pass AS (
+  SELECT e.vec_id, e.embedding, q.qvec,
+         {dim} - (bit_count(xor({word('e.embedding', 0)}, q.q0))
+                  + bit_count(xor({word('e.embedding', 32)}, q.q1))) AS hsim
+  FROM embeddings e CROSS JOIN q
+  ORDER BY hsim DESC, e.vec_id ASC
+  LIMIT {rerank_top}
+)
+SELECT f.vec_id AS id, ROUND({cos}, 5)::DOUBLE AS score
+FROM first_pass f
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """

@@ -286,3 +286,33 @@ def knn_pq_adc(spark, sf_dir):
     return ann.pq_adc_labeled(
         e, _query_df(spark, sf_dir), k=10, m=8, k_codes=16, rerank_top=50, dim=DIM
     )
+
+
+@register(
+    "knn_rabitq_1bit",
+    ann.rabitq_1bit_labeled_sql(k=10, rerank_top=50, dim=DIM),
+)
+def knn_rabitq_1bit(spark, sf_dir):
+    """The reference's RaBitQ shape at its compression point: 1-bit
+    sign codes (64 floats → two BIGINT words), Hamming-similarity
+    first pass via bit_count(xor) — pure integer ops, bit-identical
+    across engines — exact cosine rerank of the survivors."""
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.rabitq_1bit_labeled(e, _query_df(spark, sf_dir), k=10, rerank_top=50, dim=DIM)
+
+
+@register(
+    "ann_ivf_pq",
+    ann.pq_adc_labeled_sql(k=10, m=8, k_codes=16, rerank_top=50, dim=DIM, nprobe=2),
+)
+def ann_ivf_pq(spark, sf_dir):
+    """IVFPQ — the canonical 100 TB ANN layout: the probe prunes the
+    scan to nprobe cells (partition pruning at scale), PQ byte codes
+    rank inside them (32x less memory traffic), exact cosine reranks
+    the survivors. The codebook stays a full-corpus index-build
+    artifact."""
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.pq_adc_labeled(
+        e, _query_df(spark, sf_dir), k=10, m=8, k_codes=16, rerank_top=50,
+        dim=DIM, nprobe=2,
+    )

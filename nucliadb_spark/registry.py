@@ -113,6 +113,8 @@ PRIORITY: list[str] = [
     "knn_pq_adc",
     "find_autofilter",
     "stream_neardup_gate",
+    "knn_rabitq_1bit",
+    "ann_ivf_pq",
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",
