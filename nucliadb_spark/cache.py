@@ -44,3 +44,17 @@ def clear() -> None:
         except Exception:
             pass
     _CACHE.clear()
+
+
+_SCALARS: dict[tuple[str, str, str], object] = {}
+
+
+def cached_scalar(df: DataFrame, sf_dir: str, name: str, compute: Callable[[], object]):
+    """Session-scoped scalar sidecar (e.g. the corpus doc count used
+    by the prefilter All/None fast path) — an index-build statistic,
+    not per-query work."""
+    app = df.sparkSession.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    if key not in _SCALARS:
+        _SCALARS[key] = compute()
+    return _SCALARS[key]

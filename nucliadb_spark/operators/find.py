@@ -69,6 +69,28 @@ def find(
     win = fusion_window(window, top_k)
     fields = tpch.fields(spark, sf_dir)
     vectors = tpch.vectors(spark, sf_dir)
+
+    if prefilter is not None:
+        # driver-side fast paths (planner.prefilter_mode): an empty
+        # prefilter skips every index job; an all-matching one serves
+        # from the prebuilt index with no semijoin at all
+        from nucliadb_spark.cache import cached_scalar
+        from nucliadb_spark.plans.planner import prefilter_mode
+
+        n_allowed = fields.filter(prefilter.to_column()).count()
+        n_total = cached_scalar(
+            fields, sf_dir, "fields_count", lambda: fields.count()
+        )
+        mode = prefilter_mode(n_allowed, n_total)
+        if mode == "none":
+            return spark.createDataFrame(
+                [],
+                "id long, score double, matched_sources string, "
+                "language string, source string, snippet string",
+            )
+        if mode == "all":
+            prefilter = None
+
     qvec = (
         tpch.table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == query_vec_id)

@@ -120,3 +120,27 @@ def semantic_min_score(model_supplied: float | None) -> float:
     return (
         model_supplied if model_supplied is not None else DEFAULT_SEMANTIC_MIN_SCORE
     )
+
+
+def prefilter_mode(n_allowed: int, n_total: int) -> str:
+    """Driver-side prefilter classification, mirroring the reference's
+    two planning fast paths:
+
+    - 'none': no document survives the prefilter → skip every index
+      search entirely (PrefilterResult::None, ref
+      nidx/src/searcher/query_planner.rs:157-165; also
+      shard_search.rs:355-360).
+    - 'all': every document matches → drop the id set and serve from
+      the prebuilt (unfiltered) index — the All fast detection of
+      nidx/nidx_text/src/reader.rs:168-179, which avoids carrying
+      (and broadcasting) a full-corpus id list.
+    - 'some': carry the id set as a broadcast semijoin.
+
+    Catalyst cannot make this call: it is a runtime cardinality
+    decision taken before any job is submitted, exactly like the
+    reference's scheduler."""
+    if n_allowed == 0:
+        return "none"
+    if n_allowed >= n_total:
+        return "all"
+    return "some"

@@ -100,3 +100,43 @@ def test_semantic_min_score_default():
     assert semantic_min_score(None) == 0.7  # parsers/common.py:38 fallback
     assert semantic_min_score(0.25) == 0.25  # model-supplied wins
     assert semantic_min_score(0.0) == 0.0  # explicit zero is NOT "missing"
+
+
+def test_prefilter_mode_fast_paths():
+    from nucliadb_spark.plans.planner import prefilter_mode
+
+    assert prefilter_mode(0, 500) == "none"
+    assert prefilter_mode(500, 500) == "all"
+    assert prefilter_mode(501, 500) == "all"  # defensive clamp
+    assert prefilter_mode(1, 500) == "some"
+
+
+def test_find_empty_prefilter_skips_all_jobs(spark, sf_dir):
+    """PrefilterResult::None: a prefilter matching nothing returns an
+    empty LOCAL relation — no retriever leg runs at all."""
+    from nucliadb_spark.operators import filters as fx
+    from nucliadb_spark.operators.find import find
+
+    out = find(spark, sf_dir, "spark join", prefilter=fx.Facet("/l/nonexistent"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole plan is one local empty relation: no file scan, no
+    # join, no exchange — i.e. no retriever leg was even planned
+    assert "FileScan" not in plan and "Join" not in plan, plan[:500]
+    assert any(
+        marker in plan
+        for marker in ("LocalTableScan", "EmptyRelation", "Scan ExistingRDD")
+    ), plan[:500]
+    assert out.count() == 0
+
+
+def test_find_all_matching_prefilter_serves_unfiltered(spark, sf_dir):
+    """All fast detection: a prefilter every doc matches must produce
+    the same rows as no prefilter (and take the served-index path
+    rather than building a per-query semijoin of every rid)."""
+    from nucliadb_spark.operators import filters as fx
+    from nucliadb_spark.operators.find import find
+
+    always = fx.Or([fx.Facet("/n/s/PROCESSED"), fx.Not(fx.Facet("/n/s/PROCESSED"))])
+    a = [tuple(r) for r in find(spark, sf_dir, "spark join", prefilter=always).collect()]
+    b = [tuple(r) for r in find(spark, sf_dir, "spark join").collect()]
+    assert a == b
