@@ -141,3 +141,25 @@ def test_kbid_scoped_knn_reads_one_tenant(spark, sf_dir, multi_kb_vectors):
     partitioned = [m for m in _scan_metrics(out) if "numPartitions" in m]
     assert partitioned and all(m["numPartitions"] == 1 for m in partitioned), partitioned
     assert out.count() == 5
+
+
+def test_hidden_segment_pruning(spark, sf_dir, tmp_path_factory):
+    """The reference skips whole segments tagged hidden
+    (nidx/nidx_vector/src/searcher.rs:270-277, tag extraction
+    query_planner.rs:359-362). Batch analog: the vectors table is
+    PARTITIONED by the hidden flag, so the default hidden=false search
+    reads only the visible partition — partition pruning does the
+    segment skip."""
+    path = str(tmp_path_factory.mktemp("hidden") / "vectors")
+    base = tpch.vectors(spark, sf_dir)
+    both = base.withColumn("hidden", F.col("rid") % 7 == 0)
+    both.write.mode("overwrite").partitionBy("hidden").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("hidden") == False)  # noqa: E712
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "hidden" in pf, pf
+    [m] = _scan_metrics(df)
+    assert m["numPartitions"] == 1, m
+    [total] = _scan_metrics(spark.read.parquet(path))
+    assert total["numPartitions"] == 2, total
