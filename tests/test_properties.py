@@ -13,6 +13,7 @@ import hashlib
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from nucliadb_spark.functions import text as T
@@ -169,3 +170,59 @@ def test_connected_components_matches_union_find(spark, pairs):
         ).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 60),
+)
+def test_token_budget_prefix_property(spark, docs, budget):
+    """The selection is the maximal per-source PREFIX whose running
+    token total fits the budget: kept ids are contiguous from the
+    start of each source, the kept sum <= budget, and the first
+    excluded doc (if any) would overflow."""
+    from nucliadb_spark.operators import trainset
+
+    rows = [
+        (i, src, " ".join("wxyz"[i % 4] * 4 for _ in range(n)))
+        for i, (src, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source, r.id): r.n_tokens
+        for r in trainset.token_budget_select(df, budget).collect()
+    }
+    # python reference: walk each source in id order
+    by_src: dict = {}
+    for i, (src, n) in enumerate(docs):
+        by_src.setdefault(src, []).append((i, n))
+    for src, members in by_src.items():
+        cum = 0
+        for i, n in members:
+            cum += n
+            if cum <= budget:
+                assert (src, i) in got, (src, i, budget)
+            else:
+                assert (src, i) not in got, (src, i, budget)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+def test_split_assign_partition_property(spark, ids):
+    """Every doc lands in exactly one split, and the assignment is a
+    pure function of the id (stable under re-partitioning/order)."""
+    from nucliadb_spark.operators import trainset
+
+    df = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, text string")
+    a = {r.doc_id: r.split for r in trainset.split_assign(df).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in trainset.split_assign(df.repartition(7).orderBy(F.rand(1))).collect()
+    }
+    assert set(a) == set(ids) and a == b
+    assert set(a.values()) <= {"train", "val", "test"}
