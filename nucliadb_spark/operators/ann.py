@@ -558,6 +558,13 @@ def pq_adc_labeled(
 ) -> DataFrame:
     """(id, score) — PQ-encode, ADC first pass, exact rerank.
 
+    Vectors and query are L2-NORMALIZED before the subspace split:
+    ADC approximates a dot product, and the final score is cosine —
+    on raw vectors the first pass would favor long vectors and could
+    drop the true nearest neighbors (measured: the self-match fell
+    out of the top-50). On unit vectors dot == cosine, so the ADC
+    ranking targets the same metric the rerank scores.
+
     nprobe: compose with the IVF probe (FAISS's IVFPQ, the canonical
     100 TB ANN layout): candidates restrict to the nprobe closest
     `label` cells while the codebook stays a FULL-corpus index-build
@@ -583,16 +590,17 @@ def pq_adc_labeled(
             .select("label")
         )
         candidates = embeddings.join(F.broadcast(probe), "label")
+    norm_vec = V.l2_normalize(F.col("embedding"))
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.slice("embedding", j * sub_dim + 1, sub_dim),
+        lambda j: F.slice("_nvec", j * sub_dim + 1, sub_dim),
     )
     # codebook seeds come from the FULL corpus (index-build artifact),
     # candidate codes only from the probed cells
-    sub_all = embeddings.select(
+    sub_all = embeddings.withColumn("_nvec", norm_vec).select(
         "vec_id", F.posexplode(subs).alias("j", "subvec")
     )
-    sub = candidates.select(
+    sub = candidates.withColumn("_nvec", norm_vec).select(
         "vec_id", F.posexplode(subs).alias("j", "subvec")
     )
     codebook = sub_all.filter(F.col("vec_id") < k_codes).select(
@@ -611,11 +619,11 @@ def pq_adc_labeled(
     codes = enc.groupBy("vec_id", "j").agg(
         F.min_by("code", F.struct("_d", "code")).alias("code")
     )
-    qsub = query.select(
+    qsub = query.withColumn("_nq", V.l2_normalize(F.col("qvec"))).select(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.slice("qvec", j * sub_dim + 1, sub_dim),
+                lambda j: F.slice("_nq", j * sub_dim + 1, sub_dim),
             )
         ).alias("j", "qs")
     )
@@ -690,16 +698,20 @@ candidates AS (
     else:
         probe_ctes = """
 candidates AS (SELECT * FROM embeddings),"""
+    nrm = V.norm_sql_unrolled("embedding", dim)
+    nrm_q = V.norm_sql_unrolled("qvec", dim)
     return f"""
 WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),{probe_ctes}
 sub_all AS (
   SELECT vec_id, j,
-         list_slice(embedding, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
+         list_slice(list_transform(embedding, x -> x::DOUBLE / {nrm}),
+                    j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
   FROM embeddings, unnest(generate_series(0, {m - 1})) AS t(j)
 ),
 sub AS (
   SELECT vec_id, j,
-         list_slice(embedding, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
+         list_slice(list_transform(embedding, x -> x::DOUBLE / {nrm}),
+                    j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS subvec
   FROM candidates, unnest(generate_series(0, {m - 1})) AS t(j)
 ),
 codebook AS (
@@ -714,7 +726,8 @@ enc AS (
 ),
 codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
 qsub AS (
-  SELECT j, list_slice(qvec, j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS qs
+  SELECT j, list_slice(list_transform(qvec, x -> x::DOUBLE / {nrm_q}),
+                       j * {sub_dim} + 1, j * {sub_dim} + {sub_dim}) AS qs
   FROM q, unnest(generate_series(0, {m - 1})) AS t(j)
 ),
 qtab AS (

@@ -116,3 +116,23 @@ def test_budget_split_pq_example(spark, sf_dir):
     q = emb.filter("vec_id = 0").selectExpr("embedding AS qvec")
     hits = ann.pq_adc_labeled(emb, q, k=10).collect()
     assert len(hits) == 10 and hits[0].id == 0  # self-match survives rerank
+
+
+def test_quantized_ladder_example(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import ann
+    from nucliadb_spark.sources import tpch
+
+    emb = tpch.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).selectExpr("embedding AS qvec")
+    # full-corpus code scans must surface the exact self-match; the
+    # nprobe variants are plan/parity demos here because the fixture's
+    # `label` cells are not geometric (recall-true probing is gated in
+    # tests/test_ann_recall.py over built clusters)
+    for fn in (
+        lambda: ann.pq_adc_labeled(emb, q, k=5),
+        lambda: ann.rabitq_1bit_labeled(emb, q, k=5),
+    ):
+        hits = fn().collect()
+        assert len(hits) == 5 and hits[0].id == 0  # self-match survives
