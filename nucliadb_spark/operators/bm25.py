@@ -88,6 +88,64 @@ def vocabulary(post: DataFrame) -> DataFrame:
     return post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
 
 
+def prune_vocabulary(
+    post: DataFrame,
+    n_docs_df: DataFrame,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """(term, df, action, reason) — index-maintenance pass marking
+    which vocabulary terms to drop from the postings index: terms in
+    fewer than `min_df` docs ('rare': typically noise/typos that
+    bloat the term dictionary) and terms in more than `max_df_frac`
+    of docs ('common': carry no signal and own the longest posting
+    lists — the index-side analog of a corpus-derived stop list).
+    One tiny agg over the (cached) postings; the corpus size is a
+    broadcast scalar. Applying the plan = one semi-join on the
+    postings write path.
+
+    BM25 itself never needs this for correctness (idf already
+    downweights common terms); it is a SIZE control — at 100 TB the
+    'common' terms dominate postings bytes the way oversized
+    segments dominate compaction.
+    """
+    vocab = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = n_docs_df.select(F.col("n").cast("long").alias("n_docs"))
+    out = vocab.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        F.when(F.col("df") < min_df, F.lit("drop"))
+        .when(F.col("df") > F.col("n_docs") * max_df_frac, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(F.col("df") < min_df, F.lit("rare"))
+        .when(F.col("df") > F.col("n_docs") * max_df_frac, F.lit("common"))
+        .otherwise(F.lit(""))
+        .alias("reason"),
+    )
+    return out.filter(F.col("action") == "drop").orderBy("term")
+
+
+def prune_vocabulary_sql(
+    fields_sql: str, min_df: int = 2, max_df_frac: float = 0.5
+) -> str:
+    toks = tokenize_sql("text")
+    return f"""
+WITH fields AS ({fields_sql}),
+post AS (
+  SELECT DISTINCT rid, unnest(list_distinct({toks})) AS term FROM fields
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+n AS (SELECT COUNT(DISTINCT rid)::BIGINT AS n_docs FROM post)
+SELECT term, df,
+       'drop' AS action,
+       CASE WHEN df < {min_df} THEN 'rare' ELSE 'common' END AS reason
+FROM vocab, n
+WHERE df < {min_df} OR df > n_docs * {max_df_frac!r}
+ORDER BY term
+"""
+
+
 TERM_BUCKETS = 64
 
 

@@ -744,3 +744,21 @@ def multi_kb_scoped_search(spark, sf_dir):
         f, "spark join window", top_k=20,
         prefilter=FieldEquals("kbid", "kb1"),
     )
+
+
+# --- index maintenance: vocabulary pruning plan -----------------------------
+
+
+@register(
+    "vocab_prune_plan",
+    bm25.prune_vocabulary_sql(tpch.SQL_FIELDS, min_df=2, max_df_frac=0.5),
+)
+def vocab_prune_plan(spark, sf_dir):
+    """Index-size control: terms to drop from the postings index —
+    df < 2 ('rare', dictionary bloat) or df > 50% of docs ('common',
+    the longest posting lists with no signal). One agg over the
+    cached postings; corpus size is a broadcast scalar."""
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.prune_vocabulary(
+        post, _corpus(sf_dir, stats), min_df=2, max_df_frac=0.5
+    )

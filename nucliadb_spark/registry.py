@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "stream_neardup_gate",
     "knn_rabitq_1bit",
     "ann_ivf_pq",
+    "vocab_prune_plan",
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",
