@@ -852,3 +852,58 @@ FROM first_pass f
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """
+
+
+# --- IVF cell maintenance plan ---------------------------------------------
+# Ingest-time assignment (assign_cells) makes cells drift: hot cells
+# grow past what one probe should scan, empty-ish cells waste probe
+# budget. The maintenance planner is the vector-index analog of the
+# text index's log-merge scheduler: split cells above a ceiling
+# (re-train k'=2 inside the cell), merge cells below a floor into
+# their nearest surviving neighbor. Pure plan output — applying it is
+# a partitioned rewrite of only the named cells, like compact_table.
+
+
+def ivf_cell_maintenance(
+    vectors: DataFrame,
+    split_above: int = 100,
+    merge_below: int = 10,
+    cell_col: str = "cluster_label",
+) -> DataFrame:
+    """(cell, n_vectors, action) for cells needing work — 'split' for
+    oversized, 'merge' for under-filled; balanced cells are omitted
+    (the plan is the worklist, not an inventory)."""
+    sizes = vectors.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    return (
+        sizes.select(
+            "cell",
+            "n_vectors",
+            F.when(F.col("n_vectors") > split_above, F.lit("split"))
+            .when(F.col("n_vectors") < merge_below, F.lit("merge"))
+            .otherwise(F.lit("ok"))
+            .alias("action"),
+        )
+        .filter(F.col("action") != "ok")
+        .orderBy("cell")
+    )
+
+
+def ivf_cell_maintenance_sql(
+    vectors_sql: str,
+    split_above: int = 100,
+    merge_below: int = 10,
+    cell_col: str = "cluster_label",
+) -> str:
+    return f"""
+WITH sizes AS (
+  SELECT {cell_col} AS cell, COUNT(*)::BIGINT AS n_vectors
+  FROM ({vectors_sql}) GROUP BY 1
+)
+SELECT cell, n_vectors,
+       CASE WHEN n_vectors > {split_above} THEN 'split' ELSE 'merge' END AS action
+FROM sizes
+WHERE n_vectors > {split_above} OR n_vectors < {merge_below}
+ORDER BY cell
+"""

@@ -316,3 +316,19 @@ def ann_ivf_pq(spark, sf_dir):
         e, _query_df(spark, sf_dir), k=10, m=8, k_codes=16, rerank_top=50,
         dim=DIM, nprobe=2,
     )
+
+
+@register(
+    "ivf_cell_maintenance",
+    ann.ivf_cell_maintenance_sql(
+        tpch.SQL_VECTORS, split_above=60, merge_below=40, cell_col="cluster_label"
+    ),
+)
+def ivf_cell_maintenance(spark, sf_dir):
+    """Vector-index maintenance worklist: cells grown past the probe
+    budget split, under-filled cells merge — the IVF analog of the
+    text index's log-merge scheduling. Plan only; applying it is a
+    partitioned rewrite of the named cells."""
+    return ann.ivf_cell_maintenance(
+        tpch.vectors(spark, sf_dir), split_above=60, merge_below=40
+    )

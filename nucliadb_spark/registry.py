@@ -116,6 +116,7 @@ PRIORITY: list[str] = [
     "knn_rabitq_1bit",
     "ann_ivf_pq",
     "vocab_prune_plan",
+    "ivf_cell_maintenance",
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",
