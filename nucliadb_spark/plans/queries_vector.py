@@ -321,7 +321,7 @@ def ann_ivf_pq(spark, sf_dir):
 @register(
     "ivf_cell_maintenance",
     ann.ivf_cell_maintenance_sql(
-        tpch.SQL_VECTORS, split_above=60, merge_below=40, cell_col="cluster_label"
+        tpch.SQL_VECTORS, split_above=52, merge_below=48, cell_col="cluster_label"
     ),
 )
 def ivf_cell_maintenance(spark, sf_dir):
@@ -330,5 +330,5 @@ def ivf_cell_maintenance(spark, sf_dir):
     text index's log-merge scheduling. Plan only; applying it is a
     partitioned rewrite of the named cells."""
     return ann.ivf_cell_maintenance(
-        tpch.vectors(spark, sf_dir), split_above=60, merge_below=40
+        tpch.vectors(spark, sf_dir), split_above=52, merge_below=48
     )
