@@ -356,7 +356,10 @@ def bm25_search(
 
     if allowed is not None:
         # served prefilter: restrict candidates AFTER global df/stats
-        post = post.join(F.broadcast(allowed), "rid", "semi")
+        # no broadcast hint: the allowed set is query-dependent and
+        # unbounded (a loose filter matches most of the corpus) — AQE
+        # broadcasts small sets at runtime and shuffles big ones
+        post = post.join(allowed, "rid", "semi")
     scored = (
         post.join(F.broadcast(matched), "term")
         .join(stats, "rid")

@@ -570,7 +570,11 @@ def dup_span_stats(
         .filter(F.col("n_docs") >= 2)
         .select("gh")
     )
-    per_doc = grams.join(F.broadcast(dup), "gh", "left_semi").groupBy("id").agg(
+    # no broadcast HINT: the duplicated-gram set is unbounded (a
+    # pathological corpus can make most grams duplicates) — AQE picks
+    # broadcast at runtime when the filtered set is actually small,
+    # and falls back to a shuffled semi-join when it is not
+    per_doc = grams.join(dup, "gh", "left_semi").groupBy("id").agg(
         F.count("*").cast("long").alias("n_dup_grams")
     )
     totals = grams.groupBy("id").agg(F.count("*").cast("long").alias("n_grams"))

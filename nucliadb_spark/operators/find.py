@@ -117,8 +117,10 @@ def find(
             F.broadcast(probe), vectors["cluster_label"] == probe["cell"], "inner"
         ).drop("cell")
     if prefilter is not None:
+        # unbounded id set (mode == 'some' can still be most of the
+        # corpus): no broadcast hint, AQE picks the join strategy
         allowed = fields.filter(prefilter.to_column()).select("rid")
-        vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
+        vectors = vectors.join(allowed, "rid", "semi")
     semantic = knn.exact_knn(
         vectors, qvec, k=win, similarity="cosine", min_score=min_score
     )

