@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from nucliadb_spark.functions.text import tokenize_sql
+from nucliadb_spark.functions.text import md5_int60_sql, tokenize_sql
 from nucliadb_spark.operators import dedup, multimodal, timeseries, trainset
 from nucliadb_spark.operators.dedup import token_set_fingerprint, token_set_fingerprint_sql
 from nucliadb_spark.registry import register
@@ -504,3 +504,120 @@ def trainset_split(spark, sf_dir):
         )
         .orderBy("split", "stratum")
     )
+
+
+# --- end-to-end trainset build (the composed flagship pipeline) -------------
+# clean (dedup survivors + quality band) → deterministic split →
+# per-source token budget → packing spans, as ONE composed DataFrame
+# job. Wide ops: the fingerprint window (dedup) and one
+# window-per-source pass that serves budget AND packing together —
+# the running token sum is both the budget cut and the pack offset.
+
+_TB_BUDGET = 2000
+_TB_SEQ = 512
+
+
+@register(
+    "pipeline_trainset_build",
+    f"""
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text, source FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + {dedup.PLANT_OFFSET} AS id,
+         substring(text, 1, length(text) - {dedup.PLANT_TRUNC}) AS text, source
+  FROM documents WHERE doc_id % {dedup.PLANT_MOD} = 0
+),
+feat AS (
+  SELECT id, text, source,
+         length(text) AS n_chars,
+         list_aggregate(list_transform({tokenize_sql('text')},
+                        x -> ceil(length(x) / 4.0)::BIGINT), 'sum')::BIGINT AS n_tokens,
+         MIN(id) OVER (PARTITION BY {token_set_fingerprint_sql('text')}) AS canonical_id
+  FROM c
+),
+clean AS (
+  SELECT id, source, n_tokens,
+         CASE WHEN ({md5_int60_sql('CAST(id AS VARCHAR)', salt='split:')} % 100) < 90 THEN 'train'
+              WHEN ({md5_int60_sql('CAST(id AS VARCHAR)', salt='split:')} % 100) < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM feat
+  WHERE id = canonical_id AND n_chars BETWEEN 50 AND 5000
+),
+train AS (
+  SELECT id, source, n_tokens, split,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum
+  FROM clean WHERE split = 'train'
+)
+SELECT source, id, n_tokens,
+       (cum - n_tokens)::BIGINT AS start_offset,
+       ((cum - n_tokens) // {_TB_SEQ})::BIGINT AS first_seq,
+       greatest((cum - 1) // {_TB_SEQ}, (cum - n_tokens) // {_TB_SEQ})::BIGINT AS last_seq
+FROM train
+WHERE cum <= {_TB_BUDGET}
+ORDER BY source, id
+""",
+)
+def pipeline_trainset_build(spark, sf_dir):
+    """The whole trainset build as one composed job: exact-dedup
+    survivors + quality band → md5 train/val/test split → per-source
+    token budget → GPT-style packing spans. The per-source window
+    pass does double duty: the running token sum is simultaneously
+    the budget cut and the packing offset, so budget+pack cost one
+    shuffle, not two."""
+    from nucliadb_spark.functions.text import md5_int60, tokenize
+
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("id"), "text", "source"
+    )
+    planted = base.filter(F.col("id") % dedup.PLANT_MOD == 0).select(
+        (F.col("id") + dedup.PLANT_OFFSET).alias("id"),
+        F.expr(f"substring(text, 1, length(text) - {dedup.PLANT_TRUNC})").alias("text"),
+        "source",
+    )
+    c = base.unionByName(planted)
+    toks = tokenize("text")
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    feat = c.select(
+        "id",
+        "source",
+        token_set_fingerprint("text").alias("fp"),
+        F.length("text").alias("n_chars"),
+        bpe.alias("n_tokens"),
+    )
+    wfp = Window.partitionBy("fp")
+    bucket = md5_int60(F.col("id").cast("string"), salt="split:") % 100
+    clean = (
+        feat.withColumn("canonical_id", F.min("id").over(wfp))
+        .filter(
+            (F.col("id") == F.col("canonical_id"))
+            & F.col("n_chars").between(50, 5000)
+        )
+        .withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("id")
+    train = (
+        clean.filter(F.col("split") == "train")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= _TB_BUDGET)
+    )
+    cum, ntok = F.col("cum"), F.col("n_tokens")
+    first_seq = F.floor((cum - ntok) / _TB_SEQ).cast("long")
+    last_seq = F.greatest(F.floor((cum - 1) / _TB_SEQ).cast("long"), first_seq)
+    return train.select(
+        "source",
+        "id",
+        "n_tokens",
+        (cum - ntok).cast("long").alias("start_offset"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+    ).orderBy("source", "id")

@@ -117,6 +117,7 @@ PRIORITY: list[str] = [
     "ann_ivf_pq",
     "vocab_prune_plan",
     "ivf_cell_maintenance",
+    "pipeline_trainset_build",
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",
