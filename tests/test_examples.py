@@ -136,3 +136,19 @@ def test_quantized_ladder_example(spark, sf_dir):
     ):
         hits = fn().collect()
         assert len(hits) == 5 and hits[0].id == 0  # self-match survives
+
+
+def test_index_maintenance_example(spark, sf_dir):
+    from nucliadb_spark.operators import ann, bm25
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.sources import tpch
+
+    post, stats = _text_index(spark, sf_dir)
+    prune = bm25.prune_vocabulary(post, _corpus(sf_dir, stats))
+    assert {"term", "df", "action", "reason"} <= set(prune.columns)
+
+    plan = ann.ivf_cell_maintenance(
+        tpch.vectors(spark, sf_dir), split_above=52, merge_below=48
+    )
+    acts = {r.action for r in plan.collect()}
+    assert acts <= {"split", "merge"} and acts

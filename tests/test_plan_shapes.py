@@ -239,3 +239,14 @@ def test_pq_adc_broadcasts_codebook_and_table(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).selectExpr("embedding AS qvec")
     plan = _plan(ann.pq_adc_labeled(emb, q, k=10))
     assert plan.count("BroadcastExchange") >= 2, plan[:2000]
+
+
+def test_trainset_build_two_data_shuffles(spark, sf_dir):
+    """The composed build pays exactly its two wide ops: the
+    fingerprint window (dedup survivors) and the per-source window
+    that serves budget AND packing together — a third exchange means
+    someone split budget and pack back into separate passes."""
+    from nucliadb_spark.plans.queries_trainset import pipeline_trainset_build
+
+    plan = _plan(pipeline_trainset_build(spark, sf_dir))
+    assert _n_shuffles(plan) <= 2, plan[:2000]
