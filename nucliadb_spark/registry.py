@@ -90,7 +90,7 @@ PRIORITY: list[str] = [
     "suggest_entities_folded",
     "multi_kb_scoped_search",
     "find_single_source",
-    # round-4 additions
+    # late round-2 additions (still never graded — inside the window)
     "resource_search",
     "knn_sq8_rerank",
     "entities_group_members",
@@ -104,8 +104,8 @@ PRIORITY: list[str] = [
     "multi_kb_counters",
     "find_exact_match_query",
     # --- end of the 50-query graded window ---
-    # round-3 additions (graded in a later round's window; local
-    # value-parity green at sf0.001 + sf0.01)
+    # round-3-session additions (queued for the round-4 window; all
+    # value-parity green locally at sf0.001 AND sf0.01)
     "sample_token_budget",
     "trainset_split",
     "text_dup_spans",
@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "vocab_prune_plan",
     "ivf_cell_maintenance",
     "pipeline_trainset_build",
+    # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
     "text_quality_funnel",
