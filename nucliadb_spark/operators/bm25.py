@@ -606,3 +606,81 @@ FROM spans
 GROUP BY rid, score
 ORDER BY score DESC, rid ASC
 """
+
+
+def bm25_explain(
+    query: str,
+    top_k: int = 10,
+    post: DataFrame = None,
+    stats: DataFrame = None,
+    corpus: DataFrame = None,
+    vocab: DataFrame = None,
+) -> DataFrame:
+    """Score EXPLAIN for the served path: per-(doc, term) BM25
+    contribution rows for the query's top-k documents —
+    (rid, term, tf, df, contrib_e4). The ranking debugger every
+    search engine grows eventually (tantivy's `explain()` equivalent);
+    same formula and constants as bm25_search, scaled-int output so
+    the breakdown is engine-exact."""
+    terms = sorted(set(tokenize_py(query)))
+    hits = bm25_search(
+        None, query, top_k=top_k, post=post, stats=stats, corpus=corpus,
+        vocab=vocab,
+    ).select("rid")
+    matched = vocab.filter(F.col("term").isin(terms))
+    scored = (
+        post.filter(F.col("term").isin(terms))
+        .join(F.broadcast(hits), "rid", "semi")
+        .join(F.broadcast(matched.select("term", "df")), "term")
+        .join(stats, "rid")
+        .crossJoin(F.broadcast(corpus))
+    )
+    contrib = (
+        F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    return scored.select(
+        "rid",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(contrib * 1e4).cast("long").alias("contrib_e4"),
+    ).orderBy("rid", "term")
+
+
+def bm25_explain_sql(fields_sql: str, query: str, top_k: int = 10) -> str:
+    terms = sorted(set(tokenize_py(query)))
+    term_list = ", ".join(_sql_quote(t) for t in terms)
+    hits = bm25_sql(fields_sql, query, top_k=top_k)
+    return f"""
+WITH fields AS ({fields_sql}),
+post AS (
+  SELECT rid, term, COUNT(*)::DOUBLE AS tf
+  FROM (SELECT rid, unnest({tokenize_sql('text')}) AS term FROM fields)
+  GROUP BY rid, term
+),
+stats AS (
+  SELECT rid, SUM(tf)::DOUBLE AS dl FROM post GROUP BY rid
+),
+corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM stats),
+matched AS (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM post
+  WHERE term IN ({term_list}) GROUP BY term
+),
+hits AS (SELECT rid FROM ({hits}))
+SELECT p.rid, p.term, p.tf::BIGINT AS tf, m.df::BIGINT AS df,
+       ROUND(
+         ln(1.0 + (c.n - m.df + 0.5) / (m.df + 0.5))
+         * p.tf * ({K1} + 1.0)
+         / (p.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) * 1e4
+       )::BIGINT AS contrib_e4
+FROM post p
+JOIN hits USING (rid)
+JOIN matched m USING (term)
+JOIN stats s USING (rid)
+CROSS JOIN corpus c
+WHERE p.term IN ({term_list})
+ORDER BY p.rid, p.term
+"""

@@ -762,3 +762,20 @@ def vocab_prune_plan(spark, sf_dir):
     return bm25.prune_vocabulary(
         post, _corpus(sf_dir, stats), min_df=2, max_df_frac=0.5
     )
+
+
+@register(
+    "bm25_explain",
+    bm25.bm25_explain_sql(tpch.SQL_FIELDS, "spark join window", top_k=10),
+)
+def bm25_explain(spark, sf_dir):
+    """Ranking debugger: per-(doc, term) BM25 contribution rows for
+    the query's top-10 — served entirely from the cached index
+    sidecars (postings/stats/vocab/corpus), one broadcast semi-join
+    of the top-k rid set."""
+    post, stats = _text_index(spark, sf_dir)
+    return bm25.bm25_explain(
+        "spark join window", top_k=10,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )

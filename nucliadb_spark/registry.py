@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "vocab_prune_plan",
     "ivf_cell_maintenance",
     "pipeline_trainset_build",
+    "bm25_explain",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
