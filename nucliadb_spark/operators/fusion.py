@@ -214,3 +214,70 @@ GROUP BY id
 ORDER BY score DESC, id ASC
 LIMIT {top_k}
 """
+
+
+def rrf_explain(
+    sources: dict[str, DataFrame],
+    k: float = RRF_K,
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Fusion debugger: one row per (fused-top-k id, source) with the
+    per-source rank and the scaled RRF contribution —
+    (id, source, rank, contrib_e6). Shows WHY a hit ranked where it
+    did (which retriever surfaced it and at what depth), the fusion
+    analog of bm25_explain."""
+    weights = weights or {}
+    ranked = [
+        _ranked(df, name, weights.get(name, 1.0))
+        for name, df in sorted(sources.items())
+    ]
+    all_ranked = reduce(lambda a, b: a.unionByName(b), ranked)
+    fused = rrf(sources, k=k, weights=weights, top_k=top_k).select("id")
+    return (
+        all_ranked.join(F.broadcast(fused), "id", "semi")
+        .select(
+            "id",
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("weight") / (F.lit(k) + F.col("rank")) * 1e6)
+            .cast("long")
+            .alias("contrib_e6"),
+        )
+        .orderBy("id", "source")
+    )
+
+
+def rrf_explain_sql(
+    sources_sql: dict[str, str],
+    k: float = RRF_K,
+    weights: dict[str, float] | None = None,
+    top_k: int = 20,
+) -> str:
+    weights = weights or {}
+    parts = []
+    for name, sql in sorted(sources_sql.items()):
+        w = weights.get(name, 1.0)
+        parts.append(
+            f"""SELECT id, '{name}' AS source, {w!r} AS weight,
+       row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS rank
+FROM ({sql})"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH ranked AS (
+{union}
+),
+fused AS (
+  SELECT id FROM (
+    SELECT id, SUM(weight / ({k!r} + rank)) AS s
+    FROM ranked GROUP BY id
+    ORDER BY ROUND(s, 6) DESC, id ASC LIMIT {top_k}
+  )
+)
+SELECT id, source, rank::BIGINT AS rank,
+       ROUND(weight / ({k!r} + rank) * 1e6)::BIGINT AS contrib_e6
+FROM ranked
+WHERE id IN (SELECT id FROM fused)
+ORDER BY id, source
+"""

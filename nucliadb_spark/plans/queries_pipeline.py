@@ -233,3 +233,35 @@ def combsum_fusion(spark, sf_dir):
         weights={"keyword": 0.5, "semantic": 1.5},
         top_k=15,
     )
+
+
+@register(
+    "rrf_explain",
+    fusion.rrf_explain_sql(
+        {"keyword": _KW_SQL, "semantic": _SEM_SQL}, top_k=10
+    ),
+)
+def rrf_explain(spark, sf_dir):
+    """Fusion debugger for the hybrid pipeline: per-source rank and
+    scaled RRF contribution for every fused-top-10 hit — shows which
+    retriever surfaced each result and at what depth."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    vectors = tpch.vectors(spark, sf_dir)
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    post, stats = _text_index(spark, sf_dir)
+    keyword = bm25.bm25_search(
+        None, "window agg stream", top_k=30,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    ).select(F.col("rid").alias("id"), "score")
+    semantic = knn.exact_knn(vectors, qvec, k=30)
+    return fusion.rrf_explain(
+        {"keyword": keyword, "semantic": semantic}, top_k=10
+    )

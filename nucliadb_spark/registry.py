@@ -119,6 +119,7 @@ PRIORITY: list[str] = [
     "ivf_cell_maintenance",
     "pipeline_trainset_build",
     "bm25_explain",
+    "rrf_explain",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
