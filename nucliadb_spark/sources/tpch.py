@@ -64,12 +64,23 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# every temporal column across testdata generations; normalize_ts
+# adapts whichever physical type a regeneration produces (r2 lost its
+# bench to events.ts flipping TIMESTAMP(NANOS) → TIMESTAMP_NTZ — this
+# is the blanket insurance against the next flip)
+_TEMPORAL_COLS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
+    if name in _TEMPORAL_COLS:
         ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_ts(df)
+    for col in _TEMPORAL_COLS.get(name, ()):
+        df = normalize_ts(df, col)
     return df
 
 
