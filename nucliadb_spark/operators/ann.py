@@ -907,3 +907,229 @@ FROM sizes
 WHERE n_vectors > {split_above} OR n_vectors < {merge_below}
 ORDER BY cell
 """
+
+
+# --- geometric IVF (deterministic Voronoi cells) ----------------------------
+# The fixture's `label` column is not geometric (query↔cell-centroid
+# cosines ≈ 0), so label-based probes are parity demos only. These
+# variants build REAL cells inside the query: every vector assigns to
+# its nearest seed (the first k vectors by id — a deterministic
+# Voronoi partition), so the probe provably concentrates the true
+# neighbors and recall is measurable — and the whole thing stays
+# oracle-exact (same rounded-cosine assignment rule as assign_cells).
+
+
+def ivf_geometric_search(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, score, cell) — IVF over Voronoi cells of the first
+    n_cells vectors; probe by query↔seed cosine."""
+    seeds = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_cells(embeddings, seeds, keys=("vec_id",), vec_col="embedding")
+    probe = (
+        seeds.crossJoin(F.broadcast(query))
+        .select(
+            "cell",
+            F.round(V.cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = assigned.join(
+        F.broadcast(probe), assigned["cluster_label"] == probe["cell"]
+    )
+    raw = V.cosine(F.col("embedding"), F.col("qvec"))
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(raw, 5).cast(SCORE_TYPE).alias("score"),
+            F.col("cluster_label").alias("cell"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def _geometric_ctes(n_cells: int, nprobe: int, dim: int) -> str:
+    cos_vs = V.cosine_sql_unrolled("e.embedding", "s.centroid", dim)
+    cos_sq = V.cosine_sql_unrolled("s.centroid", "q.qvec", dim)
+    return f"""
+seeds AS (
+  SELECT vec_id::INT AS cell, embedding AS centroid
+  FROM embeddings WHERE vec_id < {n_cells}
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({cos_vs}, 6) DESC, s.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+probe AS (
+  SELECT s.cell FROM seeds s CROSS JOIN q
+  ORDER BY ROUND({cos_sq}, 6) DESC, s.cell ASC
+  LIMIT {nprobe}
+)"""
+
+
+def ivf_geometric_search_sql(
+    query_vec_id: int = 33,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> str:
+    cos_eq = V.cosine_sql_unrolled("a.embedding", "q.qvec", dim)
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}),
+{_geometric_ctes(n_cells, nprobe, dim)}
+SELECT a.vec_id AS id, ROUND({cos_eq}, 5)::DOUBLE AS score, a.cell
+FROM assigned a JOIN probe p ON a.cell = p.cell
+CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
+def ivf_recall_report(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall CURVE (nprobe, n_hits, recall_e2) for nprobe = 1..n_cells:
+    how many of the brute-force top-k the geometric probe recovers at
+    each probe depth — the quality/cost dial as a graded artifact.
+
+    On structureless (near-random) vectors the curve rises slowly —
+    IVF only pays when data clusters, which is why the hard recall
+    gate (tests/test_ann_recall.py, ≥0.95@5) runs over BUILT clusters
+    while this query shows the dial on the fixture as-is."""
+    raw = V.cosine(F.col("embedding"), F.col("qvec"))
+    brute = (
+        embeddings.crossJoin(F.broadcast(query))
+        .select(F.col("vec_id").alias("id"), F.round(raw, 5).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select("id")
+    )
+    seeds = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_cells(embeddings, seeds, keys=("vec_id",), vec_col="embedding")
+    from pyspark.sql import Window
+
+    cell_rank = (
+        seeds.crossJoin(F.broadcast(query))
+        .select(
+            "cell",
+            F.round(V.cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+        )
+        .select(
+            "cell",
+            F.row_number()
+            .over(Window.orderBy(F.col("csim").desc(), F.col("cell").asc()))
+            .alias("crank"),
+        )
+    )
+
+    scored = (
+        assigned.join(F.broadcast(cell_rank), assigned["cluster_label"] == cell_rank["cell"])
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 5).alias("score"),
+            "crank",
+        )
+    )
+    probes = scored.crossJoin(
+        F.broadcast(
+            scored.sparkSession.range(1, n_cells + 1).select(
+                F.col("id").cast("int").alias("nprobe")
+            )
+        )
+    ).filter(F.col("crank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe").orderBy(F.col("score").desc(), F.col("id").asc())
+    topk = probes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    hits = topk.join(F.broadcast(brute), "id", "semi")
+    return (
+        hits.groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(F.col("n_hits") * 100.0 / k).cast("long").alias("recall_e2"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def ivf_recall_report_sql(
+    query_vec_id: int = 33,
+    k: int = 10,
+    n_cells: int = 8,
+    dim: int = 64,
+) -> str:
+    cos_bq = V.cosine_sql_unrolled("e.embedding", "q.qvec", dim)
+    cos_vs = V.cosine_sql_unrolled("e.embedding", "s.centroid", dim)
+    cos_sq = V.cosine_sql_unrolled("s.centroid", "q.qvec", dim)
+    cos_aq = V.cosine_sql_unrolled("a.embedding", "q.qvec", dim)
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}),
+brute AS (
+  SELECT e.vec_id AS id
+  FROM embeddings e CROSS JOIN q
+  ORDER BY ROUND({cos_bq}, 5) DESC, e.vec_id ASC
+  LIMIT {k}
+),
+seeds AS (
+  SELECT vec_id::INT AS cell, embedding AS centroid
+  FROM embeddings WHERE vec_id < {n_cells}
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({cos_vs}, 6) DESC, s.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+cell_rank AS (
+  SELECT s.cell,
+         ROW_NUMBER() OVER (ORDER BY ROUND({cos_sq}, 6) DESC, s.cell ASC) AS crank
+  FROM seeds s CROSS JOIN q
+),
+scored AS (
+  SELECT a.vec_id AS id, ROUND({cos_aq}, 5) AS score, cr.crank
+  FROM assigned a JOIN cell_rank cr ON a.cell = cr.cell
+  CROSS JOIN q
+),
+probes AS (
+  SELECT sc.id, sc.score, p.nprobe
+  FROM scored sc, unnest(generate_series(1, {n_cells})) AS p(nprobe)
+  WHERE sc.crank <= p.nprobe
+),
+topk AS (
+  SELECT id, nprobe,
+         ROW_NUMBER() OVER (PARTITION BY nprobe
+                            ORDER BY score DESC, id ASC) AS rn
+  FROM probes
+)
+SELECT nprobe::INT AS nprobe, COUNT(*)::BIGINT AS n_hits,
+       ROUND(COUNT(*) * 100.0 / {k})::BIGINT AS recall_e2
+FROM topk
+WHERE rn <= {k} AND id IN (SELECT id FROM brute)
+GROUP BY nprobe
+ORDER BY nprobe
+"""

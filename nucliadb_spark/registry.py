@@ -120,6 +120,8 @@ PRIORITY: list[str] = [
     "pipeline_trainset_build",
     "bm25_explain",
     "rrf_explain",
+    "ann_ivf_geometric",
+    "ann_ivf_recall",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
