@@ -152,3 +152,27 @@ def test_index_maintenance_example(spark, sf_dir):
     )
     acts = {r.action for r in plan.collect()}
     assert acts <= {"split", "merge"} and acts
+
+
+def test_explain_example(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25, fusion, knn
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+    from nucliadb_spark.sources import tpch
+
+    post, stats = _text_index(spark, sf_dir)
+    exp = bm25.bm25_explain(
+        "spark join window", top_k=5,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )
+    rows = exp.collect()
+    assert rows and {"rid", "term", "tf", "df", "contrib_e4"} <= set(rows[0].asDict())
+
+    emb = tpch.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).selectExpr("embedding AS qvec")
+    sem = knn.exact_knn(emb, q, k=10, id_col="vec_id", vec_col="embedding")
+    fx = fusion.rrf_explain({"a": sem, "b": sem}, top_k=5).collect()
+    # identical sources -> every fused hit explained by both, same rank
+    assert len(fx) == 10 and all(r.contrib_e6 > 0 for r in fx)

@@ -226,3 +226,26 @@ def test_split_assign_partition_property(spark, ids):
     }
     assert set(a) == set(ids) and a == b
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31), st.integers(17, 40))
+def test_pq_and_rabitq_self_match_property(spark, seed, n):
+    """On ANY vector set (with non-degenerate norms), the PQ-ADC and
+    1-bit first passes must both surface the query's own vector as
+    the exact top hit after rerank — the quantization funnel may be
+    lossy, but the self-match must survive it."""
+    import random
+
+    from nucliadb_spark.operators import ann
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(64)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 3).selectExpr("embedding AS qvec")
+    hits = ann.pq_adc_labeled(emb, q, k=1, rerank_top=max(5, len(rows) // 2)).collect()
+    assert hits and hits[0].id == 3
+    hits = ann.rabitq_1bit_labeled(emb, q, k=1, rerank_top=max(5, len(rows) // 2)).collect()
+    assert hits and hits[0].id == 3
