@@ -144,8 +144,9 @@ def main() -> None:
     t("unigram logprob (scored docs)", lambda: textstats.unigram_logprob(
         docs2, model=model).count())
     t("quality funnel", lambda: textstats.quality_funnel(docs2).collect())
+    # filter on a window output so Catalyst can't prune the cumsum
     t("pack_sequences (per-source cumsum)", lambda: trainset.pack_sequences(
-        docs2, seq_len=2048).count())
+        docs2, seq_len=2048).filter("n_seqs >= 1").count())
 
     # round-3b ops at probe scale
     from nucliadb_spark.operators import dedup
@@ -153,7 +154,7 @@ def main() -> None:
     t("token_budget_select (per-source cumsum)", lambda: trainset.
       token_budget_select(docs2, budget=1_000_000).count())
     t("split_assign + audit counts", lambda: trainset.split_assign(docs2)
-      .groupBy("split").count().collect())
+      .groupBy("split").count().collect())  # md5 bucket forced by the groupBy
     t("dup_span_stats (8-gram self-dup)", lambda: dedup.dup_span_stats(
         docs2.selectExpr("doc_id AS id", "text")).count())
 
