@@ -265,3 +265,66 @@ def rrf_explain(spark, sf_dir):
     return fusion.rrf_explain(
         {"keyword": keyword, "semantic": semantic}, top_k=10
     )
+
+
+# --- find response: relations subgraph --------------------------------------
+# ref: find.py:152-159 — the find response carries a `relations`
+# section: the subgraph of knowledge-graph triples whose provenance
+# paragraphs belong to the RETURNED resources (so the client can
+# render the entity neighborhood of its hits without a second query).
+
+
+@register(
+    "find_relations_subgraph",
+    f"""
+WITH hits AS (
+  SELECT id FROM ({find.find_sql(
+      "spark shuffle partition",
+      query_vec_id=0,
+      entity_sources=["src3", "src11"],
+      top_k=10,
+      window=50,
+  )})
+)
+SELECT DISTINCT r.source_value AS from_value, r.relation_label AS label,
+       r.target_value AS to_value
+FROM ({tpch.SQL_RELATIONS}) r
+WHERE r.paragraph_id IS NOT NULL
+  AND CAST(string_split(r.paragraph_id, '/')[1] AS BIGINT)
+        IN (SELECT id FROM hits)
+ORDER BY from_value, label, to_value
+""",
+)
+def find_relations_subgraph(spark, sf_dir):
+    """The `relations` section of the find response: distinct triples
+    whose provenance paragraph lives in one of the returned
+    resources — a semi-join of the (tiny) hit set into the relation
+    index."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    post, stats = _text_index(spark, sf_dir)
+    hits = find.find(
+        spark, sf_dir, "spark shuffle partition",
+        query_vec_id=0, entity_sources=["src3", "src11"],
+        top_k=10, window=50,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    ).select("id")
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    return (
+        rel.filter(F.col("paragraph_id").isNotNull())
+        .withColumn(
+            "_rid", F.split("paragraph_id", "/").getItem(0).cast("long")
+        )
+        .join(F.broadcast(hits), F.col("_rid") == F.col("id"), "left_semi")
+        .select(
+            F.col("source_value").alias("from_value"),
+            F.col("relation_label").alias("label"),
+            F.col("target_value").alias("to_value"),
+        )
+        .distinct()
+        .orderBy("from_value", "label", "to_value")
+    )

@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "rrf_explain",
     "ann_ivf_geometric",
     "ann_ivf_recall",
+    "find_relations_subgraph",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
