@@ -225,3 +225,73 @@ WHERE {sort_col} {op} {cursor_sort_value}
 ORDER BY {sort_col} {direction}, {id_col} ASC
 LIMIT {page_size}
 """
+
+
+def query_correction(
+    query: str,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Did-you-mean: for each query term absent from the vocabulary,
+    the highest-df indexed term within edit distance 1 —
+    (term, suggestion, df). Terms present in the vocab verbatim emit
+    no row (nothing to correct). Same candidate rule as the fuzzy
+    query path (length band + bounded levenshtein over the cached
+    term dictionary), so the correction is exactly the term fuzzy
+    search would have scored best."""
+    from nucliadb_spark.functions.text import tokenize_py
+
+    terms = sorted(set(tokenize_py(query)))
+    present = vocab.filter(F.col("term").isin(terms)).select("term")
+    cand = (
+        vocab.crossJoin(
+            vocab.sparkSession.createDataFrame([(t,) for t in terms], "q string")
+        )
+        .filter(
+            (F.abs(F.length("term") - F.length("q")) <= 1)
+            & (F.levenshtein(F.col("term"), F.col("q"), 1) >= 0)
+            & (F.col("term") != F.col("q"))
+        )
+        .join(present.withColumnRenamed("term", "q"), "q", "left_anti")
+    )
+    best = cand.groupBy("q").agg(
+        F.max_by(
+            F.struct(F.col("term"), F.col("df")),
+            F.struct(F.col("df"), F.col("term")),
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("q").alias("term"),
+        F.col("_b.term").alias("suggestion"),
+        F.col("_b.df").cast("long").alias("df"),
+    ).orderBy("term")
+
+
+def query_correction_sql(fields_sql: str, query: str) -> str:
+    from nucliadb_spark.functions.text import tokenize_py, tokenize_sql
+
+    terms = sorted(set(tokenize_py(query)))
+    lst = ", ".join(f"'{t}'" for t in terms)
+    toks = tokenize_sql("text")
+    return f"""
+WITH fields AS ({fields_sql}),
+post AS (
+  SELECT DISTINCT rid, unnest(list_distinct({toks})) AS term FROM fields
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+qterms AS (SELECT unnest([{lst}]) AS q),
+missing AS (
+  SELECT q FROM qterms WHERE q NOT IN (SELECT term FROM vocab)
+),
+cand AS (
+  SELECT m.q, v.term, v.df,
+         ROW_NUMBER() OVER (PARTITION BY m.q
+                            ORDER BY v.df DESC, v.term DESC) AS rn
+  FROM missing m JOIN vocab v
+    ON abs(length(v.term) - length(m.q)) <= 1
+   AND levenshtein(v.term, m.q) <= 1
+   AND v.term <> m.q
+)
+SELECT q AS term, term AS suggestion, df
+FROM cand WHERE rn = 1
+ORDER BY term
+"""

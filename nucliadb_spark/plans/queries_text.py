@@ -779,3 +779,16 @@ def bm25_explain(spark, sf_dir):
         post=post, stats=stats, corpus=_corpus(sf_dir, stats),
         vocab=_vocab(sf_dir, post),
     )
+
+
+@register(
+    "suggest_correction",
+    suggest.query_correction_sql(tpch.SQL_FIELDS, "spakr windoq merge"),
+)
+def suggest_correction(spark, sf_dir):
+    """Did-you-mean over the cached term dictionary: per unknown
+    query term, the highest-df indexed term within edit distance 1 —
+    the same candidate rule the fuzzy query path scores, surfaced as
+    a correction instead of a silent expansion."""
+    post, _stats = _text_index(spark, sf_dir)
+    return suggest.query_correction("spakr windoq merge", _vocab(sf_dir, post))

@@ -123,6 +123,7 @@ PRIORITY: list[str] = [
     "ann_ivf_geometric",
     "ann_ivf_recall",
     "find_relations_subgraph",
+    "suggest_correction",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
