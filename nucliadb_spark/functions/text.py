@@ -199,3 +199,18 @@ def fold_diacritics_py(s: str) -> str:
 def fold_diacritics_sql(expr: str) -> str:
     """DuckDB twin: strip_accents covers the same combining marks."""
     return f"lower(strip_accents({expr}))"
+
+
+def transposition_variants(term: str) -> list[str]:
+    """All single-adjacent-transposition variants of a (driver-side)
+    query term. The reference's fuzzy automaton counts a transposition
+    as distance 1 (transposition_cost_one=true,
+    nidx/nidx_paragraph/src/query_parser/fuzzy_parser.rs:73); plain
+    levenshtein counts it as 2, so the fuzzy match set is
+    `lev <= 1 OR candidate IN variants` — exactly OSA distance <= 1,
+    built without a DFA because query terms are driver-side literals."""
+    out = []
+    for i in range(len(term) - 1):
+        if term[i] != term[i + 1]:
+            out.append(term[:i] + term[i + 1] + term[i] + term[i + 2:])
+    return sorted(set(out))

@@ -35,7 +35,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nucliadb_spark.functions.text import tokenize, tokenize_py, tokenize_sql
+from nucliadb_spark.functions.text import (
+    tokenize,
+    tokenize_py,
+    tokenize_sql,
+    transposition_variants,
+)
 from nucliadb_spark.operators.filters import Expr, _sql_quote
 
 K1 = 1.2
@@ -319,13 +324,21 @@ def bm25_search(
         if vocab is None:
             vocab = vocabulary(post)
         qt = F.array(*[F.lit(t) for t in terms])
-        matched = vocab.filter(
-            F.exists(
-                qt,
-                lambda q: (F.abs(F.length(F.col("term")) - F.length(q)) <= 1)
-                & (F.levenshtein(F.col("term"), q, 1) >= 0),
-            )
-        ).withColumn(
+        # transposition_cost_one=true in the reference's automaton
+        # (fuzzy_parser.rs:73): a swapped adjacent pair is distance 1.
+        # Plain levenshtein counts it as 2, so the match set is
+        # lev<=1 OR term IN (single-swap variants of a query term) —
+        # exactly OSA distance <= 1, DFA-free because query terms are
+        # driver-side literals.
+        swaps = sorted({v for t in terms for v in transposition_variants(t)})
+        cond = F.exists(
+            qt,
+            lambda q: (F.abs(F.length(F.col("term")) - F.length(q)) <= 1)
+            & (F.levenshtein(F.col("term"), q, 1) >= 0),
+        )
+        if swaps:
+            cond = cond | F.col("term").isin(swaps)
+        matched = vocab.filter(cond).withColumn(
             "boost",
             F.when(F.col("term").isin(terms), F.lit(1.0)).otherwise(F.lit(0.5)),
         )
@@ -417,12 +430,16 @@ def bm25_sql(
     term_list = ", ".join(_sql_quote(t) for t in terms)
     where_sql = f"WHERE {where}" if where else ""
     if fuzzy:
+        swaps = sorted({v for t in terms for v in transposition_variants(t)})
+        swap_pred = (
+            f" OR term IN ({', '.join(_sql_quote(s) for s in swaps)})" if swaps else ""
+        )
         matched = f"""
 matched AS (
   SELECT term,
          CASE WHEN term IN ({term_list}) THEN 1.0 ELSE 0.5 END AS boost
   FROM (SELECT DISTINCT term FROM post)
-  WHERE len(list_filter([{term_list}], q -> levenshtein(term, q) <= 1)) > 0
+  WHERE len(list_filter([{term_list}], q -> levenshtein(term, q) <= 1)) > 0{swap_pred}
 )"""
     else:
         matched = f"""

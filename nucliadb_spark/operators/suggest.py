@@ -240,17 +240,35 @@ def query_correction(
     search would have scored best."""
     from nucliadb_spark.functions.text import tokenize_py
 
+    from nucliadb_spark.functions.text import transposition_variants
+
     terms = sorted(set(tokenize_py(query)))
     present = vocab.filter(F.col("term").isin(terms)).select("term")
+    # (q, variant) pairs let the candidate rule count an adjacent
+    # transposition as distance 1, like the reference's fuzzy
+    # automaton (fuzzy_parser.rs:73)
+    swap_rows = [(t, v) for t in terms for v in transposition_variants(t)]
+    spark = vocab.sparkSession
+    swaps = spark.createDataFrame(
+        swap_rows or [("", "")], "q string, v string"
+    ).filter(F.col("q") != "")
     cand = (
-        vocab.crossJoin(
-            vocab.sparkSession.createDataFrame([(t,) for t in terms], "q string")
+        vocab.crossJoin(spark.createDataFrame([(t,) for t in terms], "q string"))
+        .join(
+            swaps.withColumnRenamed("v", "_swap"),
+            ["q"],
+            "left",
         )
         .filter(
-            (F.abs(F.length("term") - F.length("q")) <= 1)
-            & (F.levenshtein(F.col("term"), F.col("q"), 1) >= 0)
+            (
+                (F.abs(F.length("term") - F.length("q")) <= 1)
+                & (F.levenshtein(F.col("term"), F.col("q"), 1) >= 0)
+                | (F.col("term") == F.col("_swap"))
+            )
             & (F.col("term") != F.col("q"))
         )
+        .select("q", "term", "df")
+        .distinct()
         .join(present.withColumnRenamed("term", "q"), "q", "left_anti")
     )
     best = cand.groupBy("q").agg(
@@ -269,8 +287,18 @@ def query_correction(
 def query_correction_sql(fields_sql: str, query: str) -> str:
     from nucliadb_spark.functions.text import tokenize_py, tokenize_sql
 
+    from nucliadb_spark.functions.text import transposition_variants
+
     terms = sorted(set(tokenize_py(query)))
     lst = ", ".join(f"'{t}'" for t in terms)
+    swap_rows = [(t, v) for t in terms for v in transposition_variants(t)]
+    swaps_values = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('{q}', '{v}')" for q, v in swap_rows)
+        + ") AS t(q, v)"
+        if swap_rows
+        else "SELECT '' AS q, '' AS v WHERE false"
+    )
     toks = tokenize_sql("text")
     return f"""
 WITH fields AS ({fields_sql}),
@@ -282,13 +310,15 @@ qterms AS (SELECT unnest([{lst}]) AS q),
 missing AS (
   SELECT q FROM qterms WHERE q NOT IN (SELECT term FROM vocab)
 ),
+swaps AS ({swaps_values}),
 cand AS (
   SELECT m.q, v.term, v.df,
          ROW_NUMBER() OVER (PARTITION BY m.q
                             ORDER BY v.df DESC, v.term DESC) AS rn
   FROM missing m JOIN vocab v
-    ON abs(length(v.term) - length(m.q)) <= 1
-   AND levenshtein(v.term, m.q) <= 1
+    ON ((abs(length(v.term) - length(m.q)) <= 1
+         AND levenshtein(v.term, m.q) <= 1)
+        OR EXISTS (SELECT 1 FROM swaps s WHERE s.q = m.q AND s.v = v.term))
    AND v.term <> m.q
 )
 SELECT q AS term, term AS suggestion, df
