@@ -617,6 +617,123 @@ ORDER BY t.id
 """
 
 
+# --- duplicate-span REMOVAL (rewrite, not just stats) -----------------------
+# Lee et al. "Deduplicating Training Data Makes Language Models
+# Better": exact-substring dedup keeps ONE occurrence of every
+# duplicated span corpus-wide and deletes the rest. dup_span_stats
+# measures the problem; this op performs the rewrite. Canonical-keeper
+# rule: for each duplicated n-gram the document with the MINIMUM id
+# keeps its occurrences; every other document drops the token
+# positions the gram covers. Deterministic (pure function of ids), so
+# the rewrite is reproducible across engines and runs.
+#
+# Scale shape: one explode keyed by gram hash (same shuffle
+# dup_span_stats already pays), the duplicated-gram verdict joined
+# back (AQE picks broadcast when the dup set is small), covered
+# positions folded to a per-doc sorted array in one groupBy, and the
+# final rewrite is a row-local array filter — no driver state, no N².
+
+
+def remove_dup_spans(
+    corpus: DataFrame, n: int = 8, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, n_removed, cleaned_md5) per document.
+
+    cleaned_md5 = md5 of the space-joined surviving tokens, so the
+    oracle verifies the actual rewritten text, not just the counts.
+    """
+    toks = corpus.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("_toks")
+    )
+    # pos is 0-based gram start → covers 1-based token idx pos+1..pos+n
+    pg = toks.select(
+        "id",
+        F.posexplode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
+            "pos", "g"
+        ),
+    ).select("id", "pos", md5_int60(F.col("g"), salt="dup:").alias("gh"))
+    info = (
+        pg.select("id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(
+            F.min("id").alias("_keeper"),
+            F.count("*").cast("long").alias("_n_docs"),
+        )
+        .filter(F.col("_n_docs") >= 2)
+        .select("gh", "_keeper")
+    )
+    removed = (
+        pg.join(info, "gh")
+        .filter(F.col("id") != F.col("_keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + n)
+            ).alias("tokidx"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_set("tokidx")).alias("_rm"),
+            F.count("*").cast("long").alias("n_removed"),
+        )
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    cleaned = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(rm, i + 1)
+    )
+    return (
+        toks.join(removed, "id", "left")
+        .select(
+            "id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.md5(F.array_join(cleaned, " ")).alias("cleaned_md5"),
+        )
+        .orderBy("id")
+    )
+
+
+def remove_dup_spans_sql(
+    corpus_sql: str, n: int = 8, id_col: str = "id", text_col: str = "text"
+) -> str:
+    toks = tokenize_sql(text_col)
+    grams = word_shingles_sql(text_col, n)
+    gh = md5_int60_sql("g", salt="dup:")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+tok AS (SELECT {id_col} AS id, {toks} AS toks, {grams} AS gs FROM corpus),
+pg AS (
+  SELECT id, {gh} AS gh, pos
+  FROM (SELECT id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM tok)
+),
+info AS (
+  SELECT gh, MIN(id) AS keeper
+  FROM (SELECT DISTINCT id, gh FROM pg)
+  GROUP BY gh HAVING COUNT(*) >= 2
+),
+rmpos AS (
+  SELECT DISTINCT pg.id, pg.pos + j.j AS tokidx
+  FROM pg JOIN info USING (gh), unnest(range(0, {n})) AS j(j)
+  WHERE pg.id <> info.keeper
+),
+rm AS (
+  SELECT id, list(tokidx ORDER BY tokidx) AS rml,
+         COUNT(*)::BIGINT AS n_removed
+  FROM rmpos GROUP BY id
+)
+SELECT tok.id AS id, len(tok.toks)::BIGINT AS n_tokens,
+       COALESCE(rm.n_removed, 0)::BIGINT AS n_removed,
+       md5(COALESCE(array_to_string(
+         list_filter(tok.toks,
+                     (t, i) -> NOT list_contains(COALESCE(rm.rml, []), i)),
+         ' '), '')) AS cleaned_md5
+FROM tok LEFT JOIN rm USING (id)
+ORDER BY id
+"""
+
+
 # --- row-local minhash bands (the streaming/ingest-side form) ---------------
 # The batch signature build aggregates exploded shingles per doc; an
 # arriving document can compute the SAME signatures as one row-local

@@ -464,6 +464,194 @@ ORDER BY source, id
 """
 
 
+# --- BPE pair counts (the inner step of tokenizer training) -----------------
+# Sennrich et al. "Neural Machine Translation of Rare Words with
+# Subword Units": BPE training loops K times over {count adjacent
+# symbol pairs across the weighted vocabulary; merge the argmax}.
+# This op is that inner counting step at the character level (round
+# 0 of the loop, where every word is its char sequence plus the
+# terminal '</w>' marker) — the argmax row IS the first merge rule.
+# The K-merge loop is driver-side over this op with a symbols column
+# rewritten per round, exactly how the published algorithm iterates.
+#
+# Scale shape: pair counting runs over the DISTINCT weighted vocab
+# (|V| rows, not corpus tokens), so after the one vocab groupBy the
+# whole step is tiny no matter the corpus size. Two shuffles total:
+# token→vocab counts (map-side combine) and pair aggregation over a
+# per-word explode of ≤ len(w) rows.
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(left, right, pair_count) — the top_k most frequent adjacent
+    character pairs across the corpus vocabulary, each word weighted
+    by its corpus frequency and terminated by '</w>'. Ordered by
+    (pair_count DESC, left, right); row 1 is the first BPE merge."""
+    vocab = (
+        docs.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    pair = F.struct(
+        F.substring(F.col("w"), F.col("i"), 1).alias("left"),
+        F.when(
+            F.col("i") < F.length("w"), F.substring(F.col("w"), F.col("i") + 1, 1)
+        )
+        .otherwise(F.lit("</w>"))
+        .alias("right"),
+    )
+    return (
+        vocab.select(
+            "w",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        )
+        .select(pair.alias("p"), "cnt")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left", "right")
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts_sql(
+    docs_sql: str, top_k: int = 20, text_col: str = "text"
+) -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH vocab AS (
+  SELECT w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest({toks}) AS w FROM ({docs_sql}))
+  GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, i, 1) AS "left",
+         CASE WHEN i < length(w) THEN substring(w, i + 1, 1)
+              ELSE '</w>' END AS "right",
+         cnt
+  FROM vocab, unnest(range(1, length(w) + 1)) AS u(i)
+)
+SELECT "left", "right", SUM(cnt)::BIGINT AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, "left", "right"
+LIMIT {top_k}
+"""
+
+
+# --- DSIR importance resampling ---------------------------------------------
+# Xie et al. "Data Selection for Language Models via Importance
+# Resampling": estimate how target-like each raw document is from the
+# ratio of hashed-feature distributions p_target / p_raw, then keep
+# the highest-weight documents. Features here are unigram tokens
+# hashed to N_BUCKETS via the portable md5 hash (the paper uses
+# hashed n-grams for exactly this dimensionality-bounding reason);
+# per-doc weight = mean per-token log-ratio, smoothing +1 per bucket.
+#
+# Scale shape: the two distribution estimates are one groupBy each
+# over N_BUCKETS keys (map-side combined to ≤ N_BUCKETS rows per
+# partition); the log-ratio table is ≤ N_BUCKETS rows and broadcasts;
+# scoring is one explode + broadcast join + one groupBy(doc). Nothing
+# is ever N², and the only wide shuffle is keyed by doc_id.
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str = "source",
+    target_value: str = "src1",
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, stratum, n_tokens, dsir_weight) — top_k raw documents by
+    estimated target-domain importance (weight DESC, id ASC).
+
+    Log-ratios are rounded to 6 places before the per-doc mean (and
+    the mean to 5) so Spark's and the oracle's float summation order
+    can't flip the hash."""
+    tf = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).alias("stratum"),
+        F.explode(tokenize(text_col)).alias("t"),
+    ).select(
+        "id",
+        "stratum",
+        (md5_int60(F.col("t"), salt="dsir:") % DSIR_BUCKETS).alias("b"),
+    )
+    raw = tf.groupBy("b").agg(F.count("*").cast("long").alias("n_raw"))
+    tgt = (
+        tf.filter(F.col("stratum") == target_value)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("n_tgt"))
+    )
+    tot = raw.agg(F.sum("n_raw").alias("_nr"))
+    tot_t = tgt.agg(F.sum("n_tgt").alias("_nt"))
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("n_tgt", F.lit(0)) + 1)
+                    / (F.col("_nt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("n_raw") + 1) / (F.col("_nr") + DSIR_BUCKETS)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(ratios), "b")
+        .groupBy("id", "stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lr"), 5).cast("double").alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), "id")
+        .limit(top_k)
+    )
+
+
+def dsir_weights_sql(
+    docs_sql: str,
+    target_col: str = "source",
+    target_value: str = "src1",
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = tokenize_sql(text_col)
+    bucket = f"{md5_int60_sql('t', salt='dsir:')} % {DSIR_BUCKETS}"
+    return f"""
+WITH tf AS (
+  SELECT {id_col} AS id, {target_col} AS stratum, {bucket} AS b
+  FROM (SELECT {id_col}, {target_col}, unnest({toks}) AS t FROM ({docs_sql}))
+),
+raw AS (SELECT b, COUNT(*)::BIGINT AS n_raw FROM tf GROUP BY b),
+tgt AS (SELECT b, COUNT(*)::BIGINT AS n_tgt FROM tf
+        WHERE stratum = '{target_value}' GROUP BY b),
+tot AS (SELECT SUM(n_raw) AS nr FROM raw),
+tott AS (SELECT SUM(n_tgt) AS nt FROM tgt),
+ratios AS (
+  SELECT raw.b,
+         ROUND(ln((COALESCE(tgt.n_tgt, 0) + 1) / (tott.nt + {DSIR_BUCKETS}))
+               - ln((raw.n_raw + 1) / (tot.nr + {DSIR_BUCKETS})), 6) AS lr
+  FROM raw LEFT JOIN tgt USING (b), tot, tott
+)
+SELECT tf.id AS id, tf.stratum AS stratum,
+       COUNT(*)::BIGINT AS n_tokens,
+       ROUND(AVG(r.lr), 5)::DOUBLE AS dsir_weight
+FROM tf JOIN ratios r USING (b)
+GROUP BY tf.id, tf.stratum
+ORDER BY dsir_weight DESC, id
+LIMIT {top_k}
+"""
+
+
 # --- deterministic train/val/test split -------------------------------------
 # The split must be a pure function of the document id (NOT row order
 # or an RNG): reproducible across engines, stable under corpus

@@ -506,3 +506,16 @@ def text_dup_spans(spark, sf_dir):
     over the planted corpus (random word soup has no natural 8-gram
     collisions; the planted near-dup copies provide ground truth)."""
     return dedup.dup_span_stats(_planted(spark, sf_dir), n=8)
+
+
+@register(
+    "dedup_span_removal",
+    dedup.remove_dup_spans_sql(_PLANTED_SQL, n=8),
+)
+def dedup_span_removal(spark, sf_dir):
+    """Exact-substring dedup REWRITE (Lee et al.): the min-id doc
+    keeps each duplicated 8-gram, every other doc drops the covered
+    token positions; cleaned_md5 hashes the surviving token stream so
+    the oracle verifies the rewritten text itself. Same single gram
+    shuffle as text_dup_spans plus a row-local array filter."""
+    return dedup.remove_dup_spans(_planted(spark, sf_dir), n=8)

@@ -621,3 +621,36 @@ def pipeline_trainset_build(spark, sf_dir):
         first_seq.alias("first_seq"),
         last_seq.alias("last_seq"),
     ).orderBy("source", "id")
+
+
+# --- BPE pair counts (tokenizer-training inner step) ------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    trainset.bpe_pair_counts_sql("SELECT text FROM documents"),
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Top-20 adjacent character pairs over the '</w>'-terminated
+    weighted vocabulary — round 0 of BPE tokenizer training (the
+    argmax row is the first merge rule). Pair counting runs over the
+    distinct vocab, so corpus size only affects the one token→vocab
+    groupBy."""
+    docs = tpch.table(spark, sf_dir, "documents").select("text")
+    return trainset.bpe_pair_counts(docs)
+
+
+# --- DSIR importance resampling ---------------------------------------------
+
+
+@register(
+    "sample_dsir",
+    trainset.dsir_weights_sql("SELECT doc_id, text, source FROM documents"),
+)
+def sample_dsir(spark, sf_dir):
+    """Hashed-unigram importance weights (DSIR): rank raw docs by how
+    target-domain-like (source='src1') their token distribution is.
+    Distribution estimates are two tiny bucket groupBys; scoring is
+    one explode + broadcast join + one groupBy(doc)."""
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return trainset.dsir_weights(docs)

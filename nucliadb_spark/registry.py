@@ -124,6 +124,9 @@ PRIORITY: list[str] = [
     "ann_ivf_recall",
     "find_relations_subgraph",
     "suggest_correction",
+    "dedup_span_removal",
+    "bpe_pair_counts",
+    "sample_dsir",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",

@@ -251,3 +251,58 @@ def test_multi_kb_per_tenant_stats(spark, sf_dir):
     g = {r["rid"]: r["score"] for r in glob}
     diffs = [r for r in scoped if r["rid"] in g and r["score"] != g[r["rid"]]]
     assert diffs, "scoped scores identical to global — stats are not per-KB"
+
+
+def test_bpe_first_merge_hand_case(spark):
+    """Corpus 'low low low lower' → the dominant pairs are 'l,o' and
+    'o,w' (4 each); tie broken lexicographically so row 1 is (l,o).
+    'w,</w>' appears 3 times (the 'lower' token ends in r,</w>)."""
+    docs = spark.createDataFrame([("low low low lower",)], "text string")
+    rows = trainset.bpe_pair_counts(docs, top_k=10).collect()
+    got = {(r["left"], r["right"]): r["pair_count"] for r in rows}
+    assert rows[0]["left"] == "l" and rows[0]["right"] == "o"
+    assert got[("l", "o")] == 4 and got[("o", "w")] == 4
+    assert got[("w", "</w>")] == 3 and got[("r", "</w>")] == 1
+
+
+def test_dsir_prefers_target_vocabulary(spark):
+    """Docs sharing the target domain's vocabulary must outrank docs
+    that don't — the whole point of importance resampling."""
+    rows = [
+        (1, "alpha beta gamma delta", "tgt"),
+        (2, "alpha beta gamma epsilon", "tgt"),
+        (3, "alpha beta gamma zeta", "raw"),      # target-like
+        (4, "omega psi chi phi", "raw"),          # target-unlike
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {
+        r["id"]: r["dsir_weight"]
+        for r in trainset.dsir_weights(
+            docs, target_col="source", target_value="tgt", top_k=10
+        ).collect()
+    }
+    assert w[3] > w[4], w
+
+
+def test_remove_dup_spans_keeper_keeps(spark):
+    """The min-id doc keeps a duplicated span; the copy loses exactly
+    the covered tokens; an untouched doc removes nothing."""
+    from nucliadb_spark.operators import dedup
+
+    span = "a b c d e f g h"  # one 8-gram
+    rows = [
+        (1, span + " unique1 tail1"),
+        (2, span + " other2 words2"),     # shares only the 8-gram with doc 1
+        (3, "totally different content"),
+    ]
+    corpus = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in dedup.remove_dup_spans(corpus, n=8).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    import hashlib
+
+    assert out[2]["cleaned_md5"] == hashlib.md5(b"other2 words2").hexdigest()
+    assert out[1]["cleaned_md5"] == hashlib.md5(
+        b"a b c d e f g h unique1 tail1"
+    ).hexdigest()
