@@ -165,6 +165,14 @@ def main() -> None:
     t("pq_adc (m=8, 16 codes, rerank 50)", lambda: ann_ops.pq_adc_labeled(
         emb, qv, k=10).collect())
 
+    # round-3c ops at probe scale
+    t("remove_dup_spans (rewrite + md5)", lambda: dedup.remove_dup_spans(
+        docs2.selectExpr("doc_id AS id", "text")).count(), n=1)
+    t("bpe_pair_counts (vocab pair agg)", lambda: trainset.bpe_pair_counts(
+        docs2).collect())
+    t("dsir_weights (hashed-unigram ratios)", lambda: trainset.dsir_weights(
+        docs2, target_value="src1").count())
+
 
 if __name__ == "__main__":
     main()

@@ -250,3 +250,47 @@ def test_trainset_build_two_data_shuffles(spark, sf_dir):
 
     plan = _plan(pipeline_trainset_build(spark, sf_dir))
     assert _n_shuffles(plan) <= 2, plan[:2000]
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark, sf_dir):
+    """The log-ratio table is <= DSIR_BUCKETS rows and must broadcast
+    onto the exploded token stream — a shuffled join here would key
+    the whole corpus explode by bucket id (1024 hot keys at 100 TB)."""
+    from nucliadb_spark.operators import trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    plan = _plan(trainset.dsir_weights(docs))
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pairs_aggregate_over_vocab_not_corpus(spark, sf_dir):
+    """Pair explosion must happen AFTER the token→vocab groupBy (|V|
+    rows), not over raw corpus tokens: the plan's Generate (explode)
+    has to sit above the first hash aggregate."""
+    from nucliadb_spark.operators import trainset
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents").select("text")
+    plan = _plan(trainset.bpe_pair_counts(docs))
+    gen = plan.index("Generate explode")
+    # the vocab aggregate (count per word) appears BELOW the explode
+    # in the plan string (plans print top-down)
+    vocab_agg = plan.rindex("HashAggregate")
+    assert gen < vocab_agg, plan[:2500]
+
+
+def test_remove_dup_spans_no_cartesian_one_gram_shuffle(spark, sf_dir):
+    """The rewrite pays the same gram-keyed shuffle as dup_span_stats
+    plus per-doc folds — never a cross join, and the final rewrite is
+    a row-local array filter (no extra wide op on the text)."""
+    from nucliadb_spark.operators import dedup
+    from nucliadb_spark.sources import tpch
+
+    corpus = dedup.planted_corpus(
+        tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    plan = _plan(dedup.remove_dup_spans(corpus))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan[:2000]
