@@ -176,3 +176,115 @@ FROM reach
 GROUP BY src
 ORDER BY id
 """
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    top_k: int = 20,
+    src_col: str = "source_value",
+    dst_col: str = "target_value",
+) -> DataFrame:
+    """(node, pagerank) — top_k nodes by PageRank after a fixed
+    number of power iterations over the directed relation graph.
+
+    Uses the classic per-node formula pr'(v) = (1-d)/N + d·Σ_{u→v}
+    pr(u)/outdeg(u) WITHOUT dangling-mass redistribution (the GraphX
+    staticPageRank convention — scores need not sum to 1). Each
+    iteration's scores are rounded to 9 places so Spark's and the
+    oracle's float summation order cannot drift across iterations;
+    the output rounds to 5.
+
+    Scale notes: the edge table and out-degrees are computed once and
+    persisted; each iteration is ONE shuffle (the groupBy(target)
+    contribution sum — rank and degree joins ride the same edge-keyed
+    exchange, and AQE broadcasts the rank side while it is small).
+    N comes from a broadcast 1-row aggregate, not a driver count.
+    localCheckpoint truncates lineage so iteration k doesn't replay
+    1..k-1.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out = e.groupBy("a").agg(F.count("*").cast("double").alias("deg")).persist()
+    n1 = nodes.agg(F.count("*").cast("double").alias("_n"))
+    pr = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            contrib = (
+                e.join(out, "a")
+                .join(pr, pr["node"] == e["a"])
+                .groupBy(F.col("b").alias("tnode"))
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
+            )
+            pr = (
+                nodes.crossJoin(F.broadcast(n1))
+                .join(contrib, F.col("node") == F.col("tnode"), "left")
+                .select(
+                    "node",
+                    F.round(
+                        (1.0 - damping) / F.col("_n")
+                        + damping * F.coalesce("m", F.lit(0.0)),
+                        9,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return pr.select(
+            "node", F.round("pr", 5).cast("double").alias("pagerank")
+        ).orderBy(F.desc("pagerank"), "node").limit(top_k)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        out.unpersist()
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    top_k: int = 20,
+    src_col: str = "source_value",
+    dst_col: str = "target_value",
+) -> str:
+    """Unrolled twin: one CTE per power iteration (recursive CTEs
+    forbid the aggregation each step needs, so a FIXED iteration
+    count unrolls honestly)."""
+    base = f"""
+WITH rel AS ({edges_sql}),
+e AS (SELECT DISTINCT {src_col} AS a, {dst_col} AS b FROM rel),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT a, COUNT(*)::DOUBLE AS deg FROM e GROUP BY a),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    for k in range(1, iters + 1):
+        base += f""",
+pr{k} AS (
+  SELECT nodes.node,
+         ROUND((1.0 - {damping}) / nn.n
+               + {damping} * COALESCE(s.m, 0.0), 9) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.b AS node, SUM(p.pr / o.deg) AS m
+    FROM e JOIN pr{k - 1} p ON p.node = e.a
+           JOIN outdeg o ON o.a = e.a
+    GROUP BY e.b
+  ) s ON s.node = nodes.node
+)"""
+    return base + f"""
+SELECT node, ROUND(pr, 5)::DOUBLE AS pagerank
+FROM pr{iters}
+ORDER BY pagerank DESC, node
+LIMIT {top_k}
+"""

@@ -654,3 +654,26 @@ def sample_dsir(spark, sf_dir):
     one explode + broadcast join + one groupBy(doc)."""
     docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     return trainset.dsir_weights(docs)
+
+
+# --- PageRank over the relation graph ---------------------------------------
+
+
+@register(
+    "graph_pagerank",
+    __import__("nucliadb_spark.operators.iterative", fromlist=["x"]).pagerank_sql(
+        tpch.SQL_RELATIONS
+    ),
+)
+def graph_pagerank(spark, sf_dir):
+    """Entity importance over the relation triples: 3 power
+    iterations, d=0.85, GraphX staticPageRank convention (no
+    dangling-mass redistribution). One shuffle per iteration; the
+    oracle unrolls the same fixed iterations as nested CTEs. The
+    centrality signal a graph RAG strategy can use to pick entry
+    points (ref graph_strategy.py's scored-entity selection)."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators.iterative import pagerank
+
+    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    return pagerank(rel)

@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "dedup_span_removal",
     "bpe_pair_counts",
     "sample_dsir",
+    "graph_pagerank",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",

@@ -306,3 +306,18 @@ def test_remove_dup_spans_keeper_keeps(spark):
     assert out[1]["cleaned_md5"] == hashlib.md5(
         b"a b c d e f g h unique1 tail1"
     ).hexdigest()
+
+
+def test_pagerank_hand_case(spark):
+    """Star graph a→c, b→c, c→d: d must outrank c, c must outrank the
+    sources, and the sources tie (same in-degree structure)."""
+    from nucliadb_spark.operators.iterative import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")],
+        "source_value string, target_value string",
+    )
+    pr = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=3).collect()}
+    assert pr["a"] == pr["b"]
+    assert pr["c"] > pr["a"]
+    assert pr["d"] > pr["a"]
