@@ -612,3 +612,78 @@ SELECT consec.id AS id,
 FROM consec LEFT JOIN agg USING (id)
 ORDER BY id
 """
+
+
+# --- CCNet perplexity-bucket selection ---------------------------------------
+# CCNet's defining move: within each language, rank documents by LM
+# perplexity and split into head/middle/tail terciles; training reads
+# head+middle and drops the tail. The rank is per-language (a language
+# must not be penalized for a globally-rarer vocabulary), so the
+# window partitions by lang — bounded partitions, no global sort.
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, avg_neg_logp, ppl_bucket, kept) — per-language
+    head/middle/tail terciles of the unigram LM score; kept=true for
+    head+middle (the CCNet default). Ties broken by id, so bucket
+    assignment is deterministic across engines."""
+    from pyspark.sql import Window
+
+    scores = unigram_logprob(docs, model=model, id_col=id_col, text_col=text_col)
+    langs = docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "id")
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    return (
+        scores.join(langs, "id")
+        .select(
+            "id",
+            "lang",
+            "avg_neg_logp",
+            bucket.alias("ppl_bucket"),
+            (tile <= 2).alias("kept"),
+        )
+        .orderBy("id")
+    )
+
+
+def perplexity_buckets_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH docs AS ({docs_sql}),
+tok AS (SELECT {id_col} AS id, unnest({toks}) AS token FROM docs),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c)::DOUBLE AS n FROM counts),
+model AS (SELECT token, log10(c::DOUBLE / n) AS logp FROM counts CROSS JOIN tot),
+scores AS (
+  SELECT t.id, COUNT(*)::BIGINT AS n_tokens,
+         ROUND(-AVG(m.logp), 5)::DOUBLE AS avg_neg_logp
+  FROM tok t JOIN model m USING (token)
+  GROUP BY t.id
+),
+tiled AS (
+  SELECT s.id, d.{lang_col} AS lang, s.avg_neg_logp,
+         NTILE(3) OVER (PARTITION BY d.{lang_col}
+                        ORDER BY s.avg_neg_logp, s.id) AS tile
+  FROM scores s JOIN docs d ON d.{id_col} = s.id
+)
+SELECT id, lang, avg_neg_logp,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       (tile <= 2) AS kept
+FROM tiled
+ORDER BY id
+"""

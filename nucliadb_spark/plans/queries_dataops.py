@@ -519,3 +519,19 @@ def dedup_span_removal(spark, sf_dir):
     the oracle verifies the rewritten text itself. Same single gram
     shuffle as text_dup_spans plus a row-local array filter."""
     return dedup.remove_dup_spans(_planted(spark, sf_dir), n=8)
+
+
+@register(
+    "sample_perplexity_buckets",
+    textstats.perplexity_buckets_sql("SELECT doc_id, text, lang FROM documents"),
+)
+def sample_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection: per-language terciles of the
+    unigram LM score, kept = head+middle. The per-language window is
+    bounded (partitionBy lang); the model is the cached index sidecar
+    text_unigram_logprob already builds."""
+    from nucliadb_spark.cache import cached_df
+
+    docs = _docs(spark, sf_dir)
+    model = cached_df(sf_dir, "unigram_model", lambda: textstats.unigram_model(docs))
+    return textstats.perplexity_buckets(docs, model=model)

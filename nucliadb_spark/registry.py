@@ -128,6 +128,7 @@ PRIORITY: list[str] = [
     "bpe_pair_counts",
     "sample_dsir",
     "graph_pagerank",
+    "sample_perplexity_buckets",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
