@@ -113,3 +113,12 @@ def stream_neardup_gate(spark, sf_dir):
     index (candidates) + shingle sets (exact-Jaccard verify) — a
     full availableNow drain equals the batch arrivals-vs-base LSH."""
     return ingest.stream_neardup_gate(spark, sf_dir)
+
+
+@register("stream_stream_join", ingest.stream_attribution_sql())
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: click→purchase attribution within a
+    30-minute event-time horizon. Both sides are unbounded streams;
+    watermarks + the range condition bound the join state. availableNow
+    drain == the batch range join the oracle runs."""
+    return ingest.stream_attribution(spark, sf_dir)

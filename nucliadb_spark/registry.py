@@ -129,6 +129,7 @@ PRIORITY: list[str] = [
     "sample_dsir",
     "graph_pagerank",
     "sample_perplexity_buckets",
+    "stream_stream_join",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",

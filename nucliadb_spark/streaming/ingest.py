@@ -933,3 +933,100 @@ SELECT CAST(doc_id AS BIGINT) + {dedup.PLANT_OFFSET} AS id,
 FROM documents WHERE doc_id % {dedup.PLANT_MOD} = 0
 """
     return dedup.incremental_lsh_sql(base, arr)
+
+
+# --- stream-stream join (click→purchase attribution) -------------------------
+# The one Structured Streaming capability the §2.12 suite hadn't
+# exercised: joining TWO unbounded streams. Spark buffers both sides
+# in state; the event-time range condition plus the watermarks bound
+# how long a click is kept (state eviction is derived from
+# `purchase_ts <= click_ts + horizon`), so state is
+# O(events within horizon), not O(stream). availableNow over the
+# static file drains everything before any watermark can drop rows,
+# so the result equals the batch range join — which the oracle runs.
+
+
+def stream_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """(user_id, n_pairs, n_purchases, n_clicks) — per user, the
+    click→purchase pairs where the purchase lands within
+    `horizon_minutes` after the click, computed by an actual
+    stream-stream inner join (append mode → memory sink), then a
+    batch rollup of the sink. Ordered by user_id."""
+    name = f"attr_{uuid.uuid4().hex[:10]}"
+    from nucliadb_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    clicks = (
+        _events_stream(spark, arrival, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, arrival, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon_minutes} MINUTES"""
+        ),
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT c_user AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks
+        FROM {name}
+        GROUP BY c_user
+        ORDER BY user_id
+        """
+    )
+
+
+def stream_attribution_sql(horizon_minutes: int = 30) -> str:
+    return f"""
+WITH c AS (SELECT user_id, ts AS cts, event_id AS cid
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pts, event_id AS pid
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id,
+       COUNT(*)::BIGINT AS n_pairs,
+       COUNT(DISTINCT p.pid)::BIGINT AS n_purchases,
+       COUNT(DISTINCT c.cid)::BIGINT AS n_clicks
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pts >= c.cts
+             AND p.pts <= c.cts + INTERVAL {horizon_minutes} MINUTE
+GROUP BY c.user_id
+ORDER BY user_id
+"""
