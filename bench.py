@@ -48,6 +48,9 @@ HEADLINE = [
     # one-shuffle clean-corpus composition
     "events_asof_join",
     "pipeline_clean_corpus",
+    # round 3c: iterative graph centrality + exact-substring rewrite
+    "graph_pagerank",
+    "dedup_span_removal",
 ]
 
 

@@ -176,3 +176,28 @@ def test_explain_example(spark, sf_dir):
     fx = fusion.rrf_explain({"a": sem, "b": sem}, top_k=5).collect()
     # identical sources -> every fused hit explained by both, same rank
     assert len(fx) == 10 and all(r.contrib_e6 > 0 for r in fx)
+
+
+def test_curation_example(spark, sf_dir):
+    from nucliadb_spark.operators import dedup, textstats, trainset
+    from nucliadb_spark.operators.iterative import pagerank
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    corpus = dedup.planted_corpus(docs.select("doc_id", "text"))
+    rw = dedup.remove_dup_spans(corpus)
+    assert {"id", "n_tokens", "n_removed", "cleaned_md5"} <= set(rw.columns)
+
+    w = trainset.dsir_weights(docs.select("doc_id", "text", "source"))
+    assert w.count() > 0
+
+    b = textstats.perplexity_buckets(docs)
+    assert {"head", "middle", "tail"} >= {
+        r["ppl_bucket"] for r in b.select("ppl_bucket").distinct().collect()
+    }
+
+    top = trainset.bpe_pair_counts(docs.select("text")).first()
+    assert top["pair_count"] > 0
+
+    pr = pagerank(tpch.relations(spark, sf_dir), iters=2, top_k=5)
+    assert pr.count() == 5
