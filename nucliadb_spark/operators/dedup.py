@@ -645,26 +645,33 @@ def remove_dup_spans(
     toks = corpus.select(
         F.col(id_col).alias("id"), tokenize(text_col).alias("_toks")
     )
-    # pos is 0-based gram start → covers 1-based token idx pos+1..pos+n
+    # pos is 0-based gram start → covers 1-based token idx pos+1..pos+n.
+    # The gram travels RAW (no hash): the dup verdict only needs gram
+    # identity, both engines group on the string directly, and the
+    # 2M-doc probe showed the md5-int key aggregating SLOWER than the
+    # raw 8-word string (213 s vs 137 s) while adding hash CPU.
     pg = toks.select(
         "id",
         F.posexplode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
             "pos", "g"
         ),
-    ).select("id", "pos", md5_int60(F.col("g"), salt="dup:").alias("gh"))
+    )
+    # ONE shuffle keyed by gram, pure partial aggregation: "appears in
+    # >= 2 distinct docs" is exactly min(id) != max(id) — countDistinct
+    # would maintain a distinct-id set per gram group (measured 2.5x
+    # slower at 123M near-unique groups), and a separate distinct()
+    # pass would shuffle the position-gram stream twice.
     info = (
-        pg.select("id", "gh")
-        .distinct()
-        .groupBy("gh")
+        pg.groupBy("g")
         .agg(
             F.min("id").alias("_keeper"),
-            F.count("*").cast("long").alias("_n_docs"),
+            F.max("id").alias("_maxid"),
         )
-        .filter(F.col("_n_docs") >= 2)
-        .select("gh", "_keeper")
+        .filter(F.col("_keeper") != F.col("_maxid"))
+        .select("g", "_keeper")
     )
     removed = (
-        pg.join(info, "gh")
+        pg.join(info, "g")
         .filter(F.col("id") != F.col("_keeper"))
         .select(
             "id",
@@ -700,22 +707,20 @@ def remove_dup_spans_sql(
 ) -> str:
     toks = tokenize_sql(text_col)
     grams = word_shingles_sql(text_col, n)
-    gh = md5_int60_sql("g", salt="dup:")
     return f"""
 WITH corpus AS ({corpus_sql}),
 tok AS (SELECT {id_col} AS id, {toks} AS toks, {grams} AS gs FROM corpus),
 pg AS (
-  SELECT id, {gh} AS gh, pos
-  FROM (SELECT id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM tok)
+  SELECT id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM tok
 ),
 info AS (
-  SELECT gh, MIN(id) AS keeper
-  FROM (SELECT DISTINCT id, gh FROM pg)
-  GROUP BY gh HAVING COUNT(*) >= 2
+  SELECT g, MIN(id) AS keeper
+  FROM pg
+  GROUP BY g HAVING MIN(id) <> MAX(id)
 ),
 rmpos AS (
   SELECT DISTINCT pg.id, pg.pos + j.j AS tokidx
-  FROM pg JOIN info USING (gh), unnest(range(0, {n})) AS j(j)
+  FROM pg JOIN info USING (g), unnest(range(0, {n})) AS j(j)
   WHERE pg.id <> info.keeper
 ),
 rm AS (

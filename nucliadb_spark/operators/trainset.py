@@ -564,22 +564,29 @@ def dsir_weights(
     top_k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable_hash: bool = True,
 ) -> DataFrame:
     """(id, stratum, n_tokens, dsir_weight) — top_k raw documents by
     estimated target-domain importance (weight DESC, id ASC).
 
     Log-ratios are rounded to 6 places before the per-doc mean (and
     the mean to 5) so Spark's and the oracle's float summation order
-    can't flip the hash."""
+    can't flip the hash.
+
+    portable_hash=True buckets tokens with the md5-derived hash the
+    DuckDB oracle can reproduce; False uses Spark-native xxhash64 —
+    same plan, same statistical behavior, measured 5x faster at the
+    2M-doc probe (66 s → 12.6 s). Single-engine production wants
+    False; cross-engine-verified runs need True."""
+    if portable_hash:
+        bucket = md5_int60(F.col("t"), salt="dsir:") % DSIR_BUCKETS
+    else:
+        bucket = F.pmod(F.xxhash64(F.col("t")), F.lit(DSIR_BUCKETS))
     tf = docs.select(
         F.col(id_col).alias("id"),
         F.col(target_col).alias("stratum"),
         F.explode(tokenize(text_col)).alias("t"),
-    ).select(
-        "id",
-        "stratum",
-        (md5_int60(F.col("t"), salt="dsir:") % DSIR_BUCKETS).alias("b"),
-    )
+    ).select("id", "stratum", bucket.alias("b"))
     raw = tf.groupBy("b").agg(F.count("*").cast("long").alias("n_raw"))
     tgt = (
         tf.filter(F.col("stratum") == target_value)

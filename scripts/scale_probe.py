@@ -165,9 +165,13 @@ def main() -> None:
     t("pq_adc (m=8, 16 codes, rerank 50)", lambda: ann_ops.pq_adc_labeled(
         emb, qv, k=10).collect())
 
-    # round-3c ops at probe scale
+    # round-3c ops at probe scale. NOTE: aggregate over the COMPUTED
+    # columns — a bare count() lets Catalyst eliminate the left join
+    # against the per-doc aggregate (unique keys) and skip the whole
+    # gram pipeline, timing a pruned plan.
     t("remove_dup_spans (rewrite + md5)", lambda: dedup.remove_dup_spans(
-        docs2.selectExpr("doc_id AS id", "text")).count(), n=1)
+        docs2.selectExpr("doc_id AS id", "text"))
+        .agg(F.sum("n_removed"), F.max("cleaned_md5")).collect(), n=1)
     t("bpe_pair_counts (vocab pair agg)", lambda: trainset.bpe_pair_counts(
         docs2).collect())
     t("dsir_weights (hashed-unigram ratios)", lambda: trainset.dsir_weights(
