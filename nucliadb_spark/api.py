@@ -45,6 +45,9 @@ class FindRequest:
     synonyms: dict[str, list[str]] | None = None
     fusion_weights: dict[str, float] | None = None
     reranker: str = "noop"  # noop | stub
+    # Predict rephrase (ref search/search/query.py:78-79): rewrite the
+    # query before embedding — semantic leg only, keyword unchanged
+    rephrase: bool = False
     query_vec_id: int = 0
     entity_sources: list[str] | None = None
     # prequeries RAG strategy (ref: nucliadb_models/search.py
@@ -121,18 +124,37 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             ).select(F.col("rid").alias("id"), "score")
 
     if "semantic" in features:
-        vectors = tpch.vectors(spark, sf_dir)
-        if filters is not None:
-            allowed = fields.filter(filters.to_column()).select("rid")
-            vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
-        qvec = (
-            tpch.table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") == req.query_vec_id)
-            .select(F.col("embedding").alias("qvec"))
-        )
-        sources["semantic"] = knn.exact_knn(
-            vectors, qvec, k=win, min_score=req.min_score
-        )
+        if req.rephrase:
+            # rephrased text is what gets embedded (stub space over
+            # documents — the fetcher.get_query_vector analog)
+            qtext = models.stub_rephrase_py(req.query)
+            emb_docs = tpch.table(spark, sf_dir, "documents").select(
+                F.col("doc_id").cast("long").alias("rid"),
+                models.stub_embedding(F.col("text")).alias("embedding"),
+            )
+            if filters is not None:
+                allowed = fields.filter(filters.to_column()).select("rid")
+                emb_docs = emb_docs.join(F.broadcast(allowed), "rid", "semi")
+            qvec = spark.createDataFrame([(qtext,)], "t string").select(
+                models.stub_embedding(F.col("t")).alias("qvec")
+            )
+            sources["semantic"] = knn.exact_knn(
+                emb_docs, qvec, k=win, min_score=req.min_score,
+                vec_col="embedding",
+            )
+        else:
+            vectors = tpch.vectors(spark, sf_dir)
+            if filters is not None:
+                allowed = fields.filter(filters.to_column()).select("rid")
+                vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
+            qvec = (
+                tpch.table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") == req.query_vec_id)
+                .select(F.col("embedding").alias("qvec"))
+            )
+            sources["semantic"] = knn.exact_knn(
+                vectors, qvec, k=win, min_score=req.min_score
+            )
 
     if "graph" in features and req.entity_sources:
         gdf = fields if filters is None else fields.filter(filters.to_column())

@@ -88,3 +88,24 @@ _ENTITY_RE = _re.compile(r"\b(customer|order|part|supplier):\d+\b")
 def detect_entity_values_py(query: str) -> list[str]:
     """Full node values ("part:17") detected in the query text."""
     return sorted({m.group(0) for m in _ENTITY_RE.finditer(query)})
+
+
+def stub_rephrase_py(query: str) -> str:
+    """Deterministic stand-in for the Predict API's `rephrase` call
+    (ref: search/search/query.py:78-79, predict_models.py — the LLM
+    rewrites the user's question into a cleaner retrieval query
+    before it is embedded). The stub applies the rewrite an LLM
+    reliably performs: lowercase, strip stop words, collapse repeated
+    terms — pure and engine-independent, so the oracle can inline the
+    rephrased literal."""
+    from nucliadb_spark.functions.text import tokenize_py
+    from nucliadb_spark.operators.bm25 import STOP_WORDS
+
+    out: list[str] = []
+    seen: set[str] = set()
+    for t in tokenize_py(query):
+        if t in STOP_WORDS or t in seen:
+            continue
+        seen.add(t)
+        out.append(t)
+    return " ".join(out) if out else query.lower()

@@ -56,8 +56,17 @@ def find(
     vocab: DataFrame | None = None,
     ann: str = "exact",
     nprobe: int = 2,
+    rephrase: bool = False,
 ) -> DataFrame:
     """Hybrid find → (id, score, matched_sources, language, source, snippet).
+
+    rephrase=True mirrors the reference's Predict rephrase step
+    (search/search/query.py:78-79): the query text is rewritten
+    (deterministic stub) and the REWRITTEN text is what gets embedded
+    for the semantic leg — the keyword leg still sees the user's
+    original query, exactly the reference's split. The rephrased
+    semantic leg runs in the stub-embedding space over documents
+    (fetcher.get_query_vector analog).
 
     ann="ivf" serves the semantic leg from the prebuilt IVF cell
     assignment (cluster_label) + session-cached centroids instead of a
@@ -121,9 +130,31 @@ def find(
         # corpus): no broadcast hint, AQE picks the join strategy
         allowed = fields.filter(prefilter.to_column()).select("rid")
         vectors = vectors.join(allowed, "rid", "semi")
-    semantic = knn.exact_knn(
-        vectors, qvec, k=win, similarity="cosine", min_score=min_score
-    )
+    if rephrase:
+        from nucliadb_spark.functions import models
+
+        qtext = models.stub_rephrase_py(query)
+        emb_docs = tpch.table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("rid"),
+            models.stub_embedding(F.col("text")).alias("embedding"),
+        )
+        if prefilter is not None:
+            emb_docs = emb_docs.join(allowed, "rid", "semi")
+        qvec_stub = spark.createDataFrame([(qtext,)], "t string").select(
+            models.stub_embedding(F.col("t")).alias("qvec")
+        )
+        semantic = knn.exact_knn(
+            emb_docs,
+            qvec_stub,
+            k=win,
+            similarity="cosine",
+            min_score=min_score,
+            vec_col="embedding",
+        )
+    else:
+        semantic = knn.exact_knn(
+            vectors, qvec, k=win, similarity="cosine", min_score=min_score
+        )
 
     sources = {"keyword": keyword, "semantic": semantic}
     if entity_sources:
@@ -275,8 +306,13 @@ def find_sql(
     dim: int = 64,
     ann: str = "exact",
     nprobe: int = 2,
+    rephrase_text: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`find` (same window algebra & pipeline)."""
+    """DuckDB twin of :func:`find` (same window algebra & pipeline).
+
+    rephrase_text: the ALREADY-REPHRASED query literal (the stub is a
+    pure Python function, so the caller inlines its output); when set
+    the semantic leg scores the stub-embedding space over documents."""
     win = fusion_window(window, top_k)
     keyword = (
         f"SELECT rid AS id, score FROM ({bm25.bm25_sql(tpch.SQL_FIELDS, query, top_k=win, mode='any', where=where)})"
@@ -296,15 +332,35 @@ def find_sql(
             f"rid IN (SELECT rid FROM ({tpch.SQL_FIELDS}) f WHERE {where})"
         )
     vec_where = " AND ".join(vec_conds) if vec_conds else None
-    semantic = knn.exact_knn_sql(
-        tpch.SQL_VECTORS,
-        f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}",
-        dim,
-        k=win,
-        similarity="cosine",
-        min_score=min_score,
-        where=vec_where,
-    )
+    if rephrase_text is not None:
+        from nucliadb_spark.functions import models
+
+        emb_where = (
+            f"rid IN (SELECT rid FROM ({tpch.SQL_FIELDS}) f WHERE {where})"
+            if where is not None
+            else None
+        )
+        semantic = knn.exact_knn_sql(
+            "SELECT CAST(doc_id AS BIGINT) AS rid, "
+            f"{models.stub_embedding_sql('text')} AS embedding FROM documents",
+            f"SELECT {models.stub_embedding_sql(_sql_quote(rephrase_text))} AS qvec",
+            models.STUB_DIM,
+            k=win,
+            similarity="cosine",
+            min_score=min_score,
+            where=emb_where,
+            vec_col="embedding",
+        )
+    else:
+        semantic = knn.exact_knn_sql(
+            tpch.SQL_VECTORS,
+            f"SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}",
+            dim,
+            k=win,
+            similarity="cosine",
+            min_score=min_score,
+            where=vec_where,
+        )
     sources_sql = {"keyword": keyword, "semantic": semantic}
     if entity_sources:
         lst = ", ".join(_sql_quote(s) for s in entity_sources)

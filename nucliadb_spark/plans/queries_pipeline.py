@@ -328,3 +328,46 @@ def find_relations_subgraph(spark, sf_dir):
         .distinct()
         .orderBy("from_value", "label", "to_value")
     )
+
+
+# --- find with Predict-rephrase (semantic leg embeds the rewrite) --------
+
+_REPHRASE_QUERY = "the spark shuffle and the spark partition"
+
+
+def _rephrased_literal() -> str:
+    from nucliadb_spark.functions.models import stub_rephrase_py
+
+    return stub_rephrase_py(_REPHRASE_QUERY)
+
+
+@register(
+    "find_rephrased",
+    find.find_sql(
+        _REPHRASE_QUERY,
+        top_k=10,
+        window=40,
+        rephrase_text=_rephrased_literal(),
+    ),
+)
+def find_rephrased(spark, sf_dir):
+    """Predict-rephrase flow (search/search/query.py:78-79): the
+    keyword leg sees the user's original query, the semantic leg
+    embeds the deterministic rewrite ('the spark shuffle and the
+    spark partition' → 'spark shuffle partition') in the stub
+    embedding space — the fetcher.get_query_vector split."""
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    post, stats = _text_index(spark, sf_dir)
+    return find.find(
+        spark,
+        sf_dir,
+        _REPHRASE_QUERY,
+        top_k=10,
+        window=40,
+        rephrase=True,
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )

@@ -130,6 +130,7 @@ PRIORITY: list[str] = [
     "graph_pagerank",
     "sample_perplexity_buckets",
     "stream_stream_join",
+    "find_rephrased",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",

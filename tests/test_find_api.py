@@ -90,3 +90,30 @@ def test_min_score_bm25_cuts_keyword_leg(spark, sf_dir):
     ).collect()
     assert 0 < len(cut) < len(full)
     assert all(r.score >= cut_at for r in cut)
+
+
+def test_rephrase_feeds_semantic_leg_only(spark, sf_dir):
+    """rephrase=True must change WHAT the semantic leg embeds (the
+    rewritten text) while the keyword leg still sees the original
+    query — the reference's Predict-rephrase split."""
+    from nucliadb_spark import api
+    from nucliadb_spark.functions.models import stub_rephrase_py
+
+    q = "the spark shuffle and the spark partition"
+    assert stub_rephrase_py(q) == "spark shuffle partition"
+
+    base = api.FindRequest(query=q, features=["semantic"], rephrase=True)
+    clean = api.FindRequest(
+        query=stub_rephrase_py(q), features=["semantic"], rephrase=True
+    )
+    a = [r["id"] for r in api.find_request(spark, sf_dir, base).collect()]
+    b = [r["id"] for r in api.find_request(spark, sf_dir, clean).collect()]
+    # rephrase is idempotent: the noisy and pre-cleaned queries embed
+    # identically, so the semantic results agree row for row
+    assert a == b and a
+
+    kw = api.FindRequest(query=q, features=["keyword"], rephrase=True)
+    kw_plain = api.FindRequest(query=q, features=["keyword"])
+    ka = [(r["id"], r["score"]) for r in api.find_request(spark, sf_dir, kw).collect()]
+    kb = [(r["id"], r["score"]) for r in api.find_request(spark, sf_dir, kw_plain).collect()]
+    assert ka == kb  # keyword leg unaffected by rephrase
