@@ -49,7 +49,7 @@ def register(name: str, oracle: str | None = None):
 # sf0.01) queue immediately after the window for the next round.
 # Everything ever-green goes last — its evidence exists in
 # CORRECTNESS_r01/r02.json.
-PRIORITY: list[str] = [
+PRIORITY: list[str] = [  # first 50 = this round's graded window
     # r2-red (events.ts TIMESTAMP_NTZ regression), fixed in r3
     "stream_windowed_counts",
     "event_sessionization",
