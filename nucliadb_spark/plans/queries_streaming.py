@@ -122,3 +122,12 @@ def stream_stream_join(spark, sf_dir):
     watermarks + the range condition bound the join state. availableNow
     drain == the batch range join the oracle runs."""
     return ingest.stream_attribution(spark, sf_dir)
+
+
+@register("stream_percolator", ingest.stream_percolator_sql())
+def stream_percolator(spark, sf_dir):
+    """Standing saved queries matched against the arriving document
+    stream (the alerting primitive; conjunctive term containment via
+    the shared tokenizer). Stateless broadcast match per micro-batch —
+    the only streaming state is one counter row per saved query."""
+    return ingest.stream_percolator(spark, sf_dir)

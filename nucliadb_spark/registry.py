@@ -131,6 +131,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "sample_perplexity_buckets",
     "stream_stream_join",
     "find_rephrased",
+    "stream_percolator",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",

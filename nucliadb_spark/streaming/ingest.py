@@ -1030,3 +1030,92 @@ FROM c JOIN p ON c.user_id = p.user_id
 GROUP BY c.user_id
 ORDER BY user_id
 """
+
+
+# --- percolator: standing queries over the ingest stream ---------------------
+# The inverse of search: queries are SAVED, documents ARRIVE, and each
+# arriving doc reports which saved queries it satisfies (the alerting/
+# webhook primitive — Elasticsearch calls this a percolator; the
+# reference's activity-stream notifications are the analogous surface).
+# Matching is conjunctive term containment via the shared tokenizer.
+#
+# Scale shape: the saved-query table broadcasts (it is tiny compared
+# to the stream); matching is STATELESS — each micro-batch is a
+# row-local tokenize + broadcast nested-loop against Q queries, no
+# watermark, no join state. Only the per-query match counters are
+# streaming state (one row per saved query).
+
+PERCOLATOR_QUERIES: dict[int, str] = {
+    1: "spark window batch",
+    2: "hash join order group",
+    3: "supplier shuffle spill cache",
+}
+
+
+def stream_percolator(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, str] | None = None,
+) -> DataFrame:
+    """(query_id, n_matching_docs, first_doc, last_doc) — for each
+    saved query, how many arriving documents satisfied every term,
+    from an actual streaming run (availableNow → complete-mode memory
+    sink). Ordered by query_id."""
+    from nucliadb_spark.functions.text import tokenize, tokenize_py
+
+    queries = queries or PERCOLATOR_QUERIES
+    name = f"perc_{uuid.uuid4().hex[:10]}"
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    qdf = spark.createDataFrame(
+        [(qid, tokenize_py(q)) for qid, q in sorted(queries.items())],
+        "query_id int, terms array<string>",
+    )
+    stream = spark.readStream.schema(schema).parquet(arrival)
+    matched = (
+        stream.select(F.col("doc_id"), tokenize("text").alias("_toks"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.size(F.array_except("terms", "_toks")) == 0)
+    )
+    agg = matched.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_matching_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"SELECT query_id, n_matching_docs, first_doc, last_doc "
+        f"FROM {name} ORDER BY query_id"
+    )
+
+
+def stream_percolator_sql(queries: dict[int, str] | None = None) -> str:
+    from nucliadb_spark.functions.text import tokenize_py, tokenize_sql
+
+    queries = queries or PERCOLATOR_QUERIES
+    vals = ", ".join(
+        "({}, [{}])".format(
+            qid, ", ".join(f"'{t}'" for t in tokenize_py(q))
+        )
+        for qid, q in sorted(queries.items())
+    )
+    return f"""
+WITH q(query_id, terms) AS (VALUES {vals}),
+d AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents)
+SELECT q.query_id AS query_id,
+       COUNT(*)::BIGINT AS n_matching_docs,
+       MIN(d.doc_id) AS first_doc,
+       MAX(d.doc_id) AS last_doc
+FROM d JOIN q ON len(list_filter(q.terms, t -> NOT list_contains(d.toks, t))) = 0
+GROUP BY q.query_id
+ORDER BY query_id
+"""
