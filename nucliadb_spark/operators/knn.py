@@ -478,3 +478,112 @@ GROUP BY id
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """
+
+
+# --- ranking-quality evaluation (nDCG of a cheap ranking vs exact) -----------
+# The recall curve (ann.ivf_recall_report) answers "did the candidates
+# survive"; nDCG answers "did the ORDER survive" — the metric a team
+# tuning the quantization/prefix-dim dial actually tracks. Ground
+# truth = exact full-dim cosine top-k; the evaluated ranking here is
+# the matryoshka prefix (first_dims components), i.e. "how much
+# ranking quality does reading 1/4 of the vector bytes cost".
+# Binary relevance (in exact top-k), positions log2-discounted, IDCG
+# normalizes — standard nDCG@k.
+#
+# Scale shape: one broadcast of the Q query vectors against the
+# vectors table computes BOTH scores in a single scan; two per-query
+# windows (bounded partitions: Q queries) cut the top-k lists.
+
+
+def rank_quality_report(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    first_dims: int = 16,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(query_id, n_overlap, ndcg) per query — nDCG@k of the
+    prefix-dim ranking against the exact full-dim top-k. queries:
+    (query_id, qvec) rows, broadcast."""
+    from pyspark.sql import Window
+
+    import math
+
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col("query_id"),
+        F.col(id_col).alias("id"),
+        F.round(V.cosine(F.col(vec_col), F.col("qvec")), 5).alias("full_s"),
+        F.round(
+            V.cosine(
+                F.slice(F.col(vec_col), 1, first_dims),
+                F.slice(F.col("qvec"), 1, first_dims),
+            ),
+            5,
+        ).alias("pre_s"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("full_s").desc(), F.col("id").asc()
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("pre_s").desc(), F.col("id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "id",
+        F.row_number().over(w_full).alias("full_rank"),
+        F.row_number().over(w_pre).alias("pre_rank"),
+    ).filter((F.col("full_rank") <= k) | (F.col("pre_rank") <= k))
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, k + 1))
+    rel = (F.col("full_rank") <= k).cast("double")
+    gain = rel / F.log2(F.col("pre_rank") + 1)
+    return (
+        ranked.filter(F.col("pre_rank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(rel.cast("long")).cast("long").alias("n_overlap"),
+            F.round(F.sum(gain) / idcg, 5).cast("double").alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def rank_quality_report_sql(
+    vectors_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 10,
+    first_dims: int = 16,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+) -> str:
+    import math
+
+    full = V.cosine_sql_unrolled(f"v.{vec_col}", "q.qvec", dim)
+    pre = V.cosine_sql_unrolled(f"v.{vec_col}", "q.qvec", first_dims)
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, k + 1))
+    return f"""
+WITH vectors AS ({vectors_sql}),
+q AS ({queries_sql}),
+scored AS (
+  SELECT q.query_id, v.{id_col} AS id,
+         ROUND({full}, 5) AS full_s, ROUND({pre}, 5) AS pre_s
+  FROM vectors v CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY full_s DESC, id ASC) AS full_rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY pre_s DESC, id ASC) AS pre_rank
+  FROM scored
+)
+SELECT query_id,
+       SUM(CASE WHEN full_rank <= {k} THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+       ROUND(SUM((CASE WHEN full_rank <= {k} THEN 1.0 ELSE 0.0 END)
+                 / log2(pre_rank + 1)) / {idcg!r}, 5)::DOUBLE AS ndcg
+FROM ranked
+WHERE pre_rank <= {k}
+GROUP BY query_id
+ORDER BY query_id
+"""

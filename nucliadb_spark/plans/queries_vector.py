@@ -365,3 +365,31 @@ def ann_ivf_recall(spark, sf_dir):
     return ann.ivf_recall_report(
         e, _query_df(spark, sf_dir, vec_id=_GEO_Q), k=10, n_cells=8, dim=DIM
     )
+
+
+@register(
+    "eval_prefix_ndcg",
+    knn.rank_quality_report_sql(
+        tpch.SQL_VECTORS,
+        "SELECT CAST(vec_id AS INT) AS query_id, embedding AS qvec "
+        "FROM embeddings WHERE vec_id < 5",
+        DIM,
+        k=10,
+        first_dims=16,
+    ),
+)
+def eval_prefix_ndcg(spark, sf_dir):
+    """Ranking-quality dial: nDCG@10 of the matryoshka prefix
+    ranking (first 16 of 64 dims — 1/4 of the vector bytes) against
+    the exact full-dim top-10, for 5 query vectors in one scan. The
+    order-sensitivity companion to ann_ivf_recall's set-recall."""
+    from pyspark.sql import functions as F
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    vectors = e.select(F.col("vec_id").cast("long").alias("rid"),
+                       F.col("embedding").alias("vector"))
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return knn.rank_quality_report(vectors, queries, k=10, first_dims=16)

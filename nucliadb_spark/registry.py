@@ -132,6 +132,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "stream_stream_join",
     "find_rephrased",
     "stream_percolator",
+    "eval_prefix_ndcg",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
