@@ -416,8 +416,13 @@ def bm25_sql(
     stop_words: bool = False,
     served_where: str | None = None,
     min_score: float | None = None,
+    matched_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (same CTE pipeline).
+
+    matched_sql: override for the matched-terms CTE body (a SELECT
+    yielding (term, boost) — may reference `post`); lets callers
+    swap in a dynamic term set such as autocorrected query terms.
 
     where: rebuild-prefilter twin — restricts the corpus before index
     stats. served_where: served-prefilter twin (`allowed` in
@@ -445,6 +450,11 @@ matched AS (
         matched = f"""
 matched AS (
   SELECT unnest([{term_list}]) AS term, 1.0 AS boost
+)"""
+    if matched_sql is not None:
+        matched = f"""
+matched AS (
+{matched_sql}
 )"""
     ematch_agg = (
         ", list_sort(list(DISTINCT p.term)) AS ematches" if with_ematches else ""

@@ -325,3 +325,44 @@ SELECT q AS term, term AS suggestion, df
 FROM cand WHERE rn = 1
 ORDER BY term
 """
+
+
+def correction_matched_sql(query: str) -> str:
+    """Fragment for bm25_sql(matched_sql=...): the AUTOCORRECTED term
+    set as a (term, boost) SELECT — query terms present in the vocab
+    pass through, absent terms are replaced by their did-you-mean
+    correction (same candidate rule as query_correction), terms with
+    no correction drop out. References the surrounding pipeline's
+    `post` CTE for the vocabulary."""
+    from nucliadb_spark.functions.text import tokenize_py, transposition_variants
+
+    terms = sorted(set(tokenize_py(query)))
+    lst = ", ".join(f"'{t}'" for t in terms)
+    swap_rows = [(t, v) for t in terms for v in transposition_variants(t)]
+    swaps_values = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('{q}', '{v}')" for q, v in swap_rows)
+        + ") AS t(q, v)"
+        if swap_rows
+        else "SELECT '' AS q, '' AS v WHERE false"
+    )
+    return f"""
+  WITH vocab AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+  qterms AS (SELECT unnest([{lst}]) AS q),
+  missing AS (SELECT q FROM qterms WHERE q NOT IN (SELECT term FROM vocab)),
+  swaps AS ({swaps_values}),
+  cand AS (
+    SELECT m.q, v.term,
+           ROW_NUMBER() OVER (PARTITION BY m.q
+                              ORDER BY v.df DESC, v.term DESC) AS rn
+    FROM missing m JOIN vocab v
+      ON ((abs(length(v.term) - length(m.q)) <= 1
+           AND levenshtein(v.term, m.q) <= 1)
+          OR EXISTS (SELECT 1 FROM swaps s WHERE s.q = m.q AND s.v = v.term))
+     AND v.term <> m.q
+  )
+  SELECT q AS term, 1.0 AS boost FROM qterms
+  WHERE q IN (SELECT term FROM vocab)
+  UNION
+  SELECT term, 1.0 AS boost FROM cand WHERE rn = 1
+"""

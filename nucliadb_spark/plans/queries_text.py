@@ -792,3 +792,48 @@ def suggest_correction(spark, sf_dir):
     a correction instead of a silent expansion."""
     post, _stats = _text_index(spark, sf_dir)
     return suggest.query_correction("spakr windoq merge", _vocab(sf_dir, post))
+
+
+# --- autocorrect-and-search (did-you-mean APPLIED) ---------------------------
+
+_AC_QUERY = "spakr windoq merge"
+
+
+@register(
+    "bm25_autocorrect",
+    bm25.bm25_sql(
+        tpch.SQL_FIELDS,
+        _AC_QUERY,
+        top_k=20,
+        mode="any",
+        matched_sql=suggest.correction_matched_sql(_AC_QUERY),
+    ),
+)
+def bm25_autocorrect(spark, sf_dir):
+    """Spelling correction applied, not just suggested: unknown query
+    terms are replaced by their did-you-mean correction (the fuzzy
+    candidate rule, suggest.query_correction) and BM25 runs on the
+    corrected query — 'spakr windoq merge' searches as 'spark window
+    merge'. The correction lookup is a tiny driver-side collect over
+    the cached term dictionary (the reference's query parser rewrites
+    queries server-side the same way); scoring serves from the
+    prebuilt index."""
+    from nucliadb_spark.functions.text import tokenize_py
+
+    post, stats = _text_index(spark, sf_dir)
+    vocab = _vocab(sf_dir, post)
+    corr = {
+        r["term"]: r["suggestion"]
+        for r in suggest.query_correction(_AC_QUERY, vocab).collect()
+    }
+    corrected = " ".join(corr.get(t, t) for t in tokenize_py(_AC_QUERY))
+    return bm25.bm25_search(
+        None,
+        corrected,
+        top_k=20,
+        mode="any",
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )

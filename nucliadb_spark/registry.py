@@ -133,6 +133,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_rephrased",
     "stream_percolator",
     "eval_prefix_ndcg",
+    "bm25_autocorrect",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
