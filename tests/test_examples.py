@@ -201,3 +201,20 @@ def test_curation_example(spark, sf_dir):
 
     pr = pagerank(tpch.relations(spark, sf_dir), iters=2, top_k=5)
     assert pr.count() == 5
+
+
+def test_query_understanding_example(spark, sf_dir):
+    from nucliadb_spark import api
+    from nucliadb_spark.streaming import ingest
+
+    rows = api.find_request(
+        spark,
+        sf_dir,
+        api.FindRequest(
+            query="the spark shuffle and the spark partition", rephrase=True
+        ),
+    ).collect()
+    assert rows
+
+    perc = ingest.stream_percolator(spark, sf_dir).collect()
+    assert perc and all(r["n_matching_docs"] > 0 for r in perc)
