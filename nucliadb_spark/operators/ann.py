@@ -1133,3 +1133,124 @@ WHERE rn <= {k} AND id IN (SELECT id FROM brute)
 GROUP BY nprobe
 ORDER BY nprobe
 """
+
+
+# --- adaptive probe widening for FILTERED ANN --------------------------------
+# The known failure mode of filtered vector search: a restrictive
+# prefilter leaves few candidates inside a fixed-nprobe probe, so
+# recall collapses. Serving engines widen the search budget as the
+# filter gets more selective (the reference's HNSW raises its
+# exploration budget the same way; FAISS users raise nprobe). The
+# rule here: nprobe_eff = clamp(ceil(base / selectivity), base, cap)
+# with selectivity = |allowed| / |corpus| — expected in-filter
+# candidates stay ~constant as the filter tightens.
+#
+# Fully declarative: the two counts are 1-row aggregates cross-joined
+# in (broadcast); the probe ranks cells with a row_number window
+# (bounded: n_cells rows) and keeps crank <= nprobe_eff — no
+# driver-side count, no dynamic LIMIT.
+
+
+def ivf_search_adaptive(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    allowed: DataFrame,
+    total: DataFrame,
+    k: int = 10,
+    base_nprobe: int = 2,
+    cap: int = 8,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Filtered IVF top-k with selectivity-scaled probe depth.
+
+    allowed: (rid) DataFrame of filter survivors; total: the
+    unfiltered corpus frame (only its count is used)."""
+    from pyspark.sql import Window
+
+    sel = (
+        allowed.agg(F.count("*").cast("double").alias("_na"))
+        .crossJoin(total.agg(F.count("*").cast("double").alias("_nt")))
+        .select(
+            F.least(
+                F.lit(cap),
+                F.greatest(
+                    F.lit(base_nprobe),
+                    F.ceil(
+                        base_nprobe
+                        / F.greatest(F.col("_na") / F.col("_nt"), F.lit(1e-9))
+                    ).cast("int"),
+                ),
+            ).alias("_np")
+        )
+    )
+    w = Window.orderBy(
+        F.round(F.col("csim"), 6).desc(), F.col("cell").asc()
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            "cell",
+            V.cosine(F.col("centroid"), F.col(query_vec_col)).alias("csim"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .crossJoin(F.broadcast(sel))
+        .filter(F.col("crank") <= F.col("_np"))
+        .select("cell")
+    )
+    candidates = (
+        assigned.join(F.broadcast(probe), "cell")
+        .join(allowed, id_col, "semi")
+    )
+    return knn.exact_knn(
+        candidates,
+        query,
+        k=k,
+        similarity="cosine",
+        id_col=id_col,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+    )
+
+
+def ivf_cells_adaptive_where_sql(
+    vectors_sql: str,
+    query_sql: str,
+    dim: int,
+    allowed_count_sql: str,
+    total_count_sql: str,
+    base_nprobe: int = 2,
+    cap: int = 8,
+    cell_col: str = "cluster_label",
+    vec_col: str = "vector",
+    query_vec_col: str = "qvec",
+) -> str:
+    """DuckDB twin of the adaptive probe: predicate fragment keeping
+    the crank <= nprobe_eff cells. allowed_count_sql/total_count_sql:
+    scalar COUNT subqueries."""
+    cos_cq = V.cosine_sql_unrolled("c.centroid", f"q.{query_vec_col}", dim)
+    return f"""{cell_col} IN (
+  WITH vv AS ({vectors_sql}),
+  pos AS (
+    SELECT {cell_col} AS cell, unnest(generate_series(1, {dim})) AS pos,
+           unnest({vec_col}) AS val
+    FROM vv
+  ),
+  cent_long AS (SELECT cell, pos, AVG(val) AS m FROM pos GROUP BY cell, pos),
+  centroids AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cent_long GROUP BY cell),
+  sel AS (
+    SELECT LEAST({cap}, GREATEST({base_nprobe},
+             CAST(CEIL({base_nprobe} / GREATEST(
+               ({allowed_count_sql})::DOUBLE / ({total_count_sql})::DOUBLE,
+               1e-9)) AS INT))) AS np
+  ),
+  ranked AS (
+    SELECT c.cell,
+           ROW_NUMBER() OVER (ORDER BY ROUND({cos_cq}, 6) DESC, c.cell ASC)
+             AS crank
+    FROM centroids c CROSS JOIN ({query_sql}) q
+  )
+  SELECT cell FROM ranked, sel WHERE crank <= sel.np
+)"""

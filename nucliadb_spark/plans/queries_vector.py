@@ -393,3 +393,61 @@ def eval_prefix_ndcg(spark, sf_dir):
         F.col("embedding").alias("qvec"),
     )
     return knn.rank_quality_report(vectors, queries, k=10, first_dims=16)
+
+
+_ADAPT_ALLOWED_SQL = (
+    "SELECT COUNT(*) FROM documents "
+    "WHERE lang = 'en' AND source IN ('src3', 'src7')"
+)
+
+
+@register(
+    "ann_ivf_adaptive",
+    knn.exact_knn_sql(
+        tpch.SQL_VECTORS,
+        _QUERY_SQL,
+        DIM,
+        k=10,
+        similarity="cosine",
+        where=(
+            ann.ivf_cells_adaptive_where_sql(
+                tpch.SQL_VECTORS,
+                _QUERY_SQL,
+                DIM,
+                allowed_count_sql=_ADAPT_ALLOWED_SQL,
+                total_count_sql="SELECT COUNT(*) FROM documents",
+                base_nprobe=2,
+                cap=8,
+            )
+            + " AND rid IN (SELECT CAST(doc_id AS BIGINT) FROM documents "
+            "WHERE lang = 'en' AND source IN ('src3', 'src7'))"
+        ),
+    ),
+)
+def ann_ivf_adaptive(spark, sf_dir):
+    """Filtered ANN with selectivity-scaled probe depth: the ~5%
+    prefilter widens nprobe from 2 to the cap (8) so in-filter
+    candidates don't starve — the fixed-nprobe failure mode every
+    filtered-vector-search deployment hits (serving engines raise the
+    exploration budget the same way)."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators.ann import cell_centroids
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    vectors = _vectors(spark, sf_dir)
+    allowed = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src3", "src7")
+    ).select(F.col("doc_id").cast("long").alias("rid"))
+    centroids = cached_df(
+        sf_dir, "ivf_centroids", lambda: cell_centroids(vectors)
+    )
+    return ann.ivf_search_adaptive(
+        vectors.withColumnRenamed("cluster_label", "cell"),
+        centroids,
+        _query_df(spark, sf_dir),
+        allowed,
+        docs,
+        k=10,
+        base_nprobe=2,
+        cap=8,
+    )

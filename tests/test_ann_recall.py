@@ -107,3 +107,41 @@ def test_ivf_serve_recall(spark, corpus):
 
     recall = hits / total
     assert recall >= 0.95, f"ivf_serve recall@{K} = {recall:.3f} < 0.95"
+
+
+def test_adaptive_probe_dominates_fixed_under_selective_filter(spark, sf_dir):
+    """Widening nprobe under a ~5% filter must never produce a worse
+    top-k than the fixed base probe (it scans a superset of cells),
+    and on this fixture it must actually widen to the cap."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators import ann, knn
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    vectors = tpch.vectors(spark, sf_dir)
+    allowed = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src3", "src7")
+    ).select(F.col("doc_id").cast("long").alias("rid"))
+    centroids = cached_df(sf_dir, "ivf_centroids", lambda: ann.cell_centroids(vectors))
+    q = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    assigned = vectors.withColumnRenamed("cluster_label", "cell")
+
+    adaptive = ann.ivf_search_adaptive(
+        assigned, centroids, q, allowed, docs, k=10, base_nprobe=2, cap=8
+    ).collect()
+    fixed = knn.exact_knn(
+        ann.probe_cells(centroids, q, nprobe=2)
+        .join(assigned, "cell")
+        .join(allowed, "rid", "semi"),
+        q,
+        k=10,
+    ).collect()
+    assert len(adaptive) >= len(fixed)
+    if fixed and adaptive:
+        assert adaptive[-1]["score"] >= fixed[-1]["score"]
