@@ -131,3 +131,19 @@ def stream_percolator(spark, sf_dir):
     the shared tokenizer). Stateless broadcast match per micro-batch —
     the only streaming state is one counter row per saved query."""
     return ingest.stream_percolator(spark, sf_dir)
+
+
+@register("cdc_time_travel", ingest.cdc_snapshot_report_sql())
+def cdc_time_travel(spark, sf_dir):
+    """MVCC time travel: the exact corpus state as of three log
+    sequence points (initial / after revisions / after deletes) in
+    one pass — the reproducible-read primitive for 'train on the
+    corpus as it stood at snapshot S'. Latest-op-wins per (snapshot,
+    rid); the snapshot list broadcasts."""
+    return ingest.cdc_snapshot_report(
+        ingest.cdc_log(
+            tpch.table(spark, sf_dir, "documents").selectExpr(
+                "CAST(doc_id AS BIGINT) AS rid", "text"
+            )
+        )
+    )

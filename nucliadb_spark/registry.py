@@ -135,6 +135,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "eval_prefix_ndcg",
     "bm25_autocorrect",
     "ann_ivf_adaptive",
+    "cdc_time_travel",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",

@@ -1119,3 +1119,86 @@ FROM d JOIN q ON len(list_filter(q.terms, t -> NOT list_contains(d.toks, t))) = 
 GROUP BY q.query_id
 ORDER BY query_id
 """
+
+
+# --- time-travel reads over the CDC log --------------------------------------
+# The op log is an MVCC history: restricting latest-op-wins to
+# seq <= S reconstructs the EXACT index state as of sequence S — the
+# reproducible-read primitive a training job needs ("train on the
+# corpus as it stood at snapshot S", re-runnable forever) and the
+# audit answer to "what did the index contain when query X ran".
+# One pass for any number of snapshot points: the tiny snapshot list
+# broadcasts onto the log, latest-op-wins groups per (snapshot, rid).
+
+SNAPSHOT_POINTS: dict[str, int] = {
+    "base": 999_999,          # initial upserts only
+    "after_updates": 1_999_999,  # + revision upserts
+    "head": 3_000_000,        # + deletes (the live corpus)
+}
+
+
+def cdc_snapshot_report(
+    log: DataFrame, points: dict[str, int] | None = None
+) -> DataFrame:
+    """(snapshot, as_of_seq, n_docs, n_revised, total_chars) — the
+    corpus state at each as-of sequence point. Ordered by as_of_seq."""
+    spark = log.sparkSession
+    points = points or SNAPSHOT_POINTS
+    pts = spark.createDataFrame(
+        sorted(points.items(), key=lambda kv: kv[1]),
+        "snapshot string, as_of_seq long",
+    )
+    live = (
+        log.crossJoin(F.broadcast(pts))
+        .filter(F.col("seq") <= F.col("as_of_seq"))
+        .groupBy("snapshot", "as_of_seq", "rid")
+        .agg(F.max_by(F.struct("op", "text"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+    )
+    return (
+        live.groupBy("snapshot", "as_of_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.col("last.text").endswith(_UPD_SUFFIX).cast("int")
+            ).cast("long").alias("n_revised"),
+            F.sum(F.length("last.text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("as_of_seq")
+    )
+
+
+def cdc_snapshot_report_sql(points: dict[str, int] | None = None) -> str:
+    points = points or SNAPSHOT_POINTS
+    vals = ", ".join(
+        f"('{name}', {seq})"
+        for name, seq in sorted(points.items(), key=lambda kv: kv[1])
+    )
+    return f"""
+WITH log AS (
+  SELECT CAST(doc_id AS BIGINT) AS rid, CAST(doc_id AS BIGINT) AS seq,
+         'upsert' AS op, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1000000 AS BIGINT),
+         'upsert', text || '{_UPD_SUFFIX}' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2000000 AS BIGINT),
+         'delete', NULL FROM documents WHERE doc_id % 11 = 0
+),
+pts(snapshot, as_of_seq) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.snapshot, p.as_of_seq, l.rid, l.op, l.text,
+         ROW_NUMBER() OVER (PARTITION BY p.snapshot, l.rid
+                            ORDER BY l.seq DESC) AS rn
+  FROM log l JOIN pts p ON l.seq <= p.as_of_seq
+)
+SELECT snapshot, as_of_seq,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN text LIKE '%{_UPD_SUFFIX}' THEN 1 ELSE 0 END)::BIGINT
+         AS n_revised,
+       SUM(length(text))::BIGINT AS total_chars
+FROM ranked
+WHERE rn = 1 AND op = 'upsert'
+GROUP BY snapshot, as_of_seq
+ORDER BY as_of_seq
+"""
