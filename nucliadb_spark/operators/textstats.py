@@ -687,3 +687,95 @@ SELECT id, lang, avg_neg_logp,
 FROM tiled
 ORDER BY id
 """
+
+
+# --- KMV distinct-cardinality sketch -----------------------------------------
+# At 100 TB you don't count a vocabulary exactly — you sketch it.
+# Spark's approx_count_distinct (HyperLogLog) is the production tool,
+# but its estimate is engine-specific, so it can't be oracle-graded.
+# The k-minimum-values sketch CAN: keep the k smallest hash values of
+# the distinct items; estimate = (k-1) / kth_smallest_normalized.
+# Pure function of the item set → bit-identical across engines, and
+# mergeable exactly like HLL (union = k smallest of the union), which
+# is what makes sketches shuffle-friendly: partial sketches combine
+# per partition, only k values per group cross the wire.
+
+KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # md5_int60 hash space
+
+
+def kmv_shingle_cardinality(
+    docs: DataFrame,
+    k: int = KMV_K,
+    n: int = 3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, exact_distinct, kmv_estimate, rel_err_e3) per language
+    over distinct word n-gram shingles — the cardinality that sizes
+    an n-gram index (contamination/LSH sidecars). The exact count
+    rides along so the estimate's error is itself graded.
+    rel_err_e3 = |est - exact| / exact in thousandths (BIGINT)."""
+    from nucliadb_spark.functions.text import word_shingles
+
+    items = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(word_shingles(text_col, n)).alias("t"),
+    ).distinct()
+    hashed = items.select("lang", md5_int60(F.col("t"), salt="kmv:").alias("h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    kth = ranked.filter(F.col("rk") == k).select("lang", F.col("h").alias("kth"))
+    exact = hashed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    est = F.round((k - 1) * _KMV_SPACE / F.col("kth")).cast("long")
+    return (
+        exact.join(kth, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                * 1000.0
+                / F.col("exact_distinct")
+            ).cast("long").alias("rel_err_e3"),
+        )
+        .orderBy("lang")
+    )
+
+
+def kmv_shingle_cardinality_sql(
+    docs_sql: str,
+    k: int = KMV_K,
+    n: int = 3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> str:
+    from nucliadb_spark.functions.text import word_shingles_sql
+
+    gh = md5_int60_sql("t", salt="kmv:")
+    shingles = word_shingles_sql(text_col, n)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT {lang_col} AS lang, t
+  FROM (SELECT {lang_col}, unnest({shingles}) AS t FROM ({docs_sql}))
+),
+hashed AS (SELECT lang, {gh} AS h FROM items),
+ranked AS (
+  SELECT lang, h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+  FROM hashed
+),
+kth AS (SELECT lang, h AS kth FROM ranked WHERE rk = {k}),
+exact AS (SELECT lang, COUNT(*)::BIGINT AS exact_distinct FROM hashed GROUP BY lang)
+SELECT e.lang AS lang, e.exact_distinct,
+       ROUND(({k} - 1) * {_KMV_SPACE!r} / kth.kth)::BIGINT AS kmv_estimate,
+       ROUND(abs(ROUND(({k} - 1) * {_KMV_SPACE!r} / kth.kth) - e.exact_distinct)
+             * 1000.0 / e.exact_distinct)::BIGINT AS rel_err_e3
+FROM exact e JOIN kth USING (lang)
+ORDER BY lang
+"""

@@ -535,3 +535,19 @@ def sample_perplexity_buckets(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     model = cached_df(sf_dir, "unigram_model", lambda: textstats.unigram_model(docs))
     return textstats.perplexity_buckets(docs, model=model)
+
+
+@register(
+    "vocab_kmv_sketch",
+    textstats.kmv_shingle_cardinality_sql("SELECT lang, text FROM documents"),
+)
+def vocab_kmv_sketch(spark, sf_dir):
+    """Sketch-based distinct-cardinality estimation (KMV, k=256) over
+    word 3-gram shingles — the oracle-gradable stand-in for
+    approx_count_distinct at 100 TB: mergeable (the k smallest hashes
+    combine per partition, so only k values per group cross the
+    wire), and the estimate is a pure function of the item set, so
+    both engines agree exactly. The exact count rides along and the
+    estimate's relative error is itself part of the graded output."""
+    docs = tpch.table(spark, sf_dir, "documents").select("lang", "text")
+    return textstats.kmv_shingle_cardinality(docs)

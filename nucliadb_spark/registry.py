@@ -136,6 +136,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "bm25_autocorrect",
     "ann_ivf_adaptive",
     "cdc_time_travel",
+    "vocab_kmv_sketch",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
