@@ -156,3 +156,79 @@ SELECT media_id, unnest(range(0, n_frames, {every_n})) AS frame_idx
 FROM feats
 WHERE content_type = 'video/mp4'
 """
+
+
+# --- cross-modal retrieval (text query → image top-k) ------------------------
+# The CLIP-shaped serving path: media and text live in ONE embedding
+# space; a text query embeds once and ranks images by cosine. The
+# image-encoder here derives the embedding from the payload md5 (same
+# deterministic-stub philosophy as functions/models.py — swap in a
+# real CLIP pandas_udf to productionize, every plan shape stays). The
+# embedding is a pure JVM Column expression, so the scan is codegen'd
+# end to end — at 100 TB the image embeddings are an index-build
+# artifact stored next to the media, and this becomes knn/ann over
+# that column.
+
+CLIP_STUB_DIM = 8
+
+
+def media_stub_embedding(content_col) -> F.Column:
+    """binary payload → deterministic CLIP_STUB_DIM-dim embedding
+    (md5-derived, matches functions/models._hash_embed's formula)."""
+    h = F.md5(content_col)
+    comps = [
+        (
+            F.conv(F.substring(h, i * 4 + 1, 4), 16, 10).cast("double")
+            / 65535.0
+        )
+        for i in range(CLIP_STUB_DIM)
+    ]
+    return F.array(*comps)
+
+
+def text_to_image_search(
+    media: DataFrame, query_text: str, k: int = 10
+) -> DataFrame:
+    """(media_id, content_type, score) — top-k images for a text
+    query by cosine in the stub cross-modal space. One codegen'd scan
+    of image rows + a per-partition top-k heap; no shuffle of scored
+    rows."""
+    from nucliadb_spark.functions import vector as V
+    from nucliadb_spark.functions.models import _hash_embed
+
+    qvec = F.array(*[F.lit(x) for x in _hash_embed(query_text)])
+    imgs = media.filter(F.col("content_type") == "image/png")
+    return (
+        imgs.select(
+            "media_id",
+            "content_type",
+            F.round(
+                V.cosine(media_stub_embedding(F.col("content")), qvec), 5
+            ).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("media_id").asc())
+        .limit(k)
+    )
+
+
+def text_to_image_search_sql(media_sql: str, query_text: str, k: int = 10) -> str:
+    from nucliadb_spark.functions.models import stub_embedding_sql
+    from nucliadb_spark.functions.vector import cosine_sql_unrolled
+    from nucliadb_spark.operators.filters import _sql_quote
+
+    emb = stub_embedding_sql("m.content::VARCHAR")
+    qv = stub_embedding_sql(_sql_quote(query_text))
+    cos = cosine_sql_unrolled("e.emb", "q.qvec", CLIP_STUB_DIM)
+    return f"""
+WITH m AS ({media_sql}),
+e AS (
+  SELECT media_id, content_type, {emb} AS emb
+  FROM m WHERE content_type = 'image/png'
+),
+q AS (SELECT {qv} AS qvec)
+SELECT e.media_id AS media_id, e.content_type AS content_type,
+       ROUND({cos}, 5)::DOUBLE AS score
+FROM e CROSS JOIN q
+ORDER BY score DESC, media_id ASC
+LIMIT {k}
+"""

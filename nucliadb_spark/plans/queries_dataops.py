@@ -551,3 +551,21 @@ def vocab_kmv_sketch(spark, sf_dir):
     estimate's relative error is itself part of the graded output."""
     docs = tpch.table(spark, sf_dir, "documents").select("lang", "text")
     return textstats.kmv_shingle_cardinality(docs)
+
+
+_T2I_QUERY = "window batch stream"
+
+
+@register(
+    "multimodal_text_to_image",
+    multimodal.text_to_image_search_sql(
+        multimodal.MEDIA_FROM_DOCUMENTS_SQL, _T2I_QUERY
+    ),
+)
+def multimodal_text_to_image(spark, sf_dir):
+    """CLIP-shaped cross-modal retrieval: a text query ranks the
+    image rows by cosine in the shared stub embedding space — one
+    codegen'd scan + top-k heap (swap the md5 stub for a real
+    CLIP pandas_udf; every plan shape survives)."""
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.text_to_image_search(media, _T2I_QUERY)

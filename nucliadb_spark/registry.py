@@ -137,6 +137,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "ann_ivf_adaptive",
     "cdc_time_travel",
     "vocab_kmv_sketch",
+    "multimodal_text_to_image",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
