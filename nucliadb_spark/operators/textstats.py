@@ -716,11 +716,17 @@ def kmv_shingle_cardinality(
     an n-gram index (contamination/LSH sidecars). The exact count
     rides along so the estimate's error is itself graded.
     rel_err_e3 = |est - exact| / exact in thousandths (BIGINT)."""
-    from nucliadb_spark.functions.text import word_shingles
+    from nucliadb_spark.functions.text import word_shingles_from_tokens
 
-    items = docs.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(word_shingles(text_col, n)).alias("t"),
+    # project tokens ONCE, then shingle the bound column —
+    # word_shingles(text) inline re-evaluates the tokenizer per
+    # shingle position (the measured trap in functions/text.py)
+    toks = docs.select(
+        F.col(lang_col).alias("lang"), tokenize(text_col).alias("_toks")
+    )
+    items = toks.select(
+        "lang",
+        F.explode(word_shingles_from_tokens(F.col("_toks"), n)).alias("t"),
     ).distinct()
     hashed = items.select("lang", md5_int60(F.col("t"), salt="kmv:").alias("h"))
     from pyspark.sql import Window
