@@ -704,3 +704,82 @@ FROM ({docs_sql})
 GROUP BY 1, 2
 ORDER BY split, stratum
 """
+
+
+# --- length-grouped batching (inference-side dynamic batching) ---------------
+# Batch-inference throughput dies on padding: batching a 40-token doc
+# with a 2000-token doc pads the short one 50x. The standard fix
+# groups rows into length buckets (padded_len = n_tokens rounded up
+# to a multiple of PAD_QUANTUM) and fills each batch from ONE bucket
+# with rows_per_batch = max_batch_tokens // padded_len rows — every
+# batch's token footprint is bounded and padding waste is at most the
+# quantum. Pure window arithmetic (rank within bucket), shuffle-free
+# except the one bucket-keyed window partition.
+
+PAD_QUANTUM = 64
+
+
+def batch_by_length(
+    docs: DataFrame,
+    max_batch_tokens: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, padded_len, batch_idx) — padding-efficient
+    batch assignment: batch_idx numbers batches WITHIN each
+    padded-length bucket; (padded_len, batch_idx) is the batch key.
+    Deterministic: rank within bucket orders by id."""
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    t = docs.select(F.col(id_col).alias("id"), bpe.alias("n_tokens"))
+    padded = (
+        F.ceil(F.greatest(F.col("n_tokens"), F.lit(1)) / PAD_QUANTUM)
+        * PAD_QUANTUM
+    ).cast("long")
+    t = t.withColumn("padded_len", padded)
+    rows_per_batch = F.greatest(
+        F.lit(1), (F.lit(max_batch_tokens) / F.col("padded_len")).cast("long")
+    )
+    w = Window.partitionBy("padded_len").orderBy("id")
+    return t.select(
+        "id",
+        "n_tokens",
+        "padded_len",
+        F.floor((F.row_number().over(w) - 1) / rows_per_batch)
+        .cast("long")
+        .alias("batch_idx"),
+    ).orderBy("padded_len", "batch_idx", "id")
+
+
+def batch_by_length_sql(
+    docs_sql: str,
+    max_batch_tokens: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = tokenize_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id,
+         list_aggregate(list_transform({toks}, x -> ceil(length(x) / 4.0)::BIGINT),
+                        'sum')::BIGINT AS n_tokens
+  FROM ({docs_sql})
+),
+p AS (
+  SELECT id, n_tokens,
+         (ceil(greatest(n_tokens, 1) / {PAD_QUANTUM}.0) * {PAD_QUANTUM})::BIGINT
+           AS padded_len
+  FROM t
+)
+SELECT id, n_tokens, padded_len,
+       ((ROW_NUMBER() OVER (PARTITION BY padded_len ORDER BY id) - 1)
+        // greatest(1, ({max_batch_tokens} // padded_len)))::BIGINT AS batch_idx
+FROM p
+ORDER BY padded_len, batch_idx, id
+"""

@@ -677,3 +677,16 @@ def graph_pagerank(spark, sf_dir):
 
     rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
     return pagerank(rel)
+
+
+@register(
+    "batch_by_length",
+    trainset.batch_by_length_sql("SELECT doc_id, text FROM documents"),
+)
+def batch_by_length(spark, sf_dir):
+    """Length-grouped inference batching: padded-length buckets
+    (quantum 64) filled with max_batch_tokens // padded_len rows per
+    batch — padding waste bounded by the quantum, every batch's token
+    footprint bounded by the budget. One bucket-keyed window."""
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trainset.batch_by_length(docs)

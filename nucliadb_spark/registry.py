@@ -138,6 +138,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_time_travel",
     "vocab_kmv_sketch",
     "multimodal_text_to_image",
+    "batch_by_length",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
