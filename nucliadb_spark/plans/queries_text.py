@@ -837,3 +837,75 @@ def bm25_autocorrect(spark, sf_dir):
         corpus=_corpus(sf_dir, stats),
         vocab=_vocab(sf_dir, post),
     )
+
+
+# --- query-centered snippets -------------------------------------------------
+
+_SNIP_QUERY = "spark join window"
+_SNIP_BEFORE = 40
+_SNIP_LEN = 100
+
+
+@register(
+    "bm25_snippets",
+    f"""
+WITH hits AS ({bm25.bm25_sql(tpch.SQL_FIELDS, _SNIP_QUERY, top_k=15, mode="any")}),
+f AS ({tpch.SQL_FIELDS}),
+pos AS (
+  SELECT h.rid, h.score,
+         LEAST(
+           CASE WHEN strpos(f.text, 'spark') > 0 THEN strpos(f.text, 'spark') ELSE 1000000000 END,
+           CASE WHEN strpos(f.text, 'join') > 0 THEN strpos(f.text, 'join') ELSE 1000000000 END,
+           CASE WHEN strpos(f.text, 'window') > 0 THEN strpos(f.text, 'window') ELSE 1000000000 END
+         ) AS match_pos,
+         f.text
+  FROM hits h JOIN f ON h.rid = f.rid
+)
+SELECT rid AS id, score,
+       match_pos::BIGINT AS match_pos,
+       substring(text, GREATEST(1, match_pos - {_SNIP_BEFORE}), {_SNIP_LEN})
+         AS snippet
+FROM pos
+ORDER BY score DESC, id ASC
+""",
+)
+def bm25_snippets(spark, sf_dir):
+    """Reference-style snippets: a fixed window CENTERED on the first
+    matched query term (search/search/paragraphs.py picks the matched
+    block the same way), not a blind text prefix — match_pos rides
+    along so highlighting can offset into the snippet. Served from
+    the cached index; the snippet join is a broadcast of <= top_k
+    ids."""
+    from nucliadb_spark.functions.text import tokenize_py
+
+    post, stats = _text_index(spark, sf_dir)
+    hits = bm25.bm25_search(
+        None,
+        _SNIP_QUERY,
+        top_k=15,
+        mode="any",
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    ).select("rid", "score")
+    f = tpch.fields(spark, sf_dir).select("rid", "text")
+    poss = [
+        F.when(F.locate(t, F.col("text")) > 0, F.locate(t, F.col("text")))
+        .otherwise(F.lit(1_000_000_000))
+        for t in tokenize_py(_SNIP_QUERY)
+    ]
+    mpos = F.least(*poss)
+    return (
+        hits.join(f, "rid")
+        .withColumn("match_pos", mpos.cast("long"))
+        .select(
+            F.col("rid").alias("id"),
+            "score",
+            "match_pos",
+            F.expr(
+                f"substring(text, greatest(1, match_pos - {_SNIP_BEFORE}), {_SNIP_LEN})"
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+    )

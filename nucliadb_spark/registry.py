@@ -139,6 +139,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "vocab_kmv_sketch",
     "multimodal_text_to_image",
     "batch_by_length",
+    "bm25_snippets",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
