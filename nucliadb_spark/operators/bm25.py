@@ -711,3 +711,104 @@ CROSS JOIN corpus c
 WHERE p.term IN ({term_list})
 ORDER BY p.rid, p.term
 """
+
+
+# --- batch multi-query BM25 (bulk retrieval, ONE pass) -----------------------
+# Serving scores one query at a time; a training-data pipeline scores
+# MILLIONS of queries (DPR-style hard-negative mining, distillation
+# labels, eval-set construction). The batch shape: the (query_id,
+# term) table joins the postings ONCE — every query's candidates
+# accumulate in the same shuffle, top-k cut by a per-query window.
+# Per-query cost amortizes to the query's posting rows; nothing is
+# per-query driver work, so 10^6 queries is one job.
+
+
+def batch_bm25(
+    queries: DataFrame,
+    post: DataFrame,
+    stats: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """queries: (query_id, term) rows → (query_id, rank, rid, score)
+    top-k per query by the same BM25 formula as bm25_search (global
+    df/N/avgdl). Window partitions by query_id — bounded."""
+    from pyspark.sql import Window
+
+    qterms = queries.select("term").distinct()
+    dfreq = (
+        post.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (
+        F.col("tf")
+        * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    raw = (
+        post.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(stats, "rid")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query_id", "rid")
+        .agg(F.sum(idf * tf_norm).alias("raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("raw"), 5).desc(), F.col("rid").asc()
+    )
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "rid",
+            F.round("raw", 5).cast("double").alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def batch_bm25_sql(
+    fields_sql: str, queries_sql: str, k: int = 5
+) -> str:
+    """DuckDB twin: queries_sql yields (query_id, term) rows."""
+    return f"""
+WITH fields AS ({fields_sql}),
+toks AS (
+  SELECT rid, unnest({tokenize_sql("text")}) AS term FROM fields
+),
+post AS (SELECT rid, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+docstats AS (SELECT rid, SUM(tf) AS dl FROM post GROUP BY rid),
+corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),
+queries AS ({queries_sql}),
+dfreq AS (
+  SELECT p.term, COUNT(*)::DOUBLE AS df
+  FROM post p
+  WHERE p.term IN (SELECT DISTINCT term FROM queries)
+  GROUP BY p.term
+),
+raw AS (
+  SELECT q.query_id, p.rid,
+         SUM(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * p.tf * ({K1} + 1.0)
+             / (p.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl))) AS raw
+  FROM post p
+  JOIN queries q USING (term)
+  JOIN dfreq d ON d.term = p.term
+  JOIN docstats s USING (rid)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.rid
+),
+ranked AS (
+  SELECT query_id, rid, raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(raw, 5) DESC, rid ASC) AS rank
+  FROM raw
+)
+SELECT query_id, rank, rid, ROUND(raw, 5)::DOUBLE AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -909,3 +909,65 @@ def bm25_snippets(spark, sf_dir):
         )
         .orderBy(F.col("score").desc(), F.col("id").asc())
     )
+
+
+# --- batch multi-query BM25 (hard-negative mining shape) ---------------------
+
+_BATCH_Q_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS query_id, term
+FROM (
+  SELECT doc_id, unnest(list_distinct(list_slice({{toks}}, 1, 3))) AS term
+  FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+@register(
+    "bm25_batch_queries",
+    f"""
+WITH base AS ({{inner}})
+SELECT b.query_id, b.rank, b.rid, b.score,
+       (b.rid = b.query_id)::INT AS is_positive
+FROM base b
+ORDER BY query_id, rank
+""".format(
+        inner=bm25.batch_bm25_sql(
+            tpch.SQL_FIELDS,
+            _BATCH_Q_SQL.format(
+                toks=__import__(
+                    "nucliadb_spark.functions.text", fromlist=["x"]
+                ).tokenize_sql("text")
+            ),
+            k=5,
+        )
+    ),
+)
+def bm25_batch_queries(spark, sf_dir):
+    """Bulk retrieval in ONE pass: 20 seed queries (each doc_id%25==0
+    doc's first 3 tokens) scored against the whole corpus in a single
+    job — the DPR-style hard-negative mining shape (is_positive marks
+    the seed doc itself; the rest of its top-5 are its hard
+    negatives). Per-query cost amortizes to the query's posting rows;
+    a million queries is the same plan."""
+    from nucliadb_spark.functions.text import tokenize
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").cast("long").alias("query_id"),
+            F.explode(F.slice(tokenize("text"), 1, 3)).alias("term"),
+        )
+        .distinct()
+    )
+    post, stats = _text_index(spark, sf_dir)
+    top = bm25.batch_bm25(
+        queries, post, stats, _corpus(sf_dir, stats), k=5
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "rid",
+        "score",
+        (F.col("rid") == F.col("query_id")).cast("int").alias("is_positive"),
+    ).orderBy("query_id", "rank")

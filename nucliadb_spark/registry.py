@@ -140,6 +140,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "multimodal_text_to_image",
     "batch_by_length",
     "bm25_snippets",
+    "bm25_batch_queries",
     # late round-2 additions also still awaiting a window seat
     "ann_ivf_sq8",
     "text_unigram_logprob",
