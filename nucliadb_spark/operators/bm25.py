@@ -729,10 +729,20 @@ def batch_bm25(
     stats: DataFrame,
     corpus: DataFrame,
     k: int = 5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """queries: (query_id, term) rows → (query_id, rank, rid, score)
     top-k per query by the same BM25 formula as bm25_search (global
-    df/N/avgdl). Window partitions by query_id — bounded."""
+    df/N/avgdl). Window partitions by query_id — bounded.
+
+    max_df_frac: WAND-style query-side pruning — terms appearing in
+    more than this fraction of the corpus are dropped from SCORING
+    (their idf contribution is negligible and their posting lists are
+    corpus-sized). Without it, a batch whose queries hold only
+    stop-like terms degenerates to |queries| × |corpus| candidate
+    groups — the measured blowup, and the reason impact-ordered
+    engines prune exactly these terms. None = exact (the oracle
+    twin's semantics)."""
     from pyspark.sql import Window
 
     qterms = queries.select("term").distinct()
@@ -741,6 +751,12 @@ def batch_bm25(
         .groupBy("term")
         .agg(F.count("*").cast("double").alias("df"))
     )
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(corpus.select("n")))
+            .filter(F.col("df") <= F.col("n") * max_df_frac)
+            .drop("n")
+        )
     idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_norm = (
         F.col("tf")
