@@ -763,9 +763,14 @@ def batch_bm25(
         * (K1 + 1.0)
         / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
     )
+    # join the (pruned) term stats BEFORE fanning out to queries: with
+    # max_df_frac set, dfreq is the selective side, and joining it
+    # first keeps the stop-like terms' corpus-sized posting rows out
+    # of the query fan-out (measured: the other order re-admits the
+    # blowup the pruning exists to prevent)
     raw = (
-        post.join(F.broadcast(queries), "term")
-        .join(F.broadcast(dfreq), "term")
+        post.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(queries), "term")
         .join(stats, "rid")
         .crossJoin(F.broadcast(corpus))
         .groupBy("query_id", "rid")
