@@ -38,6 +38,23 @@ def fusion_window(requested: int, top_k: int) -> int:
     return min(max(requested, top_k), MAX_RANK_FUSION_WINDOW)
 
 
+def stub_embedding_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rid, embedding) stub-embedding sidecar over documents —
+    session-cached index-build artifact shared by find(rephrase=True)
+    and cross-modal search (the Predict-embedding analog of the
+    prebuilt vector segment)."""
+    from nucliadb_spark.functions import models
+
+    return cached_df(
+        sf_dir,
+        "stub_doc_embeddings",
+        lambda: tpch.table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("rid"),
+            models.stub_embedding(F.col("text")).alias("embedding"),
+        ),
+    )
+
+
 def find(
     spark: SparkSession,
     sf_dir: str,
@@ -57,8 +74,19 @@ def find(
     ann: str = "exact",
     nprobe: int = 2,
     rephrase: bool = False,
+    served: bool = False,
 ) -> DataFrame:
     """Hybrid find → (id, score, matched_sources, language, source, snippet).
+
+    served=True changes what a prefilter means for the keyword leg:
+    instead of rebuilding postings/df/avgdl from the filtered corpus
+    (an index build per query — never viable at 100 TB), the filter
+    becomes an ``allowed`` rid set semijoined into the prebuilt
+    index's scoring scan while corpus statistics stay GLOBAL —
+    exactly tantivy's serve-time prefilter
+    (ref: nidx/nidx_text/src/reader.rs:148-180). The vector leg is
+    identical in both modes (candidate restriction only). The
+    rebuild mode is kept as the per-shard-stats parity query.
 
     rephrase=True mirrors the reference's Predict rephrase step
     (search/search/query.py:78-79): the query text is rewritten
@@ -106,13 +134,25 @@ def find(
         .select(F.col("embedding").alias("qvec"))
     )
 
-    keyword = bm25.bm25_search(
-        fields, query, top_k=win, mode="any", prefilter=prefilter,
-        post=post if prefilter is None else None,
-        stats=stats if prefilter is None else None,
-        corpus=corpus if prefilter is None else None,
-        vocab=vocab if prefilter is None else None,
-    ).select(F.col("rid").alias("id"), "score")
+    allowed = None
+    if prefilter is not None:
+        # computed once; shared by the keyword (served mode), vector
+        # and graph legs — unbounded id set, AQE picks join strategy
+        allowed = fields.filter(prefilter.to_column()).select("rid")
+
+    if prefilter is not None and served:
+        keyword = bm25.bm25_search(
+            fields, query, top_k=win, mode="any", allowed=allowed,
+            post=post, stats=stats, corpus=corpus, vocab=vocab,
+        ).select(F.col("rid").alias("id"), "score")
+    else:
+        keyword = bm25.bm25_search(
+            fields, query, top_k=win, mode="any", prefilter=prefilter,
+            post=post if prefilter is None else None,
+            stats=stats if prefilter is None else None,
+            corpus=corpus if prefilter is None else None,
+            vocab=vocab if prefilter is None else None,
+        ).select(F.col("rid").alias("id"), "score")
 
     if ann == "ivf":
         # centroids are index-build output: built once per session from
@@ -125,19 +165,18 @@ def find(
         vectors = vectors.join(
             F.broadcast(probe), vectors["cluster_label"] == probe["cell"], "inner"
         ).drop("cell")
-    if prefilter is not None:
-        # unbounded id set (mode == 'some' can still be most of the
-        # corpus): no broadcast hint, AQE picks the join strategy
-        allowed = fields.filter(prefilter.to_column()).select("rid")
+    if allowed is not None:
         vectors = vectors.join(allowed, "rid", "semi")
     if rephrase:
         from nucliadb_spark.functions import models
 
         qtext = models.stub_rephrase_py(query)
-        emb_docs = tpch.table(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("long").alias("rid"),
-            models.stub_embedding(F.col("text")).alias("embedding"),
-        )
+        # embeddings are an index-build artifact, not per-query work:
+        # the stub-embedding sidecar is built once per session (the
+        # analog of the prebuilt vector segment) and every rephrased
+        # query scores against it — never a corpus-wide UDF pass per
+        # query
+        emb_docs = stub_embedding_sidecar(spark, sf_dir)
         if prefilter is not None:
             emb_docs = emb_docs.join(allowed, "rid", "semi")
         qvec_stub = spark.createDataFrame([(qtext,)], "t string").select(
@@ -307,16 +346,27 @@ def find_sql(
     ann: str = "exact",
     nprobe: int = 2,
     rephrase_text: str | None = None,
+    served: bool = False,
 ) -> str:
     """DuckDB twin of :func:`find` (same window algebra & pipeline).
 
     rephrase_text: the ALREADY-REPHRASED query literal (the stub is a
     pure Python function, so the caller inlines its output); when set
-    the semantic leg scores the stub-embedding space over documents."""
+    the semantic leg scores the stub-embedding space over documents.
+
+    served=True mirrors find(served=True): the keyword leg's filter
+    restricts candidates only (bm25_sql served_where), df/N/avgdl
+    stay global."""
     win = fusion_window(window, top_k)
-    keyword = (
-        f"SELECT rid AS id, score FROM ({bm25.bm25_sql(tpch.SQL_FIELDS, query, top_k=win, mode='any', where=where)})"
-    )
+    if served and where is not None:
+        kw_sql = bm25.bm25_sql(
+            tpch.SQL_FIELDS, query, top_k=win, mode="any", served_where=where
+        )
+    else:
+        kw_sql = bm25.bm25_sql(
+            tpch.SQL_FIELDS, query, top_k=win, mode="any", where=where
+        )
+    keyword = f"SELECT rid AS id, score FROM ({kw_sql})"
     vec_conds = []
     if ann == "ivf":
         vec_conds.append(

@@ -186,25 +186,41 @@ def media_stub_embedding(content_col) -> F.Column:
     return F.array(*comps)
 
 
+def media_embedding_index(media: DataFrame) -> DataFrame:
+    """(media_id, content_type, emb) — the cross-modal embedding
+    sidecar: an index-build artifact computed once (cache/persist it)
+    so each query is a scan of precomputed vectors, never a per-query
+    embedding pass over the payloads."""
+    return media.select(
+        "media_id",
+        "content_type",
+        media_stub_embedding(F.col("content")).alias("emb"),
+    )
+
+
 def text_to_image_search(
-    media: DataFrame, query_text: str, k: int = 10
+    media: DataFrame, query_text: str, k: int = 10,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """(media_id, content_type, score) — top-k images for a text
     query by cosine in the stub cross-modal space. One codegen'd scan
-    of image rows + a per-partition top-k heap; no shuffle of scored
-    rows."""
+    + a per-partition top-k heap; no shuffle of scored rows.
+
+    emb: precomputed :func:`media_embedding_index` (the serving
+    path); falls back to embedding inline when absent."""
     from nucliadb_spark.functions import vector as V
     from nucliadb_spark.functions.models import _hash_embed
 
     qvec = F.array(*[F.lit(x) for x in _hash_embed(query_text)])
-    imgs = media.filter(F.col("content_type") == "image/png")
+    if emb is None:
+        emb = media_embedding_index(media)
+    imgs = emb.filter(F.col("content_type") == "image/png")
     return (
         imgs.select(
             "media_id",
             "content_type",
-            F.round(
-                V.cosine(media_stub_embedding(F.col("content")), qvec), 5
-            ).cast("double").alias("score"),
+            F.round(V.cosine(F.col("emb"), qvec), 5)
+            .cast("double").alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("media_id").asc())
         .limit(k)

@@ -567,5 +567,12 @@ def multimodal_text_to_image(spark, sf_dir):
     image rows by cosine in the shared stub embedding space — one
     codegen'd scan + top-k heap (swap the md5 stub for a real
     CLIP pandas_udf; every plan shape survives)."""
+    from nucliadb_spark.cache import cached_df
+
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
-    return multimodal.text_to_image_search(media, _T2I_QUERY)
+    emb = cached_df(
+        sf_dir,
+        "media_stub_embeddings",
+        lambda: multimodal.media_embedding_index(media),
+    )
+    return multimodal.text_to_image_search(media, _T2I_QUERY, emb=emb)

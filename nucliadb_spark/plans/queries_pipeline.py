@@ -110,6 +110,50 @@ def find_prefiltered(spark, sf_dir):
     )
 
 
+# --- flagship served-prefilter leg: the 100 TB prefilter plan --------------
+# Same request as find_prefiltered, but the keyword leg serves from
+# the PREBUILT global index with the filter as a candidate-only
+# semijoin (tantivy's serve-time prefilter, nidx/nidx_text/src/
+# reader.rs:148-180) instead of rebuilding postings per query.
+# Scores differ from the rebuild variant by design: df/N/avgdl are
+# corpus-global here, per-filtered-shard there.
+
+
+@register(
+    "find_prefiltered_served",
+    find.find_sql(
+        "merge join batch",
+        query_vec_id=3,
+        top_k=10,
+        window=40,
+        min_score=0.1,
+        where=_PREF.to_sql(),
+        weights={"keyword": 1.0, "semantic": 2.0},
+        served=True,
+    ),
+)
+def find_prefiltered_served(spark, sf_dir):
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    post, stats = _text_index(spark, sf_dir)
+    return find.find(
+        spark,
+        sf_dir,
+        "merge join batch",
+        query_vec_id=3,
+        top_k=10,
+        window=40,
+        min_score=0.1,
+        prefilter=_PREF,
+        weights={"keyword": 1.0, "semantic": 2.0},
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+        served=True,
+    )
+
+
 # --- F5 in the pipeline: find restricted by security groups ----------------
 
 _SEC = fx.SecurityFilter(groups=["group-2", "group-5"])

@@ -443,7 +443,7 @@ def catalog_date_histogram(spark, sf_dir):
 WITH f AS ({tpch.SQL_FIELDS_MULTI_KB})
 SELECT kbid, COUNT(*) AS n_fields,
        COUNT(DISTINCT rid) AS n_resources,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM f GROUP BY kbid ORDER BY kbid
 """,
 )

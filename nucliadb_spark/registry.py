@@ -38,22 +38,95 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 registry queries (order of this
-# list) per round — r1/r2 each checked exactly queries[0:50]. This
-# round's window re-targets everything without a green row in
-# r1 ∪ r2: the two r2-red streaming queries first (events.ts
-# TIMESTAMP_NTZ fix to re-confirm), then every never-graded query.
-# Four seats were freed by deferring queries whose §2 row already has
-# green evidence through siblings (summarize_stub, ask_stub,
-# multimodal_frame_sample, catalog_date_histogram); they and the new
-# this-round queries (all locally value-parity green at sf0.001 +
-# sf0.01) queue immediately after the window for the next round.
-# Everything ever-green goes last — its evidence exists in
-# CORRECTNESS_r01/r02.json.
+# list) per round — r1/r2/r3 each checked exactly queries[0:50].
+# Round-4 window: the two rows still red in r1∪r2∪r3
+# (`multi_kb_counters` — oracle HUGEINT, now CAST AS BIGINT;
+# `segment_merge_plan` — graded in r2 before its recursive-CTE
+# oracle existed) plus the 47 queries never driver-graded in any
+# round (r3-session + late-r2 additions, all locally value-parity
+# green at sf0.001 and sf0.01). That fills 49 seats; seat 50 is the
+# flagship's new served-prefilter leg. After this round every
+# registry query has green driver evidence in r1∪r2∪r3∪r4.
+# New round-4-session queries queue AFTER position 50 (next round's
+# window); everything ever-green goes last.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # r2-red (events.ts TIMESTAMP_NTZ regression), fixed in r3
+    # the two still-red rows
+    "multi_kb_counters",
+    "segment_merge_plan",
+    # never graded in any recorded round (r3-session additions)
+    "sample_token_budget",
+    "trainset_split",
+    "text_dup_spans",
+    "ann_kmeans_step",
+    "knn_pq_adc",
+    "find_autofilter",
+    "stream_neardup_gate",
+    "knn_rabitq_1bit",
+    "ann_ivf_pq",
+    "vocab_prune_plan",
+    "ivf_cell_maintenance",
+    "pipeline_trainset_build",
+    "bm25_explain",
+    "rrf_explain",
+    "ann_ivf_geometric",
+    "ann_ivf_recall",
+    "find_relations_subgraph",
+    "suggest_correction",
+    "dedup_span_removal",
+    "bpe_pair_counts",
+    "sample_dsir",
+    "graph_pagerank",
+    "sample_perplexity_buckets",
+    "stream_stream_join",
+    "find_rephrased",
+    "stream_percolator",
+    "eval_prefix_ndcg",
+    "bm25_autocorrect",
+    "ann_ivf_adaptive",
+    "cdc_time_travel",
+    "vocab_kmv_sketch",
+    "multimodal_text_to_image",
+    "batch_by_length",
+    "bm25_snippets",
+    "bm25_batch_queries",
+    # late round-2 additions never graded
+    "ann_ivf_sq8",
+    "text_unigram_logprob",
+    "text_quality_funnel",
+    "pack_sequences",
+    "stream_exact_dedup",
+    "find_prequeries",
+    "bm25_min_score",
+    "dedup_best_survivor",
+    "summarize_stub",
+    "ask_stub",
+    "multimodal_frame_sample",
+    "catalog_date_histogram",
+    # seat 50: flagship served-prefilter keyword leg (new in r4)
+    "find_prefiltered_served",
+    # --- end of the 50-query graded window ---
+    # round-4-session additions (next round's window)
+    "json_kv_date_range",
+    "advanced_query_fielded",
+    "conversation_typed_search",
+    # flagships + scale paths: re-confirm green when seats allow
+    "find_hybrid",
+    "find_hybrid_ivf",
+    "find_prefiltered",
+    "bm25_keyword",
+    "bm25_prefiltered_served",
+    "bm25_fuzzy",
+    "knn_cosine",
+    "knn_quantized_rerank",
+    "ann_ivf_probe",
+    "graph_strategy_hops",
+    "knn_vectorset_alt",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "kb_export_roundtrip",
+    # r3-window queries (all green in CORRECTNESS_r03)
     "stream_windowed_counts",
     "event_sessionization",
-    # never graded in any recorded round
     "stream_sessionization",
     "knn_normalized",
     "graph_semantic_paths",
@@ -90,7 +163,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "suggest_entities_folded",
     "multi_kb_scoped_search",
     "find_single_source",
-    # late round-2 additions (still never graded — inside the window)
     "resource_search",
     "knn_sq8_rerank",
     "entities_group_members",
@@ -101,75 +173,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_facet_counts",
     "sample_mixture",
     "events_asof_tolerance",
-    "multi_kb_counters",
     "find_exact_match_query",
-    # --- end of the 50-query graded window ---
-    # round-3-session additions (queued for the round-4 window; all
-    # value-parity green locally at sf0.001 AND sf0.01)
-    "sample_token_budget",
-    "trainset_split",
-    "text_dup_spans",
-    "ann_kmeans_step",
-    "knn_pq_adc",
-    "find_autofilter",
-    "stream_neardup_gate",
-    "knn_rabitq_1bit",
-    "ann_ivf_pq",
-    "vocab_prune_plan",
-    "ivf_cell_maintenance",
-    "pipeline_trainset_build",
-    "bm25_explain",
-    "rrf_explain",
-    "ann_ivf_geometric",
-    "ann_ivf_recall",
-    "find_relations_subgraph",
-    "suggest_correction",
-    "dedup_span_removal",
-    "bpe_pair_counts",
-    "sample_dsir",
-    "graph_pagerank",
-    "sample_perplexity_buckets",
-    "stream_stream_join",
-    "find_rephrased",
-    "stream_percolator",
-    "eval_prefix_ndcg",
-    "bm25_autocorrect",
-    "ann_ivf_adaptive",
-    "cdc_time_travel",
-    "vocab_kmv_sketch",
-    "multimodal_text_to_image",
-    "batch_by_length",
-    "bm25_snippets",
-    "bm25_batch_queries",
-    # late round-2 additions also still awaiting a window seat
-    "ann_ivf_sq8",
-    "text_unigram_logprob",
-    "text_quality_funnel",
-    "pack_sequences",
-    "stream_exact_dedup",
-    "find_prequeries",
-    "bm25_min_score",
-    "dedup_best_survivor",
-    "summarize_stub",
-    "ask_stub",
-    "multimodal_frame_sample",
-    "catalog_date_histogram",
-    # flagships + scale paths: re-confirm green when seats allow
-    "find_hybrid",
-    "find_hybrid_ivf",
-    "find_prefiltered",
-    "bm25_keyword",
-    "bm25_prefiltered_served",
-    "bm25_fuzzy",
-    "knn_cosine",
-    "knn_quantized_rerank",
-    "ann_ivf_probe",
-    "graph_strategy_hops",
-    "knn_vectorset_alt",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "kb_export_roundtrip",
-    "segment_merge_plan",
     # remaining ever-green, in rough §2 order
     "bm25_conjunctive",
     "bm25_ematches",

@@ -98,3 +98,51 @@ def test_floats_bitwise_match_oracle(name, spark, sf_dir, con):
             f"{name}.{c}: {np.count_nonzero(~same)} bitwise float mismatches; "
             f"first: spark={a[~same][:3]!r} duck={b[~same][:3]!r}"
         )
+
+
+# --- oracle declared-type scan (round-4 fix for the r3 red row) -----------
+# The bitwise test above only runs when SPARK emits floats, so a Spark
+# BIGINT paired with a DuckDB HUGEINT (rendered float64 by fetchdf —
+# the exact multi_kb_counters r3 hash-fail) was never checked locally.
+# DESCRIBE is free (no execution): scan every oracle's declared output
+# types and pair them kind-for-kind with the Spark schema.
+
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+# types the driver's pandas hash renders differently than Spark's
+# scalar columns — any oracle emitting one is a latent hash-fail
+_DUCK_FORBIDDEN_PREFIX = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT",
+                          "STRUCT", "MAP", "UNION")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_declared_types_pair_with_spark(name, spark, sf_dir, con):
+    duck_types = {
+        r[0].lower(): r[1].upper()
+        for r in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    }
+    spark_types = {
+        f.name.lower(): f.dataType for f in QUERIES[name](spark, sf_dir).schema.fields
+    }
+    assert sorted(duck_types) == sorted(spark_types), (
+        f"{name}: column sets differ: {sorted(duck_types)} vs {sorted(spark_types)}"
+    )
+    for col, dt in duck_types.items():
+        assert not dt.startswith(_DUCK_FORBIDDEN_PREFIX), (
+            f"{name}.{col}: oracle emits {dt} — fetchdf renders this "
+            f"differently than Spark's scalar (CAST it in the oracle SQL)"
+        )
+        st = spark_types[col]
+        if dt in _DUCK_INT or dt.endswith("[]"):
+            assert isinstance(
+                st, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            ) or dt.endswith("[]"), f"{name}.{col}: duck {dt} vs spark {st}"
+        if dt in _DUCK_FLOAT:
+            assert isinstance(st, (T.DoubleType, T.FloatType)), (
+                f"{name}.{col}: duck {dt} vs spark {st}"
+            )
+        if isinstance(st, (T.DoubleType, T.FloatType)):
+            assert dt in _DUCK_FLOAT, f"{name}.{col}: spark {st} vs duck {dt}"
+        if isinstance(st, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            assert dt in _DUCK_INT, f"{name}.{col}: spark {st} vs duck {dt}"

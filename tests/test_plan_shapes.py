@@ -294,3 +294,53 @@ def test_remove_dup_spans_no_cartesian_one_gram_shuffle(spark, sf_dir):
     plan = _plan(dedup.remove_dup_spans(corpus))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_find_served_prefilter_no_postings_rebuild(spark, sf_dir):
+    """find(served=True) under a prefilter must serve the keyword leg
+    from the prebuilt index: no tokenize+explode+re-aggregation of
+    postings in the plan (the rebuild variant has one per query — an
+    index build per query at 100 TB). The filter appears only as a
+    candidate semijoin; df/N/avgdl stay global
+    (ref: nidx/nidx_text/src/reader.rs:148-180)."""
+    from nucliadb_spark.operators import filters as fx
+    from nucliadb_spark.operators import find
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    pref = fx.Facet("/s/p/en")
+    post, stats = _text_index(spark, sf_dir)
+    kw = dict(query_vec_id=3, top_k=10, window=40, prefilter=pref)
+    served = find.find(
+        spark, sf_dir, "merge join batch", served=True,
+        post=post, stats=stats, corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post), **kw,
+    )
+    rebuild = find.find(spark, sf_dir, "merge join batch", **kw)
+    p_served, p_rebuild = _plan(served), _plan(rebuild)
+    # cached-index build subtrees (InMemoryRelation children) run once
+    # per session, not per query — exclude them before counting
+    s_served = _strip_cached_subtrees(p_served)
+    s_rebuild = _strip_cached_subtrees(p_rebuild)
+    assert "Generate explode" not in s_served, s_served[:2500]
+    # the contrast that makes the absence meaningful: the rebuild
+    # variant tokenizes the filtered corpus per query
+    assert "Generate explode" in s_rebuild
+    assert "InMemoryTableScan" in p_served
+
+
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop every InMemoryRelation node and its (deeper-indented)
+    build plan from a plan string — what remains is per-query work."""
+    out, skip_depth = [], None
+    for ln in plan.splitlines():
+        m = re.search(r"[+:]- ", ln)
+        depth = m.start() if m else -1
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in ln:
+            skip_depth = depth
+            continue
+        out.append(ln)
+    return "\n".join(out)
