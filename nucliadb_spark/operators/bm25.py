@@ -460,7 +460,18 @@ matched AS (
         ", list_sort(list(DISTINCT p.term)) AS ematches" if with_ematches else ""
     )
     ematch_col = ", ematches" if with_ematches else ""
-    having = f"HAVING COUNT(*) = {len(terms)}" if mode == "all" else ""
+    # with a dynamic matched CTE (autocorrect/expansion) the
+    # conjunctive count must come from the CTE itself, not the
+    # original query's term list — a different-size term set would
+    # silently mis-cut otherwise
+    if mode == "all":
+        required = (
+            "(SELECT COUNT(*) FROM matched)" if matched_sql is not None
+            else str(len(terms))
+        )
+        having = f"HAVING COUNT(*) = {required}"
+    else:
+        having = ""
     served_cond = (
         f"WHERE p.rid IN (SELECT rid FROM fields WHERE {served_where})"
         if served_where
@@ -770,7 +781,11 @@ def batch_bm25(
     # blowup the pruning exists to prevent)
     raw = (
         post.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(queries), "term")
+        # no broadcast hint on the queries frame: it is unbounded
+        # (10^6-query mining jobs would hit the driver-collect /
+        # broadcast ceiling) — AQE broadcasts small batches at
+        # runtime and shuffles big ones
+        .join(queries, "term")
         .join(stats, "rid")
         .crossJoin(F.broadcast(corpus))
         .groupBy("query_id", "rid")

@@ -303,12 +303,24 @@ class NotHidden(Expr):
 class JsonPath(Expr):
     """Typed predicate on a JSON string column path.
 
-    ref: nidx/nidx_json/src/search.rs:60-200 build_leaf_query.
-    op: 'eq' | 'gte' | 'lte' ; kind: 'string' | 'number' | 'bool'.
+    ref: nidx/nidx_json/src/search.rs:60-200 build_leaf_query — the
+    full leaf surface: Text/Boolean eq, Int/Float eq + inclusive
+    ranges, Date eq + inclusive ranges (DateRange), at arbitrary
+    nested paths (tantivy_path joins field.json_path). Ranges with
+    one unbounded end = a single gte/lte leaf; bounded ranges = And
+    of two leaves (the Expr tree mirrors the reference's
+    And/Or/Not composition at search.rs:163-188).
+
+    op: 'eq' | 'gte' | 'lte'
+    kind: 'string' | 'number' (float) | 'int' | 'bool' | 'date'
+    path: dotted for nested objects, e.g. "audit.created" — both
+    engines resolve it as the JSONPath '$.audit.created'.
+    'date' values are 'YYYY-MM-DD HH:MM:SS' strings compared as
+    timestamps (tantivy's DateTime fast value).
     """
 
     column: str
-    path: str  # e.g. "k" (top-level key)
+    path: str  # top-level key or dotted nested path
     op: str
     value: object
     kind: str = "number"
@@ -317,13 +329,19 @@ class JsonPath(Expr):
         raw = F.get_json_object(F.col(self.column), f"$.{self.path}")
         if self.kind == "number":
             return raw.cast("double")
+        if self.kind == "int":
+            return raw.cast("long")
         if self.kind == "bool":
             return raw.cast("boolean")
+        if self.kind == "date":
+            return raw.cast("timestamp")
         return raw
 
     def to_column(self) -> Column:
         v = self._spark_value()
         lit = F.lit(self.value)
+        if self.kind == "date":
+            lit = lit.cast("timestamp")
         if self.op == "eq":
             return v == lit
         if self.op == "gte":
@@ -336,9 +354,15 @@ class JsonPath(Expr):
         raw = f"json_extract_string({self.column}, '$.{self.path}')"
         if self.kind == "number":
             raw = f"CAST({raw} AS DOUBLE)"
+        elif self.kind == "int":
+            raw = f"CAST({raw} AS BIGINT)"
         elif self.kind == "bool":
             raw = f"CAST({raw} AS BOOLEAN)"
-        if isinstance(self.value, bool):
+        elif self.kind == "date":
+            raw = f"CAST({raw} AS TIMESTAMP)"
+        if self.kind == "date":
+            v = f"TIMESTAMP {_sql_quote(str(self.value))}"
+        elif isinstance(self.value, bool):
             v = "TRUE" if self.value else "FALSE"
         elif isinstance(self.value, (int, float)):
             v = repr(self.value)

@@ -737,9 +737,14 @@ def kmv_shingle_cardinality(
     exact = hashed.groupBy("lang").agg(
         F.count("*").cast("long").alias("exact_distinct")
     )
-    est = F.round((k - 1) * _KMV_SPACE / F.col("kth")).cast("long")
+    # LEFT join: a group with fewer than k distinct items has no kth
+    # hash — fall back to its exact count (error 0) instead of
+    # silently dropping the group (no-silent-caps rule)
+    est = F.when(
+        F.col("kth").isNull(), F.col("exact_distinct")
+    ).otherwise(F.round((k - 1) * _KMV_SPACE / F.col("kth")).cast("long"))
     return (
-        exact.join(kth, "lang")
+        exact.join(kth, "lang", "left")
         .select(
             "lang",
             "exact_distinct",
@@ -779,9 +784,13 @@ ranked AS (
 kth AS (SELECT lang, h AS kth FROM ranked WHERE rk = {k}),
 exact AS (SELECT lang, COUNT(*)::BIGINT AS exact_distinct FROM hashed GROUP BY lang)
 SELECT e.lang AS lang, e.exact_distinct,
-       ROUND(({k} - 1) * {_KMV_SPACE!r} / kth.kth)::BIGINT AS kmv_estimate,
-       ROUND(abs(ROUND(({k} - 1) * {_KMV_SPACE!r} / kth.kth) - e.exact_distinct)
+       CASE WHEN kth.kth IS NULL THEN e.exact_distinct
+            ELSE ROUND(({k} - 1) * {_KMV_SPACE!r} / kth.kth)::BIGINT END
+         AS kmv_estimate,
+       ROUND(abs((CASE WHEN kth.kth IS NULL THEN e.exact_distinct
+                       ELSE ROUND(({k} - 1) * {_KMV_SPACE!r} / kth.kth)::BIGINT END)
+                 - e.exact_distinct)
              * 1000.0 / e.exact_distinct)::BIGINT AS rel_err_e3
-FROM exact e JOIN kth USING (lang)
+FROM exact e LEFT JOIN kth USING (lang)
 ORDER BY lang
 """

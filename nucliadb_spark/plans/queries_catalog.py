@@ -205,6 +205,61 @@ def json_kv_filter(spark, sf_dir):
     )
 
 
+# --- F7 (full surface): date-typed + nested-path JSON predicates --------
+# ref: nidx/nidx_json/src/search.rs:60-200 — DateRange and nested
+# tantivy_path leaves. The events table's metadata is projected into a
+# nested JSON document ({"audit": {"created": ..., "uid": ...}}) in
+# both engines; the filter runs typed eq/range predicates at the
+# dotted paths.
+
+_JSON_DATE_FILTER = fx.And(
+    [
+        fx.JsonPath(
+            "meta", "audit.created", "gte", "2024-01-10 00:00:00", kind="date"
+        ),
+        fx.JsonPath(
+            "meta", "audit.created", "lte", "2024-01-20 00:00:00", kind="date"
+        ),
+        fx.JsonPath("meta", "audit.uid", "gte", 10, kind="int"),
+    ]
+)
+
+
+@register(
+    "json_kv_date_range",
+    f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         to_json(struct_pack(
+           audit := struct_pack(
+             created := strftime(ts, '%Y-%m-%d %H:%M:%S'),
+             uid := user_id))) AS meta
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM e WHERE {_JSON_DATE_FILTER.to_sql()}
+ORDER BY event_id
+""",
+)
+def json_kv_date_range(spark, sf_dir):
+    e = tpch.table(spark, sf_dir, "events").withColumn(
+        "meta",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created"),
+                    F.col("user_id").alias("uid"),
+                ).alias("audit")
+            )
+        ),
+    )
+    return (
+        e.filter(_JSON_DATE_FILTER.to_column())
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
 # --- F4: keyword filter over documents ---------------------------------
 
 _KW = fx.And([fx.Keyword("spark", column="text"), fx.Keyword("vector", column="text")])

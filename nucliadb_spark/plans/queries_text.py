@@ -497,6 +497,33 @@ def advanced_query(spark, sf_dir):
     )
 
 
+# --- T5 (full grammar): field-scoped terms and ranges ----------------------
+# tantivy's QueryParser accepts `field:term`, `field:"phrase"` and
+# `field:[a TO b]` ranges (search_query.rs:202-210 routes the raw
+# string through parse_query_lenient over the index schema); the
+# mini-grammar now compiles the same surface into the Expr tree.
+
+_ADVF = '+language:en -source:src3 n_chars:[500 TO 900] merge join'
+
+
+@register(
+    "advanced_query_fielded",
+    f"""
+WITH fields AS ({tpch.SQL_FIELDS})
+SELECT rid, language, source, n_chars FROM fields
+WHERE {advanced.parse_advanced(_ADVF).to_sql()}
+ORDER BY rid
+""",
+)
+def advanced_query_fielded(spark, sf_dir):
+    f = tpch.fields(spark, sf_dir)
+    return (
+        f.filter(advanced.parse_advanced(_ADVF).to_column())
+        .select("rid", "language", "source", "n_chars")
+        .orderBy("rid")
+    )
+
+
 # --- CONVERSATION field type: keyword search over messages -----------------
 
 
@@ -522,6 +549,76 @@ def conversation_search(spark, sf_dir):
     return bm25.bm25_search(
         None, "purchase value", top_k=20, post=post, stats=stats
     ).select(F.col("rid").alias("message_key"), "score")
+
+
+# --- CONVERSATION fidelity: typed messages + page structure ----------------
+# ref: nucliadb_protos/resources.proto:155-192 — Message.type
+# (QUESTION/ANSWER), Message.who/ident; messages persisted in pages of
+# 200 (ingest/fields/conversation.py:34,126-148). The typed search is
+# the BM25 message search restricted to one MessageType, hydrated with
+# the page/author dimensions a conversation reader needs.
+
+
+@register(
+    "conversation_typed_search",
+    f"""
+WITH m AS (SELECT * FROM ({tpch.SQL_MESSAGES})
+           WHERE message_type = 'QUESTION'),
+hits AS ({bm25.bm25_sql(
+        "SELECT message_key AS rid, text FROM m",
+        "purchase value",
+        top_k=20,
+    )})
+SELECT h.rid AS message_key, h.score, m.message_type, m.who, m.page
+FROM hits h JOIN m ON h.rid = m.message_key
+ORDER BY h.score DESC, message_key ASC
+""",
+)
+def conversation_typed_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    m = tpch.messages(spark, sf_dir)
+    q = m.filter(F.col("message_type") == "QUESTION")
+    hits = bm25.bm25_search(
+        q, "purchase value", top_k=20, id_col="message_key"
+    ).select(F.col("rid").alias("message_key"), "score")
+    return (
+        hits.join(
+            q.select("message_key", "message_type", "who", "page"), "message_key"
+        )
+        .orderBy(F.col("score").desc(), F.col("message_key").asc())
+        .select("message_key", "score", "message_type", "who", "page")
+    )
+
+
+@register(
+    "conversation_field_metadata",
+    f"""
+SELECT conversation_id,
+       CAST(MAX(page) AS INTEGER) AS pages,
+       {tpch.CONVERSATION_PAGE_SIZE} AS size,
+       CAST(COUNT(*) AS INTEGER) AS total
+FROM ({tpch.SQL_MESSAGES}) m
+GROUP BY conversation_id
+ORDER BY conversation_id
+""",
+)
+def conversation_field_metadata(spark, sf_dir):
+    """FieldConversation metadata (pages/size/total per conversation,
+    resources.proto:181-192) — one groupBy with map-side combine."""
+    from pyspark.sql import functions as F
+
+    m = tpch.messages(spark, sf_dir)
+    return (
+        m.groupBy("conversation_id")
+        .agg(
+            F.max("page").cast("int").alias("pages"),
+            F.count("*").cast("int").alias("total"),
+        )
+        .withColumn("size", F.lit(tpch.CONVERSATION_PAGE_SIZE).cast("int"))
+        .select("conversation_id", "pages", "size", "total")
+        .orderBy("conversation_id")
+    )
 
 
 # --- §2.14 conversational strategy: hit messages ± surrounding turns -------

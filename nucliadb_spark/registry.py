@@ -109,6 +109,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "json_kv_date_range",
     "advanced_query_fielded",
     "conversation_typed_search",
+    "conversation_field_metadata",
     # flagships + scale paths: re-confirm green when seats allow
     "find_hybrid",
     "find_hybrid_ivf",

@@ -316,6 +316,13 @@ VECTORSETS = {
 # ---------------------------------------------------------------------
 
 
+# messages are stored in pages of PAGE_SIZE per conversation field
+# (ref: nucliadb/src/nucliadb/ingest/fields/conversation.py:34,126-148
+# — 1-indexed pages, FieldConversation metadata pages/size/total;
+# Message carries ident/who/to/type, resources.proto:155-168)
+CONVERSATION_PAGE_SIZE = 200
+
+
 def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -330,22 +337,31 @@ def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.col("event_type"), F.lit("value"), F.round("value", 0).cast("long")
         ).alias("text"),
+        F.when(idx % 2 == 1, F.concat(F.lit("user-"), F.col("user_id")))
+        .otherwise(F.lit("assistant"))
+        .alias("who"),
+        (F.floor((idx - 1) / CONVERSATION_PAGE_SIZE).cast("int") + 1).alias("page"),
     ).withColumn(
         "message_key",
         F.concat_ws("/", "conversation_id", "message_idx"),
-    )
+    ).withColumn("ident", F.col("message_key"))
 
 
-SQL_MESSAGES = """
-SELECT conversation_id, message_idx, ts, message_type, text,
-       concat(conversation_id, '/', message_idx) AS message_key
+SQL_MESSAGES = f"""
+SELECT conversation_id, message_idx, ts, message_type, text, who, page,
+       concat(conversation_id, '/', message_idx) AS message_key,
+       concat(conversation_id, '/', message_idx) AS ident
 FROM (
   SELECT CAST(user_id AS BIGINT) AS conversation_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS message_idx,
          ts,
          CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) % 2 = 1
               THEN 'QUESTION' ELSE 'ANSWER' END AS message_type,
-         concat_ws(' ', event_type, 'value', CAST(round(value, 0) AS BIGINT)) AS text
+         concat_ws(' ', event_type, 'value', CAST(round(value, 0) AS BIGINT)) AS text,
+         CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) % 2 = 1
+              THEN concat('user-', CAST(user_id AS BIGINT)) ELSE 'assistant' END AS who,
+         CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+              / {CONVERSATION_PAGE_SIZE}) AS INTEGER) + 1 AS page
   FROM events
 )
 """

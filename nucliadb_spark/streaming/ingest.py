@@ -956,7 +956,15 @@ def stream_attribution(
     click→purchase pairs where the purchase lands within
     `horizon_minutes` after the click, computed by an actual
     stream-stream inner join (append mode → memory sink), then a
-    batch rollup of the sink. Ordered by user_id."""
+    batch rollup of the sink. Ordered by user_id.
+
+    Batch-oracle equivalence assumes stage_arrival_dir stages ONE
+    file, so availableNow runs a single micro-batch and no click
+    state is evicted mid-run. With multiple staged files (or
+    maxFilesPerTrigger), the `watermark` (default 1 hour) would
+    evict click state between micro-batches over data spanning many
+    hours and silently drop join pairs vs the oracle — widen the
+    watermark beyond the fixture's event-time span in that setup."""
     name = f"attr_{uuid.uuid4().hex[:10]}"
     from nucliadb_spark.sources.tpch import ensure_nanos_conf
 

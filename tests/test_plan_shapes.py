@@ -344,3 +344,48 @@ def _strip_cached_subtrees(plan: str) -> str:
             continue
         out.append(ln)
     return "\n".join(out)
+
+
+def test_batch_bm25_queries_join_not_forced_broadcast(spark, sf_dir):
+    """The (query_id, term) frame is unbounded (10^6-query mining
+    jobs): its join must be left to AQE, never a forced broadcast —
+    only the bounded per-term stats (dfreq) and the 1-row corpus
+    aggregate may carry explicit broadcast hints."""
+    from nucliadb_spark.operators import bm25
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents")
+    queries = docs.select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.explode(F.slice(F.split(F.lower("text"), r"[^a-z0-9]+"), 1, 3)).alias("term"),
+    )
+    post, stats = _text_index(spark, sf_dir)
+    df = bm25.batch_bm25(queries, post, stats, _corpus(sf_dir, stats), k=5)
+    # inspect the pre-AQE plan: a BroadcastExchange whose subtree
+    # mentions query_id would be a hard-coded hint on the unbounded
+    # side (AQE may still choose to broadcast small batches at
+    # runtime — that's the point)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    for sub in _broadcast_subtrees(plan):
+        assert "query_id#" not in sub, sub[:1500]
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """The (deeper-indented) subtree under each BroadcastExchange."""
+    lines = plan.splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        m = re.search(r"[+:]- ", ln)
+        depth = m.start() if m else -1
+        sub = []
+        for nxt in lines[i + 1:]:
+            m2 = re.search(r"[+:]- ", nxt)
+            d2 = m2.start() if m2 else -1
+            if d2 <= depth:
+                break
+            sub.append(nxt)
+        subs.append("\n".join(sub))
+    return subs

@@ -87,6 +87,33 @@ def test_advanced_parser_units():
     assert isinstance(advanced.parse_advanced("x"), fx.Keyword)
 
 
+def test_advanced_parser_fielded_units():
+    # field-scoped term lands on the named column as a hard predicate
+    e = advanced.parse_advanced("language:en")
+    assert isinstance(e, fx.Keyword) and e.column == "language"
+    # signs compose with field scoping
+    e = advanced.parse_advanced("-source:src3 x")
+    assert "NOT" in e.to_sql() and "source" in e.to_sql()
+    # inclusive numeric range
+    r = advanced.parse_advanced("n_chars:[500 TO 900]")
+    assert isinstance(r, advanced.TermRange)
+    assert "CAST(n_chars AS DOUBLE) >= 500.0" in r.to_sql()
+    assert "<= 900.0" in r.to_sql()
+    # exclusive + open-ended bounds
+    r = advanced.parse_advanced("n_chars:{500 TO *}")
+    sql = r.to_sql()
+    assert "> 500.0" in sql and "<=" not in sql
+    # date-typed bounds compare as timestamps
+    r = advanced.parse_advanced("created:[2024-01-05 TO 2024-03-01]")
+    assert "TIMESTAMP '2024-01-05'" in r.to_sql()
+    # field-scoped phrase
+    p = advanced.parse_advanced('title:"a b"')
+    assert isinstance(p, advanced.Phrase) and p.column == "title"
+    # a bare range with no field is skipped leniently, not fatal
+    e = advanced.parse_advanced("[1 TO 2] x")
+    assert isinstance(e, fx.Keyword)
+
+
 def test_rabitq_rerank_budget():
     # ref: nidx_vector/src/vector_types/rabitq.rs:30-36 — 100·k cap 2000
     assert knn.rabitq_rerank_budget(10) == 1000

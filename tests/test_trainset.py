@@ -321,3 +321,4 @@ def test_pagerank_hand_case(spark):
     assert pr["a"] == pr["b"]
     assert pr["c"] > pr["a"]
     assert pr["d"] > pr["a"]
+    assert pr["d"] > pr["c"]
