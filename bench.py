@@ -51,6 +51,11 @@ HEADLINE = [
     # round 3c: iterative graph centrality + exact-substring rewrite
     "graph_pagerank",
     "dedup_span_removal",
+    # round 4: served-prefilter flagship (no per-query index rebuild)
+    # and the rephrased flagship served from the embedding sidecar —
+    # both should sit flat vs their siblings
+    "find_prefiltered_served",
+    "find_rephrased",
 ]
 
 
@@ -79,6 +84,11 @@ def main() -> None:
         "ivf_centroids",
         lambda: ann_ops.cell_centroids(tpch.vectors(spark, SF_DIR)),
     ).count()
+    # the rephrased flagship serves from the stub-embedding sidecar —
+    # index-build output like the postings/centroids above
+    from nucliadb_spark.operators import find as find_ops
+
+    find_ops.stub_embedding_sidecar(spark, SF_DIR).count()
 
     queries = registry.queries()
     names = [n for n in HEADLINE if n in queries]
