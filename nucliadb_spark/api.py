@@ -91,50 +91,49 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     sources: dict[str, DataFrame] = {}
 
     if "keyword" in features and req.query.strip():
-        if filters is None:
-            # unfiltered requests serve from the session-cached index
-            # (postings/docstats/corpus/vocab sidecars) — an API
-            # endpoint must not rebuild the index per request
-            from nucliadb_spark.plans.queries_text import (
-                _corpus,
-                _text_index,
-                _vocab,
-            )
+        # ALL requests serve from the session-cached index
+        # (postings/docstats/corpus/vocab sidecars) — an API endpoint
+        # must not rebuild the index per request. A filter restricts
+        # candidates via semijoin while corpus stats stay GLOBAL,
+        # exactly tantivy's serve-time prefilter
+        # (nidx/nidx_text/src/reader.rs:148-180).
+        from nucliadb_spark.plans.queries_text import (
+            _corpus,
+            _text_index,
+            _vocab,
+        )
 
-            post, stats = _text_index(spark, sf_dir)
-            sources["keyword"] = bm25.bm25_search(
-                None,
-                req.query,
-                top_k=win,
-                synonyms=req.synonyms,
-                min_score=req.min_score_bm25 or None,
-                post=post,
-                stats=stats,
-                corpus=_corpus(sf_dir, stats),
-                vocab=_vocab(sf_dir, post),
-            ).select(F.col("rid").alias("id"), "score")
-        else:
-            sources["keyword"] = bm25.bm25_search(
-                fields,
-                req.query,
-                top_k=win,
-                prefilter=filters,
-                synonyms=req.synonyms,
-                min_score=req.min_score_bm25 or None,
-            ).select(F.col("rid").alias("id"), "score")
+        post, stats = _text_index(spark, sf_dir)
+        allowed = None
+        if filters is not None:
+            # unbounded id set: no broadcast hint, AQE decides
+            allowed = fields.filter(filters.to_column()).select("rid")
+        sources["keyword"] = bm25.bm25_search(
+            None,
+            req.query,
+            top_k=win,
+            synonyms=req.synonyms,
+            min_score=req.min_score_bm25 or None,
+            post=post,
+            stats=stats,
+            corpus=_corpus(sf_dir, stats),
+            vocab=_vocab(sf_dir, post),
+            allowed=allowed,
+        ).select(F.col("rid").alias("id"), "score")
 
     if "semantic" in features:
         if req.rephrase:
             # rephrased text is what gets embedded (stub space over
-            # documents — the fetcher.get_query_vector analog)
+            # documents — the fetcher.get_query_vector analog); the
+            # doc embeddings come from the session-cached sidecar,
+            # never a per-request corpus UDF pass
+            from nucliadb_spark.operators.find import stub_embedding_sidecar
+
             qtext = models.stub_rephrase_py(req.query)
-            emb_docs = tpch.table(spark, sf_dir, "documents").select(
-                F.col("doc_id").cast("long").alias("rid"),
-                models.stub_embedding(F.col("text")).alias("embedding"),
-            )
+            emb_docs = stub_embedding_sidecar(spark, sf_dir)
             if filters is not None:
                 allowed = fields.filter(filters.to_column()).select("rid")
-                emb_docs = emb_docs.join(F.broadcast(allowed), "rid", "semi")
+                emb_docs = emb_docs.join(allowed, "rid", "semi")
             qvec = spark.createDataFrame([(qtext,)], "t string").select(
                 models.stub_embedding(F.col("t")).alias("qvec")
             )

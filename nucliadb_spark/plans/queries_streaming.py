@@ -133,6 +133,22 @@ def stream_percolator(spark, sf_dir):
     return ingest.stream_percolator(spark, sf_dir)
 
 
+@register("kb_notifications", ingest.ACTIVITY_LOG_SQL)
+def kb_notifications(spark, sf_dir):
+    """KB activity / notifications stream (the /notifications
+    endpoint, nucliadb_models/notifications.py:21-112): every CDC op
+    as a resource_written notification with its operation
+    (created/modified/deleted), ordered by log sequence. One
+    rid-keyed window over the op log."""
+    return ingest.activity_log(
+        ingest.cdc_log(
+            tpch.table(spark, sf_dir, "documents").selectExpr(
+                "CAST(doc_id AS BIGINT) AS rid", "text"
+            )
+        )
+    )
+
+
 @register("cdc_time_travel", ingest.cdc_snapshot_report_sql())
 def cdc_time_travel(spark, sf_dir):
     """MVCC time travel: the exact corpus state as of three log

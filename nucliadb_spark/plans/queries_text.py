@@ -562,15 +562,15 @@ def conversation_search(spark, sf_dir):
 @register(
     "conversation_typed_search",
     f"""
-WITH m AS (SELECT * FROM ({tpch.SQL_MESSAGES})
-           WHERE message_type = 'QUESTION'),
+WITH m AS ({tpch.SQL_MESSAGES}),
 hits AS ({bm25.bm25_sql(
-        "SELECT message_key AS rid, text FROM m",
+        "SELECT message_key AS rid, text, message_type FROM m",
         "purchase value",
         top_k=20,
+        served_where="message_type = 'QUESTION'",
     )})
-SELECT h.rid AS message_key, h.score, m.message_type, m.who, m.page
-FROM hits h JOIN m ON h.rid = m.message_key
+SELECT h.rid AS message_key, h.score, m2.message_type, m2.who, m2.page
+FROM hits h JOIN m m2 ON h.rid = m2.message_key
 ORDER BY h.score DESC, message_key ASC
 """,
 )
@@ -578,13 +578,25 @@ def conversation_typed_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
     m = tpch.messages(spark, sf_dir)
-    q = m.filter(F.col("message_type") == "QUESTION")
+    # serve from the cached all-messages index; the type restriction
+    # is a candidate semijoin with GLOBAL df/N/avgdl — the same
+    # serve-time prefilter shape as find(served=True), never a
+    # per-type postings rebuild
+    post = cached_df(
+        sf_dir,
+        "m_postings",
+        lambda: bm25.postings(m, id_col="message_key"),
+    )
+    stats = cached_df(sf_dir, "m_docstats", lambda: bm25.doc_stats_from_postings(post))
+    allowed = m.filter(F.col("message_type") == "QUESTION").select(
+        F.col("message_key").alias("rid")
+    )
     hits = bm25.bm25_search(
-        q, "purchase value", top_k=20, id_col="message_key"
+        None, "purchase value", top_k=20, post=post, stats=stats, allowed=allowed
     ).select(F.col("rid").alias("message_key"), "score")
     return (
         hits.join(
-            q.select("message_key", "message_type", "who", "page"), "message_key"
+            m.select("message_key", "message_type", "who", "page"), "message_key"
         )
         .orderBy(F.col("score").desc(), F.col("message_key").asc())
         .select("message_key", "score", "message_type", "who", "page")
@@ -618,6 +630,29 @@ def conversation_field_metadata(spark, sf_dir):
         .withColumn("size", F.lit(tpch.CONVERSATION_PAGE_SIZE).cast("int"))
         .select("conversation_id", "pages", "size", "total")
         .orderBy("conversation_id")
+    )
+
+
+@register(
+    "conversation_page_read",
+    f"""
+SELECT message_idx, message_key, message_type, who, text
+FROM ({tpch.SQL_MESSAGES}) m
+WHERE conversation_id = 3 AND page = 1
+ORDER BY message_idx
+""",
+)
+def conversation_page_read(spark, sf_dir):
+    """Paged conversation read — get_value(page) over the stored
+    200-message pages (ingest/fields/conversation.py:154-170): one
+    partition-prunable filter, ordered by position in page."""
+    from pyspark.sql import functions as F
+
+    m = tpch.messages(spark, sf_dir)
+    return (
+        m.filter((F.col("conversation_id") == 3) & (F.col("page") == 1))
+        .select("message_idx", "message_key", "message_type", "who", "text")
+        .orderBy("message_idx")
     )
 
 

@@ -110,6 +110,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "advanced_query_fielded",
     "conversation_typed_search",
     "conversation_field_metadata",
+    "conversation_page_read",
+    "kb_notifications",
     # flagships + scale paths: re-confirm green when seats allow
     "find_hybrid",
     "find_hybrid_ivf",

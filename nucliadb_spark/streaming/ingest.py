@@ -198,6 +198,65 @@ def cdc_log(fields: DataFrame) -> DataFrame:
     return base.unionByName(upd).unionByName(dele)
 
 
+def activity_log(log: DataFrame) -> DataFrame:
+    """(seq, rid, notification, operation) — the KB activity /
+    notifications stream derived from the CDC op log.
+
+    ref: nucliadb_models/notifications.py:21-112 (NotificationType
+    resource_written + ResourceOperationType created/modified/
+    deleted) and reader/reader/notifications.py:54-60 (WriteType →
+    operation mapping). The reference serves this live over pubsub;
+    the batch analog is the audit-trail projection of the same op
+    log: CREATED = the rid's first upsert, MODIFIED = later upserts,
+    DELETED = delete ops. One rid-keyed window pass — at 100 TB the
+    log is already partitioned by arrival, and the window's shuffle
+    key (rid) is the natural audit grouping."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rid").orderBy("seq")
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .select(
+            "seq",
+            "rid",
+            F.lit("resource_written").alias("notification"),
+            F.when(F.col("op") == "delete", "deleted")
+            .when(F.col("rn") == 1, "created")
+            .otherwise("modified")
+            .alias("operation"),
+        )
+        .orderBy("seq", "rid")
+    )
+
+
+CDC_LOG_SQL = f"""
+    SELECT CAST(doc_id AS BIGINT) AS rid, CAST(doc_id AS BIGINT) AS seq,
+           'upsert' AS op, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1000000 AS BIGINT),
+           'upsert', text || '{_UPD_SUFFIX}' FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2000000 AS BIGINT),
+           'delete', NULL FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+ACTIVITY_LOG_SQL = f"""
+WITH log AS ({CDC_LOG_SQL}),
+r AS (
+  SELECT rid, seq, op,
+         row_number() OVER (PARTITION BY rid ORDER BY seq) AS rn
+  FROM log
+)
+SELECT seq, rid, 'resource_written' AS notification,
+       CASE WHEN op = 'delete' THEN 'deleted'
+            WHEN rn = 1 THEN 'created'
+            ELSE 'modified' END AS operation
+FROM r
+ORDER BY seq, rid
+"""
+
+
 CDC_LIVE_SQL = f"""
 SELECT rid, text FROM (
   SELECT rid, op, text,
