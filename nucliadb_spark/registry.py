@@ -38,96 +38,96 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 registry queries (order of this
-# list) per round — r1/r2/r3 each checked exactly queries[0:50].
-# Round-4 window: the two rows still red in r1∪r2∪r3
-# (`multi_kb_counters` — oracle HUGEINT, now CAST AS BIGINT;
-# `segment_merge_plan` — graded in r2 before its recursive-CTE
-# oracle existed) plus the 47 queries never driver-graded in any
-# round (r3-session + late-r2 additions, all locally value-parity
-# green at sf0.001 and sf0.01). That fills 49 seats; seat 50 is the
-# flagship's new served-prefilter leg. After this round every
-# registry query has green driver evidence in r1∪r2∪r3∪r4.
-# New round-4-session queries queue AFTER position 50 (next round's
-# window); everything ever-green goes last.
+# list) per round. Round-5 window: seats 0-5 are the six round-4
+# additions that have never been driver-graded (locally value-parity
+# green at sf0.001/sf0.01; see CORRECTNESS_r01-r04 for everything
+# else). Seats 6-49 re-confirm the flagship find/bm25 family, the
+# full ANN quantization ladder, dedup, pipelines, and streaming —
+# the highest-value behaviors. After this round all 182 registry
+# queries have green driver evidence in r1∪r2∪r3∪r4∪r5.
+# New round-5-session queries are inserted INSIDE the window (after
+# seat 5, displacing a re-confirmation) once locally parity-green,
+# so the round ends with never-graded = 0.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # the two still-red rows
-    "multi_kb_counters",
-    "segment_merge_plan",
-    # never graded in any recorded round (r3-session additions)
-    "sample_token_budget",
-    "trainset_split",
-    "text_dup_spans",
-    "ann_kmeans_step",
-    "knn_pq_adc",
-    "find_autofilter",
-    "stream_neardup_gate",
-    "knn_rabitq_1bit",
-    "ann_ivf_pq",
-    "vocab_prune_plan",
-    "ivf_cell_maintenance",
-    "pipeline_trainset_build",
-    "bm25_explain",
-    "rrf_explain",
-    "ann_ivf_geometric",
-    "ann_ivf_recall",
-    "find_relations_subgraph",
-    "suggest_correction",
-    "dedup_span_removal",
-    "bpe_pair_counts",
-    "sample_dsir",
-    "graph_pagerank",
-    "sample_perplexity_buckets",
-    "stream_stream_join",
-    "find_rephrased",
-    "stream_percolator",
-    "eval_prefix_ndcg",
-    "bm25_autocorrect",
-    "ann_ivf_adaptive",
-    "cdc_time_travel",
-    "vocab_kmv_sketch",
-    "multimodal_text_to_image",
-    "batch_by_length",
-    "bm25_snippets",
-    "bm25_batch_queries",
-    # late round-2 additions never graded
-    "ann_ivf_sq8",
-    "text_unigram_logprob",
-    "text_quality_funnel",
-    "pack_sequences",
-    "stream_exact_dedup",
-    "find_prequeries",
-    "bm25_min_score",
-    "dedup_best_survivor",
-    "summarize_stub",
-    "ask_stub",
-    "multimodal_frame_sample",
-    "catalog_date_histogram",
-    # seat 50: flagship served-prefilter keyword leg (new in r4)
-    "find_prefiltered_served",
-    # --- end of the 50-query graded window ---
-    # round-4-session additions (next round's window)
+    # never driver-graded (round-4 additions) — seats 0-5
     "json_kv_date_range",
     "advanced_query_fielded",
     "conversation_typed_search",
     "conversation_field_metadata",
     "conversation_page_read",
     "kb_notifications",
-    # flagships + scale paths: re-confirm green when seats allow
+    # round-5-session addition, locally parity-green at sf0.001+sf0.01
+    # before taking a seat (displaced re-confirmation: kb_export_roundtrip)
+    "kb_feedback_report",
+    # seats 7-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
     "find_hybrid",
     "find_hybrid_ivf",
     "find_prefiltered",
+    "find_prefiltered_served",
+    "find_rephrased",
+    "find_autofilter",
     "bm25_keyword",
     "bm25_prefiltered_served",
     "bm25_fuzzy",
+    "bm25_conjunctive",
+    "bm25_min_score",
+    "bm25_batch_queries",
+    "bm25_explain",
     "knn_cosine",
     "knn_quantized_rerank",
+    "knn_rabitq_1bit",
+    "knn_pq_adc",
     "ann_ivf_probe",
-    "graph_strategy_hops",
+    "ann_ivf_pq",
+    "ann_ivf_sq8",
+    "ann_ivf_geometric",
+    "ann_ivf_recall",
+    "ann_ivf_adaptive",
+    "ann_kmeans_step",
+    "ivf_cell_maintenance",
     "knn_vectorset_alt",
+    "graph_strategy_hops",
+    "graph_pagerank",
+    "find_relations_subgraph",
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_span_removal",
+    "dedup_best_survivor",
+    "text_dup_spans",
+    "pipeline_trainset_build",
+    "pipeline_clean_corpus",
+    "sample_dsir",
+    "stream_percolator",
+    "stream_stream_join",
+    "cdc_time_travel",
+    "suggest_correction",
+    "rrf_explain",
+    "multi_kb_counters",
+    # --- end of the 50-query graded window ---
+    # ever-green re-confirmation queue (graded in r1-r4)
     "kb_export_roundtrip",
-    # r3-window queries (all green in CORRECTNESS_r03)
+    "segment_merge_plan",
+    "sample_token_budget",
+    "trainset_split",
+    "stream_neardup_gate",
+    "vocab_prune_plan",
+    "bpe_pair_counts",
+    "sample_perplexity_buckets",
+    "eval_prefix_ndcg",
+    "bm25_autocorrect",
+    "vocab_kmv_sketch",
+    "multimodal_text_to_image",
+    "batch_by_length",
+    "bm25_snippets",
+    "text_unigram_logprob",
+    "text_quality_funnel",
+    "pack_sequences",
+    "stream_exact_dedup",
+    "find_prequeries",
+    "summarize_stub",
+    "ask_stub",
+    "multimodal_frame_sample",
+    "catalog_date_histogram",
     "stream_windowed_counts",
     "event_sessionization",
     "stream_sessionization",
@@ -147,7 +147,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "export_paragraph_streaming",
     "export_field_streaming",
     "sample_stratified",
-    "pipeline_clean_corpus",
     "events_asof_join",
     "events_rollup",
     "events_percentiles",
@@ -177,8 +176,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "sample_mixture",
     "events_asof_tolerance",
     "find_exact_match_query",
-    # remaining ever-green, in rough §2 order
-    "bm25_conjunctive",
     "bm25_ematches",
     "bm25_prefiltered",
     "bm25_synonyms",

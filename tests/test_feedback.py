@@ -1,0 +1,68 @@
+"""Feedback endpoint analog: append semantics + request validation
+(ref: search/api/v1/feedback.py:34-70, nucliadb_models/search.py:
+2136-2152)."""
+
+import pytest
+
+from nucliadb_spark.operators import feedback
+from nucliadb_spark.sources import tpch
+
+
+def test_send_feedback_appends_one_row(spark, sf_dir):
+    log = feedback.feedback_log(tpch.table(spark, sf_dir, "events"))
+    n = log.count()
+    out = feedback.send_feedback(
+        spark,
+        log,
+        kbid="kb0",
+        user="user-x",
+        req=feedback.FeedbackRequest(
+            ident="learn-abc", good=False, feedback="wrong answer",
+            text_block_id="7/p1",
+        ),
+        client_type="web",
+    )
+    assert out.count() == n + 1
+    row = out.filter(out.ident == "learn-abc").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.kbid, r.user, r.client_type) == ("kb0", "user-x", "web")
+    assert r.good is False and r.task == "CHAT"
+    assert r.feedback == "wrong answer" and r.text_block_id == "7/p1"
+    # appended rows flow into the same report aggregation
+    rep = feedback.kb_feedback_report(out)
+    base = feedback.kb_feedback_report(log)
+    got = {t.kbid: t.n_feedback for t in rep.collect()}
+    want = {t.kbid: t.n_feedback for t in base.collect()}
+    assert got["kb0"] == want["kb0"] + 1
+
+
+def test_send_feedback_validation(spark, sf_dir):
+    log = feedback.feedback_log(tpch.table(spark, sf_dir, "events"))
+    with pytest.raises(ValueError, match="ident"):
+        feedback.send_feedback(
+            spark, log, "kb0", "u", feedback.FeedbackRequest(ident="", good=True)
+        )
+    with pytest.raises(ValueError, match="task"):
+        feedback.send_feedback(
+            spark, log, "kb0", "u",
+            feedback.FeedbackRequest(ident="x", good=True, task="SEARCH"),
+        )
+    with pytest.raises(ValueError, match="client"):
+        feedback.send_feedback(
+            spark, log, "kb0", "u",
+            feedback.FeedbackRequest(ident="x", good=True),
+            client_type="fax",
+        )
+
+
+def test_feedback_log_shape(spark, sf_dir):
+    """Negative records carry the detail; positive ones are bare —
+    the audit-stream layout (audit/stream.py:597-627)."""
+    log = feedback.feedback_log(tpch.table(spark, sf_dir, "events")).cache()
+    bad = log.filter(~log.good)
+    assert bad.count() > 0
+    assert bad.filter(bad.feedback.isNull() | bad.text_block_id.isNull()).count() == 0
+    good = log.filter(log.good)
+    assert good.filter(good.feedback.isNotNull() | good.text_block_id.isNotNull()).count() == 0
+    assert log.select("task").distinct().collect()[0].task == "CHAT"

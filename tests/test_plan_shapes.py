@@ -379,6 +379,30 @@ def test_batch_bm25_queries_join_not_forced_broadcast(spark, sf_dir):
             )
     assert hinted_joins >= 1  # dfreq/corpus hints must still be there
 
+    # huge-query-vocabulary escape hatch: broadcast_term_stats=False
+    # must leave the term-keyed joins entirely to AQE — the only
+    # remaining forced hint is the 1-row corpus stats crossJoin.
+    df_aqe = bm25.batch_bm25(
+        queries, post, stats, _corpus(sf_dir, stats), k=5,
+        broadcast_term_stats=False,
+    )
+    for cls, n in _walk_subtree(df_aqe._jdf.queryExecution().optimizedPlan()):
+        if cls != "Join":
+            continue
+        for side, opt_hint in (
+            (n.left(), n.hint().leftHint()),
+            (n.right(), n.hint().rightHint()),
+        ):
+            if not opt_hint.isDefined():
+                continue
+            if "broadcast" not in opt_hint.get().toString().lower():
+                continue
+            outs = side.output()
+            names = [outs.apply(i).name() for i in range(outs.size())]
+            assert "term" not in names and "query_id" not in names, (
+                f"term-stats frame still broadcast-hinted: {names}"
+            )
+
 
 def _walk_subtree(root):
     stack = [root]
