@@ -168,3 +168,58 @@ FROM log
 GROUP BY kbid, task
 ORDER BY kbid, task
 """
+
+
+def stream_feedback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-KB thumbs-up counters maintained INCREMENTALLY over the
+    arriving feedback stream — the reference ships every feedback
+    record to the audit stream (audit/stream.py:597-627), so the
+    live good-rate dashboard is stream-maintained state, not a
+    batch rescan. Running-total groupBy state is one row per kbid
+    (bounded by tenant count, the same state shape as the streaming
+    facet counters); an availableNow drain equals the batch report,
+    which is what the oracle checks."""
+    import shutil
+    import uuid
+
+    from nucliadb_spark.streaming.ingest import stage_arrival_dir
+
+    name = f"fb_{uuid.uuid4().hex[:10]}"
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    log = feedback_log(spark.readStream.schema(schema).parquet(arrival))
+    agg = log.groupBy("kbid").agg(
+        F.count("*").alias("n_feedback"),
+        F.count(F.when(F.col("good"), True)).alias("n_good"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT kbid, n_feedback, n_good,
+               ROUND(n_good / CAST(n_feedback AS DOUBLE), 4) AS good_rate
+        FROM {name}
+        ORDER BY kbid
+        """
+    )
+
+
+STREAM_FEEDBACK_RATE_SQL = f"""
+WITH log AS ({FEEDBACK_LOG_SQL})
+SELECT kbid,
+       COUNT(*) AS n_feedback,
+       COUNT(CASE WHEN good THEN 1 END) AS n_good,
+       ROUND(COUNT(CASE WHEN good THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS good_rate
+FROM log
+GROUP BY kbid
+ORDER BY kbid
+"""

@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from nucliadb_spark.operators import bm25, knn
+from nucliadb_spark.operators import bm25, feedback, knn
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 from nucliadb_spark.streaming import ingest
@@ -163,3 +163,13 @@ def cdc_time_travel(spark, sf_dir):
             )
         )
     )
+
+
+@register("stream_feedback_rate", feedback.STREAM_FEEDBACK_RATE_SQL)
+def stream_feedback_rate(spark, sf_dir):
+    """Feedback-as-a-stream (the reference's /feedback endpoint is an
+    audit-stream append, audit/stream.py:597-627): per-KB thumbs-up
+    counters maintained incrementally over the arriving records —
+    groupBy state is one row per kbid. availableNow drain == the
+    batch report the oracle runs."""
+    return feedback.stream_feedback_rate(spark, sf_dir)

@@ -66,3 +66,27 @@ def test_feedback_log_shape(spark, sf_dir):
     good = log.filter(log.good)
     assert good.filter(good.feedback.isNotNull() | good.text_block_id.isNotNull()).count() == 0
     assert log.select("task").distinct().collect()[0].task == "CHAT"
+
+
+def test_stream_feedback_rate_equals_batch(spark, sf_dir):
+    """availableNow drain of the feedback stream == the batch
+    aggregation over the same log (the stream==batch proof every
+    streaming query here carries)."""
+    from pyspark.sql import functions as F
+
+    got = feedback.stream_feedback_rate(spark, sf_dir).collect()
+    batch = (
+        feedback.feedback_log(tpch.table(spark, sf_dir, "events"))
+        .groupBy("kbid")
+        .agg(
+            F.count("*").alias("n_feedback"),
+            F.count(F.when(F.col("good"), True)).alias("n_good"),
+        )
+        .withColumn(
+            "good_rate",
+            F.round(F.col("n_good") / F.col("n_feedback"), 4),
+        )
+        .orderBy("kbid")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
