@@ -248,3 +248,187 @@ FROM e CROSS JOIN q
 ORDER BY score DESC, media_id ASC
 LIMIT {k}
 """
+
+
+# --- real decoders (self-describing uncompressed formats) -------------------
+# The fake_decode path above keeps the plumbing testable with zero
+# fixtures; these are REAL byte-level decoders for formats that need
+# no external codec libs: BMP (24-bit uncompressed, BITMAPINFOHEADER),
+# WAV (RIFF/PCM16 canonical layout) and PPM (P6). Compressed/codec
+# media (JPEG, H.264, …) stay at the external-processing boundary,
+# exactly where the reference delegates them (CloudFile +
+# processing pipeline, resources.proto:9-36). The corpus is
+# synthesized as REAL media files from `documents` (dims/rates
+# derived from doc_id, payload bytes from the text), so the graded
+# query is a true synthesize→parse roundtrip: if the decoder
+# mis-reads any header field, it diverges from the analytic oracle.
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def _bmp_bytes(w: int, h: int, payload: bytes) -> bytes:
+    import struct
+
+    row = (3 * w + 3) // 4 * 4
+    size = row * h
+    px = (payload * (size // max(len(payload), 1) + 1))[:size]
+    header = struct.pack("<2sIHHI", b"BM", 54 + size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size, 2835, 2835, 0, 0)
+    return header + info + px
+
+
+def _wav_bytes(rate: int, n_samples: int, payload: bytes) -> bytes:
+    import struct
+
+    size = 2 * n_samples
+    data = (payload * (size // max(len(payload), 1) + 1))[:size]
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + size, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", size)
+        + data
+    )
+
+
+def _ppm_bytes(w: int, h: int, payload: bytes) -> bytes:
+    size = 3 * w * h
+    px = (payload * (size // max(len(payload), 1) + 1))[:size]
+    return f"P6\n{w} {h}\n255\n".encode() + px
+
+
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """documents → a media table whose `content` column holds REAL
+    BMP/WAV/PPM files (deterministic dims/rates from doc_id, payload
+    bytes from the text). mapInPandas: one Arrow batch per crossing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "content": [], "content_type": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                payload = text.encode("utf-8") or b"\x00"
+                kind = doc_id % 3
+                w, h = 8 + doc_id % 24, 4 + doc_id % 12
+                if kind == 0:
+                    content, ctype = _bmp_bytes(w, h, payload), "image/bmp"
+                elif kind == 1:
+                    rate = 8000 + (doc_id % 8) * 1000
+                    ns = 64 + len(payload) % 192
+                    content, ctype = _wav_bytes(rate, ns, payload), "audio/wav"
+                else:
+                    content, ctype = _ppm_bytes(w, h, payload), "image/ppm"
+                out["media_id"].append(doc_id)
+                out["content"].append(content)
+                out["content_type"].append(ctype)
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("content_type", StringType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
+
+
+def decode_bmp(b: bytes) -> tuple[int, int]:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER (little-endian)."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    w, h = struct.unpack_from("<ii", b, 18)
+    return w, abs(h)
+
+
+def decode_wav(b: bytes) -> tuple[int, int]:
+    """Canonical RIFF/PCM: fmt chunk at 12, data chunk follows."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    rate = struct.unpack_from("<I", b, 24)[0]
+    bits = struct.unpack_from("<H", b, 34)[0]
+    data_size = struct.unpack_from("<I", b, 40)[0]
+    return rate, data_size // (bits // 8)
+
+
+def decode_ppm(b: bytes) -> tuple[int, int]:
+    if b[:2] != b"P6":
+        raise ValueError("not a PPM")
+    head = b[: b.index(b"255\n") + 4].decode()
+    w, h = head.split("\n")[1].split(" ")
+    return int(w), int(h)
+
+
+def real_decode(media: DataFrame) -> DataFrame:
+    """REAL decode: parse each payload's actual bytes (magic sniff →
+    format-specific header parse). mapInPandas keeps the Arrow-batch
+    shape of the stub path; per-file parsing is row-local work inside
+    the batch — the same shape PIL/soundfile would have. Unknown
+    magics raise (the external-processing boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in REAL_FEATURE_SCHEMA.fieldNames()}
+            for mid, content, ctype in zip(
+                pdf["media_id"], pdf["content"], pdf["content_type"]
+            ):
+                b = bytes(content)
+                w = h = rate = ns = None
+                if b[:2] == b"BM":
+                    w, h = decode_bmp(b)
+                elif b[:4] == b"RIFF":
+                    rate, ns = decode_wav(b)
+                elif b[:2] == b"P6":
+                    w, h = decode_ppm(b)
+                else:
+                    raise ValueError(f"undecodable media {mid}: {b[:8]!r}")
+                rows["media_id"].append(int(mid))
+                rows["content_type"].append(ctype)
+                rows["n_bytes"].append(len(b))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(ns)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=REAL_FEATURE_SCHEMA)
+
+
+REAL_DECODE_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         doc_id % 3 AS kind,
+         8 + doc_id % 24 AS w,
+         4 + doc_id % 12 AS h,
+         8000 + (doc_id % 8) * 1000 AS rate,
+         64 + GREATEST(octet_length(encode(text)), 1) % 192 AS ns
+  FROM documents
+)
+SELECT media_id,
+       CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+            ELSE 'image/ppm' END AS content_type,
+       CAST(CASE kind
+            WHEN 0 THEN 54 + (3 * w + 3) // 4 * 4 * h
+            WHEN 1 THEN 44 + 2 * ns
+            ELSE 3 + length(CAST(w AS VARCHAR)) + 1
+                   + length(CAST(h AS VARCHAR)) + 5 + 3 * w * h
+       END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN kind <> 1 THEN w END AS BIGINT) AS width,
+       CAST(CASE WHEN kind <> 1 THEN h END AS BIGINT) AS height,
+       CAST(CASE WHEN kind = 1 THEN rate END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN kind = 1 THEN ns END AS BIGINT) AS n_samples
+FROM m
+"""

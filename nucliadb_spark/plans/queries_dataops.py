@@ -191,6 +191,23 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media).orderBy("media_id", "frame_idx")
 
 
+@register(
+    "multimodal_real_decode",
+    multimodal.REAL_DECODE_SQL + " ORDER BY media_id",
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL decode roundtrip (upgrades S7 past the stub): documents
+    are synthesized into genuine BMP/WAV-PCM/PPM files, then a
+    byte-level parser (magic sniff → header decode, mapInPandas)
+    reads dims / sample rates back OUT OF THE BYTES; the oracle
+    derives the same values analytically from the synthesis spec, so
+    any mis-parse diverges. Codec formats (JPEG/H.264) remain the
+    external-processing boundary, as in the reference
+    (resources.proto:9-36)."""
+    media = multimodal.synthesize_real_media(_docs(spark, sf_dir))
+    return multimodal.real_decode(media).orderBy("media_id")
+
+
 # --- model-stub pipelines: embed→KNN (V9) and rerank (R5) ------------------
 
 _EMBED_QUERY = "spark join window"
