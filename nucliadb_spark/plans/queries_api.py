@@ -621,3 +621,37 @@ def kb_feedback_report(spark, sf_dir):
     return feedback.kb_feedback_report(
         feedback.feedback_log(tpch.table(spark, sf_dir, "events"))
     )
+
+
+def _hydrate_oracle() -> str:
+    from nucliadb_spark.operators import hydrate as H
+
+    req = (
+        f"SELECT paragraph_id FROM ({tpch.SQL_PARAGRAPHS})"
+        " WHERE rid % 7 = 3 AND kind = 'TEXT'"
+    )
+    return H.hydrate_sql(
+        req, tpch.SQL_PARAGRAPHS, tpch.SQL_FIELDS, tpch.SQL_RESOURCES
+    )
+
+
+@register("hydrate_paragraphs", _hydrate_oracle())
+def hydrate_paragraphs(spark, sf_dir):
+    """`/kb/{kbid}/hydrate` endpoint (search/api/v1/hydrate.py:56-74):
+    an explicit ParagraphId list hydrated into the three-level payload
+    — paragraph text + ±1 neighbour windows
+    (ParagraphHydration.related.neighbours), field key/type/language,
+    resource slug/title/origin/security. The request's rid set
+    semijoins (= partition-prunes) every table before the neighbour
+    window runs."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import hydrate as H
+
+    paras = tpch.paragraphs(spark, sf_dir)
+    req = paras.filter((F.col("rid") % 7 == 3) & (F.col("kind") == "TEXT")).select(
+        "paragraph_id"
+    )
+    return H.hydrate(
+        req, paras, tpch.fields(spark, sf_dir), tpch.resources(spark, sf_dir)
+    )

@@ -41,11 +41,11 @@ def register(name: str, oracle: str | None = None):
 # list) per round. Round-5 window: seats 0-5 are the six round-4
 # additions that have never been driver-graded (locally value-parity
 # green at sf0.001/sf0.01; see CORRECTNESS_r01-r04 for everything
-# else). Seats 6-8 are this session's additions (feedback endpoint
-# analog batch + streaming, real media decode). Seats 9-49 re-confirm the flagship
+# else). Seats 6-9 are this session's additions (feedback endpoint
+# analog batch + streaming, real media decode, /hydrate). Seats 10-49 re-confirm the flagship
 # find/bm25 family, the full ANN quantization ladder, dedup,
 # pipelines, and streaming — the highest-value behaviors. After this
-# round all 184 registry
+# round all 185 registry
 # queries have green driver evidence in r1∪r2∪r3∪r4∪r5.
 # New round-5-session queries are inserted INSIDE the window (after
 # seat 5, displacing a re-confirmation) once locally parity-green,
@@ -59,11 +59,12 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "conversation_page_read",
     "kb_notifications",
     # round-5-session addition, locally parity-green at sf0.001+sf0.01
-    # before taking a seat (displaced: kb_export_roundtrip, suggest_correction, rrf_explain)
+    # before taking a seat (displaced: kb_export_roundtrip, suggest_correction, rrf_explain, cdc_time_travel)
     "kb_feedback_report",
     "stream_feedback_rate",
     "multimodal_real_decode",
-    # seats 9-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
+    "hydrate_paragraphs",
+    # seats 10-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
     "find_hybrid",
     "find_hybrid_ivf",
     "find_prefiltered",
@@ -103,10 +104,10 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "sample_dsir",
     "stream_percolator",
     "stream_stream_join",
-    "cdc_time_travel",
     "multi_kb_counters",
     # --- end of the 50-query graded window ---
     # ever-green re-confirmation queue (graded in r1-r4)
+    "cdc_time_travel",
     "rrf_explain",
     "suggest_correction",
     "kb_export_roundtrip",
