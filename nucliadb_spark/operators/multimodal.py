@@ -432,3 +432,110 @@ SELECT media_id,
        CAST(CASE WHEN kind = 1 THEN ns END AS BIGINT) AS n_samples
 FROM m
 """
+
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content_type", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("byte_max", LongType()),
+    ]
+)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Payload-level feature extraction over the DECODED media bytes
+    (the step after header parse): strip each format's header, then
+    numpy-vectorize over the raw payload — sum and max byte here,
+    where a production extractor computes histograms / RMS energy /
+    perceptual hashes with the identical access pattern. The whole
+    payload crosses as one Arrow buffer and is reduced with
+    np.frombuffer, never a Python byte loop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in MEDIA_FEATURES_SCHEMA.fieldNames()}
+            for mid, content, ctype in zip(
+                pdf["media_id"], pdf["content"], pdf["content_type"]
+            ):
+                b = bytes(content)
+                if b[:2] == b"BM":
+                    payload = b[54:]
+                elif b[:4] == b"RIFF":
+                    payload = b[44:]
+                elif b[:2] == b"P6":
+                    payload = b[b.index(b"255\n") + 4 :]
+                else:
+                    raise ValueError(f"undecodable media {mid}: {b[:8]!r}")
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                rows["media_id"].append(int(mid))
+                rows["content_type"].append(ctype)
+                rows["payload_bytes"].append(len(payload))
+                rows["byte_sum"].append(int(arr.sum()))
+                rows["byte_max"].append(int(arr.max()) if len(arr) else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
+
+
+# Oracle: the payload is the document text tiled to the format's
+# pixel/sample size (see synthesize_real_media), so its byte sum is
+# k·sum(text bytes) + sum(first r text bytes) for payload length
+# n = k·len + r — computed exactly from a per-character unnest. BMP
+# rows are 4-byte padded, so its payload (row stride × height)
+# includes the pad bytes, which the tiling fills with text too.
+MEDIA_FEATURES_SQL = """
+WITH src AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         doc_id % 3 AS kind,
+         8 + doc_id % 24 AS w,
+         4 + doc_id % 12 AS h,
+         64 + GREATEST(octet_length(encode(text)), 1) % 192 AS ns,
+         CASE WHEN octet_length(encode(text)) = 0
+              THEN chr(0) ELSE text END AS payload_src
+  FROM documents
+),
+sized AS (
+  SELECT media_id, kind, payload_src,
+         octet_length(encode(payload_src)) AS len,
+         CASE kind
+              WHEN 0 THEN (3 * w + 3) // 4 * 4 * h
+              WHEN 1 THEN 2 * ns
+              ELSE 3 * w * h
+         END AS n
+  FROM src
+),
+chars AS (
+  SELECT media_id, i,
+         ascii(substring(payload_src, CAST(i AS INTEGER), 1)) AS byte
+  FROM sized, unnest(range(1, len + 1)) AS t(i)
+),
+stats AS (
+  SELECT media_id,
+         SUM(byte) AS text_sum,
+         MAX(byte) AS text_max
+  FROM chars GROUP BY media_id
+),
+prefix AS (
+  SELECT c.media_id, SUM(c.byte) AS prefix_sum
+  FROM chars c JOIN sized s USING (media_id)
+  WHERE c.i <= s.n % s.len
+  GROUP BY c.media_id
+)
+SELECT s.media_id,
+       CASE s.kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+            ELSE 'image/ppm' END AS content_type,
+       CAST(s.n AS BIGINT) AS payload_bytes,
+       CAST((s.n // s.len) * st.text_sum + COALESCE(p.prefix_sum, 0)
+            AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN s.n >= s.len THEN st.text_max
+            ELSE (SELECT MAX(c2.byte) FROM chars c2
+                  WHERE c2.media_id = s.media_id AND c2.i <= s.n)
+       END AS BIGINT) AS byte_max
+FROM sized s
+JOIN stats st USING (media_id)
+LEFT JOIN prefix p USING (media_id)
+"""

@@ -593,3 +593,15 @@ def multimodal_text_to_image(spark, sf_dir):
         lambda: multimodal.media_embedding_index(media),
     )
     return multimodal.text_to_image_search(media, _T2I_QUERY, emb=emb)
+
+
+@register("multimodal_media_features", multimodal.MEDIA_FEATURES_SQL + " ORDER BY media_id")
+def multimodal_media_features(spark, sf_dir):
+    """Payload-level feature extraction over decoded media: strip the
+    real BMP/WAV/PPM headers, reduce the raw payload with numpy
+    (np.frombuffer sum/max — the access pattern of histograms, RMS
+    energy, perceptual hashes). The oracle reconstructs the tiled
+    payload arithmetic exactly, so a wrong header offset or a partial
+    read diverges."""
+    media = multimodal.synthesize_real_media(_docs(spark, sf_dir))
+    return multimodal.media_features(media).orderBy("media_id")

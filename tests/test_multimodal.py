@@ -65,3 +65,25 @@ def test_synthesize_decode_roundtrip_with_payload(spark, sf_dir):
         src = doc.text.encode("utf-8") or b"\x00"
         tiled = (src * (len(payload) // len(src) + 1))[: len(payload)]
         assert payload == tiled
+
+
+def test_media_features_match_pure_python(spark, sf_dir):
+    """byte_sum/byte_max over the stripped payload must equal a
+    reference computation done directly on the synthesized bytes."""
+    from nucliadb_spark.sources import tpch
+
+    docs = tpch.table(spark, sf_dir, "documents").limit(40)
+    media = mm.synthesize_real_media(docs).cache()
+    feats = {r.media_id: r for r in mm.media_features(media).collect()}
+    for r in media.collect():
+        b = bytes(r.content)
+        if r.content_type == "image/bmp":
+            payload = b[54:]
+        elif r.content_type == "audio/wav":
+            payload = b[44:]
+        else:
+            payload = b[b.index(b"255\n") + 4 :]
+        f = feats[r.media_id]
+        assert f.payload_bytes == len(payload)
+        assert f.byte_sum == sum(payload)
+        assert f.byte_max == (max(payload) if payload else 0)
