@@ -56,6 +56,12 @@ HEADLINE = [
     # both should sit flat vs their siblings
     "find_prefiltered_served",
     "find_rephrased",
+    # round 5: feedback analytics (kbid-keyed agg over events), the
+    # explicit-id /hydrate payload (semijoin + neighbour window), and
+    # the real media decode roundtrip (synthesize + byte-level parse)
+    "kb_feedback_report",
+    "hydrate_paragraphs",
+    "multimodal_real_decode",
 ]
 
 

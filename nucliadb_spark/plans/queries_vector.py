@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nucliadb_spark.operators import ann, knn
+from nucliadb_spark.operators import ann, knn, vectorsets
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 
@@ -450,4 +450,26 @@ def ann_ivf_adaptive(spark, sf_dir):
         k=10,
         base_nprobe=2,
         cap=8,
+    )
+
+
+@register("vectorset_backfill", vectorsets.backfill_report_sql())
+def vectorset_backfill(spark, sf_dir):
+    """add_vectorset + backfill (writer/api/v1/vectorsets.py:41-96):
+    a vectorset added mid-life covers only part of the corpus; the
+    backfill pass anti-joins the corpus against the partial set and
+    embeds ONLY the missing rids (embed cost ∝ missing rows, the
+    rid-keyed anti-join partition-aligns with every per-rid table).
+    Output is the completed set with per-row provenance."""
+    flds = tpch.fields(spark, sf_dir).select("rid", "text")
+    full = vectorsets.backfill_vectorset(flds, vectorsets.partial_vectorset(flds))
+    # driver output contract: no array columns — project a scalar
+    # digest of each vector (first component + component sum)
+    return full.select(
+        "rid",
+        "backfilled",
+        F.round(F.element_at("vector", 1), 5).alias("v0"),
+        F.round(
+            F.aggregate("vector", F.lit(0.0), lambda a, x: a + x), 5
+        ).alias("vsum"),
     )
