@@ -33,7 +33,13 @@ def hydrate(
     """request_ids(paragraph_id) → one row per requested paragraph
     carrying paragraph text + ±1 neighbour texts, the owning field's
     key/type/language, and the owning resource's slug/title/origin/
-    security — the flattened Hydrated payload."""
+    security — the flattened Hydrated payload.
+
+    request_ids must be DETERMINISTIC (it is referenced twice in the
+    DAG: once for the ids, once for the rid prune set) — a bare
+    limit() without ordering would pick two different row sets.
+    Endpoint requests are literal id lists, which trivially satisfy
+    this."""
     from pyspark.sql import Window
 
     req = request_ids.select("paragraph_id")
