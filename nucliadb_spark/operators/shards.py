@@ -161,3 +161,46 @@ def rebalance_moves(sizes: dict[int, int]) -> list[tuple[int, int, int]]:
         if tn == 0:
             ti += 1
     return moves
+
+
+def trainset_partitions(
+    resources: DataFrame,
+    n_shards: int,
+    prefix: str | None = None,
+    id_col: str = "rid",
+) -> DataFrame:
+    """`/kb/{kbid}/trainset[/{prefix}]` (train/api/v1/trainset.py:
+    33-64): the partition keys a training client can stream from —
+    in the reference these are the KB's shard ids (get_kb_partitions,
+    optionally prefix-filtered); here each routing shard is one
+    partition key, reported with its resource count so the client
+    can size its readers. One narrow groupBy, ≤ n_shards rows."""
+    p = (
+        resources.select(shard_of(F.col(id_col), n_shards).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_resources"))
+        .select(
+            F.concat(F.lit("shard-"), F.col("shard")).alias("partition"),
+            "n_resources",
+        )
+    )
+    if prefix is not None:
+        p = p.filter(F.col("partition").startswith(prefix))
+    return p.orderBy("partition")
+
+
+def trainset_partitions_sql(
+    resources_sql: str, n_shards: int, prefix: str | None = None, id_col: str = "rid"
+) -> str:
+    where = (
+        f"WHERE starts_with(partition, '{prefix}')" if prefix is not None else ""
+    )
+    return f"""
+SELECT * FROM (
+  SELECT concat('shard-', {shard_of_sql(id_col, n_shards, epoch=0)}) AS partition,
+         COUNT(*) AS n_resources
+  FROM ({resources_sql})
+  GROUP BY 1
+) {where}
+ORDER BY partition
+"""

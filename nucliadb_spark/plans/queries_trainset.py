@@ -690,3 +690,23 @@ def batch_by_length(spark, sf_dir):
     footprint bounded by the budget. One bucket-keyed window."""
     docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text")
     return trainset.batch_by_length(docs)
+
+
+@register(
+    "trainset_partitions",
+    __import__("nucliadb_spark.operators.shards", fromlist=["x"])
+    .trainset_partitions_sql(
+        "SELECT CAST(doc_id AS BIGINT) AS rid FROM documents", n_shards=6
+    ),
+)
+def trainset_partitions(spark, sf_dir):
+    """`/kb/{kbid}/trainset` (train/api/v1/trainset.py:33-64): the
+    partition keys a training client streams from — each routing
+    shard as a partition id with its resource count so readers can
+    be sized. One narrow groupBy, ≤ n_shards rows."""
+    from nucliadb_spark.operators.shards import trainset_partitions as tp
+
+    docs = tpch.table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS BIGINT) AS rid"
+    )
+    return tp(docs, n_shards=6)

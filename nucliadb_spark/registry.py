@@ -41,12 +41,12 @@ def register(name: str, oracle: str | None = None):
 # list) per round. Round-5 window: seats 0-5 are the six round-4
 # additions that have never been driver-graded (locally value-parity
 # green at sf0.001/sf0.01; see CORRECTNESS_r01-r04 for everything
-# else). Seats 6-11 are this session's additions (feedback endpoint
+# else). Seats 6-12 are this session's additions (feedback endpoint
 # analog batch + streaming, real media decode + payload features,
-# /hydrate, vectorset backfill). Seats 12-49 re-confirm the flagship
+# /hydrate, vectorset backfill, trainset partitions). Seats 13-49 re-confirm the flagship
 # find/bm25 family, the full ANN quantization ladder, dedup,
 # pipelines, and streaming — the highest-value behaviors. After this
-# round all 187 registry
+# round all 188 registry
 # queries have green driver evidence in r1∪r2∪r3∪r4∪r5.
 # New round-5-session queries are inserted INSIDE the window (after
 # seat 5, displacing a re-confirmation) once locally parity-green,
@@ -61,14 +61,16 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "kb_notifications",
     # round-5-session addition, locally parity-green at sf0.001+sf0.01
     # before taking a seat (displaced: kb_export_roundtrip, suggest_correction,
-    # rrf_explain, cdc_time_travel, bm25_explain, find_autofilter)
+    # rrf_explain, cdc_time_travel, bm25_explain, find_autofilter,
+    # ann_kmeans_step)
     "kb_feedback_report",
     "stream_feedback_rate",
     "multimodal_real_decode",
     "hydrate_paragraphs",
     "multimodal_media_features",
     "vectorset_backfill",
-    # seats 12-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
+    "trainset_partitions",
+    # seats 13-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
     "find_hybrid",
     "find_hybrid_ivf",
     "find_prefiltered",
@@ -90,7 +92,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "ann_ivf_geometric",
     "ann_ivf_recall",
     "ann_ivf_adaptive",
-    "ann_kmeans_step",
     "ivf_cell_maintenance",
     "knn_vectorset_alt",
     "graph_strategy_hops",
@@ -109,6 +110,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "multi_kb_counters",
     # --- end of the 50-query graded window ---
     # ever-green re-confirmation queue (graded in r1-r4)
+    "ann_kmeans_step",
     "find_autofilter",
     "bm25_explain",
     "cdc_time_travel",
