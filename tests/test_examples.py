@@ -218,3 +218,36 @@ def test_query_understanding_example(spark, sf_dir):
 
     perc = ingest.stream_percolator(spark, sf_dir).collect()
     assert perc and all(r["n_matching_docs"] > 0 for r in perc)
+
+
+def test_feedback_hydrate_lifecycle_example(spark, sf_dir):
+    from nucliadb_spark.operators import feedback, hydrate, multimodal, vectorsets
+    from nucliadb_spark.sources import tpch
+
+    log = feedback.feedback_log(tpch.table(spark, sf_dir, "events"))
+    log = feedback.send_feedback(
+        spark, log, kbid="kb0", user="user-x",
+        req=feedback.FeedbackRequest(
+            ident="learn-1", good=False, feedback="wrong answer"
+        ),
+    )
+    assert feedback.kb_feedback_report(log).count() > 0
+
+    paras = tpch.paragraphs(spark, sf_dir)
+    req = paras.filter("rid % 7 = 3 AND kind = 'TEXT'").select("paragraph_id")
+    assert (
+        hydrate.hydrate(
+            req, paras, tpch.fields(spark, sf_dir), tpch.resources(spark, sf_dir)
+        ).count()
+        > 0
+    )
+
+    media = multimodal.synthesize_real_media(
+        tpch.table(spark, sf_dir, "documents")
+    )
+    assert multimodal.real_decode(media).count() > 0
+    assert multimodal.media_features(media).count() > 0
+
+    flds = tpch.fields(spark, sf_dir).select("rid", "text")
+    out = vectorsets.backfill_vectorset(flds, vectorsets.partial_vectorset(flds))
+    assert out.count() == flds.count()
