@@ -418,3 +418,33 @@ def _walk_subtree(root):
             ch = n.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
+
+
+def test_hydrate_is_pruned_and_single_window_shuffle(spark, sf_dir):
+    """/hydrate scale shape: the request's rid set must reach the
+    paragraph/field/resource sides as broadcast joins (semijoin
+    pruning — hydration cost ∝ requested resources), and the ±1
+    neighbour window is the ONLY hash-partitioned exchange (the
+    final sort's range exchange aside)."""
+    from nucliadb_spark import registry
+
+    df = registry.queries()["hydrate_paragraphs"](spark, sf_dir)
+    df.collect()
+    kinds = {"bcast": 0, "data_exchange": 0, "window": 0}
+    for cls, n in _walk_physical(df):
+        if cls == "BroadcastHashJoinExec":
+            kinds["bcast"] += 1
+        elif cls == "WindowExec" or cls == "WindowGroupLimitExec":
+            kinds["window"] += 1
+        elif cls == "ShuffleExchangeExec":
+            if "hashpartitioning" not in n.outputPartitioning().toString():
+                continue
+            outs = n.output()
+            names = [outs.apply(i).name() for i in range(outs.size())]
+            # the distinct-rids exchange carries only ids (broadcast
+            # prep); only exchanges moving paragraph TEXT are data
+            if "text" in names:
+                kinds["data_exchange"] += 1
+    assert kinds["bcast"] >= 3, kinds   # req ids + fields + resources
+    assert kinds["window"] >= 1, kinds
+    assert kinds["data_exchange"] <= 1, kinds  # only the rid window
