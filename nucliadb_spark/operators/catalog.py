@@ -320,6 +320,116 @@ def facet_rollup(
     )
 
 
+def labelsets_listing(
+    resources: DataFrame, labels_column: str = "labels"
+) -> DataFrame:
+    """GET /kb/{kbid}/labelsets analog (reader/api/v1/services.py:
+    128-209): list each classification labelset with its label
+    inventory size and usage. The reference reads stored LabelSet
+    declarations from KV; the lakehouse analog derives the listing
+    from the indexed ``/l/{labelset}/{label}`` facets themselves —
+    (labelset, n_labels, n_resources) where n_labels counts distinct
+    labels in the set and n_resources counts distinct resources
+    carrying any of them. One explode (row-local) + one two-level
+    distinct aggregation; cardinality is the labelset vocabulary,
+    never the resource count."""
+    parts = F.split(F.col("label"), "/")
+    return (
+        resources.select(
+            F.col("rid"), F.explode(labels_column).alias("label")
+        )
+        .filter(F.col("label").startswith("/l/"))
+        .select(
+            F.element_at(parts, 3).alias("labelset"),
+            F.element_at(parts, 4).alias("label"),
+            "rid",
+        )
+        .groupBy("labelset")
+        .agg(
+            F.countDistinct("label").cast("long").alias("n_labels"),
+            F.countDistinct("rid").cast("long").alias("n_resources"),
+        )
+        .orderBy("labelset")
+    )
+
+
+def labelsets_listing_sql(resources_sql: str) -> str:
+    return f"""
+WITH resources AS ({resources_sql}),
+l AS (
+  SELECT rid, unnest(labels) AS label FROM resources
+),
+split AS (
+  SELECT string_split(label, '/')[3] AS labelset,
+         string_split(label, '/')[4] AS label,
+         rid
+  FROM l WHERE label LIKE '/l/%'
+)
+SELECT labelset,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+       CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_resources
+FROM split
+GROUP BY labelset
+ORDER BY labelset
+"""
+
+
+def processing_status(
+    resources: DataFrame,
+    limit: int = 20,
+    cursor: str | None = None,
+) -> DataFrame:
+    """GET /kb/{kbid}/processing-status analog (reader/api/v1/
+    services.py:266-323): the reference lists in-flight processing
+    requests from the external processing service, composes resource
+    titles, and pages by cursor+limit. The lakehouse analog lists
+    PENDING resources as the processing queue — (position, rid,
+    title, status, created), queue-ordered (created asc, rid asc),
+    keyset cursor on created.
+
+    Scale shape: the page is cut with orderBy+limit FIRST
+    (TakeOrderedAndProject — a per-partition top-N, no global sort),
+    and the position row_number runs over the <=limit-row page, so
+    the single-partition window never sees more than one page."""
+    from pyspark.sql import Window
+
+    q = resources.filter(F.col("status") == "PENDING")
+    if cursor is not None:
+        q = q.filter(F.col("created") > F.lit(cursor).cast("timestamp"))
+    page = q.select("rid", "title", "status", "created").orderBy(
+        "created", "rid"
+    ).limit(limit)
+    w = Window.orderBy("created", "rid")
+    return page.select(
+        F.row_number().over(w).cast("long").alias("position"),
+        "rid",
+        "title",
+        "status",
+        "created",
+    )
+
+
+def processing_status_sql(
+    resources_sql: str, limit: int = 20, cursor: str | None = None
+) -> str:
+    cur = (
+        f"AND created > TIMESTAMP '{cursor}'" if cursor is not None else ""
+    )
+    return f"""
+WITH resources AS ({resources_sql}),
+page AS (
+  SELECT rid, title, status, created
+  FROM resources
+  WHERE status = 'PENDING' {cur}
+  ORDER BY created, rid
+  LIMIT {limit}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY created, rid) AS BIGINT) AS position,
+       rid, title, status, created
+FROM page
+"""
+
+
 def facet_rollup_sql(resources_sql: str, max_depth: int = 3) -> str:
     return f"""
 WITH resources AS ({resources_sql}),

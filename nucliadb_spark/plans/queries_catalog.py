@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from nucliadb_spark.operators import catalog as cat
 from nucliadb_spark.operators import filters as fx
+from nucliadb_spark.operators import kvschema as kvs
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 
@@ -276,3 +277,70 @@ WHERE {_KW.to_sql()}
 def keyword_filter(spark, sf_dir):
     d = tpch.table(spark, sf_dir, "documents")
     return d.filter(_KW.to_column()).select("doc_id", "lang", "source")
+
+
+# --- Services surface: labelsets listing + KV-schema inference ---------
+# ref: reader/api/v1/services.py:128-209 (GET /labelsets) and
+# :364-398 (GET /kv-schemas) — the last two reader-services reads
+# without a lakehouse analog. Labelsets are derived from the indexed
+# /l/ facets; KV schemas are INFERRED from a JSON metadata column
+# (kv_schemas.py:43-99 flat typed keys + required/repeated flags).
+
+
+@register("kb_labelsets", cat.labelsets_listing_sql(tpch.SQL_RESOURCES))
+def kb_labelsets(spark, sf_dir):
+    return cat.labelsets_listing(tpch.resources(spark, sf_dir))
+
+
+# Per-event JSON metadata doc exercising every KVFieldType: int, text,
+# float, boolean, date, a repeated (array) field, and an optional
+# float (absent when value <= 250 -> required=false). Both engines
+# build the doc independently from the same relational columns; the
+# inference passes must agree on the derived declaration.
+_KV_META_SQL = """
+SELECT to_json(struct_pack(
+  uid := user_id,
+  etype := event_type,
+  val := round(value, 2),
+  purchase := event_type = 'purchase',
+  day := strftime(ts, '%Y-%m-%d'),
+  tags := [event_type, 'evt'],
+  score := CASE WHEN value > 250 THEN round(value / 10, 2) END
+)) AS meta
+FROM events
+"""
+
+
+@register("kv_schema_infer", kvs.infer_kv_schema_sql(_KV_META_SQL))
+def kv_schema_infer(spark, sf_dir):
+    e = tpch.table(spark, sf_dir, "events")
+    meta = e.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("etype"),
+                F.round("value", 2).alias("val"),
+                (F.col("event_type") == "purchase").alias("purchase"),
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.array(F.col("event_type"), F.lit("evt")).alias("tags"),
+                F.when(F.col("value") > 250, F.round(F.col("value") / 10, 2)).alias(
+                    "score"
+                ),
+            )
+        ).alias("meta")
+    )
+    return kvs.infer_kv_schema(meta, "meta")
+
+
+# Processing-queue listing: PENDING resources as the queue the
+# reference's processing_status endpoint reports (services.py:266-323),
+# keyset-cursored. Cursor fixed mid-corpus so the page is non-trivial
+# at every SF.
+@register(
+    "kb_processing_status",
+    cat.processing_status_sql(tpch.SQL_RESOURCES, limit=20, cursor="1995-03-01 00:00:00"),
+)
+def kb_processing_status(spark, sf_dir):
+    return cat.processing_status(
+        tpch.resources(spark, sf_dir), limit=20, cursor="1995-03-01 00:00:00"
+    )

@@ -43,7 +43,9 @@ def register(name: str, oracle: str | None = None):
 # green at sf0.001/sf0.01; see CORRECTNESS_r01-r04 for everything
 # else). Seats 6-12 are this session's additions (feedback endpoint
 # analog batch + streaming, real media decode + payload features,
-# /hydrate, vectorset backfill, trainset partitions). Seats 13-49 re-confirm the flagship
+# /hydrate, vectorset backfill, trainset partitions); seats 13-14
+# the reader-services listing analogs (labelsets, KV-schema
+# inference). Seats 15-49 re-confirm the flagship
 # find/bm25 family, the full ANN quantization ladder, dedup,
 # pipelines, and streaming — the highest-value behaviors. After this
 # round all 188 registry
@@ -70,7 +72,10 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "multimodal_media_features",
     "vectorset_backfill",
     "trainset_partitions",
-    # seats 13-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
+    "kb_labelsets",
+    "kv_schema_infer",
+    "kb_processing_status",
+    # seats 16-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
     "find_hybrid",
     "find_hybrid_ivf",
     "find_prefiltered",

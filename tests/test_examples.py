@@ -251,3 +251,23 @@ def test_feedback_hydrate_lifecycle_example(spark, sf_dir):
     flds = tpch.fields(spark, sf_dir).select("rid", "text")
     out = vectorsets.backfill_vectorset(flds, vectorsets.partial_vectorset(flds))
     assert out.count() == flds.count()
+
+
+def test_services_reads_example(spark, sf_dir):
+    from nucliadb_spark.operators import catalog as cat, kvschema
+    from nucliadb_spark.sources import tpch
+
+    r = tpch.resources(spark, sf_dir)
+    ls = cat.labelsets_listing(r).collect()
+    assert {x["labelset"] for x in ls} >= {"type", "brand"}
+
+    meta = tpch.table(spark, sf_dir, "events").selectExpr(
+        "to_json(named_struct('uid', user_id, 'etype', event_type)) AS meta"
+    )
+    sch = {x["key"]: x["type"] for x in kvschema.infer_kv_schema(meta, "meta").collect()}
+    assert sch == {"uid": "integer", "etype": "text"}
+
+    page = cat.processing_status(r, limit=20, cursor="1995-03-01 00:00:00").collect()
+    assert len(page) <= 20
+    assert all(x["status"] == "PENDING" for x in page)
+    assert [x["position"] for x in page] == list(range(1, len(page) + 1))

@@ -448,3 +448,34 @@ def test_hydrate_is_pruned_and_single_window_shuffle(spark, sf_dir):
     assert kinds["bcast"] >= 3, kinds   # req ids + fields + resources
     assert kinds["window"] >= 1, kinds
     assert kinds["data_exchange"] <= 1, kinds  # only the rid window
+
+
+def test_processing_status_page_cut_before_position_window(spark, sf_dir):
+    """The queue page must be cut with TakeOrderedAndProject BEFORE
+    the single-partition position window, so the global window never
+    sees more than one page (<=limit rows)."""
+    from nucliadb_spark.operators import catalog as cat
+    from nucliadb_spark.sources import tpch
+
+    df = cat.processing_status(
+        tpch.resources(spark, sf_dir), limit=20, cursor="1995-03-01 00:00:00"
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=20" in plan, plan[:1500]
+    # the page cut feeds the window (appears below it in the tree)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:1500]
+
+
+def test_kv_schema_infer_single_key_shuffle(spark, sf_dir):
+    """Schema inference is one row-local explode + one aggregation
+    shuffle keyed by the KV vocabulary — never a shuffle keyed by
+    documents."""
+    from nucliadb_spark.operators import kvschema
+    from nucliadb_spark.sources import tpch
+
+    meta = tpch.table(spark, sf_dir, "events").selectExpr(
+        "to_json(named_struct('uid', user_id, 'etype', event_type)) AS meta"
+    )
+    plan = _plan(kvschema.infer_kv_schema(meta, "meta"))
+    assert _n_shuffles(plan) == 1, plan[:2000]
+    assert "Generate explode" in plan, plan[:2000]
