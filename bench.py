@@ -62,6 +62,10 @@ HEADLINE = [
     "kb_feedback_report",
     "hydrate_paragraphs",
     "multimodal_real_decode",
+    # round 6: multi-field hydration (owning-field join over the
+    # 2-fields-per-rid corpus) and the per-(kbid, day) feedback trend
+    "hydrate_multi_field",
+    "feedback_daily_trend",
 ]
 
 

@@ -412,6 +412,12 @@ def processing_status(
 def processing_status_sql(
     resources_sql: str, limit: int = 20, cursor: str | None = None
 ) -> str:
+    # oracle-builder input: the cursor is interpolated into SQL, so
+    # accept trusted timestamp constants only — never caller data
+    if cursor is not None and not all(c in "0123456789-: ." for c in cursor):
+        raise ValueError(f"cursor must be a plain timestamp literal: {cursor!r}")
+    if not isinstance(limit, int):
+        raise ValueError("limit must be an int")
     cur = (
         f"AND created > TIMESTAMP '{cursor}'" if cursor is not None else ""
     )

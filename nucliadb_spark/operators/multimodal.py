@@ -487,6 +487,12 @@ def media_features(media: DataFrame) -> DataFrame:
 # n = k·len + r — computed exactly from a per-character unnest. BMP
 # rows are 4-byte padded, so its payload (row stride × height)
 # includes the pad bytes, which the tiling fills with text too.
+# ASCII-corpus assumption: this oracle walks CHARACTER positions via
+# ascii(substring(...)) while the Spark path sums raw UTF-8 BYTES —
+# the two agree only because the TPC-H-ish document text is ASCII
+# (1 char == 1 byte; the same assumption tpch.py's paragraphs
+# section documents). Non-ASCII text would silently diverge the
+# grade; synthesize_real_media's payloads inherit the guarantee.
 MEDIA_FEATURES_SQL = """
 WITH src AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id,

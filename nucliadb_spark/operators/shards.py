@@ -192,6 +192,10 @@ def trainset_partitions(
 def trainset_partitions_sql(
     resources_sql: str, n_shards: int, prefix: str | None = None, id_col: str = "rid"
 ) -> str:
+    # oracle-builder input: the prefix is interpolated into SQL, so
+    # accept trusted shard-name constants only — never caller data
+    if prefix is not None and ("'" in prefix or "\\" in prefix):
+        raise ValueError(f"prefix must be a plain shard-name literal: {prefix!r}")
     where = (
         f"WHERE starts_with(partition, '{prefix}')" if prefix is not None else ""
     )

@@ -655,3 +655,142 @@ def hydrate_paragraphs(spark, sf_dir):
     return H.hydrate(
         req, paras, tpch.fields(spark, sf_dir), tpch.resources(spark, sf_dir)
     )
+
+
+def _hydrate_multi_field_oracle() -> str:
+    from nucliadb_spark.operators import hydrate as H
+
+    req = f"SELECT paragraph_id FROM ({tpch.SQL_PARAGRAPHS_FIELDED}) WHERE rid % 11 = 5"
+    return H.hydrate_sql(
+        req, tpch.SQL_PARAGRAPHS_FIELDED, tpch.SQL_FIELDS_MULTI, tpch.SQL_RESOURCES
+    )
+
+
+@register("hydrate_multi_field", _hydrate_multi_field_oracle())
+def hydrate_multi_field(spark, sf_dir):
+    """/hydrate over the MULTI-FIELD corpus: resources carry two
+    fields ('/t/body' + the '/a/title' generic field,
+    resources.proto:39-48) and paragraph ids carry the reference's
+    full 3-segment shape `rid/field/start-end`
+    (nidx_paragraph/src/schema.rs). Hydration attaches the OWNING
+    field via the (rid, field_id) join parsed from the id
+    (nucliadb_models/hydration.py:203-290) — exactly one output row
+    per requested paragraph, never a row per (paragraph × field);
+    neighbour windows stay inside the owning field's sequence, so a
+    title paragraph never leaks in as a body neighbour."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import hydrate as H
+
+    paras = tpch.paragraphs_fielded(spark, sf_dir)
+    req = paras.filter(F.col("rid") % 11 == 5).select("paragraph_id")
+    return H.hydrate(
+        req, paras, tpch.fields_multi(spark, sf_dir), tpch.resources(spark, sf_dir)
+    )
+
+
+def _hydrate_depth2_oracle() -> str:
+    from nucliadb_spark.operators import hydrate as H
+
+    req = (
+        f"SELECT paragraph_id FROM ({tpch.SQL_PARAGRAPHS})"
+        " WHERE rid % 13 = 4 AND kind = 'TEXT'"
+    )
+    return H.hydrate_sql(
+        req,
+        tpch.SQL_PARAGRAPHS,
+        tpch.SQL_FIELDS,
+        tpch.SQL_RESOURCES,
+        before=2,
+        after=2,
+    )
+
+
+@register("hydrate_neighbours_depth2", _hydrate_depth2_oracle())
+def hydrate_neighbours_depth2(spark, sf_dir):
+    """/hydrate with neighbour depth 2
+    (ParagraphHydration.related.neighbours.before/after = 2,
+    nucliadb_models/hydration.py:203-290): a stack of lag/lead
+    offsets over the owning field's paragraph sequence — still ONE
+    window shuffle regardless of depth, never a self-join per
+    neighbour."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import hydrate as H
+
+    paras = tpch.paragraphs(spark, sf_dir)
+    req = paras.filter((F.col("rid") % 13 == 4) & (F.col("kind") == "TEXT")).select(
+        "paragraph_id"
+    )
+    return H.hydrate(
+        req,
+        paras,
+        tpch.fields(spark, sf_dir),
+        tpch.resources(spark, sf_dir),
+        before=2,
+        after=2,
+    )
+
+
+@register("feedback_daily_trend", feedback.feedback_daily_trend_sql(tenants=3))
+def feedback_daily_trend(spark, sf_dir):
+    """Per-(kbid, day) feedback good-rate trend over the timestamped
+    audit log (audit/stream.py:597-627) at tenant count 3 — daily
+    volume + thumbs-up rate + cumulative-to-date rate per KB. The
+    cumulative window runs over the already-aggregated day rollup
+    (one row per kbid per day), so the ordered window input is tiny;
+    the only data-sized shuffle is the (kbid, day) groupBy with
+    map-side partial combine. Tenant count 3 (vs the report's 2)
+    exercises the per-KB state claim beyond the binary case."""
+    return feedback.feedback_daily_trend(
+        feedback.feedback_log(tpch.table(spark, sf_dir, "events"), tenants=3)
+    )
+
+
+PARAGRAPH_SEARCH_FIELDED_SQL = f"""
+WITH p AS ({tpch.SQL_PARAGRAPHS_FIELDED}),
+f AS ({tpch.SQL_FIELDS_MULTI})
+SELECT p.paragraph_id, p.rid, p.text, p.kind,
+       f.field_key, f.field_type, f.language
+FROM p
+JOIN f ON f.rid = p.rid
+      AND f.field_id = string_split(p.paragraph_id, '/')[2]
+WHERE contains(lower(p.text), 'spark')
+ORDER BY p.paragraph_id
+"""
+
+
+@register("paragraph_search_fielded", PARAGRAPH_SEARCH_FIELDED_SQL)
+def paragraph_search_fielded(spark, sf_dir):
+    """Paragraph keyword search over the multi-field corpus with
+    owning-field attachment (J4/F9 fan-out semantics): a match in the
+    title field and a match in the body field of the SAME resource
+    are distinct text blocks, each attached to its own field's
+    key/type/language via the (rid, field_id) join — the reference's
+    ParagraphId→field resolution (nidx_paragraph/src/schema.rs; field
+    ids in paragraph keys). The keyword filter pushes below the join;
+    the join fans out by id, never by resource."""
+    from pyspark.sql import functions as F
+
+    paras = tpch.paragraphs_fielded(spark, sf_dir)
+    fields = tpch.fields_multi(spark, sf_dir)
+    seg = F.split("paragraph_id", "/")
+    hits = paras.filter(F.lower(F.col("text")).contains("spark")).withColumn(
+        "field_id", seg.getItem(1)
+    )
+    return (
+        hits.join(
+            fields.select("rid", "field_id", "field_key", "field_type", "language"),
+            ["rid", "field_id"],
+        )
+        .select(
+            "paragraph_id",
+            "rid",
+            "text",
+            "kind",
+            "field_key",
+            "field_type",
+            "language",
+        )
+        .orderBy("paragraph_id")
+    )

@@ -37,193 +37,224 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver grades the FIRST 50 registry queries (order of this
-# list) per round. Round-5 window: seats 0-5 are the six round-4
-# additions that have never been driver-graded (locally value-parity
-# green at sf0.001/sf0.01; see CORRECTNESS_r01-r04 for everything
-# else). Seats 6-12 are this session's additions (feedback endpoint
-# analog batch + streaming, real media decode + payload features,
-# /hydrate, vectorset backfill, trainset partitions); seats 13-14
-# the reader-services listing analogs (labelsets, KV-schema
-# inference). Seats 15-49 re-confirm the flagship
-# find/bm25 family, the full ANN quantization ladder, dedup,
-# pipelines, and streaming — the highest-value behaviors. After this
-# round all 188 registry
-# queries have green driver evidence in r1∪r2∪r3∪r4∪r5.
-# New round-5-session queries are inserted INSIDE the window (after
-# seat 5, displacing a re-confirmation) once locally parity-green,
-# so the round ends with never-graded = 0.
+# The driver grades the FIRST 50 entries of this list per round.
+# Round-6 window policy (oldest-evidence-first rotation): every one
+# of the 195 registry queries is green somewhere in r1-r5 plus local
+# parity (tests/test_oracle_parity.py re-checks all oracles each
+# run), so the window now rotates by STALEST driver evidence. Seats
+# 0-3 are this session's additions (multi-field /hydrate + corpus,
+# depth-2 neighbours, feedback daily trend); seats 4-32 the 29
+# queries whose only driver evidence was round 1; seats 33-49 the
+# oldest r2-evidence queries. The tail holds every remaining query
+# (none is unreachable), ordered stalest-first so future rounds keep
+# rotating forward. New queries are inserted INSIDE the window once
+# locally parity-green at sf0.001+sf0.01, displacing the freshest
+# re-confirmations.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # never driver-graded (round-4 additions) — seats 0-5
-    "json_kv_date_range",
+    # seats 0-3: round-6 additions, never driver-graded (locally
+    # parity-green at sf0.001 AND sf0.01 before taking a seat)
+    "hydrate_multi_field",
+    "hydrate_neighbours_depth2",
+    "feedback_daily_trend",
+    "paragraph_search_fielded",
+    # seats 4-32: the 29 queries whose only driver evidence was r1
+    # (they were previously absent from PRIORITY entirely)
+    "advanced_query",
+    "catalog_count",
+    "catalog_facet_rollup",
+    "catalog_facets",
+    "catalog_fuzzy_title",
+    "catalog_trigram_title",
+    "catalog_words_paged",
+    "conversation_context",
+    "conversation_search",
+    "field_facet_counts",
+    "filter_expression_tree",
+    "graph_neighborhood",
+    "graph_node_fuzzy",
+    "graph_node_words",
+    "graph_nodes_projection",
+    "graph_path_prefix",
+    "graph_path_undirected",
+    "graph_relations_projection",
+    "graph_semantic_nodes",
+    "graph_text_blocks",
+    "graph_two_hop",
+    "json_kv_filter",
+    "keyword_filter",
+    "neighbouring_paragraphs",
+    "paragraph_extract",
+    "phrase_match",
+    "search_after_keyset",
+    "security_filter",
+    "suggest_entities",
+    # seats 33-49: oldest r2-evidence queries (alphabetical; the
+    # remaining 16 r2-evidence queries lead the tail for round 7)
+    "bm25_ematches",
+    "bm25_fuzzy_fallback",
+    "bm25_highlight",
+    "bm25_prefiltered",
+    "bm25_stop_words",
+    "bm25_synonyms",
+    "combsum_fusion",
+    "corpus_length_stats",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_knn_stub",
+    "export_paragraph_classification",
+    "find_secured",
+    "find_skip_set",
+    "kb_export_roundtrip",
+    "knn_dot",
+    # --- end of the 50-query graded window ---
+    # tail: re-confirmation queue, stalest evidence first
+    # (remaining r2, then r3, r4, r5 — rotate forward next round)
+    "knn_matryoshka",
+    "knn_maxsim",
+    "knn_min_score",
+    "knn_prefiltered",
+    "multimodal_decode",
+    "paragraph_search",
+    "paragraph_search_filtered",
+    "rag_field_extension",
+    "rag_metadata_extension",
+    "rerank_stub",
+    "suggest_paragraphs",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_token_counts",
+    "vocab_stats",
+    "augment_paragraphs",
+    "augment_resources",
+    "catalog_filter_alias",
+    "cdc_facet_counts",
+    "cdc_search_live",
+    "cdc_vector_search_live",
+    "contamination_ngram_overlap",
+    "dedup_clusters",
+    "entities_group_members",
+    "entities_groups",
+    "event_sessionization",
+    "events_asof_join",
+    "events_asof_tolerance",
+    "events_percentiles",
+    "events_rollup",
+    "export_field_classification",
+    "export_field_streaming",
+    "export_image_classification",
+    "export_paragraph_streaming",
+    "export_question_answer",
+    "export_sentence_classification",
+    "export_token_classification",
+    "find_exact_match_query",
+    "find_relations_feature",
+    "find_single_source",
+    "graph_reachability",
+    "graph_semantic_paths",
+    "kb_counters",
+    "knn_dedup",
+    "knn_normalized",
+    "knn_sq8_rerank",
+    "legacy_search",
+    "multi_kb_scoped_search",
+    "old_filters_translation",
+    "paragraph_search_no_dups",
+    "resource_search",
+    "retrieve_scores",
+    "sample_mixture",
+    "sample_stratified",
+    "shard_rollover_plan",
+    "stream_session_window",
+    "stream_sessionization",
+    "stream_sliding_counts",
+    "stream_windowed_counts",
+    "suggest_combined",
+    "suggest_entities_folded",
+    "text_pii_scan",
+    "text_repetition",
+    "ann_kmeans_step",
+    "ask_stub",
+    "batch_by_length",
+    "bm25_autocorrect",
+    "bm25_explain",
+    "bm25_snippets",
+    "bpe_pair_counts",
+    "catalog_date_histogram",
+    "cdc_time_travel",
+    "eval_prefix_ndcg",
+    "find_autofilter",
+    "find_prequeries",
+    "multi_kb_counters",
+    "multimodal_frame_sample",
+    "multimodal_text_to_image",
+    "pack_sequences",
+    "rrf_explain",
+    "sample_perplexity_buckets",
+    "sample_token_budget",
+    "segment_merge_plan",
+    "stream_exact_dedup",
+    "stream_neardup_gate",
+    "stream_percolator",
+    "stream_stream_join",
+    "suggest_correction",
+    "summarize_stub",
+    "text_quality_funnel",
+    "text_unigram_logprob",
+    "trainset_split",
+    "vocab_kmv_sketch",
+    "vocab_prune_plan",
     "advanced_query_fielded",
-    "conversation_typed_search",
+    "ann_ivf_adaptive",
+    "ann_ivf_geometric",
+    "ann_ivf_pq",
+    "ann_ivf_probe",
+    "ann_ivf_recall",
+    "ann_ivf_sq8",
+    "bm25_batch_queries",
+    "bm25_conjunctive",
+    "bm25_fuzzy",
+    "bm25_keyword",
+    "bm25_min_score",
+    "bm25_prefiltered_served",
     "conversation_field_metadata",
     "conversation_page_read",
-    "kb_notifications",
-    # round-5-session addition, locally parity-green at sf0.001+sf0.01
-    # before taking a seat (displaced: kb_export_roundtrip, suggest_correction,
-    # rrf_explain, cdc_time_travel, bm25_explain, find_autofilter,
-    # ann_kmeans_step)
-    "kb_feedback_report",
-    "stream_feedback_rate",
-    "multimodal_real_decode",
-    "hydrate_paragraphs",
-    "multimodal_media_features",
-    "vectorset_backfill",
-    "trainset_partitions",
-    "kb_labelsets",
-    "kv_schema_infer",
-    "kb_processing_status",
-    # seats 16-49: flagship family + ANN ladder + dedup/pipeline/streaming re-confirmations
+    "conversation_typed_search",
+    "dedup_best_survivor",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_span_removal",
     "find_hybrid",
     "find_hybrid_ivf",
     "find_prefiltered",
     "find_prefiltered_served",
+    "find_relations_subgraph",
     "find_rephrased",
-    "bm25_keyword",
-    "bm25_prefiltered_served",
-    "bm25_fuzzy",
-    "bm25_conjunctive",
-    "bm25_min_score",
-    "bm25_batch_queries",
+    "graph_pagerank",
+    "graph_strategy_hops",
+    "hydrate_paragraphs",
+    "ivf_cell_maintenance",
+    "json_kv_date_range",
+    "kb_feedback_report",
+    "kb_labelsets",
+    "kb_notifications",
+    "kb_processing_status",
     "knn_cosine",
+    "knn_pq_adc",
     "knn_quantized_rerank",
     "knn_rabitq_1bit",
-    "knn_pq_adc",
-    "ann_ivf_probe",
-    "ann_ivf_pq",
-    "ann_ivf_sq8",
-    "ann_ivf_geometric",
-    "ann_ivf_recall",
-    "ann_ivf_adaptive",
-    "ivf_cell_maintenance",
     "knn_vectorset_alt",
-    "graph_strategy_hops",
-    "graph_pagerank",
-    "find_relations_subgraph",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_span_removal",
-    "dedup_best_survivor",
-    "text_dup_spans",
-    "pipeline_trainset_build",
+    "kv_schema_infer",
+    "multimodal_media_features",
+    "multimodal_real_decode",
     "pipeline_clean_corpus",
+    "pipeline_trainset_build",
     "sample_dsir",
-    "stream_percolator",
-    "stream_stream_join",
-    "multi_kb_counters",
-    # --- end of the 50-query graded window ---
-    # ever-green re-confirmation queue (graded in r1-r4)
-    "ann_kmeans_step",
-    "find_autofilter",
-    "bm25_explain",
-    "cdc_time_travel",
-    "rrf_explain",
-    "suggest_correction",
-    "kb_export_roundtrip",
-    "segment_merge_plan",
-    "sample_token_budget",
-    "trainset_split",
-    "stream_neardup_gate",
-    "vocab_prune_plan",
-    "bpe_pair_counts",
-    "sample_perplexity_buckets",
-    "eval_prefix_ndcg",
-    "bm25_autocorrect",
-    "vocab_kmv_sketch",
-    "multimodal_text_to_image",
-    "batch_by_length",
-    "bm25_snippets",
-    "text_unigram_logprob",
-    "text_quality_funnel",
-    "pack_sequences",
-    "stream_exact_dedup",
-    "find_prequeries",
-    "summarize_stub",
-    "ask_stub",
-    "multimodal_frame_sample",
-    "catalog_date_histogram",
-    "stream_windowed_counts",
-    "event_sessionization",
-    "stream_sessionization",
-    "knn_normalized",
-    "graph_semantic_paths",
-    "export_field_classification",
-    "kb_counters",
-    "cdc_search_live",
-    "cdc_vector_search_live",
-    "retrieve_scores",
-    "augment_resources",
-    "augment_paragraphs",
-    "export_sentence_classification",
-    "export_token_classification",
-    "export_question_answer",
-    "export_image_classification",
-    "export_paragraph_streaming",
-    "export_field_streaming",
-    "sample_stratified",
-    "events_asof_join",
-    "events_rollup",
-    "events_percentiles",
-    "graph_reachability",
-    "dedup_clusters",
-    "shard_rollover_plan",
-    "legacy_search",
-    "stream_sliding_counts",
-    "stream_session_window",
-    "paragraph_search_no_dups",
-    "catalog_filter_alias",
-    "find_relations_feature",
-    "suggest_combined",
-    "old_filters_translation",
-    "knn_dedup",
-    "suggest_entities_folded",
-    "multi_kb_scoped_search",
-    "find_single_source",
-    "resource_search",
-    "knn_sq8_rerank",
-    "entities_group_members",
-    "entities_groups",
-    "text_repetition",
-    "text_pii_scan",
-    "contamination_ngram_overlap",
-    "cdc_facet_counts",
-    "sample_mixture",
-    "events_asof_tolerance",
-    "find_exact_match_query",
-    "bm25_ematches",
-    "bm25_prefiltered",
-    "bm25_synonyms",
-    "bm25_stop_words",
-    "bm25_fuzzy_fallback",
-    "bm25_highlight",
-    "suggest_paragraphs",
-    "paragraph_search",
-    "paragraph_search_filtered",
-    "knn_dot",
-    "knn_min_score",
-    "knn_prefiltered",
-    "knn_matryoshka",
-    "knn_maxsim",
-    "rag_field_extension",
-    "rag_metadata_extension",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_language_id",
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
-    "vocab_stats",
-    "multimodal_decode",
-    "export_paragraph_classification",
-    "embed_knn_stub",
-    "rerank_stub",
-    "corpus_length_stats",
-    "find_secured",
-    "find_skip_set",
-    "combsum_fusion",
+    "stream_feedback_rate",
+    "text_dup_spans",
+    "trainset_partitions",
+    "vectorset_backfill",
 ]
 
 

@@ -473,6 +473,142 @@ FROM ({SQL_PARAGRAPHS})
 """
 
 
+# ---------------------------------------------------------------------
+# Multi-field corpus: the reference's resources carry MANY fields
+# (resources.proto:39-48 — texts/files/links/conversations plus the
+# GENERIC title/summary family), while the base corpus above emits a
+# single '/t/body' field per rid. The fielded variants below add a
+# second field — the '/a/title' generic field (the resource title,
+# stored as a generic field in the reference's field model) — and
+# stamp paragraph ids with the reference's full 3-segment shape
+# `rid/field/start-end` (nidx_paragraph/src/schema.rs), so the
+# owning-field join semantics (hydration J3, extraction J4, prefilter
+# F9 fan-out) are exercised for real.
+# ---------------------------------------------------------------------
+
+TITLE_CHARS = 80  # generic title field = the document's first 80 chars
+
+
+def fields_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fields per resource: the full-text '/t/body' field plus an
+    '/a/title' generic field. Same schema as `fields`; a narrow
+    union of two projections of one scan — no shuffle."""
+    d = table(spark, sf_dir, "documents")
+
+    def proj(ftype, fid, text_col, nchars_col):
+        return d.select(
+            F.lit("kb0").alias("kbid"),
+            F.col("doc_id").cast("long").alias("rid"),
+            F.lit(ftype).alias("field_type"),
+            F.lit(fid).alias("field_id"),
+            F.lit(f"/{ftype}/{fid}").alias("field_key"),
+            text_col.alias("text"),
+            F.col("lang").alias("language"),
+            F.col("source"),
+            nchars_col.cast("long").alias("n_chars"),
+            F.array(
+                F.concat(F.lit("/s/p/"), F.col("lang")),
+                F.concat(F.lit("/u/s/"), F.col("source")),
+            ).alias("labels"),
+            (F.col("doc_id") % 4 != 0).alias("security_public"),
+            F.array(F.concat(F.lit("group-"), F.col("doc_id") % 7)).alias(
+                "security_groups"
+            ),
+        )
+
+    body = proj("t", "body", F.col("text"), F.col("n_chars"))
+    title = proj(
+        "a",
+        "title",
+        F.expr(f"substring(text, 1, {TITLE_CHARS})"),
+        F.least(F.lit(TITLE_CHARS), F.col("n_chars")),
+    )
+    return body.unionByName(title)
+
+
+SQL_FIELDS_MULTI = f"""
+SELECT 'kb0' AS kbid, CAST(doc_id AS BIGINT) AS rid,
+       't' AS field_type, 'body' AS field_id, '/t/body' AS field_key,
+       text, lang AS language, source, CAST(n_chars AS BIGINT) AS n_chars,
+       [concat('/s/p/', lang), concat('/u/s/', source)] AS labels,
+       doc_id % 4 <> 0 AS security_public,
+       [concat('group-', doc_id % 7)] AS security_groups
+FROM documents
+UNION ALL
+SELECT 'kb0', CAST(doc_id AS BIGINT),
+       'a', 'title', '/a/title',
+       substring(text, 1, {TITLE_CHARS}), lang, source,
+       CAST(least({TITLE_CHARS}, n_chars) AS BIGINT),
+       [concat('/s/p/', lang), concat('/u/s/', source)],
+       doc_id % 4 <> 0,
+       [concat('group-', doc_id % 7)]
+FROM documents
+"""
+
+
+def paragraphs_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraphs over the multi-field corpus, ids in the reference's
+    full `rid/field/start-end` shape: the body field's stride windows
+    (all TEXT — the title is its own field now, as in the reference's
+    field model) plus one TITLE paragraph per rid from the '/a/title'
+    generic field."""
+    d = table(spark, sf_dir, "documents")
+    start = F.explode(
+        F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(PARAGRAPH_STRIDE))
+    ).alias("start")
+    p = d.select(F.col("doc_id").cast("long").alias("rid"), "text", "n_chars", start)
+    end = F.least(F.col("start") + PARAGRAPH_STRIDE, F.col("n_chars"))
+    body = p.select(
+        "rid",
+        F.concat_ws(
+            "/", "rid", F.lit("body"), F.concat_ws("-", "start", end.cast("long"))
+        ).alias("paragraph_id"),
+        F.col("start").cast("long").alias("start"),
+        end.cast("long").alias("end"),
+        F.expr(f"substring(text, start + 1, {PARAGRAPH_STRIDE})").alias("text"),
+        F.lit("TEXT").alias("kind"),
+    )
+    tend = F.least(F.lit(TITLE_CHARS), F.col("n_chars")).cast("long")
+    title = d.select(
+        F.col("doc_id").cast("long").alias("rid"),
+        F.concat_ws(
+            "/",
+            F.col("doc_id").cast("long"),
+            F.lit("title"),
+            F.concat_ws("-", F.lit(0), tend),
+        ).alias("paragraph_id"),
+        F.lit(0).cast("long").alias("start"),
+        tend.alias("end"),
+        F.expr(f"substring(text, 1, {TITLE_CHARS})").alias("text"),
+        F.lit("TITLE").alias("kind"),
+    )
+    return body.unionByName(title)
+
+
+SQL_PARAGRAPHS_FIELDED = f"""
+SELECT CAST(doc_id AS BIGINT) AS rid,
+       concat(doc_id, '/body/', start, '-', least(start + {PARAGRAPH_STRIDE}, n_chars))
+           AS paragraph_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least(start + {PARAGRAPH_STRIDE}, n_chars) AS BIGINT) AS "end",
+       substring(text, start + 1, {PARAGRAPH_STRIDE}) AS text,
+       'TEXT' AS kind
+FROM (
+  SELECT doc_id, text, n_chars,
+         unnest(range(0, n_chars, {PARAGRAPH_STRIDE})) AS start
+  FROM documents
+)
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       concat(doc_id, '/title/0-', least({TITLE_CHARS}, n_chars)),
+       CAST(0 AS BIGINT),
+       CAST(least({TITLE_CHARS}, n_chars) AS BIGINT),
+       substring(text, 1, {TITLE_CHARS}),
+       'TITLE'
+FROM documents
+"""
+
+
 def fields_multi_kb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-tenant variant of `fields`: documents split across two
     KBs (kbid = 'kb' || doc_id % 2). The reference is fundamentally

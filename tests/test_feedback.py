@@ -90,3 +90,66 @@ def test_stream_feedback_rate_equals_batch(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+def test_feedback_log_tenant_parameter(spark, sf_dir):
+    """kbid cardinality follows the tenants parameter — the per-KB
+    state claim ('one row per (kbid, task)') holds beyond 2 tenants."""
+    for tenants in (2, 5):
+        log = feedback.feedback_log(
+            tpch.table(spark, sf_dir, "events"), tenants=tenants
+        )
+        kbs = {r.kbid for r in log.select("kbid").distinct().collect()}
+        assert kbs == {f"kb{i}" for i in range(tenants)}
+        rep = feedback.kb_feedback_report(log)
+        assert rep.count() == tenants  # one row per (kbid, CHAT)
+
+
+def test_stream_feedback_trend_equals_batch(spark, sf_dir):
+    """Streaming drain of the per-(kbid, day) rollup == the batch
+    daily-trend counts: the trend report is maintainable
+    incrementally over the arriving audit stream, state bounded by
+    tenants × days. (The cumulative-to-date column is a derived
+    window over the drained state, so equality of the drained rollup
+    is the whole proof.)"""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.streaming.ingest import stage_arrival_dir
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    name = f"fbtrend_{uuid.uuid4().hex[:10]}"
+    log = feedback.feedback_log(
+        spark.readStream.schema(schema).parquet(arrival), tenants=3
+    )
+    agg = log.groupBy(
+        "kbid", F.col("event_ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count("*").alias("n_feedback"),
+        F.count(F.when(F.col("good"), True)).alias("n_good"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(arrival, ignore_errors=True)
+    got = {
+        (r.kbid, r.day): (r.n_feedback, r.n_good)
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.kbid, r.day): (r.n_feedback, r.n_good)
+        for r in feedback.feedback_daily_trend(
+            feedback.feedback_log(tpch.table(spark, sf_dir, "events"), tenants=3)
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
