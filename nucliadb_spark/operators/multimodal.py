@@ -123,17 +123,53 @@ FROM media
 """
 
 
-def real_decode_features(media: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real decoder path — requires PIL/librosa/av, not in this
-    container. Kept as the drop-in replacement boundary."""
+def real_decode_features(media: DataFrame) -> DataFrame:
+    """Codec-library decode path: JPEG/PNG/GIF/WebP/TIFF via PIL,
+    emitting the SAME FEATURE_SCHEMA as fake_decode_features so the
+    two are drop-in interchangeable (n_frames from the container's
+    frame count for animated formats, else 1). Import-guarded —
+    raises NotImplementedError when PIL is absent so CI stays
+    hermetic (the self-describing formats BMP/WAV-PCM/PPM decode
+    WITHOUT any codec lib via real_decode below; this function is
+    the boundary for formats that genuinely need one, mirroring the
+    reference's external processing pipeline — resources.proto:9-36
+    carries CloudFile refs, decode happens out-of-repo there too).
+
+    Same scale shape as every decode path here: Arrow-batched
+    mapInPandas, per-file work only, no shuffle."""
     try:
-        import PIL  # noqa: F401
-    except ImportError as e:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - exercised only sans PIL
         raise NotImplementedError(
-            "real media decoding needs image/audio libs (PIL/librosa/av); "
-            "use fake_decode_features for plumbing tests"
+            "real media decoding needs an image codec lib (PIL); "
+            "use fake_decode_features for plumbing tests or "
+            "real_decode for the self-describing formats"
         ) from e
-    raise NotImplementedError("wire the real decoder here")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image as _Image
+
+        for pdf in batches:
+            widths, heights, frames = [], [], []
+            for payload in pdf["content"]:
+                with _Image.open(io.BytesIO(bytes(payload))) as img:
+                    widths.append(int(img.width))
+                    heights.append(int(img.height))
+                    frames.append(int(getattr(img, "n_frames", 1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_type": pdf["content_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                }
+            )
+
+    return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -87,3 +87,40 @@ def test_media_features_match_pure_python(spark, sf_dir):
         assert f.payload_bytes == len(payload)
         assert f.byte_sum == sum(payload)
         assert f.byte_max == (max(payload) if payload else 0)
+
+
+def test_real_decode_features_via_pil(spark, sf_dir):
+    """Codec-library decode boundary: when PIL is present,
+    real_decode_features must decode PNG through the same
+    FEATURE_SCHEMA as the fake path. Skips hermetically without PIL
+    (the guarded import is the documented extension boundary —
+    multimodal.py real_decode_features)."""
+    from nucliadb_spark.sources import tpch
+
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="codec lib"):
+            mm.real_decode_features(
+                mm.media_from_documents(
+                    tpch.table(spark, sf_dir, "documents")
+                )
+            )
+        pytest.skip("PIL not installed; guard behavior verified")
+
+    import io
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (1, 2, 3)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(i, png_bytes(16 + i, 8 + i), "image/png") for i in range(4)]
+    media = spark.createDataFrame(
+        [(m, c, t, len(c)) for m, c, t in rows],
+        schema="media_id long, content binary, content_type string, n_bytes long",
+    )
+    out = {r.media_id: r for r in mm.real_decode_features(media).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        assert (out[i].width, out[i].height, out[i].n_frames) == (16 + i, 8 + i, 1)
