@@ -760,6 +760,99 @@ ORDER BY p.paragraph_id
 """
 
 
+PARAGRAPH_EXTRACT_FIELDED_SQL = f"""
+WITH p0 AS ({tpch.SQL_PARAGRAPHS_FIELDED}),
+p AS (
+  SELECT *, string_split(paragraph_id, '/')[2] AS field_id
+  FROM p0 WHERE rid % 23 = 7
+),
+f AS ({tpch.SQL_FIELDS_MULTI})
+SELECT p.paragraph_id, f.field_key, p.start, p."end",
+       substring(f.text, p.start + 1, p."end" - p.start) AS extracted
+FROM p
+JOIN f ON f.rid = p.rid AND f.field_id = p.field_id
+ORDER BY p.paragraph_id
+"""
+
+
+@register("paragraph_extract_fielded", PARAGRAPH_EXTRACT_FIELDED_SQL)
+def paragraph_extract_fielded(spark, sf_dir):
+    """Paragraph-text extraction from the OWNING field's stored text
+    (J4 over the multi-field corpus): the reference groups requested
+    paragraph ids by FieldUid parsed from the id and slices each
+    field's chars once (nidx_text/src/reader.rs:496-556
+    get_paragraphs_text; FieldUid = rid + field type/name from the
+    '/a/title'-style facet). Title windows must slice the TITLE
+    field's text, body windows the body's — a rid-only join would
+    extract from the wrong field. One (rid, field_id)-keyed join;
+    substring is row-local."""
+    from pyspark.sql import functions as F
+
+    p = (
+        tpch.paragraphs_fielded(spark, sf_dir)
+        .filter(F.col("rid") % 23 == 7)
+        .withColumn("field_id", F.split("paragraph_id", "/").getItem(1))
+    )
+    f = tpch.fields_multi(spark, sf_dir).select(
+        "rid", "field_id", "field_key", F.col("text").alias("full_text")
+    )
+    return (
+        p.join(f, ["rid", "field_id"])
+        .select(
+            "paragraph_id",
+            "field_key",
+            "start",
+            "end",
+            F.expr("substring(full_text, start + 1, end - start)").alias("extracted"),
+        )
+        .orderBy("paragraph_id")
+    )
+
+
+SEARCH_FIELDS_SCOPED_SQL = f"""
+WITH p0 AS ({tpch.SQL_PARAGRAPHS_FIELDED}),
+f AS ({tpch.SQL_FIELDS_MULTI}),
+scoped AS (
+  SELECT p0.*, f.field_key, f.language
+  FROM p0
+  JOIN f ON f.rid = p0.rid
+        AND f.field_id = string_split(p0.paragraph_id, '/')[2]
+  WHERE f.field_key = '/a/title'
+)
+SELECT paragraph_id, rid, text, field_key, language
+FROM scoped
+WHERE contains(lower(text), 'merge')
+ORDER BY paragraph_id
+"""
+
+
+@register("search_fields_scoped", SEARCH_FIELDS_SCOPED_SQL)
+def search_fields_scoped(spark, sf_dir):
+    """The `fields` search parameter — `fields=["a/title"]` searches
+    ONLY the title field (nucliadb_models/search.py:461-468; nidx
+    scopes by the field facet). The field scope is a (rid, field_id)
+    semijoin applied BEFORE the keyword match, so at 100 TB the
+    scoped search scans one field family's paragraphs, not the whole
+    corpus; both predicates sit under the join for pushdown."""
+    from pyspark.sql import functions as F
+
+    paras = tpch.paragraphs_fielded(spark, sf_dir).withColumn(
+        "field_id", F.split("paragraph_id", "/").getItem(1)
+    )
+    fields = tpch.fields_multi(spark, sf_dir).filter(
+        F.col("field_key") == "/a/title"
+    )
+    return (
+        paras.join(
+            fields.select("rid", "field_id", "field_key", "language"),
+            ["rid", "field_id"],
+        )
+        .filter(F.lower(F.col("text")).contains("merge"))
+        .select("paragraph_id", "rid", "text", "field_key", "language")
+        .orderBy("paragraph_id")
+    )
+
+
 @register("paragraph_search_fielded", PARAGRAPH_SEARCH_FIELDED_SQL)
 def paragraph_search_fielded(spark, sf_dir):
     """Paragraph keyword search over the multi-field corpus with

@@ -42,9 +42,10 @@ def register(name: str, oracle: str | None = None):
 # of the 195 registry queries is green somewhere in r1-r5 plus local
 # parity (tests/test_oracle_parity.py re-checks all oracles each
 # run), so the window now rotates by STALEST driver evidence. Seats
-# 0-3 are this session's additions (multi-field /hydrate + corpus,
-# depth-2 neighbours, feedback daily trend); seats 4-32 the 29
-# queries whose only driver evidence was round 1; seats 33-49 the
+# 0-5 are this session's additions (multi-field /hydrate + corpus,
+# depth-2 neighbours, feedback daily trend, owning-field paragraph
+# extraction, the `fields` search-scope param); seats 6-34 the 29
+# queries whose only driver evidence was round 1; seats 35-49 the
 # oldest r2-evidence queries. The tail holds every remaining query
 # (none is unreachable), ordered stalest-first so future rounds keep
 # rotating forward. New queries are inserted INSIDE the window once
@@ -57,7 +58,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "hydrate_neighbours_depth2",
     "feedback_daily_trend",
     "paragraph_search_fielded",
-    # seats 4-32: the 29 queries whose only driver evidence was r1
+    "paragraph_extract_fielded",
+    "search_fields_scoped",
+    # seats 6-34: the 29 queries whose only driver evidence was r1
     # (they were previously absent from PRIORITY entirely)
     "advanced_query",
     "catalog_count",
@@ -88,8 +91,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "search_after_keyset",
     "security_filter",
     "suggest_entities",
-    # seats 33-49: oldest r2-evidence queries (alphabetical; the
-    # remaining 16 r2-evidence queries lead the tail for round 7)
+    # seats 35-49: oldest r2-evidence queries (alphabetical; the
+    # remaining 18 r2-evidence queries lead the tail for round 7)
     "bm25_ematches",
     "bm25_fuzzy_fallback",
     "bm25_highlight",
@@ -105,11 +108,11 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "export_paragraph_classification",
     "find_secured",
     "find_skip_set",
-    "kb_export_roundtrip",
-    "knn_dot",
     # --- end of the 50-query graded window ---
     # tail: re-confirmation queue, stalest evidence first
     # (remaining r2, then r3, r4, r5 — rotate forward next round)
+    "kb_export_roundtrip",
+    "knn_dot",
     "knn_matryoshka",
     "knn_maxsim",
     "knn_min_score",
