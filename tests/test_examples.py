@@ -271,3 +271,20 @@ def test_services_reads_example(spark, sf_dir):
     assert len(page) <= 20
     assert all(x["status"] == "PENDING" for x in page)
     assert [x["position"] for x in page] == list(range(1, len(page) + 1))
+
+
+def test_multi_field_examples(spark, sf_dir):
+    from nucliadb_spark.operators import feedback, hydrate
+    from nucliadb_spark.sources import tpch
+
+    paras = tpch.paragraphs_fielded(spark, sf_dir)
+    flds = tpch.fields_multi(spark, sf_dir)
+    res = tpch.resources(spark, sf_dir)
+    req = paras.filter("rid % 11 = 5").select("paragraph_id")
+    rows = hydrate.hydrate(req, paras, flds, res, before=2, after=2).collect()
+    assert rows and {"prev_text2", "next_text2", "field_key"} <= set(
+        rows[0].asDict()
+    )
+    log = feedback.feedback_log(tpch.table(spark, sf_dir, "events"), tenants=3)
+    trend = feedback.feedback_daily_trend(log).collect()
+    assert trend and {"day", "good_rate_to_date"} <= set(trend[0].asDict())

@@ -479,3 +479,48 @@ def test_kv_schema_infer_single_key_shuffle(spark, sf_dir):
     plan = _plan(kvschema.infer_kv_schema(meta, "meta"))
     assert _n_shuffles(plan) == 1, plan[:2000]
     assert "Generate explode" in plan, plan[:2000]
+
+
+def test_hydrate_multi_field_pruned_single_window_shuffle(spark, sf_dir):
+    """The owning-field join must not change the /hydrate scale
+    shape: rid prune set + fields + resources stay broadcast joins,
+    and the neighbour window is still the only exchange moving
+    paragraph text — the (rid, field_id) key adds a column, never a
+    shuffle."""
+    from nucliadb_spark import registry
+
+    df = registry.queries()["hydrate_multi_field"](spark, sf_dir)
+    df.collect()
+    kinds = {"bcast": 0, "data_exchange": 0, "window": 0}
+    for cls, n in _walk_physical(df):
+        if cls == "BroadcastHashJoinExec":
+            kinds["bcast"] += 1
+        elif cls in ("WindowExec", "WindowGroupLimitExec"):
+            kinds["window"] += 1
+        elif cls == "ShuffleExchangeExec":
+            if "hashpartitioning" not in n.outputPartitioning().toString():
+                continue
+            outs = n.output()
+            names = [outs.apply(i).name() for i in range(outs.size())]
+            if "text" in names:
+                kinds["data_exchange"] += 1
+    assert kinds["bcast"] >= 3, kinds
+    assert kinds["window"] >= 1, kinds
+    assert kinds["data_exchange"] <= 1, kinds
+
+
+def test_search_fields_scoped_pushes_predicates(spark, sf_dir):
+    """The field scope and the keyword predicate must both sit below
+    the (rid, field_id) join — the scoped search's scan work is one
+    field family's paragraphs, not the corpus."""
+    from nucliadb_spark import registry
+
+    df = registry.queries()["search_fields_scoped"](spark, sf_dir)
+    plan = _plan(df)
+    # the field-scope side (carrying the '/a/title' literal) must be
+    # the broadcast build side, and the whole scoped search must be
+    # shuffle-free (scan + row-local filters + broadcast join; the
+    # final orderBy is a range exchange, not a hash shuffle)
+    m = re.search(r"BroadcastExchange(.*)", plan, re.S)
+    assert m and "/a/title" in m.group(1), plan[:2000]
+    assert _n_shuffles(plan) == 0, plan[:2000]
