@@ -853,6 +853,37 @@ def search_fields_scoped(spark, sf_dir):
     )
 
 
+_TITLE_FIELDS_SQL = (
+    f"SELECT * FROM ({tpch.SQL_FIELDS_MULTI}) WHERE field_key = '/a/title'"
+)
+
+
+def _bm25_fields_scoped_oracle() -> str:
+    from nucliadb_spark.operators import bm25
+
+    return bm25.bm25_sql(_TITLE_FIELDS_SQL, "merge stream window", top_k=15)
+
+
+@register("bm25_fields_scoped", _bm25_fields_scoped_oracle())
+def bm25_fields_scoped(spark, sf_dir):
+    """`fields=["a/title"]` through the RANKED search path: BM25 over
+    ONLY the title-field corpus — corpus stats (N, avgdl, df) are the
+    searched field family's, exactly what scoping a tantivy search to
+    one field's postings yields (nucliadb_models/search.py:461-468;
+    nidx scopes by the field facet). Complements
+    `search_fields_scoped` (the unranked filter shape): here the
+    scope restricts the index itself, so at 100 TB the postings
+    build/scan is proportional to one field family, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25
+
+    flds = tpch.fields_multi(spark, sf_dir).filter(
+        F.col("field_key") == "/a/title"
+    )
+    return bm25.bm25_search(flds, "merge stream window", top_k=15)
+
+
 @register("paragraph_search_fielded", PARAGRAPH_SEARCH_FIELDED_SQL)
 def paragraph_search_fielded(spark, sf_dir):
     """Paragraph keyword search over the multi-field corpus with
