@@ -22,6 +22,41 @@ from nucliadb_spark.sources import tpch
 
 FEATURES = ("keyword", "semantic", "graph")
 
+# nucliadb_models/search.py:1184-1190 — the field types a `fields`
+# scope may name ("a/title", "t/body", ...)
+ALLOWED_FIELD_TYPES = {
+    "t": "text",
+    "f": "file",
+    "u": "link",
+    "c": "conversation",
+    "a": "generic",
+}
+
+
+def normalize_fields(fields: list[str]) -> list[str]:
+    """The `fields` param validator, rule-for-rule
+    (nucliadb_models/search.py:1204-1222): accept a legacy leading
+    '/', require '{field_type}/{field_name}', reject unknown types."""
+    out = []
+    for f_ in fields:
+        f_ = f_.strip("/")
+        try:
+            ftype, _ = f_.split("/")
+        except ValueError:
+            raise ValueError(
+                f"Field '{f_}' is not in the format {{field_type}}/{{field_name}}"
+            )
+        if ftype not in ALLOWED_FIELD_TYPES:
+            allowed = ", ".join(
+                f"'{k}' for '{v}' fields" for k, v in ALLOWED_FIELD_TYPES.items()
+            )
+            raise ValueError(
+                f"Field '{f_}' does not have a valid field type. "
+                f"Valid field types are: {allowed}."
+            )
+        out.append(f_)
+    return out
+
 
 def _without_prequeries(req: "FindRequest") -> "FindRequest":
     from dataclasses import replace
@@ -50,6 +85,13 @@ class FindRequest:
     rephrase: bool = False
     query_vec_id: int = 0
     entity_sources: list[str] | None = None
+    # the `fields` search scope ("a/title" searches only title
+    # fields — nucliadb_models/search.py:461-468, validated as
+    # :1204-1222). Scopes the keyword leg to the named field
+    # families' OWN corpus/stats (tantivy field-scoped postings);
+    # semantic/graph legs semijoin to resources owning such a field
+    # (vectors here are resource-keyed).
+    fields: list[str] | None = None
     # prequeries RAG strategy (ref: nucliadb_models/search.py
     # PreQueriesStrategy): preliminary retrievals whose results fuse
     # with the main query's under per-query weights
@@ -90,7 +132,33 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     fields = tpch.fields(spark, sf_dir)
     sources: dict[str, DataFrame] = {}
 
-    if "keyword" in features and req.query.strip():
+    # `fields` scope: validate, then resolve the scoped field-key set
+    # and the owning-resource frame once (both reused across legs)
+    scoped_keys: list[str] | None = None
+    scope_rids = None
+    if req.fields:
+        scoped_keys = ["/" + f_ for f_ in normalize_fields(req.fields)]
+        scoped_fields = tpch.fields_multi(spark, sf_dir).filter(
+            F.col("field_key").isin(scoped_keys)
+        )
+        scope_rids = scoped_fields.select("rid").distinct()
+
+    if "keyword" in features and req.query.strip() and scoped_keys:
+        # field-scoped keyword search ranks within the named field
+        # families' OWN corpus (their postings/stats — what scoping
+        # tantivy to a field facet yields); filters still apply to
+        # the scoped corpus before stats, like a per-scope searcher
+        corpus_df = scoped_fields
+        if filters is not None:
+            corpus_df = corpus_df.filter(filters.to_column())
+        sources["keyword"] = bm25.bm25_search(
+            corpus_df,
+            req.query,
+            top_k=win,
+            synonyms=req.synonyms,
+            min_score=req.min_score_bm25 or None,
+        ).select(F.col("rid").alias("id"), "score")
+    elif "keyword" in features and req.query.strip():
         # ALL requests serve from the session-cached index
         # (postings/docstats/corpus/vocab sidecars) — an API endpoint
         # must not rebuild the index per request. A filter restricts
@@ -134,6 +202,8 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             if filters is not None:
                 allowed = fields.filter(filters.to_column()).select("rid")
                 emb_docs = emb_docs.join(allowed, "rid", "semi")
+            if scope_rids is not None:
+                emb_docs = emb_docs.join(F.broadcast(scope_rids), "rid", "semi")
             qvec = spark.createDataFrame([(qtext,)], "t string").select(
                 models.stub_embedding(F.col("t")).alias("qvec")
             )
@@ -146,6 +216,8 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             if filters is not None:
                 allowed = fields.filter(filters.to_column()).select("rid")
                 vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
+            if scope_rids is not None:
+                vectors = vectors.join(F.broadcast(scope_rids), "rid", "semi")
             qvec = (
                 tpch.table(spark, sf_dir, "embeddings")
                 .filter(F.col("vec_id") == req.query_vec_id)
@@ -157,6 +229,8 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
 
     if "graph" in features and req.entity_sources:
         gdf = fields if filters is None else fields.filter(filters.to_column())
+        if scope_rids is not None:
+            gdf = gdf.join(F.broadcast(scope_rids), "rid", "semi")
         sources["graph"] = (
             gdf.filter(F.col("source").isin(req.entity_sources))
             .select(F.col("rid").alias("id"), F.lit(1.0).alias("score"))

@@ -117,3 +117,42 @@ def test_rephrase_feeds_semantic_leg_only(spark, sf_dir):
     ka = [(r["id"], r["score"]) for r in api.find_request(spark, sf_dir, kw).collect()]
     kb = [(r["id"], r["score"]) for r in api.find_request(spark, sf_dir, kw_plain).collect()]
     assert ka == kb  # keyword leg unaffected by rephrase
+
+
+def test_find_request_fields_scope_validation():
+    """nucliadb_models/search.py:1204-1222 rule-for-rule."""
+    import pytest
+
+    from nucliadb_spark import api
+
+    assert api.normalize_fields(["/a/title", "t/body"]) == ["a/title", "t/body"]
+    with pytest.raises(ValueError, match="format"):
+        api.normalize_fields(["title"])
+    with pytest.raises(ValueError, match="valid field type"):
+        api.normalize_fields(["x/title"])
+
+
+def test_find_request_fields_scope_executes(spark, sf_dir):
+    """fields=["a/title"] scopes the keyword leg to the title-field
+    corpus and the semantic leg to resources owning such a field."""
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query="merge stream window",
+        features=["keyword", "semantic"],
+        top_k=8,
+        fields=["a/title"],
+    )
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert rows and {"id", "score"} <= set(rows[0].asDict())
+    # scoped ranking differs from the unscoped body ranking
+    req2 = api.FindRequest(
+        query="merge stream window", features=["keyword"], top_k=8,
+        fields=["a/title"],
+    )
+    scoped = [r.id for r in api.find_request(spark, sf_dir, req2).collect()]
+    req3 = api.FindRequest(
+        query="merge stream window", features=["keyword"], top_k=8,
+    )
+    unscoped = [r.id for r in api.find_request(spark, sf_dir, req3).collect()]
+    assert scoped and unscoped and scoped != unscoped
