@@ -92,7 +92,8 @@ def main() -> None:
         print(f"{name} @ {sf_dir}: {ts} ({len(rows)} rows)", flush=True)
         return ts
 
-    for q in ["find_hybrid", "find_prefiltered_served"]:
+    queries = sys.argv[1:] or ["find_hybrid", "find_prefiltered_served"]
+    for q in queries:
         a = timed(q, SRC)
         b = timed(q, DST)
         ratio = round(min(b) / min(a), 2)
