@@ -26,6 +26,15 @@ legacy 2-segment ids (`rid/start-end`, the single-field corpus)
 default to 'body'. The fields join is on (rid, field_id), so a
 multi-field resource hydrates to exactly one row per requested
 paragraph — never a row per (paragraph × field).
+
+Split segment: conversation fields address each message as a SPLIT
+of the field (FieldUid.split, nidx_text/src/reader.rs:482-487
+`parts.get(3)`), so a conversation paragraph id is the 4-segment
+`rid/field/split/start-end`. The split is parsed into the output and
+into the neighbour ordering — neighbours walk the field's paragraph
+sequence ordered by (split, start), which for conversations means
+the ADJACENT MESSAGES (the reference's conversational context
+strategy hydrates surrounding messages the same way).
 """
 
 from __future__ import annotations
@@ -69,8 +78,13 @@ def hydrate(
     # sequence (they need not be in the request), so prune by rid
     # first, then window within the pruned set
     seg = F.split("paragraph_id", "/")
-    field_id = F.when(F.size(seg) == 3, seg.getItem(1)).otherwise(F.lit("body"))
-    w = Window.partitionBy("rid", "field_id").orderBy("start")
+    field_id = F.when(F.size(seg) >= 3, seg.getItem(1)).otherwise(F.lit("body"))
+    # 4-segment conversation ids carry the message split; everything
+    # else sorts at split 0 so the ordering is unchanged for them
+    split_id = (
+        F.when(F.size(seg) == 4, seg.getItem(2)).otherwise(F.lit("0")).cast("long")
+    )
+    w = Window.partitionBy("rid", "field_id").orderBy("split", "start")
     neighbour_cols = [
         F.lag("text", i).over(w).alias(_neighbour_col("prev", i))
         for i in range(1, before + 1)
@@ -81,9 +95,11 @@ def hydrate(
     p = (
         paragraphs.join(rids, "rid")
         .withColumn("field_id", field_id)
+        .withColumn("split", split_id)
         .select(
             "rid",
             "field_id",
+            "split",
             "paragraph_id",
             "start",
             "end",
@@ -107,6 +123,7 @@ def hydrate(
         .select(
             "paragraph_id",
             "rid",
+            "split",
             "start",
             "end",
             "text",
@@ -153,9 +170,12 @@ def hydrate_sql(
 WITH req AS (SELECT paragraph_id FROM ({request_sql})),
 p0 AS (
   SELECT *,
-         CASE WHEN len(string_split(paragraph_id, '/')) = 3
+         CASE WHEN len(string_split(paragraph_id, '/')) >= 3
               THEN string_split(paragraph_id, '/')[2]
-              ELSE 'body' END AS field_id
+              ELSE 'body' END AS field_id,
+         CAST(CASE WHEN len(string_split(paragraph_id, '/')) = 4
+              THEN string_split(paragraph_id, '/')[3]
+              ELSE '0' END AS BIGINT) AS split
   FROM ({paragraphs_sql})
 ),
 rids AS (
@@ -163,15 +183,15 @@ rids AS (
   FROM req
 ),
 p AS (
-  SELECT p0.rid, p0.field_id, p0.paragraph_id, p0.start, p0."end", p0.text,
-         p0.kind,
+  SELECT p0.rid, p0.field_id, p0.split, p0.paragraph_id, p0.start, p0."end",
+         p0.text, p0.kind,
 {lag_lines}{lead_lines}         p0.text AS _self
   FROM p0 JOIN rids USING (rid)
-  WINDOW fieldseq AS (PARTITION BY p0.rid, p0.field_id ORDER BY p0.start)
+  WINDOW fieldseq AS (PARTITION BY p0.rid, p0.field_id ORDER BY p0.split, p0.start)
 ),
 f AS ({fields_sql}),
 r AS ({resources_sql})
-SELECT p.paragraph_id, p.rid, p.start, p."end", p.text, p.kind,
+SELECT p.paragraph_id, p.rid, p.split, p.start, p."end", p.text, p.kind,
 {neighbour_out}       f.field_key, f.field_type, f.language,
        r.slug, r.title, r.origin_source, r.security_public
 FROM req

@@ -732,6 +732,45 @@ def hydrate_neighbours_depth2(spark, sf_dir):
     )
 
 
+def _hydrate_conversation_oracle() -> str:
+    from nucliadb_spark.operators import hydrate as H
+
+    req = (
+        f"SELECT paragraph_id FROM ({tpch.SQL_PARAGRAPHS_CONVERSATION})"
+        " WHERE rid % 5 = 2"
+    )
+    return H.hydrate_sql(
+        req,
+        tpch.SQL_PARAGRAPHS_CONVERSATION,
+        tpch.SQL_FIELDS_CONVERSATION,
+        tpch.SQL_RESOURCES,
+    )
+
+
+@register("hydrate_conversation", _hydrate_conversation_oracle())
+def hydrate_conversation(spark, sf_dir):
+    """/hydrate over CONVERSATION fields — the full 4-segment
+    ParagraphId `rid/field/split/start-end` where the split addresses
+    the message (FieldUid.split, nidx_text/src/reader.rs:482-487).
+    Neighbour hydration walks the field's sequence ordered by
+    (split, start), so prev/next are the ADJACENT MESSAGES — the
+    reference's conversational context strategy hydrates surrounding
+    messages exactly this way. Same pruned plan: rid semijoin, one
+    window, owning-field join on (rid, field_id)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import hydrate as H
+
+    paras = tpch.paragraphs_conversation(spark, sf_dir)
+    req = paras.filter(F.col("rid") % 5 == 2).select("paragraph_id")
+    return H.hydrate(
+        req,
+        paras,
+        tpch.fields_conversation(spark, sf_dir),
+        tpch.resources(spark, sf_dir),
+    )
+
+
 @register("feedback_daily_trend", feedback.feedback_daily_trend_sql(tenants=3))
 def feedback_daily_trend(spark, sf_dir):
     """Per-(kbid, day) feedback good-rate trend over the timestamped

@@ -609,6 +609,71 @@ FROM documents
 """
 
 
+def fields_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One conversation field per conversation (field type 'c',
+    resources.proto conversation fields): rid = conversation_id,
+    language from the conversation's majority is moot here — a fixed
+    'en' matches the synthetic messages. Same join-contract columns
+    as `fields`/`fields_multi` (rid, field_id, field_key, field_type,
+    language)."""
+    m = messages(spark, sf_dir)
+    return m.groupBy(F.col("conversation_id").alias("rid")).agg(
+        F.count("*").alias("n_messages")
+    ).select(
+        "rid",
+        F.lit("c").alias("field_type"),
+        F.lit("conv").alias("field_id"),
+        F.lit("/c/conv").alias("field_key"),
+        F.lit("en").alias("language"),
+        "n_messages",
+    )
+
+
+SQL_FIELDS_CONVERSATION = f"""
+SELECT rid, 'c' AS field_type, 'conv' AS field_id, '/c/conv' AS field_key,
+       'en' AS language, n_messages
+FROM (
+  SELECT conversation_id AS rid, COUNT(*) AS n_messages
+  FROM ({SQL_MESSAGES}) GROUP BY conversation_id
+)
+"""
+
+
+def paragraphs_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation paragraphs with the reference's FULL 4-segment id
+    `rid/field/split/start-end` (FieldUid.split addresses the message
+    — nidx_text/src/reader.rs:482-487): one paragraph per message,
+    split = message_idx, offsets within the message text."""
+    m = messages(spark, sf_dir)
+    tlen = F.length("text").cast("long")
+    return m.select(
+        F.col("conversation_id").alias("rid"),
+        F.concat_ws(
+            "/",
+            "conversation_id",
+            F.lit("conv"),
+            "message_idx",
+            F.concat_ws("-", F.lit(0), tlen),
+        ).alias("paragraph_id"),
+        F.lit(0).cast("long").alias("start"),
+        tlen.alias("end"),
+        "text",
+        F.lit("TEXT").alias("kind"),
+    )
+
+
+SQL_PARAGRAPHS_CONVERSATION = f"""
+SELECT conversation_id AS rid,
+       concat(conversation_id, '/conv/', message_idx, '/0-', length(text))
+           AS paragraph_id,
+       CAST(0 AS BIGINT) AS start,
+       CAST(length(text) AS BIGINT) AS "end",
+       text,
+       'TEXT' AS kind
+FROM ({SQL_MESSAGES})
+"""
+
+
 def fields_multi_kb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-tenant variant of `fields`: documents split across two
     KBs (kbid = 'kb' || doc_id % 2). The reference is fundamentally

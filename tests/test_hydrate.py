@@ -102,3 +102,27 @@ def test_hydrate_only_requested_ids(spark, sf_dir):
         req, paras, tpch.fields(spark, sf_dir), tpch.resources(spark, sf_dir)
     ).collect()
     assert {r.paragraph_id for r in out} == want
+
+
+def test_hydrate_conversation_neighbours_are_adjacent_messages(spark, sf_dir):
+    """4-segment conversation ids (rid/field/split/start-end): the
+    neighbour window orders by (split, start), so prev/next text are
+    the previous/next MESSAGE of the conversation (FieldUid.split —
+    nidx_text/src/reader.rs:482-487)."""
+    paras = tpch.paragraphs_conversation(spark, sf_dir)
+    req = paras.filter(F.col("rid") % 5 == 2).select("paragraph_id")
+    out = H.hydrate(
+        req, paras, tpch.fields_conversation(spark, sf_dir),
+        tpch.resources(spark, sf_dir),
+    ).collect()
+    assert out
+    by_split = {
+        (r.rid, int(r.paragraph_id.split("/")[2])): r.text
+        for r in paras.filter(F.col("rid") % 5 == 2).collect()
+    }
+    for r in out:
+        s = r.split
+        assert s == int(r.paragraph_id.split("/")[2])
+        assert r.prev_text == by_split.get((r.rid, s - 1))
+        assert r.next_text == by_split.get((r.rid, s + 1))
+        assert r.field_key == "/c/conv" and r.field_type == "c"
