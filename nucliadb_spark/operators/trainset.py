@@ -306,6 +306,118 @@ ORDER BY id
 """
 
 
+# --- temperature-weighted language/domain sampling ---------------------------
+# mT5/XLM-R-style temperature sampling: sampling probability per
+# domain p_d ∝ n_d^alpha (alpha < 1 upweights low-resource domains).
+# The report is a per-domain weight table — raw share, tempered
+# share, the boost factor low-resource domains get, and the expected
+# document count at corpus size. Plan shape: one tiny groupBy, the
+# normalizer broadcast back; the corpus is never reshuffled.
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(stratum, n, p_raw, p_temp, boost, expected_docs), ordered by
+    stratum. weight_col: weight domains by a per-doc size column
+    (e.g. token counts) instead of doc counts."""
+    w = F.count("*").cast("double") if weight_col is None else F.sum(weight_col)
+    cnts = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        w.cast("double").alias("n")
+    )
+    tot = cnts.agg(
+        F.sum("n").alias("_tot"), F.sum(F.pow("n", F.lit(alpha))).alias("_tot_a")
+    )
+    return (
+        cnts.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p_raw"),
+            F.round(F.pow("n", F.lit(alpha)) / F.col("_tot_a"), 6).alias("p_temp"),
+            F.round(
+                (F.pow("n", F.lit(alpha)) / F.col("_tot_a"))
+                / (F.col("n") / F.col("_tot")),
+                4,
+            ).alias("boost"),
+            F.floor(
+                F.pow("n", F.lit(alpha)) / F.col("_tot_a") * F.col("_tot")
+            ).cast("long").alias("expected_docs"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def temperature_weights_sql(
+    docs_sql: str,
+    alpha: float = 0.7,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+) -> str:
+    w = "COUNT(*)::DOUBLE" if weight_col is None else f"SUM({weight_col})::DOUBLE"
+    return f"""
+WITH cnts AS (
+  SELECT {strata_col} AS stratum, {w} AS n
+  FROM ({docs_sql}) GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t, SUM(POW(n, {alpha})) AS ta FROM cnts)
+SELECT stratum, CAST(n AS BIGINT) AS n,
+       ROUND(n / t, 6) AS p_raw,
+       ROUND(POW(n, {alpha}) / ta, 6) AS p_temp,
+       ROUND((POW(n, {alpha}) / ta) / (n / t), 4) AS boost,
+       CAST(FLOOR(POW(n, {alpha}) / ta * t) AS BIGINT) AS expected_docs
+FROM cnts, tot
+ORDER BY stratum
+"""
+
+
+# --- per-domain document caps ------------------------------------------------
+# RefinedWeb/FineWeb-style domain caps: no single domain (site,
+# source, ...) may contribute more than `cap` documents. The pick
+# within a domain is deterministic-random — ranked by the portable
+# md5 of the id, so the surviving subset is reproducible across
+# engines and unbiased by ingestion order. Plan shape: one window
+# shuffle keyed by the domain column; no global sort.
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, stratum) of the capped subset, ordered by id."""
+    from pyspark.sql import Window
+
+    h = md5_int60(F.col(id_col).cast("string"), salt="cap:")
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.col(strata_col), F.row_number().over(w).alias("_rk"))
+        .filter(F.col("_rk") <= cap)
+        .select(F.col(id_col).alias("id"), F.col(strata_col).alias("stratum"))
+        .orderBy("id")
+    )
+
+
+def domain_cap_sql(
+    docs_sql: str, cap: int, strata_col: str = "source", id_col: str = "doc_id"
+) -> str:
+    h = md5_int60_sql(f"CAST({id_col} AS VARCHAR)", salt="cap:")
+    return f"""
+SELECT id, stratum FROM (
+  SELECT {id_col} AS id, {strata_col} AS stratum,
+         ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                            ORDER BY {h} ASC, {id_col} ASC) AS rk
+  FROM ({docs_sql})
+)
+WHERE rk <= {cap}
+ORDER BY id
+"""
+
+
 # --- sequence packing (concat-and-chunk) ------------------------------------
 # LLM pretraining packs documents into fixed-length token sequences by
 # concatenating the corpus and chunking at seq_len boundaries

@@ -207,6 +207,36 @@ def sample_mixture(spark, sf_dir):
     return trainset.mixture_resample(docs, MIX_TARGETS)
 
 
+@register(
+    "sample_temperature",
+    trainset.temperature_weights_sql(
+        "SELECT doc_id, lang FROM documents", alpha=0.7
+    ),
+)
+def sample_temperature(spark, sf_dir):
+    """mT5/XLM-R temperature sampling weights (alpha=0.7): per
+    language the raw share, the tempered share p ∝ n^alpha, the
+    boost low-resource languages receive, and the expected document
+    count. One tiny groupBy + a broadcast normalizer — the corpus is
+    never reshuffled."""
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return trainset.temperature_weights(docs, alpha=0.7)
+
+
+@register(
+    "sample_domain_cap",
+    trainset.domain_cap_sql("SELECT doc_id, source FROM documents", cap=30),
+)
+def sample_domain_cap(spark, sf_dir):
+    """RefinedWeb/FineWeb-style per-domain cap: no source contributes
+    more than 30 documents; the within-domain pick ranks by the
+    portable md5 of the id so the subset is deterministic and
+    unbiased by ingestion order. One window shuffle keyed by the
+    domain column."""
+    docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "source")
+    return trainset.domain_cap(docs, cap=30)
+
+
 # --- one-pass clean-corpus composition --------------------------------------
 
 

@@ -42,11 +42,12 @@ def register(name: str, oracle: str | None = None):
 # of the 195 registry queries is green somewhere in r1-r5 plus local
 # parity (tests/test_oracle_parity.py re-checks all oracles each
 # run), so the window now rotates by STALEST driver evidence. Seats
-# 0-7 are this session's additions (multi-field /hydrate + corpus,
+# 0-9 are this session's additions (multi-field /hydrate + corpus,
 # depth-2 neighbours, feedback daily trend, owning-field paragraph
 # extraction, the `fields` search-scope param in both its unranked
-# and ranked-BM25 shapes, conversation-split hydration); seats 8-36
-# the 29 queries whose only driver evidence was round 1; seats 37-49
+# and ranked-BM25 shapes, conversation-split hydration, temperature
+# sampling weights, per-domain caps); seats 10-38
+# the 29 queries whose only driver evidence was round 1; seats 39-49
 # the oldest r2-evidence queries. The tail holds every remaining query
 # (none is unreachable), ordered stalest-first so future rounds keep
 # rotating forward. New queries are inserted INSIDE the window once
@@ -63,7 +64,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "search_fields_scoped",
     "bm25_fields_scoped",
     "hydrate_conversation",
-    # seats 8-36: the 29 queries whose only driver evidence was r1
+    "sample_temperature",
+    "sample_domain_cap",
+    # seats 10-38: the 29 queries whose only driver evidence was r1
     # (they were previously absent from PRIORITY entirely)
     "advanced_query",
     "catalog_count",
@@ -94,8 +97,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "search_after_keyset",
     "security_filter",
     "suggest_entities",
-    # seats 37-49: oldest r2-evidence queries (alphabetical; the
-    # remaining 20 r2-evidence queries lead the tail for round 7)
+    # seats 39-49: oldest r2-evidence queries (alphabetical; the
+    # remaining 22 r2-evidence queries lead the tail for round 7)
     "bm25_ematches",
     "bm25_fuzzy_fallback",
     "bm25_highlight",
@@ -107,11 +110,11 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "embed_knn_stub",
-    "export_paragraph_classification",
     # --- end of the 50-query graded window ---
     # tail: re-confirmation queue, stalest evidence first
     # (remaining r2, then r3, r4, r5 — rotate forward next round)
+    "embed_knn_stub",
+    "export_paragraph_classification",
     "find_secured",
     "find_skip_set",
     "kb_export_roundtrip",
