@@ -732,6 +732,105 @@ def hydrate_neighbours_depth2(spark, sf_dir):
     )
 
 
+RESOURCE_GET_SQL = f"""
+WITH r AS ({tpch.SQL_RESOURCES}),
+f AS ({tpch.SQL_FIELDS_MULTI}),
+p AS ({tpch.SQL_PARAGRAPHS_FIELDED})
+SELECT r.rid, r.slug, r.title, r.status, r.hidden,
+       CAST(r.created AS VARCHAR) AS created,
+       CAST(r.modified AS VARCHAR) AS modified,
+       r.origin_source, r.security_public,
+       array_to_string(r.labels, ',') AS labels,
+       (SELECT array_to_string(list_sort(list(field_key)), ',')
+        FROM f WHERE f.rid = r.rid) AS field_keys,
+       (SELECT COUNT(*) FROM f WHERE f.rid = r.rid) AS n_fields,
+       (SELECT COUNT(*) FROM p WHERE p.rid = r.rid) AS n_paragraphs
+FROM r WHERE r.slug = 'part-42'
+"""
+
+
+@register("resource_get", RESOURCE_GET_SQL)
+def resource_get(spark, sf_dir):
+    """GET `/kb/{kbid}/slug/{slug}` — the reader's single-resource
+    serialization (reader/api/v1/resource.py:230-260 by_slug, show =
+    BASIC + ORIGIN + VALUES summary): the resource's basic/origin
+    props plus its field inventory and paragraph count. The slug
+    lookup is a pushed equality predicate — at 100 TB this is one
+    partition-pruned point read, and the field/paragraph summaries
+    are broadcast-pruned aggregations over the single rid."""
+    from pyspark.sql import functions as F
+
+    r = tpch.resources(spark, sf_dir).filter(F.col("slug") == "part-42")
+    f = (
+        tpch.fields_multi(spark, sf_dir)
+        .groupBy("rid")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("field_key")), ",").alias(
+                "field_keys"
+            ),
+            F.count("*").alias("n_fields"),
+        )
+    )
+    p = tpch.paragraphs_fielded(spark, sf_dir).groupBy("rid").agg(
+        F.count("*").alias("n_paragraphs")
+    )
+    return (
+        r.join(f, "rid", "left")
+        .join(p, "rid", "left")
+        .select(
+            "rid",
+            "slug",
+            "title",
+            "status",
+            "hidden",
+            F.col("created").cast("string").alias("created"),
+            F.col("modified").cast("string").alias("modified"),
+            "origin_source",
+            "security_public",
+            F.array_join("labels", ",").alias("labels"),
+            "field_keys",
+            "n_fields",
+            "n_paragraphs",
+        )
+    )
+
+
+RESOURCES_LIST_SQL = f"""
+WITH r AS ({tpch.SQL_RESOURCES})
+SELECT rid, slug, title, status,
+       CAST(created AS VARCHAR) AS created
+FROM r
+WHERE NOT hidden
+ORDER BY rid
+LIMIT 20 OFFSET 40
+"""
+
+
+@register("resources_list", RESOURCES_LIST_SQL)
+def resources_list(spark, sf_dir):
+    """GET `/kb/{kbid}/resources` — the reader's paged resource
+    listing (reader/api/v1/resource.py:112-190: page/size over the
+    KB's resource ids, BASIC props, hidden excluded). Page 3 at
+    size 20. The offset page is cut with a global TakeOrdered over
+    (rid) — at 100 TB a keyset cursor (search_after, O5) replaces
+    deep offsets; this is the small-offset endpoint shape."""
+    from pyspark.sql import functions as F
+
+    r = tpch.resources(spark, sf_dir).filter(~F.col("hidden"))
+    return (
+        r.select(
+            "rid",
+            "slug",
+            "title",
+            "status",
+            F.col("created").cast("string").alias("created"),
+        )
+        .orderBy("rid")
+        .offset(40)
+        .limit(20)
+    )
+
+
 def _hydrate_conversation_oracle() -> str:
     from nucliadb_spark.operators import hydrate as H
 
