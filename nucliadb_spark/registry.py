@@ -38,81 +38,28 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-6 window policy (oldest-evidence-first rotation): every one
-# of the 195 registry queries is green somewhere in r1-r5 plus local
-# parity (tests/test_oracle_parity.py re-checks all oracles each
-# run), so the window now rotates by STALEST driver evidence. Seats
-# 0-9 are this session's additions (multi-field /hydrate + corpus,
-# depth-2 neighbours, feedback daily trend, owning-field paragraph
-# extraction, the `fields` search-scope param in both its unranked
-# and ranked-BM25 shapes, conversation-split hydration, temperature
-# sampling weights, per-domain caps); seats 10-38
-# the 29 queries whose only driver evidence was round 1; seats 39-49
-# the oldest r2-evidence queries. The tail holds every remaining query
-# (none is unreachable), ordered stalest-first so future rounds keep
-# rotating forward. New queries are inserted INSIDE the window once
-# locally parity-green at sf0.001+sf0.01, displacing the freshest
-# re-confirmations.
+# Round-7 window policy (oldest-driver-evidence-first rotation; the
+# count below is mechanical — tests/test_registry_invariants.py pins
+# set(PRIORITY) == set(queries()) so no registered query can be
+# driver-unreachable): seats 0-1 are the two queries the driver has
+# never graded (registered in r6 after the PRIORITY rebuild); new r7
+# queries take the seats right after them once locally parity-green
+# at sf0.001 AND sf0.01; the rest of the window is the 22 queries
+# whose latest green driver evidence is r2, then the oldest-r3 block
+# fills to 50. The tail holds every remaining query ordered by
+# staleness (r3, r4, r5, r6 — alphabetical within a round) so future
+# rounds keep rotating forward. Local parity (tests/
+# test_oracle_parity.py) re-verifies ALL oracles every run, so a
+# stale seat is re-confirmation debt, not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # seats 0-3: round-6 additions, never driver-graded (locally
-    # parity-green at sf0.001 AND sf0.01 before taking a seat)
-    "hydrate_multi_field",
-    "hydrate_neighbours_depth2",
-    "feedback_daily_trend",
-    "paragraph_search_fielded",
-    "paragraph_extract_fielded",
-    "search_fields_scoped",
-    "bm25_fields_scoped",
-    "hydrate_conversation",
-    "sample_temperature",
-    "sample_domain_cap",
-    # seats 10-38: the 29 queries whose only driver evidence was r1
-    # (they were previously absent from PRIORITY entirely)
-    "advanced_query",
-    "catalog_count",
-    "catalog_facet_rollup",
-    "catalog_facets",
-    "catalog_fuzzy_title",
-    "catalog_trigram_title",
-    "catalog_words_paged",
-    "conversation_context",
-    "conversation_search",
-    "field_facet_counts",
-    "filter_expression_tree",
-    "graph_neighborhood",
-    "graph_node_fuzzy",
-    "graph_node_words",
-    "graph_nodes_projection",
-    "graph_path_prefix",
-    "graph_path_undirected",
-    "graph_relations_projection",
-    "graph_semantic_nodes",
-    "graph_text_blocks",
-    "graph_two_hop",
-    "json_kv_filter",
-    "keyword_filter",
-    "neighbouring_paragraphs",
-    "paragraph_extract",
-    "phrase_match",
-    "search_after_keyset",
-    "security_filter",
-    "suggest_entities",
-    # seats 39-49: oldest r2-evidence queries (alphabetical; the
-    # remaining 22 r2-evidence queries lead the tail for round 7)
-    "bm25_ematches",
-    "bm25_fuzzy_fallback",
-    "bm25_highlight",
-    "bm25_prefiltered",
-    "bm25_stop_words",
-    "bm25_synonyms",
-    "combsum_fusion",
-    "corpus_length_stats",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    # --- end of the 50-query graded window ---
-    # tail: re-confirmation queue, stalest evidence first
-    # (remaining r2, then r3, r4, r5 — rotate forward next round)
+    # seats 0-1: the two r6-late additions the driver has never
+    # graded (in the registry since r6 but absent from PRIORITY)
+    "resource_get",
+    "resources_list",
+    # seats 2+: new r7 queries are inserted here once locally
+    # parity-green at sf0.001+sf0.01, displacing the tail of the
+    # r3 block below out of the window
+    # --- latest driver evidence: r2 (22 queries, alphabetical) ---
     "embed_knn_stub",
     "export_paragraph_classification",
     "find_secured",
@@ -135,6 +82,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "text_quality",
     "text_token_counts",
     "vocab_stats",
+    # --- latest driver evidence: r3 (48 queries, alphabetical) ---
     "augment_paragraphs",
     "augment_resources",
     "catalog_filter_alias",
@@ -183,6 +131,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "suggest_entities_folded",
     "text_pii_scan",
     "text_repetition",
+    # --- latest driver evidence: r4 (31 queries, alphabetical) ---
     "ann_kmeans_step",
     "ask_stub",
     "batch_by_length",
@@ -214,6 +163,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "trainset_split",
     "vocab_kmv_sketch",
     "vocab_prune_plan",
+    # --- latest driver evidence: r5 (50 queries, alphabetical) ---
     "advanced_query_fielded",
     "ann_ivf_adaptive",
     "ann_ivf_geometric",
@@ -264,6 +214,57 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "text_dup_spans",
     "trainset_partitions",
     "vectorset_backfill",
+    # --- latest driver evidence: r6 (50 queries, alphabetical) ---
+    "advanced_query",
+    "bm25_ematches",
+    "bm25_fields_scoped",
+    "bm25_fuzzy_fallback",
+    "bm25_highlight",
+    "bm25_prefiltered",
+    "bm25_stop_words",
+    "bm25_synonyms",
+    "catalog_count",
+    "catalog_facet_rollup",
+    "catalog_facets",
+    "catalog_fuzzy_title",
+    "catalog_trigram_title",
+    "catalog_words_paged",
+    "combsum_fusion",
+    "conversation_context",
+    "conversation_search",
+    "corpus_length_stats",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "feedback_daily_trend",
+    "field_facet_counts",
+    "filter_expression_tree",
+    "graph_neighborhood",
+    "graph_node_fuzzy",
+    "graph_node_words",
+    "graph_nodes_projection",
+    "graph_path_prefix",
+    "graph_path_undirected",
+    "graph_relations_projection",
+    "graph_semantic_nodes",
+    "graph_text_blocks",
+    "graph_two_hop",
+    "hydrate_conversation",
+    "hydrate_multi_field",
+    "hydrate_neighbours_depth2",
+    "json_kv_filter",
+    "keyword_filter",
+    "neighbouring_paragraphs",
+    "paragraph_extract",
+    "paragraph_extract_fielded",
+    "paragraph_search_fielded",
+    "phrase_match",
+    "sample_domain_cap",
+    "sample_temperature",
+    "search_after_keyset",
+    "search_fields_scoped",
+    "security_filter",
+    "suggest_entities",
 ]
 
 
