@@ -144,20 +144,61 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         scope_rids = scoped_fields.select("rid").distinct()
 
     if "keyword" in features and req.query.strip() and scoped_keys:
-        # field-scoped keyword search ranks within the named field
-        # families' OWN corpus (their postings/stats — what scoping
-        # tantivy to a field facet yields); filters still apply to
-        # the scoped corpus before stats, like a per-scope searcher
-        corpus_df = scoped_fields
+        # field-scoped keyword search SERVES from the session-cached
+        # per-family sidecars (postings/docstats/vocab/corpus keyed
+        # by field_key — _fielded_text_index): no per-request
+        # tokenization or stats pass, same serving rule as the
+        # unscoped path below. Each scoped family ranks against its
+        # OWN prebuilt stats (tantivy's per-field postings + field
+        # norms, nidx/nidx_text/src/schema.rs:59-114); a multi-family
+        # scope sums per-field scores per resource, tantivy's
+        # multi-field Occur::Should. Filters restrict candidates via
+        # semijoin while family stats stay fixed — the serve-time
+        # prefilter, never a stats rebuild
+        # (nidx/nidx_text/src/reader.rs:148-180).
+        from nucliadb_spark.plans.queries_text import _fielded_text_index
+
+        post_f, stats_f, vocab_f, corpus_f = _fielded_text_index(spark, sf_dir)
+        allowed_pairs = None
         if filters is not None:
-            corpus_df = corpus_df.filter(filters.to_column())
-        sources["keyword"] = bm25.bm25_search(
-            corpus_df,
-            req.query,
-            top_k=win,
-            synonyms=req.synonyms,
-            min_score=req.min_score_bm25 or None,
-        ).select(F.col("rid").alias("id"), "score")
+            allowed_pairs = scoped_fields.filter(filters.to_column()).select(
+                "field_key", "rid"
+            )
+        legs = []
+        for key in scoped_keys:
+            fk = F.col("field_key") == key
+            allowed = (
+                allowed_pairs.filter(fk).select("rid")
+                if allowed_pairs is not None
+                else None
+            )
+            legs.append(
+                bm25.bm25_search(
+                    None,
+                    req.query,
+                    top_k=win,
+                    synonyms=req.synonyms,
+                    post=post_f.filter(fk).drop("field_key"),
+                    stats=stats_f.filter(fk).drop("field_key"),
+                    vocab=vocab_f.filter(fk).drop("field_key"),
+                    corpus=corpus_f.filter(fk).select("n", "avgdl"),
+                    allowed=allowed,
+                )
+            )
+        kw = legs[0]
+        for other in legs[1:]:
+            kw = kw.unionByName(other)
+        if len(legs) > 1:
+            kw = kw.groupBy("rid").agg(
+                F.round(F.sum("score"), 4).cast("double").alias("score")
+            )
+        if req.min_score_bm25:
+            kw = kw.filter(F.col("score") >= req.min_score_bm25)
+        sources["keyword"] = (
+            kw.orderBy(F.col("score").desc(), F.col("rid").asc())
+            .limit(win)
+            .select(F.col("rid").alias("id"), "score")
+        )
     elif "keyword" in features and req.query.strip():
         # ALL requests serve from the session-cached index
         # (postings/docstats/corpus/vocab sidecars) — an API endpoint

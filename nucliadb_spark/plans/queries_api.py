@@ -1056,3 +1056,144 @@ def paragraph_search_fielded(spark, sf_dir):
         )
         .orderBy("paragraph_id")
     )
+
+
+LINK_FIELD_SEARCH_SQL = f"""
+WITH p0 AS ({tpch.SQL_PARAGRAPHS_FIELDED}),
+f AS ({tpch.SQL_FIELDS_MULTI}),
+scoped AS (
+  SELECT p0.paragraph_id, p0.rid, p0.text, f.field_key, f.uri
+  FROM p0
+  JOIN f ON f.rid = p0.rid
+        AND f.field_id = string_split(p0.paragraph_id, '/')[2]
+  WHERE f.field_type = 'u'
+)
+SELECT paragraph_id, rid, text, field_key, uri
+FROM scoped
+WHERE contains(lower(text), 'stream')
+ORDER BY paragraph_id
+"""
+
+
+@register("link_field_search", LINK_FIELD_SEARCH_SQL)
+def link_field_search(spark, sf_dir):
+    """Keyword search scoped BY FIELD TYPE to the third field family
+    ('/u/link' — sparse: every third resource has one), with the
+    family's own metadata (the FieldLink `uri`, resources.proto link
+    fields) attached to each hit. The F9 prefilter here is
+    `field_type = 'u'`, not a named field key — the reference's
+    FieldTypeName filter (nucliadb_models/search.py FieldTypeName;
+    nidx scopes by the field-type facet prefix). Same at-scale shape
+    as `search_fields_scoped`: the type predicate sits under the
+    (rid, field_id) join, so the scan prunes to one sparse family
+    before the keyword match."""
+    from pyspark.sql import functions as F
+
+    paras = tpch.paragraphs_fielded(spark, sf_dir).withColumn(
+        "field_id", F.split("paragraph_id", "/").getItem(1)
+    )
+    links = tpch.fields_multi(spark, sf_dir).filter(F.col("field_type") == "u")
+    return (
+        paras.join(
+            links.select("rid", "field_id", "field_key", "uri"),
+            ["rid", "field_id"],
+        )
+        .filter(F.lower(F.col("text")).contains("stream"))
+        .select("paragraph_id", "rid", "text", "field_key", "uri")
+        .orderBy("paragraph_id")
+    )
+
+
+FIELD_FAMILY_FACETS_SQL = f"""
+SELECT field_type, field_key,
+       COUNT(*) AS n_fields,
+       COUNT(uri) AS n_with_uri,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN list_contains(labels, '/n/i/text/html')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_html
+FROM ({tpch.SQL_FIELDS_MULTI})
+GROUP BY field_type, field_key
+ORDER BY field_key
+"""
+
+
+@register("field_family_facets", FIELD_FAMILY_FACETS_SQL)
+def field_family_facets(spark, sf_dir):
+    """Per-field-family catalog rollup over the 3-family corpus (A1
+    facets at field granularity — the reference's field-type facet
+    '/t','/a','/u' plus the '/n/i/{{mime}}' icon facet, catalog
+    faceted search over field metadata): one row per family with its
+    field count, uri-bearing count (only links carry one), total
+    chars, and the html-mime label count. One groupBy over a
+    3-key column — map-side partial combine; the facet predicates
+    are row-local array ops, never an explode-shuffle."""
+    from pyspark.sql import functions as F
+
+    return (
+        tpch.fields_multi(spark, sf_dir)
+        .groupBy("field_type", "field_key")
+        .agg(
+            F.count("*").alias("n_fields"),
+            F.count("uri").alias("n_with_uri"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.when(
+                    F.array_contains("labels", "/n/i/text/html"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_html"),
+        )
+        .orderBy("field_key")
+    )
+
+
+def _fields_scoped_multi_oracle() -> str:
+    from nucliadb_spark.operators import bm25
+
+    link_fields = (
+        f"SELECT * FROM ({tpch.SQL_FIELDS_MULTI}) WHERE field_key = '/u/link'"
+    )
+    ta = bm25.bm25_sql(_TITLE_FIELDS_SQL, "merge stream window", top_k=50)
+    tu = bm25.bm25_sql(link_fields, "merge stream window", top_k=50)
+    return f"""
+WITH leg_title AS ({ta}),
+leg_link AS ({tu}),
+u AS (
+  SELECT rid, score FROM leg_title
+  UNION ALL
+  SELECT rid, score FROM leg_link
+)
+SELECT rid AS id, ROUND(SUM(score), 4)::DOUBLE AS score
+FROM u GROUP BY rid
+ORDER BY score DESC, id ASC
+LIMIT 15
+"""
+
+
+@register("find_fields_scoped_multi", _fields_scoped_multi_oracle())
+def find_fields_scoped_multi(spark, sf_dir):
+    """A MULTI-family `fields` scope through the serving API:
+    `fields=["a/title", "u/link"]` ranks each scoped family against
+    its OWN prebuilt per-family sidecar index (postings / doc-stats /
+    vocab / corpus keyed by field_key — _fielded_text_index) and sums
+    per-field scores per resource, tantivy's multi-field
+    Occur::Should over per-field postings
+    (nidx/nidx_text/src/schema.rs:59-114;
+    nucliadb_models/search.py:461-468). The serving contract is the
+    point: NO per-request tokenization or stats pass — the request
+    prunes the session-cached family-keyed sidecars (parquet
+    partitioned by field_key at scale), exactly like the unscoped
+    find path serves from the global postings cache."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query="merge stream window",
+        features=["keyword"],
+        top_k=15,
+        window=50,
+        fields=["a/title", "u/link"],
+    )
+    # matched_sources is array-typed (not pandas-hashable at the
+    # driver boundary) — project the scalar result columns
+    return api.find_request(spark, sf_dir, req).select("id", "score")

@@ -33,6 +33,52 @@ def _corpus(sf_dir, stats):
     """Cached 1-row (n, avgdl) corpus metadata."""
     return cached_df(sf_dir, "corpusstats", lambda: bm25.corpus_stats(stats))
 
+
+def _fielded_text_index(spark, sf_dir):
+    """Per-field-family serving sidecars over the multi-field corpus
+    (the `fields` search-scope serving path): postings / doc-stats /
+    term-dictionary / corpus-stats all keyed by `field_key`, built
+    ONCE per session over ALL families. A scoped request prunes each
+    sidecar with `field_key = ...` — the batch analog of tantivy
+    keeping one postings list per (field, term) and a field-scoped
+    query touching only that field's lists
+    (nidx/nidx_text/src/schema.rs:59-114 field facet). At 100 TB
+    these persist as parquet partitioned by field_key, so the prune
+    is partition pruning; per-family corpus stats are one tiny row
+    each, exactly tantivy's per-field fieldnorm/avg length."""
+    from nucliadb_spark.functions.text import tokenize
+
+    post = cached_df(
+        sf_dir,
+        "ff_postings",
+        lambda: (
+            tpch.fields_multi(spark, sf_dir)
+            .select("field_key", "rid", F.explode(tokenize("text")).alias("term"))
+            .groupBy("field_key", "rid", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+        ),
+    )
+    stats = cached_df(
+        sf_dir,
+        "ff_docstats",
+        lambda: post.groupBy("field_key", "rid").agg(F.sum("tf").alias("dl")),
+    )
+    vocab = cached_df(
+        sf_dir,
+        "ff_vocab",
+        lambda: post.groupBy("field_key", "term").agg(
+            F.count("*").cast("double").alias("df")
+        ),
+    )
+    corpus = cached_df(
+        sf_dir,
+        "ff_corpus",
+        lambda: stats.groupBy("field_key").agg(
+            F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+        ),
+    )
+    return post, stats, vocab, corpus
+
 # --- T2/O1: disjunctive paragraph-style keyword search ------------------
 
 

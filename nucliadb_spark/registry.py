@@ -56,9 +56,12 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     # graded (in the registry since r6 but absent from PRIORITY)
     "resource_get",
     "resources_list",
-    # seats 2+: new r7 queries are inserted here once locally
-    # parity-green at sf0.001+sf0.01, displacing the tail of the
-    # r3 block below out of the window
+    # seats 2+: new r7 queries, inserted once locally parity-green
+    # at sf0.001+sf0.01, displacing the tail of the r3 block below
+    # out of the window
+    "link_field_search",
+    "field_family_facets",
+    "find_fields_scoped_multi",
     # --- latest driver evidence: r2 (22 queries, alphabetical) ---
     "embed_knn_stub",
     "export_paragraph_classification",

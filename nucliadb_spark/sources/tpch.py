@@ -489,13 +489,31 @@ FROM ({SQL_PARAGRAPHS})
 TITLE_CHARS = 80  # generic title field = the document's first 80 chars
 
 
+LINK_SLICE_CHARS = 160  # link extracted text = 160 chars after the title
+
+
 def fields_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two fields per resource: the full-text '/t/body' field plus an
-    '/a/title' generic field. Same schema as `fields`; a narrow
-    union of two projections of one scan — no shuffle."""
+    """Multi-field corpus, three field families: the full-text
+    '/t/body' field plus an '/a/title' generic field on EVERY
+    resource, and a '/u/link' field on every third resource
+    (doc_id % 3 == 0 — link fields are sparse in real KBs). The link
+    field carries its own metadata: a `uri` (NULL for non-link
+    fields — FieldLink.uri, resources.proto link fields) and a
+    '/n/i/text/html' mime label next to the shared language/source
+    labels; its extracted text is the uri plus the char slice after
+    the title (the reference stores the fetched page's extracted
+    text as the link field's text). Same join-contract schema as
+    `fields`; a narrow union of projections of one scan — no
+    shuffle."""
     d = table(spark, sf_dir, "documents")
 
-    def proj(ftype, fid, text_col, nchars_col):
+    def proj(ftype, fid, text_col, nchars_col, uri_col=None, mime=None):
+        label_cols = [
+            F.concat(F.lit("/s/p/"), F.col("lang")),
+            F.concat(F.lit("/u/s/"), F.col("source")),
+        ]
+        if mime is not None:
+            label_cols.append(F.lit("/n/i/" + mime))
         return d.select(
             F.lit("kb0").alias("kbid"),
             F.col("doc_id").cast("long").alias("rid"),
@@ -506,10 +524,10 @@ def fields_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("language"),
             F.col("source"),
             nchars_col.cast("long").alias("n_chars"),
-            F.array(
-                F.concat(F.lit("/s/p/"), F.col("lang")),
-                F.concat(F.lit("/u/s/"), F.col("source")),
-            ).alias("labels"),
+            (uri_col if uri_col is not None else F.lit(None).cast("string")).alias(
+                "uri"
+            ),
+            F.array(*label_cols).alias("labels"),
             (F.col("doc_id") % 4 != 0).alias("security_public"),
             F.array(F.concat(F.lit("group-"), F.col("doc_id") % 7)).alias(
                 "security_groups"
@@ -523,13 +541,25 @@ def fields_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"substring(text, 1, {TITLE_CHARS})"),
         F.least(F.lit(TITLE_CHARS), F.col("n_chars")),
     )
-    return body.unionByName(title)
+    uri = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/doc-"), F.col("doc_id")
+    )
+    link_text = F.concat(
+        uri,
+        F.lit(" "),
+        F.expr(f"substring(text, {TITLE_CHARS} + 1, {LINK_SLICE_CHARS})"),
+    )
+    link = proj(
+        "u", "link", link_text, F.length(link_text), uri_col=uri, mime="text/html"
+    ).filter(F.col("rid") % 3 == 0)
+    return body.unionByName(title).unionByName(link)
 
 
 SQL_FIELDS_MULTI = f"""
 SELECT 'kb0' AS kbid, CAST(doc_id AS BIGINT) AS rid,
        't' AS field_type, 'body' AS field_id, '/t/body' AS field_key,
        text, lang AS language, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS uri,
        [concat('/s/p/', lang), concat('/u/s/', source)] AS labels,
        doc_id % 4 <> 0 AS security_public,
        [concat('group-', doc_id % 7)] AS security_groups
@@ -539,10 +569,26 @@ SELECT 'kb0', CAST(doc_id AS BIGINT),
        'a', 'title', '/a/title',
        substring(text, 1, {TITLE_CHARS}), lang, source,
        CAST(least({TITLE_CHARS}, n_chars) AS BIGINT),
+       CAST(NULL AS VARCHAR),
        [concat('/s/p/', lang), concat('/u/s/', source)],
        doc_id % 4 <> 0,
        [concat('group-', doc_id % 7)]
 FROM documents
+UNION ALL
+SELECT 'kb0', CAST(doc_id AS BIGINT),
+       'u', 'link', '/u/link',
+       concat('http://', source, '.example/doc-', doc_id, ' ',
+              substring(text, {TITLE_CHARS} + 1, {LINK_SLICE_CHARS})),
+       lang, source,
+       CAST(length(concat('http://', source, '.example/doc-', doc_id, ' ',
+                          substring(text, {TITLE_CHARS} + 1, {LINK_SLICE_CHARS})))
+            AS BIGINT),
+       concat('http://', source, '.example/doc-', doc_id),
+       [concat('/s/p/', lang), concat('/u/s/', source), '/n/i/text/html'],
+       doc_id % 4 <> 0,
+       [concat('group-', doc_id % 7)]
+FROM documents
+WHERE doc_id % 3 = 0
 """
 
 
@@ -582,7 +628,36 @@ def paragraphs_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"substring(text, 1, {TITLE_CHARS})").alias("text"),
         F.lit("TITLE").alias("kind"),
     )
-    return body.unionByName(title)
+    # one paragraph per '/u/link' field (sparse: every third
+    # resource), covering the link field's full extracted text —
+    # text must equal the owning field's text slice so owning-field
+    # extraction (J4) slices identically across families
+    ltext = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example/doc-"),
+        F.col("doc_id"),
+        F.lit(" "),
+        F.expr(f"substring(text, {TITLE_CHARS} + 1, {LINK_SLICE_CHARS})"),
+    )
+    lend = F.length(ltext).cast("long")
+    link = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").cast("long").alias("rid"),
+            F.concat_ws(
+                "/",
+                F.col("doc_id").cast("long"),
+                F.lit("link"),
+                F.concat_ws("-", F.lit(0), lend),
+            ).alias("paragraph_id"),
+            F.lit(0).cast("long").alias("start"),
+            lend.alias("end"),
+            ltext.alias("text"),
+            F.lit("TEXT").alias("kind"),
+        )
+    )
+    return body.unionByName(title).unionByName(link)
 
 
 SQL_PARAGRAPHS_FIELDED = f"""
@@ -606,6 +681,19 @@ SELECT CAST(doc_id AS BIGINT),
        substring(text, 1, {TITLE_CHARS}),
        'TITLE'
 FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       concat(doc_id, '/link/0-', length(ltext)),
+       CAST(0 AS BIGINT),
+       CAST(length(ltext) AS BIGINT),
+       ltext,
+       'TEXT'
+FROM (
+  SELECT doc_id,
+         concat('http://', source, '.example/doc-', doc_id, ' ',
+                substring(text, {TITLE_CHARS} + 1, {LINK_SLICE_CHARS})) AS ltext
+  FROM documents WHERE doc_id % 3 = 0
+)
 """
 
 

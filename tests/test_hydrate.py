@@ -60,12 +60,17 @@ def test_hydrate_multi_field_no_fanout(spark, sf_dir):
     for r in out:
         fid = r.paragraph_id.split("/")[1]
         # owning field attached, not an arbitrary one
-        assert r.field_key == {"body": "/t/body", "title": "/a/title"}[fid]
-        assert r.field_type == {"body": "t", "title": "a"}[fid]
-        if fid == "title":
-            # neighbours never cross field boundaries: the title field
-            # has a single paragraph, so it has no neighbours even
-            # though the body field's windows share the rid
+        assert r.field_key == {
+            "body": "/t/body",
+            "title": "/a/title",
+            "link": "/u/link",
+        }[fid]
+        assert r.field_type == {"body": "t", "title": "a", "link": "u"}[fid]
+        if fid in ("title", "link"):
+            # neighbours never cross field boundaries: the title and
+            # link fields each have a single paragraph, so no
+            # neighbours even though the body field's windows share
+            # the rid
             assert r.prev_text is None and r.next_text is None
 
 

@@ -524,3 +524,33 @@ def test_search_fields_scoped_pushes_predicates(spark, sf_dir):
     m = re.search(r"BroadcastExchange(.*)", plan, re.S)
     assert m and "/a/title" in m.group(1), plan[:2000]
     assert _n_shuffles(plan) == 0, plan[:2000]
+
+
+def test_scoped_find_serves_from_fielded_sidecars(spark, sf_dir):
+    """A `fields`-scoped find request must SERVE from the prebuilt
+    per-family sidecars (field_key-pruned InMemoryTableScans), never
+    re-tokenize the scoped corpus per request — the serving rule that
+    the unscoped path already obeys (api.py). A tokenize pass would
+    show up as a Generate(explode) over the fields_multi scan in the
+    per-query plan."""
+    from nucliadb_spark import api
+    from nucliadb_spark.plans.queries_text import _fielded_text_index
+
+    # index build happens once, before any request (bench/startup)
+    post, stats, vocab, corpus = _fielded_text_index(spark, sf_dir)
+    post.count()
+
+    req = api.FindRequest(
+        query="merge stream window", features=["keyword"], top_k=8,
+        fields=["a/title", "u/link"],
+    )
+    df = api.find_request(spark, sf_dir, req)
+    # walk the PHYSICAL tree: cached build plans hang off
+    # InMemoryRelation (not a physical child), so visited nodes are
+    # per-query work only — see test_find_served_prefilter above
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("Generate" in c for c in nodes), nodes  # no tokenize
+    assert any("InMemoryTableScan" in c for c in nodes)
+    # the family prune must land on the cached-sidecar scans
+    plan = _plan(df)
+    assert "/a/title" in plan and "/u/link" in plan
