@@ -343,8 +343,13 @@ def temperature_weights(
                 / (F.col("n") / F.col("_tot")),
                 4,
             ).alias("boost"),
+            # +1e-9 before floor: JVM Math.pow and DuckDB std::pow can
+            # differ in the last ulp, and floor at an exact-integer
+            # boundary would turn that into an off-by-one cross-engine
+            # mismatch (round() columns absorb ulp noise, floor doesn't)
             F.floor(
                 F.pow("n", F.lit(alpha)) / F.col("_tot_a") * F.col("_tot")
+                + F.lit(1e-9)
             ).cast("long").alias("expected_docs"),
         )
         .orderBy("stratum")
@@ -368,7 +373,7 @@ SELECT stratum, CAST(n AS BIGINT) AS n,
        ROUND(n / t, 6) AS p_raw,
        ROUND(POW(n, {alpha}) / ta, 6) AS p_temp,
        ROUND((POW(n, {alpha}) / ta) / (n / t), 4) AS boost,
-       CAST(FLOOR(POW(n, {alpha}) / ta * t) AS BIGINT) AS expected_docs
+       CAST(FLOOR(POW(n, {alpha}) / ta * t + 1e-9) AS BIGINT) AS expected_docs
 FROM cnts, tot
 ORDER BY stratum
 """

@@ -842,7 +842,7 @@ def _hydrate_conversation_oracle() -> str:
         req,
         tpch.SQL_PARAGRAPHS_CONVERSATION,
         tpch.SQL_FIELDS_CONVERSATION,
-        tpch.SQL_RESOURCES,
+        tpch.SQL_RESOURCES_CONVERSATION,
     )
 
 
@@ -866,7 +866,11 @@ def hydrate_conversation(spark, sf_dir):
         req,
         paras,
         tpch.fields_conversation(spark, sf_dir),
-        tpch.resources(spark, sf_dir),
+        # conversations live in their own rid keyspace with their own
+        # synthesized resources (tpch.CONV_RID_BASE) — joining the
+        # part-derived resources here would attach an unrelated
+        # part's slug/title to every conversation
+        tpch.resources_conversation(spark, sf_dir),
     )
 
 

@@ -697,15 +697,28 @@ FROM (
 """
 
 
+# Conversation resources get their OWN rid range: conversation_id is
+# derived from events.user_id, which would otherwise collide with the
+# part/document rid keyspace and attach an unrelated part's
+# slug/title/security to every conversation (a wrong-by-construction
+# join that parity can't catch because the oracle would do the same).
+# The base is % 5 == 0 and % 4 == 0 so id-derived selections and
+# security bits depend only on the conversation id.
+CONV_RID_BASE = 1_000_000_000
+
+
 def fields_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One conversation field per conversation (field type 'c',
-    resources.proto conversation fields): rid = conversation_id,
+    resources.proto conversation fields): rid = CONV_RID_BASE +
+    conversation_id (a disjoint keyspace — see CONV_RID_BASE),
     language from the conversation's majority is moot here — a fixed
     'en' matches the synthetic messages. Same join-contract columns
     as `fields`/`fields_multi` (rid, field_id, field_key, field_type,
     language)."""
     m = messages(spark, sf_dir)
-    return m.groupBy(F.col("conversation_id").alias("rid")).agg(
+    return m.groupBy(
+        (F.col("conversation_id") + F.lit(CONV_RID_BASE)).alias("rid")
+    ).agg(
         F.count("*").alias("n_messages")
     ).select(
         "rid",
@@ -721,7 +734,42 @@ SQL_FIELDS_CONVERSATION = f"""
 SELECT rid, 'c' AS field_type, 'conv' AS field_id, '/c/conv' AS field_key,
        'en' AS language, n_messages
 FROM (
-  SELECT conversation_id AS rid, COUNT(*) AS n_messages
+  SELECT conversation_id + {CONV_RID_BASE} AS rid, COUNT(*) AS n_messages
+  FROM ({SQL_MESSAGES}) GROUP BY conversation_id
+)
+"""
+
+
+def resources_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One RESOURCE per conversation in the disjoint CONV_RID_BASE
+    keyspace — slug/title/security derived from the conversation id,
+    so hydrate attaches metadata that actually belongs to the
+    conversation (not an unrelated part that happened to share a
+    rid). Only the hydrate join-contract columns."""
+    m = messages(spark, sf_dir)
+    cid = F.col("conversation_id")
+    return m.groupBy(cid.alias("conversation_id")).agg(
+        F.count("*").alias("n_messages")
+    ).select(
+        (cid + F.lit(CONV_RID_BASE)).alias("rid"),
+        F.concat(F.lit("conversation-"), cid).alias("slug"),
+        F.concat(F.lit("Conversation with user-"), cid).alias("title"),
+        F.element_at(
+            F.array(F.lit("WEB"), F.lit("DESKTOP"), F.lit("API")),
+            (cid % 3 + 1).cast("int"),
+        ).alias("origin_source"),
+        (cid % 4 != 0).alias("security_public"),
+    )
+
+
+SQL_RESOURCES_CONVERSATION = f"""
+SELECT conversation_id + {CONV_RID_BASE} AS rid,
+       concat('conversation-', conversation_id) AS slug,
+       concat('Conversation with user-', conversation_id) AS title,
+       (['WEB', 'DESKTOP', 'API'])[(conversation_id % 3 + 1)] AS origin_source,
+       conversation_id % 4 <> 0 AS security_public
+FROM (
+  SELECT conversation_id, COUNT(*) AS n_messages
   FROM ({SQL_MESSAGES}) GROUP BY conversation_id
 )
 """
@@ -734,11 +782,12 @@ def paragraphs_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = message_idx, offsets within the message text."""
     m = messages(spark, sf_dir)
     tlen = F.length("text").cast("long")
+    rid = F.col("conversation_id") + F.lit(CONV_RID_BASE)
     return m.select(
-        F.col("conversation_id").alias("rid"),
+        rid.alias("rid"),
         F.concat_ws(
             "/",
-            "conversation_id",
+            rid,
             F.lit("conv"),
             "message_idx",
             F.concat_ws("-", F.lit(0), tlen),
@@ -751,9 +800,9 @@ def paragraphs_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PARAGRAPHS_CONVERSATION = f"""
-SELECT conversation_id AS rid,
-       concat(conversation_id, '/conv/', message_idx, '/0-', length(text))
-           AS paragraph_id,
+SELECT conversation_id + {CONV_RID_BASE} AS rid,
+       concat(conversation_id + {CONV_RID_BASE}, '/conv/', message_idx,
+              '/0-', length(text)) AS paragraph_id,
        CAST(0 AS BIGINT) AS start,
        CAST(length(text) AS BIGINT) AS "end",
        text,

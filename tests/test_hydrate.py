@@ -118,9 +118,16 @@ def test_hydrate_conversation_neighbours_are_adjacent_messages(spark, sf_dir):
     req = paras.filter(F.col("rid") % 5 == 2).select("paragraph_id")
     out = H.hydrate(
         req, paras, tpch.fields_conversation(spark, sf_dir),
-        tpch.resources(spark, sf_dir),
+        tpch.resources_conversation(spark, sf_dir),
     ).collect()
     assert out
+    for r in out:
+        # conversations live in a disjoint rid keyspace with their
+        # OWN resources — the hydrated metadata must belong to the
+        # conversation, never a part that shares the raw user_id
+        cid = r.rid - tpch.CONV_RID_BASE
+        assert r.slug == f"conversation-{cid}"
+        assert r.title == f"Conversation with user-{cid}"
     by_split = {
         (r.rid, int(r.paragraph_id.split("/")[2])): r.text
         for r in paras.filter(F.col("rid") % 5 == 2).collect()
