@@ -66,6 +66,10 @@ HEADLINE = [
     # 2-fields-per-rid corpus) and the per-(kbid, day) feedback trend
     "hydrate_multi_field",
     "feedback_daily_trend",
+    # round 7: the fields-scoped hybrid flagship — keyword from the
+    # per-family sidecar cache, vector leg scope-semijoined; should
+    # sit BELOW find_hybrid (it scans the sparse '/u/link' third)
+    "find_hybrid_fielded",
 ]
 
 
@@ -99,6 +103,11 @@ def main() -> None:
     from nucliadb_spark.operators import find as find_ops
 
     find_ops.stub_embedding_sidecar(spark, SF_DIR).count()
+    # per-field-family sidecars: the fields-scoped serving index
+    from nucliadb_spark.plans.queries_text import _fielded_text_index
+
+    for ff in _fielded_text_index(spark, SF_DIR):
+        ff.count()
 
     queries = registry.queries()
     names = [n for n in HEADLINE if n in queries]

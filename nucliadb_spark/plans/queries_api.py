@@ -1201,3 +1201,71 @@ def find_fields_scoped_multi(spark, sf_dir):
     # matched_sources is array-typed (not pandas-hashable at the
     # driver boundary) — project the scalar result columns
     return api.find_request(spark, sf_dir, req).select("id", "score")
+
+
+def _find_hybrid_fielded_oracle() -> str:
+    from nucliadb_spark.operators import bm25, fusion, knn
+
+    win = 50  # fusion_window(50, 10)
+    link_fields = (
+        f"SELECT * FROM ({tpch.SQL_FIELDS_MULTI}) WHERE field_key = '/u/link'"
+    )
+    keyword = (
+        "SELECT rid AS id, score FROM "
+        f"({bm25.bm25_sql(link_fields, 'merge stream window', top_k=win)})"
+    )
+    scope = (
+        f"rid IN (SELECT rid FROM ({tpch.SQL_FIELDS_MULTI}) "
+        "WHERE field_key = '/u/link')"
+    )
+    semantic = knn.exact_knn_sql(
+        tpch.SQL_VECTORS,
+        "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 5",
+        64,
+        k=win,
+        similarity="cosine",
+        where=scope,
+    )
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_fielded", _find_hybrid_fielded_oracle())
+def find_hybrid_fielded(spark, sf_dir):
+    """The hybrid flagship under a `fields` search scope: keyword +
+    semantic retrieval restricted to resources owning a '/u/link'
+    field (sparse — every third resource), fused with RRF k=60
+    through the serving API. The keyword leg serves from the
+    session-cached per-family sidecar (field_key-pruned postings —
+    _fielded_text_index, tantivy's per-field postings); the vector
+    leg semijoins the scope's rid set (broadcast — the scope is a
+    field-family membership list) BEFORE scoring, the reference's
+    field-scoped prefilter applied to the vector index
+    (nidx/nidx_vector prefilter; nucliadb_models/search.py:461-468).
+    At 100 TB both legs scan only the scoped third of their
+    partitions; fusion sees ≤2·window rows."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query="merge stream window",
+        features=["keyword", "semantic"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        fields=["u/link"],
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )

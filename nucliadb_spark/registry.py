@@ -62,6 +62,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "link_field_search",
     "field_family_facets",
     "find_fields_scoped_multi",
+    "find_hybrid_fielded",
     # --- latest driver evidence: r2 (22 queries, alphabetical) ---
     "embed_knn_stub",
     "export_paragraph_classification",
