@@ -605,3 +605,130 @@ def multimodal_media_features(spark, sf_dir):
     read diverges."""
     media = multimodal.synthesize_real_media(_docs(spark, sf_dir))
     return multimodal.media_features(media).orderBy("media_id")
+
+
+# --- URL filtering (RefinedWeb-style curation over link uris) ------------
+# Synthetic URL corpus derived from documents: every doc has a base
+# fetch URL; every 5th doc also appears under a messy alias
+# (uppercase scheme/host, :80, trailing slash, fragment) that
+# NORMALIZES to the base — the exact-URL dup; every 7th doc under a
+# banned-path URL and every 11th under a banned-host URL (the
+# RefinedWeb soft/hard banned-word kinds). Alias rids live in
+# disjoint ranges so survivor election is visible.
+
+_URLS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS rid,
+       concat('http://', source, '.example/doc-', doc_id) AS uri
+FROM documents
+UNION ALL
+SELECT CAST(doc_id + 10000000 AS BIGINT),
+       concat('HTTP://', upper(source), '.EXAMPLE:80/doc-', doc_id, '/#frag')
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT CAST(doc_id + 20000000 AS BIGINT),
+       concat('http://', source, '.example/casino/doc-', doc_id)
+FROM documents WHERE doc_id % 7 = 3
+UNION ALL
+SELECT CAST(doc_id + 30000000 AS BIGINT),
+       concat('http://casino.', source, '.example/doc-', doc_id)
+FROM documents WHERE doc_id % 11 = 5
+"""
+
+
+def _urls_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.col("doc_id").cast("long").alias("rid"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example/doc-"), F.col("doc_id")
+        ).alias("uri"),
+    )
+    alias = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000000).cast("long").alias("rid"),
+        F.concat(
+            F.lit("HTTP://"), F.upper("source"), F.lit(".EXAMPLE:80/doc-"),
+            F.col("doc_id"), F.lit("/#frag"),
+        ).alias("uri"),
+    )
+    banned_path = d.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 20000000).cast("long").alias("rid"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example/casino/doc-"),
+            F.col("doc_id"),
+        ).alias("uri"),
+    )
+    banned_host = d.filter(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 30000000).cast("long").alias("rid"),
+        F.concat(
+            F.lit("http://casino."), F.col("source"), F.lit(".example/doc-"),
+            F.col("doc_id"),
+        ).alias("uri"),
+    )
+    return base.unionByName(alias).unionByName(banned_path).unionByName(banned_host)
+
+
+def _url_dedup_oracle() -> str:
+    from nucliadb_spark.operators import urls
+
+    return (
+        f"SELECT * FROM ({urls.url_dedup_sql(_URLS_SQL)}) "
+        "WHERE n_dups > 0 ORDER BY url_norm"
+    )
+
+
+@register("url_dedup_exact", _url_dedup_oracle())
+def url_dedup_exact(spark, sf_dir):
+    """Exact URL-level dedup on the NORMALIZED form (RefinedWeb's
+    first dedup stage — two fetches of the same canonical URL are
+    the same document regardless of scheme case, default port,
+    trailing slash, or fragment). One url_norm-keyed shuffle;
+    md5-min survivor election (ingestion-order-unbiased). Only the
+    dup groups are reported — the n_dups = 0 tail is the corpus
+    itself."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import urls
+
+    return urls.url_dedup(_urls_df(spark, sf_dir)).filter(F.col("n_dups") > 0)
+
+
+def _url_filter_hosts_oracle() -> str:
+    from nucliadb_spark.operators import urls
+
+    host = urls.url_host_sql("uri")
+    score = urls.url_banned_score_sql("uri")
+    return f"""
+SELECT {host} AS host, CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM ({_URLS_SQL})
+WHERE {host} NOT IN ('src1.example', 'src4.example')
+  AND {score} < 0.5
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("url_filter_hosts", _url_filter_hosts_oracle())
+def url_filter_hosts(spark, sf_dir):
+    """URL filtering (RefinedWeb §3.1): hard host blocklist + soft
+    banned-word score (1.0 for a banned host token, 0.5 for a path
+    substring; cut at 0.5), then per-host survivor counts. The
+    predicates are row-local string expressions inside whole-stage
+    codegen — at 100 TB this filter is scan-time work, and the
+    blocklist is an isin literal/broadcast, never a corpus
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import urls
+
+    kept = urls.url_filter(
+        _urls_df(spark, sf_dir),
+        blocklist=["src1.example", "src4.example"],
+        max_score=0.5,
+    )
+    return (
+        kept.select(urls.url_host("uri").alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .orderBy("host")
+    )

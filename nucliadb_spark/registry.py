@@ -63,6 +63,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "field_family_facets",
     "find_fields_scoped_multi",
     "find_hybrid_fielded",
+    "url_dedup_exact",
+    "url_filter_hosts",
     # --- latest driver evidence: r2 (22 queries, alphabetical) ---
     "embed_knn_stub",
     "export_paragraph_classification",
