@@ -173,3 +173,34 @@ def stream_feedback_rate(spark, sf_dir):
     groupBy state is one row per kbid. availableNow drain == the
     batch report the oracle runs."""
     return feedback.stream_feedback_rate(spark, sf_dir)
+
+
+def _cdc_fielded_oracle() -> str:
+    live_link = (
+        "SELECT rid, text FROM ("
+        + ingest.cdc_fielded_live_sql(tpch.SQL_FIELDS_MULTI, field_key="/u/link")
+        + ")"
+    )
+    return bm25.bm25_sql(
+        live_link, "refreshed revision stream", top_k=20, mode="any"
+    )
+
+
+@register("cdc_fielded_search_live", _cdc_fielded_oracle())
+def cdc_fielded_search_live(spark, sf_dir):
+    """S1 at FIELD granularity: the op-log key is (rid, field_id) —
+    the reference's writer sets/deletes single fields of a resource
+    and the indexer delete-then-reindexes just that field's
+    paragraphs (nidx/src/indexer.rs). Field-scoped BM25 over the
+    live '/u/link' family after link revisions (rid%7==0, new text
+    scores) and field-level link deletes (rid%9==0, absent — while
+    the same rid's body/title fields stay live). The live resolution
+    is one (rid, field_id)-keyed max_by — partial-aggregatable, the
+    same shuffle the resource-grain CDC pays."""
+    from pyspark.sql import functions as F
+
+    live = ingest.cdc_live_fielded(
+        ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir))
+    )
+    link = live.filter(F.col("field_key") == "/u/link").select("rid", "text")
+    return bm25.bm25_search(link, "refreshed revision stream", top_k=20, mode="any")

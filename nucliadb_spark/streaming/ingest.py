@@ -366,6 +366,100 @@ def compact_cdc_index(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --- field-level CDC (S1 at FIELD granularity) ------------------------------
+#
+# The reference's writer mutates individual FIELDS of a resource
+# (PATCH /resource sets/deletes single fields; the index message then
+# carries that field's paragraphs to delete + reindex —
+# nidx/src/indexer.rs delete-then-index per field), so the op-log key
+# is (rid, field_id), NOT rid: deleting a resource's link field must
+# leave its text and title fields live. Latest-op-wins resolves per
+# (rid, field_id) with the same map-side-combinable max_by as the
+# resource-level CDC; the live frame keeps field_key so the
+# per-family serving sidecars rebuild/prune directly from it.
+
+# deterministic field CDC over the multi-field corpus: every field
+# inserted at seq = rid; LINK fields of rid%7==0 revised (text +
+# " refreshed revision") at seq = rid+1e6; LINK fields of rid%9==0
+# deleted at seq = rid+2e6 (a field-level delete — the rid's other
+# families stay live; rid 63 gets both, delete wins).
+
+
+def cdc_field_log(fields_multi: DataFrame) -> DataFrame:
+    """(rid, field_id, field_key, seq, op, text) field-grain op log
+    derived from a fields_multi frame."""
+    base = fields_multi.select(
+        "rid",
+        "field_id",
+        "field_key",
+        F.col("rid").cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        "text",
+    )
+    links = fields_multi.filter(F.col("field_key") == "/u/link")
+    upd = links.filter(F.col("rid") % 7 == 0).select(
+        "rid",
+        "field_id",
+        "field_key",
+        (F.col("rid") + 1_000_000).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.col("text"), F.lit(_UPD_SUFFIX)).alias("text"),
+    )
+    dele = links.filter(F.col("rid") % 9 == 0).select(
+        "rid",
+        "field_id",
+        "field_key",
+        (F.col("rid") + 2_000_000).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    return base.unionByName(upd).unionByName(dele)
+
+
+def cdc_live_fielded(log: DataFrame) -> DataFrame:
+    """Latest-op-wins live FIELDED corpus (field_key, rid, field_id,
+    text) — deletion-list application at field grain. One shuffle
+    keyed (rid, field_id); max_by keeps it partial-aggregatable."""
+    return (
+        log.groupBy("rid", "field_id")
+        .agg(F.max_by(F.struct("op", "field_key", "text"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select(
+            F.col("last.field_key").alias("field_key"),
+            "rid",
+            "field_id",
+            F.col("last.text").alias("text"),
+        )
+    )
+
+
+def cdc_fielded_live_sql(fields_multi_sql: str, field_key: str | None = None) -> str:
+    """DuckDB twin of cdc_field_log → cdc_live_fielded, optionally
+    pre-filtered to one family."""
+    key_and = f"AND field_key = '{field_key}'" if field_key else ""
+    return f"""
+SELECT field_key, rid, field_id, text FROM (
+  SELECT rid, field_id, field_key, op, text,
+         row_number() OVER (PARTITION BY rid, field_id ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT rid, field_id, field_key, CAST(rid AS BIGINT) AS seq,
+           'upsert' AS op, text
+    FROM ({fields_multi_sql})
+    UNION ALL
+    SELECT rid, field_id, field_key, CAST(rid + 1000000 AS BIGINT),
+           'upsert', text || '{_UPD_SUFFIX}'
+    FROM ({fields_multi_sql})
+    WHERE field_key = '/u/link' AND rid % 7 = 0
+    UNION ALL
+    SELECT rid, field_id, field_key, CAST(rid + 2000000 AS BIGINT),
+           'delete', NULL
+    FROM ({fields_multi_sql})
+    WHERE field_key = '/u/link' AND rid % 9 = 0
+  )
+) WHERE rn = 1 AND op = 'upsert' {key_and}
+"""
+
+
 # --- vector-index CDC (S1 vector path + V1 ingest-time assignment) ----------
 #
 # The reference's indexer also maintains the vector segments per

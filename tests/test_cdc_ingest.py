@@ -132,3 +132,32 @@ def test_vector_cdc_stream_equals_batch_and_ivf_serves(spark, sf_dir):
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_field_level_delete_leaves_sibling_fields_live(spark, sf_dir):
+    """The field-grain op log keys on (rid, field_id): deleting a
+    rid's link field must NOT touch its body/title fields, and a
+    link revision must replace only the link text."""
+    fm = tpch.fields_multi(spark, sf_dir)
+    live = ingest.cdc_live_fielded(ingest.cdc_field_log(fm))
+
+    # a rid with a deleted link field (rid%9==0, rid%3==0 owns one)
+    victim = 9
+    fams = {r.field_key for r in live.filter(F.col("rid") == victim).collect()}
+    assert fams == {"/t/body", "/a/title"}  # link gone, siblings live
+
+    # revised link (rid%7==0 and %3==0 and not deleted): new text only
+    revised = 21
+    rows = {r.field_key: r.text for r in live.filter(F.col("rid") == revised).collect()}
+    assert rows["/u/link"].endswith(" refreshed revision")
+    base = {r.field_key: r.text for r in fm.filter(F.col("rid") == revised).collect()}
+    assert rows["/t/body"] == base["/t/body"]
+    assert rows["/a/title"] == base["/a/title"]
+
+    # untouched rids: live == base corpus, field for field
+    untouched = live.filter((F.col("rid") % 7 != 0) & (F.col("rid") % 9 != 0))
+    base_un = fm.filter((F.col("rid") % 7 != 0) & (F.col("rid") % 9 != 0)).select(
+        "field_key", "rid", "field_id", "text"
+    )
+    assert untouched.exceptAll(base_un).count() == 0
+    assert base_un.exceptAll(untouched).count() == 0
