@@ -460,6 +460,72 @@ SELECT field_key, rid, field_id, text FROM (
 """
 
 
+def cdc_fielded_index_ingest(
+    spark: SparkSession,
+    log_path: str,
+    index_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream a FIELD-grain CDC op log into the per-family serving
+    sidecars: upsert batches append seq-tagged postings segments
+    PARTITIONED BY field_key (the on-disk layout _fielded_text_index
+    assumes at scale — a scoped query's family prune is partition
+    pruning over these files), every op appends to the field-grain
+    oplog. Same exactly-once file-source + checkpoint contract as
+    cdc_index_ingest; the reference's indexer likewise
+    delete-then-reindexes exactly the mutated field's paragraphs
+    (nidx/src/indexer.rs)."""
+    schema = spark.read.parquet(log_path).schema
+    if os.path.isfile(log_path):
+        log_path = stage_arrival_dir(log_path)
+    stream = spark.readStream.schema(schema).parquet(log_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        ups = batch_df.filter(F.col("op") == "upsert")
+        post = (
+            ups.select(
+                "field_key",
+                "rid",
+                "field_id",
+                "seq",
+                F.explode(tokenize("text")).alias("term"),
+            )
+            .groupBy("field_key", "rid", "field_id", "seq", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+        )
+        post.write.mode("append").partitionBy("field_key").parquet(
+            f"{index_path}/postings"
+        )
+        batch_df.select("rid", "field_id", "seq", "op").write.mode(
+            "append"
+        ).parquet(f"{index_path}/oplog")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def live_fielded_postings(post: DataFrame, oplog: DataFrame) -> DataFrame:
+    """Streamed postings restricted to live field versions:
+    (field_key, rid, field_id, term, tf). The live-version frame is
+    one (rid, field_id)-keyed aggregation; the equi-join on
+    (rid, field_id, seq) masks dead segments exactly like the
+    resource-grain live_postings."""
+    live = (
+        oplog.groupBy("rid", "field_id")
+        .agg(F.max_by("op", "seq").alias("op"), F.max("seq").alias("seq"))
+        .filter(F.col("op") == "upsert")
+        .select("rid", "field_id", "seq")
+    )
+    return post.join(live, ["rid", "field_id", "seq"]).select(
+        "field_key", "rid", "field_id", "term", "tf"
+    )
+
+
 # --- vector-index CDC (S1 vector path + V1 ingest-time assignment) ----------
 #
 # The reference's indexer also maintains the vector segments per

@@ -161,3 +161,44 @@ def test_field_level_delete_leaves_sibling_fields_live(spark, sf_dir):
     )
     assert untouched.exceptAll(base_un).count() == 0
     assert base_un.exceptAll(untouched).count() == 0
+
+
+def test_fielded_index_stream_ingest_equals_batch(spark, sf_dir):
+    """Streaming the field-grain op log into the per-family sidecar
+    index (postings partitioned by field_key) and masking dead
+    segments equals tokenizing the batch-resolved live corpus — the
+    serving sidecars of _fielded_text_index can be maintained
+    incrementally, never rebuilt."""
+    import tempfile, shutil
+    from nucliadb_spark.functions.text import tokenize
+
+    fm = tpch.fields_multi(spark, sf_dir)
+    log = ingest.cdc_field_log(fm)
+    workdir = tempfile.mkdtemp(prefix="ffcdc_")
+    try:
+        log.repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_fielded_index_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        post = spark.read.parquet(f"{workdir}/index/postings")
+        oplog = spark.read.parquet(f"{workdir}/index/oplog")
+        streamed = ingest.live_fielded_postings(post, oplog)
+
+        live = ingest.cdc_live_fielded(log)
+        batch = (
+            live.select(
+                "field_key", "rid", "field_id",
+                F.explode(tokenize("text")).alias("term"),
+            )
+            .groupBy("field_key", "rid", "field_id", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+        )
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        # the family prune is partition pruning over the written files
+        import os
+        parts = {p for p in os.listdir(f"{workdir}/index/postings")
+                 if p.startswith("field_key=")}
+        assert len(parts) == 3
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
