@@ -1,72 +1,98 @@
-"""On-disk term-bucketed text index (S3 serving shape).
+"""Plan-level proof of the SCALE.md storage claims: the persisted
+bucketed index tables give (a) bucket PRUNING on a term probe — the
+inverted-index seek — and (b) a co-located rid join with NO
+Exchange. These are properties of the physical plan, so the tests
+assert on the plan text, not just results."""
 
-The postings table persists hash-partitioned by `tb = crc32(term) %
-64`; a query maps its terms to buckets driver-side, so the scan reads
-only |query-term-buckets| directories — the parquet analog of
-tantivy's term-dictionary seek (ref: nidx/nidx_text/src/reader.rs
-do_search over built segments). Asserts both the pruning (partition
-filters in the plan, fewer files touched) and value-parity with the
-in-memory index path.
-"""
-
-import contextlib
-import io
-import zlib
+import shutil
+import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
-from nucliadb_spark.operators import bm25
+from nucliadb_spark.operators import bm25, warehouse
 from nucliadb_spark.sources import tpch
 
-QUERY = "spark join window"
+N_BUCKETS = 8
 
 
 @pytest.fixture(scope="module")
-def index_path(spark, sf_dir, tmp_path_factory):
-    path = str(tmp_path_factory.mktemp("textindex"))
-    bm25.build_index(tpch.fields(spark, sf_dir), path)
-    return path
-
-
-def test_term_bucket_twins_agree(spark):
-    terms = ["spark", "join", "window", "zeta", "ñandú"]
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    got = {
-        r.term: r.tb
-        for r in df.withColumn("tb", bm25.term_bucket("term")).collect()
-    }
-    for t in terms:
-        assert got[t] == zlib.crc32(t.encode("utf-8")) % bm25.TERM_BUCKETS
-
-
-def test_served_results_match_inmemory(spark, sf_dir, index_path):
-    post, stats, _ = bm25.read_index(spark, index_path)
-    served = bm25.bm25_search(None, QUERY, top_k=20, post=post, stats=stats)
-    inmem = bm25.bm25_search(tpch.fields(spark, sf_dir), QUERY, top_k=20)
-    assert [tuple(r) for r in served.collect()] == [
-        tuple(r) for r in inmem.collect()
-    ]
-
-
-def test_scan_prunes_to_query_term_buckets(spark, index_path):
-    post, stats, _ = bm25.read_index(spark, index_path)
-    served = bm25.bm25_search(None, QUERY, top_k=20, post=post, stats=stats)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        served.explain("formatted")
-    plan = buf.getvalue()
-    assert "PartitionFilters" in plan
-    assert "tb" in plan.split("PartitionFilters")[1].splitlines()[0]
-
-    # the pruned scan touches only the query terms' bucket dirs
-    want = {bm25.term_bucket_py(t) for t in QUERY.split()}
-    touched = (
-        post.filter(F.col("tb").isin(sorted(want)))
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
+def tables(spark, sf_dir):
+    post = bm25.postings(tpch.fields(spark, sf_dir))
+    stats = post.groupBy("rid").agg(F.sum("tf").alias("dl"))
+    base = tempfile.mkdtemp(prefix="bucketed_idx_")
+    names = warehouse.write_text_index_tables(
+        spark, post, stats, base, n_buckets=N_BUCKETS, prefix="t_bidx"
     )
-    total = post.select(F.input_file_name().alias("f")).distinct().count()
-    assert 0 < len(touched) < total
-    assert all(any(f"tb={b}/" in r.f for b in want) for r in touched)
+    yield names
+    warehouse.drop_tables(spark, *names)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def bucketed_scan_conf(spark):
+    """Pin the configs a bucketed SERVING cluster runs with: keep
+    bucketed scans on even when a query doesn't need the
+    distribution (autoBucketedScan would silently fall back to a
+    plain scan and lose bucket pruning), and take broadcast off the
+    table — at 100 TB neither index side broadcasts, and the claim
+    under test is the shuffle-free sort-merge join."""
+    keep = {
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in keep.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_term_probe_prunes_buckets(spark, tables, bucketed_scan_conf):
+    t_term, _, _ = tables
+    probe = spark.table(t_term).filter(F.col("term").isin("merge", "stream"))
+    plan = _plan(probe)
+    assert "SelectedBucketsCount" in plan, plan[:2000]
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan[:2000]
+    k, n = int(m.group(1)), int(m.group(2))
+    assert n == N_BUCKETS and 0 < k < n
+    # pruning must not change results
+    want = (
+        spark.table(t_term)
+        .filter("term = 'merge' OR term = 'stream'")
+        .count()
+    )
+    assert probe.count() == want
+
+
+def test_rid_join_is_shuffle_free(spark, tables, bucketed_scan_conf):
+    _, t_rid, t_stats = tables
+    joined = spark.table(t_rid).join(spark.table(t_stats), "rid")
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan[:3000]
+    assert "SortMergeJoin" in plan, plan[:3000]
+    # and it still joins correctly
+    n_post = spark.table(t_rid).count()
+    assert joined.count() == n_post
+
+
+def test_unbucketed_join_would_shuffle(spark, sf_dir, tables, bucketed_scan_conf):
+    """Control: the same join off the raw (unbucketed) frames DOES
+    carry an Exchange — the bucket layout is what removes it."""
+    post = bm25.postings(tpch.fields(spark, sf_dir))
+    stats = post.groupBy("rid").agg(F.sum("tf").alias("dl"))
+    plan = _plan(post.join(stats, "rid"))
+    assert "Exchange" in plan
