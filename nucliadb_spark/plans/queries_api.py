@@ -1269,3 +1269,80 @@ def find_hybrid_fielded(spark, sf_dir):
         "score",
         F.array_join("matched_sources", ",").alias("matched_sources"),
     )
+
+
+def _hydrate_mixed_oracle() -> str:
+    from nucliadb_spark.operators import hydrate as H
+
+    paras = (
+        f"SELECT rid, paragraph_id, start, \"end\", text, kind"
+        f" FROM ({tpch.SQL_PARAGRAPHS_FIELDED})"
+        " UNION ALL "
+        f"SELECT rid, paragraph_id, start, \"end\", text, kind"
+        f" FROM ({tpch.SQL_PARAGRAPHS_CONVERSATION})"
+    )
+    flds = (
+        "SELECT rid, field_id, field_key, field_type, language"
+        f" FROM ({tpch.SQL_FIELDS_MULTI})"
+        " UNION ALL "
+        "SELECT rid, field_id, field_key, field_type, language"
+        f" FROM ({tpch.SQL_FIELDS_CONVERSATION})"
+    )
+    res = (
+        "SELECT rid, slug, title, origin_source, security_public"
+        f" FROM ({tpch.SQL_RESOURCES})"
+        " UNION ALL "
+        "SELECT rid, slug, title, origin_source, security_public"
+        f" FROM ({tpch.SQL_RESOURCES_CONVERSATION})"
+    )
+    req = (
+        f"SELECT paragraph_id FROM ({paras})"
+        " WHERE (rid < 1000000000 AND rid % 97 = 13)"
+        " OR (rid >= 1000000000 AND rid % 10 = 2)"
+    )
+    return H.hydrate_sql(req, paras, flds, res)
+
+
+@register("hydrate_mixed_corpora", _hydrate_mixed_oracle())
+def hydrate_mixed_corpora(spark, sf_dir):
+    """/hydrate over a MIXED id list: 3-segment fielded ids
+    (rid/field/start-end — body, title AND link families) and
+    4-segment conversation ids (rid/field/split/start-end) in the
+    SAME request, resolved against the UNION of both corpora. This
+    is what the endpoint actually receives when a find response
+    mixes text and conversation hits (HydrateRequest.data is one
+    list, hydrate.py:56-74). It works because conversations live in
+    a DISJOINT rid keyspace (tpch.CONV_RID_BASE) with their own
+    synthesized resources — the rid semijoin, owning-field join and
+    neighbour windows never cross corpora. Plan shape identical to
+    the single-corpus hydrate: the union is a narrow concat of
+    scans, pruned by the same rid set before the one window
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import hydrate as H
+
+    pcols = ["rid", "paragraph_id", "start", "end", "text", "kind"]
+    paras = (
+        tpch.paragraphs_fielded(spark, sf_dir)
+        .select(*pcols)
+        .unionByName(tpch.paragraphs_conversation(spark, sf_dir).select(*pcols))
+    )
+    fcols = ["rid", "field_id", "field_key", "field_type", "language"]
+    flds = (
+        tpch.fields_multi(spark, sf_dir)
+        .select(*fcols)
+        .unionByName(tpch.fields_conversation(spark, sf_dir).select(*fcols))
+    )
+    rcols = ["rid", "slug", "title", "origin_source", "security_public"]
+    res = (
+        tpch.resources(spark, sf_dir)
+        .select(*rcols)
+        .unionByName(tpch.resources_conversation(spark, sf_dir).select(*rcols))
+    )
+    base = F.lit(tpch.CONV_RID_BASE)
+    req = paras.filter(
+        ((F.col("rid") < base) & (F.col("rid") % 97 == 13))
+        | ((F.col("rid") >= base) & (F.col("rid") % 10 == 2))
+    ).select("paragraph_id")
+    return H.hydrate(req, paras, flds, res)
