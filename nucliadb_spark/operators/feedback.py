@@ -284,6 +284,63 @@ def stream_feedback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_feedback_trend(
+    spark: SparkSession, sf_dir: str, tenants: int = 4
+) -> DataFrame:
+    """The day-grain feedback rollup maintained INCREMENTALLY over
+    the arriving audit stream — the same dashboard
+    :func:`feedback_daily_trend` computes by batch rescan, kept live
+    the way the reference's audit pipeline would (every feedback
+    record is a timestamped stream append, audit/stream.py:597-627).
+    Streaming state is the (kbid, day) counter pair — bounded by
+    tenant count × the day horizon, never by record volume — and
+    each micro-batch folds its records in map-side before the
+    state update. The cumulative-to-date ratio is a final window
+    over the DRAINED day rollup (already one row per (kbid, day)),
+    so the ordered window sorts the tiny aggregated frame, never the
+    stream. availableNow drain == the batch trend, which is what the
+    oracle checks."""
+    import shutil
+    import uuid
+
+    from nucliadb_spark.streaming.ingest import stage_arrival_dir
+
+    name = f"fbt_{uuid.uuid4().hex[:10]}"
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    arrival = stage_arrival_dir(src)
+    log = feedback_log(
+        spark.readStream.schema(schema).parquet(arrival), tenants=tenants
+    )
+    agg = log.groupBy(
+        "kbid", F.col("event_ts").cast("date").alias("d")
+    ).agg(
+        F.count("*").alias("n_feedback"),
+        F.count(F.when(F.col("good"), True)).alias("n_good"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(arrival, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT kbid, CAST(d AS STRING) AS day, n_feedback, n_good,
+               ROUND(n_good / CAST(n_feedback AS DOUBLE), 4) AS good_rate,
+               ROUND(SUM(n_good) OVER cum
+                     / CAST(SUM(n_feedback) OVER cum AS DOUBLE), 4)
+                   AS good_rate_to_date
+        FROM {name}
+        WINDOW cum AS (PARTITION BY kbid ORDER BY d)
+        ORDER BY kbid, day
+        """
+    )
+
+
 STREAM_FEEDBACK_RATE_SQL = f"""
 WITH log AS ({FEEDBACK_LOG_SQL})
 SELECT kbid,

@@ -65,6 +65,16 @@ def write_text_index_tables(
     return t_term, t_rid, t_stats
 
 
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF cell assignment PARTITIONED BY cell — the
+    layout ann.build_ivf's docstring promises: an nprobe query's
+    `cell IN (...)` probe becomes partition pruning (the scan reads
+    nprobe/k_cells of the files — what HNSW's graph walk does for
+    the reference, nidx/nidx_vector/src/searcher.rs:300-312).
+    Covered by a plan test asserting the PartitionFilters prune."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def drop_tables(spark: SparkSession, *tables: str) -> None:
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -175,6 +175,16 @@ def stream_feedback_rate(spark, sf_dir):
     return feedback.stream_feedback_rate(spark, sf_dir)
 
 
+@register("stream_feedback_trend", feedback.feedback_daily_trend_sql(tenants=4))
+def stream_feedback_trend(spark, sf_dir):
+    """The day-grain good-rate dashboard (feedback_daily_trend)
+    maintained incrementally over the feedback stream instead of by
+    batch rescan — streaming state is one (kbid, day) counter row,
+    the cumulative ratio a final window over the drained rollup.
+    availableNow drain == the batch trend the oracle computes."""
+    return feedback.stream_feedback_trend(spark, sf_dir)
+
+
 def _cdc_fielded_oracle() -> str:
     live_link = (
         "SELECT rid, text FROM ("

@@ -67,6 +67,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "url_filter_hosts",
     "cdc_fielded_search_live",
     "hydrate_mixed_corpora",
+    "stream_feedback_trend",
     # --- latest driver evidence: r2 (22 queries, alphabetical) ---
     "embed_knn_stub",
     "export_paragraph_classification",

@@ -96,3 +96,41 @@ def test_unbucketed_join_would_shuffle(spark, sf_dir, tables, bucketed_scan_conf
     stats = post.groupBy("rid").agg(F.sum("tf").alias("dl"))
     plan = _plan(post.join(stats, "rid"))
     assert "Exchange" in plan
+
+
+def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir):
+    """The persisted IVF index (partitioned by cell) turns the
+    nprobe probe into partition pruning: the scan's
+    PartitionFilters carry the cell predicate, and serving from the
+    read-back layout equals serving from the in-memory
+    assignment."""
+    from nucliadb_spark.operators import ann
+
+    vectors = tpch.vectors(spark, sf_dir)
+    assigned, centroids = ann.build_ivf(vectors, k_cells=8)
+    base = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        warehouse.write_ivf_index(assigned, f"{base}/cells")
+        ondisk = spark.read.parquet(f"{base}/cells")
+
+        probe = ondisk.filter(F.col("cell").isin(2, 5))
+        plan = _plan(probe)
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), plan[:2000]
+
+        qvec = (
+            tpch.table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 5)
+            .select(F.col("embedding").alias("qvec"))
+        )
+        got = ann.ivf_serve(
+            ondisk, centroids, qvec, k=5, nprobe=2, cell_col="cell"
+        ).collect()
+        want = ann.ivf_serve(
+            assigned, centroids, qvec, k=5, nprobe=2, cell_col="cell"
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

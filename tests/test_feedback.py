@@ -92,6 +92,18 @@ def test_stream_feedback_rate_equals_batch(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
 
 
+def test_stream_feedback_trend_equals_batch(spark, sf_dir):
+    """availableNow drain of the streaming day-rollup == the batch
+    daily trend over the same log at the same tenant count — the
+    incremental path computes the identical dashboard."""
+    got = feedback.stream_feedback_trend(spark, sf_dir, tenants=4).collect()
+    batch = feedback.feedback_daily_trend(
+        feedback.feedback_log(tpch.table(spark, sf_dir, "events"), tenants=4)
+    ).collect()
+    assert len(got) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
 def test_feedback_log_tenant_parameter(spark, sf_dir):
     """kbid cardinality follows the tenants parameter — the per-KB
     state claim ('one row per (kbid, task)') holds beyond 2 tenants."""
