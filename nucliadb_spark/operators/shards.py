@@ -22,7 +22,7 @@ audit — all expressible as plain aggregations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from nucliadb_spark.functions.text import md5_int60, md5_int60_sql
 
@@ -161,6 +161,84 @@ def rebalance_moves(sizes: dict[int, int]) -> list[tuple[int, int, int]]:
         if tn == 0:
             ti += 1
     return moves
+
+
+def rebalance_report(
+    items: DataFrame,
+    n_shards: int,
+    id_col: str = "rid",
+    epoch: int = 0,
+) -> DataFrame:
+    """(shard, n_items, target, surplus, role) — the rebalancer's
+    review table (ref rebalance.py:70-96 get_rebalance_shards +
+    147-180 rebalance_shards: size every shard, then move paragraphs
+    from shards above the threshold into the smallest ones).
+
+    The deterministic target allocation matches `rebalance_moves`:
+    total split as evenly as possible, the `total % n` lowest shard
+    ids take one extra. role = donor (must shed), taker (must
+    receive), balanced. Donors' surpluses and takers' deficits sum
+    to the same number — the total rows a rebalance pass would move.
+
+    Scale: one md5-bucket projection + one groupBy (map-side
+    combined), then window math over the ≤ n_shards-row report —
+    the single-partition window is driver-sized by definition.
+    """
+    sizes = (
+        items.select(shard_of(F.col(id_col), n_shards, epoch=epoch).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_items"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("shard")
+    total = F.sum("n_items").over(w_all)
+    n_obs = F.count("*").over(w_all)
+    rank = F.row_number().over(w_ord)
+    target = (total / n_obs).cast("long") + F.when(
+        rank <= (total % n_obs).cast("long"), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        sizes.select(
+            "shard",
+            "n_items",
+            target.alias("target"),
+        )
+        .withColumn("surplus", (F.col("n_items") - F.col("target")).cast("long"))
+        .withColumn(
+            "role",
+            F.when(F.col("surplus") > 0, "donor")
+            .when(F.col("surplus") < 0, "taker")
+            .otherwise("balanced"),
+        )
+        .orderBy("shard")
+    )
+
+
+def rebalance_report_sql(
+    items_sql: str, n_shards: int, id_col: str = "rid", epoch: int = 0
+) -> str:
+    return f"""
+WITH sized AS (
+  SELECT {shard_of_sql(id_col, n_shards, epoch=epoch)} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM ({items_sql})
+  GROUP BY 1
+), alloc AS (
+  SELECT shard, n_items,
+         CAST(SUM(n_items) OVER () // COUNT(*) OVER ()
+              + CASE WHEN ROW_NUMBER() OVER (ORDER BY shard)
+                          <= SUM(n_items) OVER () % COUNT(*) OVER ()
+                     THEN 1 ELSE 0 END AS BIGINT) AS target
+  FROM sized
+)
+SELECT shard, n_items, target,
+       CAST(n_items - target AS BIGINT) AS surplus,
+       CASE WHEN n_items > target THEN 'donor'
+            WHEN n_items < target THEN 'taker'
+            ELSE 'balanced' END AS role
+FROM alloc
+ORDER BY shard
+"""
 
 
 def trainset_partitions(

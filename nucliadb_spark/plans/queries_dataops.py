@@ -732,3 +732,78 @@ def url_filter_hosts(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_urls"))
         .orderBy("host")
     )
+
+
+# --- maintenance plane: purge plan / integrity audit / rebalance ----------
+# ref: nucliadb/src/nucliadb/purge/__init__.py:54-204 (tombstone-driven
+# deletion of dependent storage + index entries),
+# common/cluster/rollover.py:459 (validate_indexed_data count audit),
+# common/cluster/rebalance.py:70-180 (size shards, move paragraphs from
+# donors to takers).
+
+from nucliadb_spark.operators import maintenance, shards  # noqa: E402
+
+
+@register(
+    "purge_orphans_plan",
+    maintenance.purge_orphans_plan_sql(
+        tpch.SQL_FIELDS,
+        tpch.SQL_PARAGRAPHS_FIELDED,
+        tpch.SQL_VECTORS,
+        dim=64,
+    ),
+)
+def purge_orphans_plan(spark, sf_dir):
+    """Per-index-family (rows, bytes) a purge pass would delete for
+    the current tombstone set — the review artifact before the
+    destructive job (the reference logs these counts as it purges,
+    purge/__init__.py:139-202). Broadcast tombstone semijoin + one
+    map-side-combined aggregate per family; report size is O(1) in
+    corpus size."""
+    return maintenance.purge_orphans_plan(
+        tpch.fields(spark, sf_dir),
+        tpch.paragraphs_fielded(spark, sf_dir),
+        tpch.vectors(spark, sf_dir),
+        dim=64,
+    )
+
+
+@register(
+    "index_integrity_audit",
+    maintenance.integrity_audit_sql(
+        tpch.SQL_RESOURCES,
+        tpch.SQL_FIELDS_MULTI,
+        tpch.SQL_PARAGRAPHS_FIELDED,
+        tpch.SQL_VECTORS,
+    ),
+)
+def index_integrity_audit(spark, sf_dir):
+    """Referential fsck across resources/fields/paragraphs/vectors:
+    each check is one LEFT ANTI join + count (rollover.py:459's
+    validation counts, plus the embedding-coverage backlog the
+    vectorset backfill consumes). field_without_vector is
+    legitimately nonzero (docs not yet embedded); the other checks
+    pin the index families' referential invariants at 0."""
+    return maintenance.integrity_audit(
+        tpch.resources(spark, sf_dir),
+        tpch.fields_multi(spark, sf_dir),
+        tpch.paragraphs_fielded(spark, sf_dir),
+        tpch.vectors(spark, sf_dir),
+    )
+
+
+@register(
+    "shard_rebalance_plan",
+    shards.rebalance_report_sql(
+        f"SELECT rid FROM ({tpch.SQL_PARAGRAPHS})", n_shards=13
+    ),
+)
+def shard_rebalance_plan(spark, sf_dir):
+    """Rebalancer review table over the 13-shard paragraph layout:
+    per-shard load, deterministic even-split target, surplus, and
+    donor/taker role (rebalance.py:70-180). Donor surpluses equal
+    taker deficits — the row count one rebalance pass would move.
+    One md5-bucket groupBy; the window math runs over the 13-row
+    report."""
+    paras = tpch.paragraphs(spark, sf_dir).select("rid")
+    return shards.rebalance_report(paras, n_shards=13)

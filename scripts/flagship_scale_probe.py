@@ -16,6 +16,10 @@ vectors score identically per copy — fine for a cost probe: the
 scan/score work is genuinely 10×.
 
 Run quiet:  nohup python scripts/flagship_scale_probe.py > /tmp/flag.log
+
+SCALE_REPS overrides the replication factor (default 10 → .scale/sf1,
+kept for the r6/r7 probes); e.g. SCALE_REPS=100 builds a 100× replica
+under .scale/x100 — the "would this survive 100×?" datapoint.
 """
 
 from __future__ import annotations
@@ -29,8 +33,9 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
-REPS = 10
+REPS = int(os.environ.get("SCALE_REPS", "10"))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(_ROOT, ".scale", "sf1" if REPS == 10 else f"x{REPS}")
 
 # table -> columns to offset by rep*N so keys stay unique
 KEYED = {
@@ -56,15 +61,13 @@ def build_sf1(spark) -> None:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         if keys:
             n = df.count()
-            parts = []
-            for rep in range(REPS):
-                d = df
-                for k in keys:
-                    d = d.withColumn(k, (F.col(k) + rep * n).cast("long"))
-                parts.append(d)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+            # one broadcast crossJoin with a REPS-row frame beats a
+            # REPS-branch union plan (flat plan size at any factor)
+            reps = spark.range(REPS).select(F.col("id").alias("_rep"))
+            out = df.crossJoin(F.broadcast(reps))
+            for k in keys:
+                out = out.withColumn(k, (F.col(k) + F.col("_rep") * n).cast("long"))
+            out = out.drop("_rep")
         else:
             out = df
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
