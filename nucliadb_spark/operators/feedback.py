@@ -274,7 +274,7 @@ def stream_feedback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT kbid, n_feedback, n_good,
                ROUND(n_good / CAST(n_feedback AS DOUBLE), 4) AS good_rate
@@ -282,6 +282,13 @@ def stream_feedback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY kbid
         """
     )
+    # spark.sql analyzes eagerly (the view is inlined into the plan),
+    # so the handle and catalog entry can be released immediately —
+    # otherwise repeated calls accumulate memory-sink tables and
+    # terminated StreamingQuery handles for the session's lifetime
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_feedback_trend(
@@ -327,7 +334,7 @@ def stream_feedback_trend(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT kbid, CAST(d AS STRING) AS day, n_feedback, n_good,
                ROUND(n_good / CAST(n_feedback AS DOUBLE), 4) AS good_rate,
@@ -339,6 +346,10 @@ def stream_feedback_trend(
         ORDER BY kbid, day
         """
     )
+    # release the handle + memory-sink view (see stream_feedback_rate)
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 STREAM_FEEDBACK_RATE_SQL = f"""

@@ -180,22 +180,33 @@ def rebalance_report(
     receive), balanced. Donors' surpluses and takers' deficits sum
     to the same number — the total rows a rebalance pass would move.
 
+    The report covers ALL n_shards shards: a shard with zero items
+    emits a row (n_items=0, role=taker) rather than vanishing —
+    otherwise the divisor shrinks to the observed-shard count,
+    inflating every target and hiding the neediest taker.
+
     Scale: one md5-bucket projection + one groupBy (map-side
-    combined), then window math over the ≤ n_shards-row report —
+    combined), then a left join against the n_shards-row shard
+    sequence and window math over that ≤ n_shards-row report —
     the single-partition window is driver-sized by definition.
     """
-    sizes = (
+    observed = (
         items.select(shard_of(F.col(id_col), n_shards, epoch=epoch).alias("shard"))
         .groupBy("shard")
         .agg(F.count("*").cast("long").alias("n_items"))
     )
+    sizes = (
+        items.sparkSession.range(n_shards)
+        .select(F.col("id").cast("int").alias("shard"))
+        .join(observed, "shard", "left")
+        .select("shard", F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items"))
+    )
     w_all = Window.partitionBy()
     w_ord = Window.partitionBy().orderBy("shard")
     total = F.sum("n_items").over(w_all)
-    n_obs = F.count("*").over(w_all)
     rank = F.row_number().over(w_ord)
-    target = (total / n_obs).cast("long") + F.when(
-        rank <= (total % n_obs).cast("long"), F.lit(1)
+    target = (total / n_shards).cast("long") + F.when(
+        rank <= (total % n_shards).cast("long"), F.lit(1)
     ).otherwise(F.lit(0)).cast("long")
     return (
         sizes.select(
@@ -218,16 +229,21 @@ def rebalance_report_sql(
     items_sql: str, n_shards: int, id_col: str = "rid", epoch: int = 0
 ) -> str:
     return f"""
-WITH sized AS (
+WITH observed AS (
   SELECT {shard_of_sql(id_col, n_shards, epoch=epoch)} AS shard,
          CAST(COUNT(*) AS BIGINT) AS n_items
   FROM ({items_sql})
   GROUP BY 1
+), sized AS (
+  SELECT CAST(s.range AS INT) AS shard,
+         CAST(COALESCE(o.n_items, 0) AS BIGINT) AS n_items
+  FROM range({n_shards}) s
+  LEFT JOIN observed o ON CAST(s.range AS INT) = o.shard
 ), alloc AS (
   SELECT shard, n_items,
-         CAST(SUM(n_items) OVER () // COUNT(*) OVER ()
+         CAST(SUM(n_items) OVER () // {n_shards}
               + CASE WHEN ROW_NUMBER() OVER (ORDER BY shard)
-                          <= SUM(n_items) OVER () % COUNT(*) OVER ()
+                          <= SUM(n_items) OVER () % {n_shards}
                      THEN 1 ELSE 0 END AS BIGINT) AS target
   FROM sized
 )

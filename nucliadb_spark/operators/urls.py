@@ -25,6 +25,8 @@ every op is oracle-checkable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from nucliadb_spark.functions.text import md5_int60, md5_int60_sql
@@ -88,7 +90,10 @@ def url_banned_score(url: Column | str, words: list[str] | None = None) -> Colum
     host = url_host(c)
     score = F.lit(0.0)
     for w in words:
-        in_host = F.regexp_like(host, F.lit(f"(^|[.]){w}($|[.])"))
+        # regex-escape the word: banned lists legitimately contain
+        # metacharacters ('c++', 'a.b') that would otherwise change
+        # match semantics or raise, divergently between engines
+        in_host = F.regexp_like(host, F.lit(f"(^|[.]){re.escape(w)}($|[.])"))
         anywhere = low.contains(w)
         score = score + F.when(in_host, 1.0).when(anywhere, 0.5).otherwise(0.0)
     return F.least(score, F.lit(1.0))
@@ -100,8 +105,9 @@ def url_banned_score_sql(url: str, words: list[str] | None = None) -> str:
     parts = []
     for w in words:
         q = _sql_quote(w)
+        pat = _sql_quote(f"(^|[.]){re.escape(w)}($|[.])")
         parts.append(
-            f"(CASE WHEN regexp_matches({host}, '(^|[.]){w}($|[.])') THEN 1.0"
+            f"(CASE WHEN regexp_matches({host}, {pat}) THEN 1.0"
             f" WHEN contains(lower({url}), {q}) THEN 0.5 ELSE 0.0 END)"
         )
     return f"least({' + '.join(parts)}, 1.0)"

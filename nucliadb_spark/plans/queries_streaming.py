@@ -214,3 +214,77 @@ def cdc_fielded_search_live(spark, sf_dir):
     )
     link = live.filter(F.col("field_key") == "/u/link").select("rid", "text")
     return bm25.bm25_search(link, "refreshed revision stream", top_k=20, mode="any")
+
+
+def _cdc_fielded_served_index(spark, sf_dir):
+    """Session-scoped STREAMED per-family index: stage the field-grain
+    CDC op log once, drain it through the exactly-once streaming
+    ingest (`cdc_fielded_index_ingest` — seq-tagged postings segments
+    PARTITIONED BY field_key + the field-grain oplog), and serve every
+    later call from the materialized parquet. This is the serving
+    half of the reference indexer's contract: mutate one field →
+    delete-then-reindex just that field's paragraphs into searchable
+    segments (nidx/src/indexer.rs:254-298), queries read segments and
+    deletion lists, never the raw corpus."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_scalar
+
+    fm = tpch.fields_multi(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="cdcf_idx_")
+        # several files => several arrival micro-batches
+        ingest.cdc_field_log(fm).repartition(3).write.parquet(f"{workdir}/log")
+        ingest.cdc_fielded_index_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        return workdir
+
+    wd = cached_scalar(fm, sf_dir, "cdcf_workdir", build)
+    post = spark.read.parquet(f"{wd}/index/postings")
+    oplog = spark.read.parquet(f"{wd}/index/oplog")
+    return post, oplog
+
+
+@register("cdc_fielded_search_served", _cdc_fielded_oracle())
+def cdc_fielded_search_served(spark, sf_dir):
+    """`cdc_fielded_search_live` SERVED from the incrementally
+    maintained postings sidecar instead of a per-request family
+    rebuild: the streaming ingest already materialized seq-tagged
+    per-family postings (field_key-partitioned → the '/u/link' prune
+    is partition pruning); the live mask is the (rid, field_id)-keyed
+    max_by over the oplog joined back on (rid, field_id, seq) — a
+    deletion-list application, exactly how tantivy serves built
+    segments under an alive bitset. BM25 stats (dl, df, N, avgdl)
+    derive from the MAINTAINED postings, so no per-request
+    tokenization of the live corpus happens anywhere in the plan
+    (pinned by tests/test_plan_shapes.py). Same oracle as the _live
+    variant — stream == batch."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+
+    post, oplog = _cdc_fielded_served_index(spark, sf_dir)
+    link_live = cached_df(
+        sf_dir,
+        "cdcf_link_live_postings",
+        lambda: ingest.live_fielded_postings(
+            post.filter(F.col("field_key") == "/u/link"), oplog
+        ).select("rid", "term", "tf"),
+    )
+    stats = cached_df(
+        sf_dir,
+        "cdcf_link_docstats",
+        lambda: bm25.doc_stats_from_postings(link_live),
+    )
+    corpus = cached_df(sf_dir, "cdcf_link_corpus", lambda: bm25.corpus_stats(stats))
+    return bm25.bm25_search(
+        None,
+        "refreshed revision stream",
+        top_k=20,
+        mode="any",
+        post=link_live,
+        stats=stats,
+        corpus=corpus,
+    )

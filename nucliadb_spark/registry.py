@@ -38,77 +38,33 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-7 window policy (oldest-driver-evidence-first rotation; the
-# count below is mechanical — tests/test_registry_invariants.py pins
-# set(PRIORITY) == set(queries()) so no registered query can be
-# driver-unreachable): seats 0-1 are the two queries the driver has
-# never graded (registered in r6 after the PRIORITY rebuild); new r7
-# queries take the seats right after them once locally parity-green
-# at sf0.001 AND sf0.01; the rest of the window is the 22 queries
-# whose latest green driver evidence is r2, then the oldest-r3 block
-# fills to 50. The tail holds every remaining query ordered by
-# staleness (r3, r4, r5, r6 — alphabetical within a round) so future
-# rounds keep rotating forward. Local parity (tests/
-# test_oracle_parity.py) re-verifies ALL oracles every run, so a
-# stale seat is re-confirmation debt, not correctness risk.
+# Round-8 window policy (oldest-driver-evidence-first rotation; the
+# membership invariant is mechanical — tests/test_registry_invariants.py
+# pins set(PRIORITY) == set(queries()) so no registered query can be
+# driver-unreachable, and `scripts/check.sh` runs those tests in
+# seconds so they gate every commit that touches the registry):
+# seats 0-2 are the three maintenance queries registered late in r7
+# that the driver has never graded; new r8 queries take the seats
+# right after them once locally parity-green at sf0.001 AND sf0.01;
+# the rest of the window is the 31 queries whose latest green driver
+# evidence is r3, then the oldest-r4 block fills to 50. The tail
+# holds every remaining query ordered by staleness (r4, r5, r6, r7 —
+# alphabetical within a round) so future rounds keep rotating
+# forward. Local parity (tests/test_oracle_parity.py) re-verifies
+# ALL oracles every run, so a stale seat is re-confirmation debt,
+# not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # seats 0-1: the two r6-late additions the driver has never
-    # graded (in the registry since r6 but absent from PRIORITY)
-    "resource_get",
-    "resources_list",
-    # seats 2+: new r7 queries, inserted once locally parity-green
-    # at sf0.001+sf0.01, displacing the tail of the r3 block below
+    # seats 0-2: the three r7-late maintenance queries the driver
+    # has never graded (registered in the final r7 snapshot commit
+    # without PRIORITY seats — the bug the invariant test pins)
+    "purge_orphans_plan",
+    "index_integrity_audit",
+    "shard_rebalance_plan",
+    # seats 3+: new r8 queries, inserted once locally parity-green
+    # at sf0.001+sf0.01, displacing the tail of the r4 block below
     # out of the window
-    "link_field_search",
-    "field_family_facets",
-    "find_fields_scoped_multi",
-    "find_hybrid_fielded",
-    "url_dedup_exact",
-    "url_filter_hosts",
-    "cdc_fielded_search_live",
-    "hydrate_mixed_corpora",
-    "stream_feedback_trend",
-    # --- latest driver evidence: r2 (22 queries, alphabetical) ---
-    "embed_knn_stub",
-    "export_paragraph_classification",
-    "find_secured",
-    "find_skip_set",
-    "kb_export_roundtrip",
-    "knn_dot",
-    "knn_matryoshka",
-    "knn_maxsim",
-    "knn_min_score",
-    "knn_prefiltered",
-    "multimodal_decode",
-    "paragraph_search",
-    "paragraph_search_filtered",
-    "rag_field_extension",
-    "rag_metadata_extension",
-    "rerank_stub",
-    "suggest_paragraphs",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality",
-    "text_token_counts",
-    "vocab_stats",
-    # --- latest driver evidence: r3 (48 queries, alphabetical) ---
-    "augment_paragraphs",
-    "augment_resources",
-    "catalog_filter_alias",
-    "cdc_facet_counts",
-    "cdc_search_live",
-    "cdc_vector_search_live",
-    "contamination_ngram_overlap",
-    "dedup_clusters",
-    "entities_group_members",
-    "entities_groups",
-    "event_sessionization",
-    "events_asof_join",
-    "events_asof_tolerance",
-    "events_percentiles",
-    "events_rollup",
-    "export_field_classification",
-    "export_field_streaming",
+    "cdc_fielded_search_served",
+    # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",
     "export_question_answer",
@@ -140,7 +96,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "suggest_entities_folded",
     "text_pii_scan",
     "text_repetition",
-    # --- latest driver evidence: r4 (31 queries, alphabetical) ---
+    # --- latest driver evidence: r4, oldest 16 fill the window ---
     "ann_kmeans_step",
     "ask_stub",
     "batch_by_length",
@@ -157,6 +113,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "multimodal_frame_sample",
     "multimodal_text_to_image",
     "pack_sequences",
+    # ---------------- end of the 50-seat graded window ----------------
+    # --- tail: latest driver evidence r4 (remaining 15, alphabetical) ---
     "rrf_explain",
     "sample_perplexity_buckets",
     "sample_token_budget",
@@ -172,7 +130,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "trainset_split",
     "vocab_kmv_sketch",
     "vocab_prune_plan",
-    # --- latest driver evidence: r5 (50 queries, alphabetical) ---
+    # --- tail: latest driver evidence r5 (50 queries, alphabetical) ---
     "advanced_query_fielded",
     "ann_ivf_adaptive",
     "ann_ivf_geometric",
@@ -223,7 +181,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "text_dup_spans",
     "trainset_partitions",
     "vectorset_backfill",
-    # --- latest driver evidence: r6 (50 queries, alphabetical) ---
+    # --- tail: latest driver evidence r6 (50 queries, alphabetical) ---
     "advanced_query",
     "bm25_ematches",
     "bm25_fields_scoped",
@@ -274,6 +232,57 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "search_fields_scoped",
     "security_filter",
     "suggest_entities",
+    # --- tail: latest driver evidence r7 (50 queries, alphabetical) ---
+    "augment_paragraphs",
+    "augment_resources",
+    "catalog_filter_alias",
+    "cdc_facet_counts",
+    "cdc_fielded_search_live",
+    "cdc_search_live",
+    "cdc_vector_search_live",
+    "contamination_ngram_overlap",
+    "dedup_clusters",
+    "embed_knn_stub",
+    "entities_group_members",
+    "entities_groups",
+    "event_sessionization",
+    "events_asof_join",
+    "events_asof_tolerance",
+    "events_percentiles",
+    "events_rollup",
+    "export_field_classification",
+    "export_field_streaming",
+    "export_paragraph_classification",
+    "field_family_facets",
+    "find_fields_scoped_multi",
+    "find_hybrid_fielded",
+    "find_secured",
+    "find_skip_set",
+    "hydrate_mixed_corpora",
+    "kb_export_roundtrip",
+    "knn_dot",
+    "knn_matryoshka",
+    "knn_maxsim",
+    "knn_min_score",
+    "knn_prefiltered",
+    "link_field_search",
+    "multimodal_decode",
+    "paragraph_search",
+    "paragraph_search_filtered",
+    "rag_field_extension",
+    "rag_metadata_extension",
+    "rerank_stub",
+    "resource_get",
+    "resources_list",
+    "stream_feedback_trend",
+    "suggest_paragraphs",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_token_counts",
+    "url_dedup_exact",
+    "url_filter_hosts",
+    "vocab_stats",
 ]
 
 

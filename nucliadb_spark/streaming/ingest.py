@@ -95,13 +95,19 @@ def windowed_event_counts(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT w.start AS window_start, event_type, n_events, total_value
         FROM {name}
         ORDER BY window_start, event_type
         """
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def windowed_event_counts_sql(window_hours: int = 1) -> str:
@@ -727,9 +733,15 @@ def sessionize_stream(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"SELECT * FROM {name} ORDER BY user_id, session_id"
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # --- sessionization (stateful analog, batch-exact) --------------------------
@@ -849,13 +861,19 @@ def sliding_event_counts(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT w.start AS window_start, event_type, n_events, total_value
         FROM {name}
         ORDER BY window_start, event_type
         """
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def sliding_event_counts_sql(window_s: int = 3600, slide_s: int = 1800) -> str:
@@ -912,13 +930,19 @@ def session_window_counts(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT user_id, w.start AS session_start, w.end AS session_end, n_events
         FROM {name}
         ORDER BY user_id, session_start
         """
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def session_window_counts_sql(gap_minutes: int = 30) -> str:
@@ -1032,7 +1056,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT COUNT(*) AS n_unique,
                CAST(SUM(n) AS BIGINT) AS n_docs,
@@ -1040,6 +1064,12 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {name}
         """
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_dedup_counts_sql() -> str:
@@ -1134,12 +1164,18 @@ def stream_neardup_gate(
     q.awaitTermination()
     shutil.rmtree(arrival_dir, ignore_errors=True)
     # a doc can collide in several bands — collapse to distinct pairs
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT DISTINCT arrival_id, base_id, jaccard FROM {name}
         ORDER BY arrival_id, base_id
         """
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_neardup_gate_sql() -> str:
@@ -1228,7 +1264,7 @@ def stream_attribution(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT c_user AS user_id,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1239,6 +1275,12 @@ def stream_attribution(
         ORDER BY user_id
         """
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_attribution_sql(horizon_minutes: int = 30) -> str:
@@ -1319,10 +1361,16 @@ def stream_percolator(
     )
     q.awaitTermination()
     shutil.rmtree(arrival, ignore_errors=True)
-    return spark.sql(
+    out = spark.sql(
         f"SELECT query_id, n_matching_docs, first_doc, last_doc "
         f"FROM {name} ORDER BY query_id"
     )
+    # release the terminated handle + memory-sink view: spark.sql
+    # analyzed eagerly (view inlined), so repeated calls don't
+    # accumulate sink tables/StreamingQuery handles in the session
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_percolator_sql(queries: dict[int, str] | None = None) -> str:

@@ -202,3 +202,15 @@ def test_fielded_index_stream_ingest_equals_batch(spark, sf_dir):
         assert len(parts) == 3
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_cdc_fielded_served_equals_live(spark, sf_dir):
+    """The served variant (maintained postings sidecar + deletion-list
+    join + BM25 from maintained stats) must return exactly the live
+    rebuild's results — the stream==batch serving contract."""
+    from nucliadb_spark import registry
+
+    qs = registry.queries()
+    served = sorted(qs["cdc_fielded_search_served"](spark, sf_dir).collect())
+    live = sorted(qs["cdc_fielded_search_live"](spark, sf_dir).collect())
+    assert served == live and len(served) == 20

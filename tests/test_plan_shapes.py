@@ -554,3 +554,28 @@ def test_scoped_find_serves_from_fielded_sidecars(spark, sf_dir):
     # the family prune must land on the cached-sidecar scans
     plan = _plan(df)
     assert "/a/title" in plan and "/u/link" in plan
+
+
+def test_cdc_fielded_served_no_per_request_tokenize(spark, sf_dir):
+    """`cdc_fielded_search_served` must score from the incrementally
+    maintained postings sidecar (streamed by cdc_fielded_index_ingest)
+    — NO per-request tokenization of the live corpus anywhere in the
+    per-query plan. A rebuild would appear as Generate(explode) over
+    the fields_multi scan; the served plan instead reads the
+    field_key-partitioned postings parquet (the '/u/link' prune is
+    partition pruning on the streamed index layout)."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _cdc_fielded_served_index
+
+    q = registry.queries()["cdc_fielded_search_served"]
+    q(spark, sf_dir).collect()  # first call builds + caches the index
+    df = q(spark, sf_dir)
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("Generate" in c for c in nodes), nodes  # no tokenize
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+    # the family prune on the raw streamed index is partition pruning
+    post, _ = _cdc_fielded_served_index(spark, sf_dir)
+    pruned = post.filter("field_key = '/u/link'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "/u/link" in plan, plan[:2000]

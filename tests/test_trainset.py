@@ -322,3 +322,32 @@ def test_pagerank_hand_case(spark):
     assert pr["c"] > pr["a"]
     assert pr["d"] > pr["a"]
     assert pr["d"] > pr["c"]
+
+
+def test_rebalance_report_covers_empty_shards(spark):
+    """A shard with zero items must appear in the report (n_items=0,
+    role=taker) and the target divisor must be n_shards, not the
+    observed-shard count — 5 rows over 13 shards leaves most shards
+    empty, which the pre-r8 version silently dropped. Spark and the
+    DuckDB twin must agree row-for-row."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import shards
+
+    df = spark.range(5).select(F.concat(F.lit("r"), F.col("id")).alias("rid"))
+    rep = shards.rebalance_report(df, n_shards=13).toPandas()
+    assert len(rep) == 13
+    assert int(rep.target.sum()) == 5  # targets conserve the total
+    assert int(rep.n_items.sum()) == 5
+    assert (rep.loc[rep.n_items == 0, "role"] != "donor").all()
+    # donors' surplus == takers' deficit (rows one pass would move)
+    assert int(rep.loc[rep.surplus > 0, "surplus"].sum()) == -int(
+        rep.loc[rep.surplus < 0, "surplus"].sum()
+    )
+    sql = shards.rebalance_report_sql(
+        "SELECT 'r' || CAST(range AS VARCHAR) AS rid FROM range(5)", n_shards=13
+    )
+    d = duckdb.connect().execute(sql).fetchdf()
+    for c in ["shard", "n_items", "target", "surplus", "role"]:
+        assert list(rep[c]) == list(d[c]), c

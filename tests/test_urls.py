@@ -113,3 +113,34 @@ def test_url_dedup_survivor_deterministic(spark):
     # deterministic across runs
     again = {r.url_norm: r.survivor_id for r in urls.url_dedup(df).collect()}
     assert again["http://h.io/x"] == out["http://h.io/x"].survivor_id
+
+
+def test_url_banned_score_metachar_words(spark):
+    """Banned words containing regex metacharacters ('c++', 'a.b')
+    must match literally in BOTH engines — unescaped they change
+    semantics ('a.b' matching 'aXb') or raise a pattern error."""
+    import duckdb
+
+    rows = [
+        ("http://c++.example/x", "c++", 1.0),   # host token, literal
+        ("http://ok.example/see-c++", "c++", 0.5),  # path substring
+        ("http://axb.example/", "a.b", 0.0),    # '.' must NOT be a wildcard
+        ("http://a.b.example/", "a.b", 1.0),    # real dotted host token
+    ]
+    df = spark.createDataFrame(
+        [(u, w) for u, w, _ in rows], "uri string, w string"
+    )
+    con = duckdb.connect()
+    for uri, word, want in rows:
+        got = (
+            spark.range(1)
+            .select(urls.url_banned_score(F.lit(uri), [word]).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert got == want, (uri, word, got)
+        lit = "'" + uri + "'"
+        (ds,) = con.execute(
+            f"SELECT {urls.url_banned_score_sql(lit, [word])}"
+        ).fetchone()
+        assert float(ds) == want, (uri, word, ds)
