@@ -70,6 +70,13 @@ HEADLINE = [
     # per-family sidecar cache, vector leg scope-semijoined; should
     # sit BELOW find_hybrid (it scans the sparse '/u/link' third)
     "find_hybrid_fielded",
+    # round 8: the three-way scoped fusion (adds the relation leg —
+    # an isin triple scan + broadcast scope semijoin; should sit
+    # within ~0.2 s of find_hybrid_fielded) and the CDC search served
+    # from the incrementally maintained postings sidecar (first call
+    # pays the streamed index build; steady-state is the cached join)
+    "find_hybrid_fielded_graph",
+    "cdc_fielded_search_served",
 ]
 
 

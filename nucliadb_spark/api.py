@@ -278,6 +278,49 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             .orderBy("id")
             .limit(win)
         )
+    elif "graph" in features and req.query.strip():
+        # the RELATIONS retriever proper: NER-detected entity values
+        # become graph entry points; matching triples' provenance
+        # paragraphs join the fusion at score 1.0 (ref fetcher.py:
+        # 238-257 get_detected_entities + find's relations source).
+        # Under a `fields` scope the triple hits semijoin the scope's
+        # rid set BEFORE fusion — the reference's prefilter applied
+        # to the relation index (nidx/nidx_relation/src/reader.rs:
+        # 261-271 apply_prefilter). The entity list is a driver-side
+        # literal; the triple match is an isin filter inside codegen.
+        ents = models.detect_entity_values_py(req.query)
+        if ents:
+            from nucliadb_spark.cache import cached_df
+
+            rel = cached_df(
+                sf_dir, "relations", lambda: tpch.relations(spark, sf_dir)
+            )
+            g = (
+                rel.filter(
+                    (
+                        F.col("source_value").isin(ents)
+                        | F.col("target_value").isin(ents)
+                    )
+                    & F.col("paragraph_id").isNotNull()
+                )
+                .select(
+                    F.split("paragraph_id", "/").getItem(0).cast("long").alias("id"),
+                    F.lit(1.0).alias("score"),
+                )
+                .distinct()
+            )
+            if filters is not None:
+                allowed = fields.filter(filters.to_column()).select(
+                    F.col("rid").alias("id")
+                )
+                g = g.join(allowed, "id", "semi")
+            if scope_rids is not None:
+                g = g.join(
+                    F.broadcast(scope_rids.select(F.col("rid").alias("id"))),
+                    "id",
+                    "semi",
+                )
+            sources["graph"] = g
 
     if not sources:
         raise ValueError("request selects no retrievers")

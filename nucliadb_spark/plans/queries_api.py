@@ -831,6 +831,72 @@ def resources_list(spark, sf_dir):
     )
 
 
+RESOURCES_LIST_AFTER_SQL = f"""
+WITH r AS (SELECT * FROM ({tpch.SQL_RESOURCES}) WHERE NOT hidden),
+page1 AS (
+  SELECT created, rid FROM r ORDER BY created DESC, rid ASC LIMIT 20
+),
+cur AS (
+  SELECT created AS c_created, rid AS c_rid
+  FROM page1 ORDER BY created ASC, rid DESC LIMIT 1
+)
+SELECT r.rid, r.slug, r.title, r.status,
+       CAST(r.created AS VARCHAR) AS created
+FROM r, cur
+WHERE r.created < c_created OR (r.created = c_created AND r.rid > c_rid)
+ORDER BY r.created DESC, r.rid ASC
+LIMIT 20
+"""
+
+
+@register("resources_list_after", RESOURCES_LIST_AFTER_SQL)
+def resources_list_after(spark, sf_dir):
+    """The reader listing paginated by KEYSET instead of offset:
+    page 2 of `/kb/{kbid}/resources` sorted by (created DESC, rid
+    ASC), cursored on page 1's last row — the O5 search_after shape
+    (nodereader.proto:382-386 tiebreak cursor) applied to the
+    listing endpoint. This is the page-N plan you'd actually run at
+    100 TB: every page is a filtered top-k whose cost is independent
+    of page depth, where the offset variant's TakeOrdered must
+    surface offset+size rows. With a client-provided literal cursor
+    the predicate pushes into the parquet scan (suggest.search_after,
+    O5); here the cursor derives from page 1 IN-plan, so it reaches
+    the listing scan as a broadcast 1-row join instead. Both page
+    cuts are ordered limits, so the doubly-referenced listing frame
+    stays deterministic."""
+    from pyspark.sql import functions as F
+
+    r = (
+        tpch.resources(spark, sf_dir)
+        .filter(~F.col("hidden"))
+        .select("rid", "slug", "title", "status", "created")
+    )
+    page1 = r.orderBy(F.col("created").desc(), F.col("rid").asc()).limit(20)
+    cursor = (
+        page1.orderBy(F.col("created").asc(), F.col("rid").desc())
+        .limit(1)
+        .select(
+            F.col("created").alias("c_created"), F.col("rid").alias("c_rid")
+        )
+    )
+    after = (F.col("created") < F.col("c_created")) | (
+        (F.col("created") == F.col("c_created")) & (F.col("rid") > F.col("c_rid"))
+    )
+    return (
+        r.crossJoin(F.broadcast(cursor))
+        .filter(after)
+        .orderBy(F.col("created").desc(), F.col("rid").asc())
+        .limit(20)
+        .select(
+            "rid",
+            "slug",
+            "title",
+            "status",
+            F.col("created").cast("string").alias("created"),
+        )
+    )
+
+
 def _hydrate_conversation_oracle() -> str:
     from nucliadb_spark.operators import hydrate as H
 
@@ -1259,6 +1325,90 @@ def find_hybrid_fielded(spark, sf_dir):
     req = api.FindRequest(
         query="merge stream window",
         features=["keyword", "semantic"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        fields=["u/link"],
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
+def _find_hybrid_fielded_graph_oracle() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import bm25, fusion, knn
+
+    win = 50
+    q = _FIELDED_GRAPH_Q
+    link_fields = (
+        f"SELECT * FROM ({tpch.SQL_FIELDS_MULTI}) WHERE field_key = '/u/link'"
+    )
+    keyword = (
+        "SELECT rid AS id, score FROM "
+        f"({bm25.bm25_sql(link_fields, q, top_k=win)})"
+    )
+    scope = (
+        f"rid IN (SELECT rid FROM ({tpch.SQL_FIELDS_MULTI}) "
+        "WHERE field_key = '/u/link')"
+    )
+    semantic = knn.exact_knn_sql(
+        tpch.SQL_VECTORS,
+        "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 5",
+        64,
+        k=win,
+        similarity="cosine",
+        where=scope,
+    )
+    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+    graph = f"""
+SELECT DISTINCT CAST(string_split(r.paragraph_id, '/')[1] AS BIGINT) AS id,
+       1.0::DOUBLE AS score
+FROM ({tpch.SQL_RELATIONS}) r
+WHERE (r.source_value IN ({lst}) OR r.target_value IN ({lst}))
+  AND r.paragraph_id IS NOT NULL
+  AND CAST(string_split(r.paragraph_id, '/')[1] AS BIGINT) IN
+      (SELECT rid FROM ({tpch.SQL_FIELDS_MULTI})
+       WHERE field_key = '/u/link')
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+_FIELDED_GRAPH_Q = "merge stream window part:3 part:6 part:17"
+
+
+@register("find_hybrid_fielded_graph", _find_hybrid_fielded_graph_oracle())
+def find_hybrid_fielded_graph(spark, sf_dir):
+    """The scoped flagship fused THREE-way: keyword + semantic +
+    RELATIONS under the same '/u/link' fields scope. The graph leg's
+    entry points are the query's NER-detected entity values
+    (part:3/6/17 via the deterministic stub); matching triples'
+    provenance paragraphs enter the fusion at score 1.0 — and the
+    scope prefilter applies to the relation index exactly as to the
+    other two (triple hits rid-semijoined to the scope's owner set
+    BEFORE fusion, nidx/nidx_relation/src/reader.rs:261-271
+    apply_prefilter; part:17's provenance rid is not a link owner,
+    so the scope filters it). At 100 TB the graph leg is an isin
+    scan over the triples table + one broadcast semijoin — no
+    corpus-sized shuffle enters the plan."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_FIELDED_GRAPH_Q,
+        features=["keyword", "semantic", "graph"],
         top_k=10,
         window=50,
         query_vec_id=5,

@@ -64,6 +64,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     # at sf0.001+sf0.01, displacing the tail of the r4 block below
     # out of the window
     "cdc_fielded_search_served",
+    "find_hybrid_fielded_graph",
+    "resources_list_after",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",

@@ -579,3 +579,26 @@ def test_cdc_fielded_served_no_per_request_tokenize(spark, sf_dir):
     pruned = post.filter("field_key = '/u/link'")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "/u/link" in plan, plan[:2000]
+
+
+def test_fielded_graph_leg_scope_semijoin(spark, sf_dir):
+    """`find_hybrid_fielded_graph`: the relation leg's triple hits
+    must semijoin the '/u/link' scope rid set BEFORE fusion (the
+    reference applies the prefilter to the relation index —
+    nidx/nidx_relation apply_prefilter), and the scope side must be
+    the broadcast build side. Functionally: part:17's provenance rid
+    (17, not a link owner) is excluded while part:3/6 survive."""
+    import re as _re
+
+    from nucliadb_spark import registry
+
+    df = registry.queries()["find_hybrid_fielded_graph"](spark, sf_dir)
+    plan = _plan(df)
+    # at least one LeftSemi broadcast join (the scope semijoin); the
+    # '/u/link' scope literal must appear under a BroadcastExchange
+    assert "LeftSemi" in plan, plan[:2000]
+    m = _re.search(r"BroadcastExchange(.*)", plan, _re.S)
+    assert m and "/u/link" in m.group(1), plan[:2000]
+    rows = {r.id: r.matched_sources for r in df.collect()}
+    assert "graph" in rows.get(3, "") and "graph" in rows.get(6, "")
+    assert 17 not in rows or "graph" not in rows[17]
