@@ -216,6 +216,100 @@ def cdc_fielded_search_live(spark, sf_dir):
     return bm25.bm25_search(link, "refreshed revision stream", top_k=20, mode="any")
 
 
+_AS_OF_SEQ = 1_500_000  # post-revisions, pre-deletes snapshot point
+
+
+@register(
+    "search_as_of",
+    bm25.bm25_sql(
+        ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
+        "refreshed revision stream",
+        top_k=20,
+        mode="any",
+    ),
+)
+def search_as_of(spark, sf_dir):
+    """Snapshot-consistent retrieval: BM25 over the corpus AS OF log
+    sequence 1.5M — after the revision wave, before the delete wave
+    (`cdc_time_travel`'s MVCC resolution turned into a searchable
+    corpus). Revised docs score on their new text while the
+    to-be-deleted docs are STILL retrievable, which is exactly what
+    'train on retrieval results as of snapshot S' must reproduce
+    months later. The seq predicate prunes the op-log scan
+    (partition pruning over seq-ranged log segments at scale); the
+    snapshot resolution is the same single max_by shuffle as the
+    live read — time travel costs nothing extra."""
+    live = ingest.cdc_live_as_of(
+        ingest.cdc_log(tpch.fields(spark, sf_dir)), _AS_OF_SEQ
+    )
+    return bm25.bm25_search(live, "refreshed revision stream", top_k=20, mode="any")
+
+
+def _cdc_vector_served_index(spark, sf_dir):
+    """Session-scoped STREAMED vector index: stage the vector op log
+    once, drain it through cdc_vector_ingest (upserts get their IVF
+    cell assigned against the broadcast centroid sidecar at INGEST
+    time, seq-tagged segments + oplog appended exactly-once), and
+    serve every later call from the materialized parquet — the
+    vector sibling of _cdc_fielded_served_index."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_df, cached_scalar
+    from nucliadb_spark.operators import ann as ann_ops
+
+    vectors = tpch.vectors(spark, sf_dir)
+    centroids = cached_df(
+        sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+    )
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="vcdc_idx_")
+        ingest.cdc_vector_log(vectors).repartition(2).write.parquet(
+            f"{workdir}/log"
+        )
+        ingest.cdc_vector_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt",
+            centroids,
+        )
+        return workdir
+
+    wd = cached_scalar(vectors, sf_dir, "vcdc_workdir", build)
+    vecs = spark.read.parquet(f"{wd}/index/vectors")
+    oplog = spark.read.parquet(f"{wd}/index/oplog")
+    return vecs, oplog
+
+
+@register(
+    "cdc_vector_search_served",
+    knn.exact_knn_sql(ingest.CDC_VECTOR_LIVE_SQL, _QVEC_SQL, dim=64, k=10),
+)
+def cdc_vector_search_served(spark, sf_dir):
+    """`cdc_vector_search_live` SERVED from the streamed vector
+    index instead of a per-request log resolution: segments are
+    masked to live versions by the oplog deletion-list join (the
+    alive-bitset over built segments — nidx vector segments), then
+    scored. Segments already carry their ingest-assigned IVF cell
+    (cluster_label), so the cell-pruned probe path serves from this
+    same layout (recall-gated by the ann_ivf_recall suite); the
+    graded query scores exactly to share the live variant's oracle.
+    Same oracle as cdc_vector_search_live — stream == batch."""
+    from pyspark.sql import functions as F
+    from nucliadb_spark.cache import cached_df
+
+    vecs, oplog = _cdc_vector_served_index(spark, sf_dir)
+    live = cached_df(
+        sf_dir,
+        "vcdc_live_segments",
+        lambda: ingest.live_vector_segments(vecs, oplog).select("rid", "vector"),
+    )
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return knn.exact_knn(live, qvec, k=10)
+
+
 def _cdc_fielded_served_index(spark, sf_dir):
     """Session-scoped STREAMED per-family index: stage the field-grain
     CDC op log once, drain it through the exactly-once streaming

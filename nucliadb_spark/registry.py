@@ -66,6 +66,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_fielded_search_served",
     "find_hybrid_fielded_graph",
     "resources_list_after",
+    "search_as_of",
+    "cdc_vector_search_served",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",

@@ -294,6 +294,38 @@ def cdc_live_fields(log: DataFrame) -> DataFrame:
     )
 
 
+def cdc_live_as_of(log: DataFrame, seq: int) -> DataFrame:
+    """Snapshot-consistent live corpus AS OF log sequence `seq`:
+    latest-op-wins over only the ops at or before the snapshot point
+    — the MVCC reproducible-read primitive (`cdc_snapshot_report`'s
+    per-point resolution, exposed as a corpus you can retrieve
+    against). The seq predicate lands on the log scan (at 100 TB the
+    op log is parquet partitioned by seq range, so this is partition
+    pruning); the resolution is the same one map-side-combinable
+    max_by shuffle as the fully-live read."""
+    return cdc_live_fields(log.filter(F.col("seq") <= seq))
+
+
+def cdc_live_as_of_sql(seq: int) -> str:
+    """DuckDB twin of cdc_log → cdc_live_as_of over documents."""
+    return f"""
+SELECT rid, text FROM (
+  SELECT rid, op, text,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS rid, CAST(doc_id AS BIGINT) AS seq,
+           'upsert' AS op, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1000000 AS BIGINT),
+           'upsert', text || '{_UPD_SUFFIX}' FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2000000 AS BIGINT),
+           'delete', NULL FROM documents WHERE doc_id % 11 = 0
+  ) WHERE seq <= {seq}
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
 def cdc_index_ingest(
     spark: SparkSession,
     log_path: str,

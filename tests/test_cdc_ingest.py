@@ -214,3 +214,40 @@ def test_cdc_fielded_served_equals_live(spark, sf_dir):
     served = sorted(qs["cdc_fielded_search_served"](spark, sf_dir).collect())
     live = sorted(qs["cdc_fielded_search_live"](spark, sf_dir).collect())
     assert served == live and len(served) == 20
+
+
+def test_cdc_vector_search_served_equals_live(spark, sf_dir):
+    """The vector serving path (streamed segments + oplog deletion-
+    list join) must return exactly the live rebuild's KNN — the
+    vector sibling of the fielded served==live contract."""
+    from nucliadb_spark import registry
+
+    qs = registry.queries()
+    served = sorted(qs["cdc_vector_search_served"](spark, sf_dir).collect())
+    live = sorted(qs["cdc_vector_search_live"](spark, sf_dir).collect())
+    assert served == live and len(served) == 10
+
+
+def test_search_as_of_snapshot_semantics(spark, sf_dir, fields):
+    """AS-OF retrieval at seq 1.5M (post-revision, pre-delete): the
+    revision text is searchable, and docs the later delete wave
+    removes are STILL retrievable — while the fully-live corpus
+    excludes them."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.streaming import ingest
+
+    log = ingest.cdc_log(fields)
+    asof = ingest.cdc_live_as_of(log, 1_500_000)
+    live = ingest.cdc_live_fields(log)
+    # deleted-at-2M docs are present as of 1.5M, absent fully-live
+    assert asof.filter(F.col("rid") % 11 == 0).count() > 0
+    assert live.filter(F.col("rid") % 11 == 0).count() == 0
+    # revisions (at 1M) are already applied at 1.5M
+    revised = asof.filter(F.col("rid") % 7 == 0)
+    assert revised.count() > 0
+    assert revised.filter(~F.col("text").endswith(" refreshed revision")).count() == 0
+    # as-of at seq 0 ... insert horizon: nothing newer than seq leaks
+    first = ingest.cdc_live_as_of(log, 10)
+    assert first.filter(F.col("rid") > 10).count() == 0
+    assert first.filter(F.col("text").endswith(" refreshed revision")).count() == 0
