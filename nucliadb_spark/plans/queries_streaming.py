@@ -216,6 +216,109 @@ def cdc_fielded_search_live(spark, sf_dir):
     return bm25.bm25_search(link, "refreshed revision stream", top_k=20, mode="any")
 
 
+_REL_CDC_ENTITIES = ["part:3", "part:6", "part:17"]
+
+
+def _cdc_graph_oracle() -> str:
+    live = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    lst = ", ".join(f"'{e}'" for e in _REL_CDC_ENTITIES)
+    return f"""
+WITH live AS ({live})
+SELECT source_value, relation_label, target_value, paragraph_id
+FROM live
+WHERE source_value IN ({lst}) OR target_value IN ({lst})
+ORDER BY relation_label DESC, source_value, target_value
+LIMIT 100
+"""
+
+
+@register("cdc_graph_search_live", _cdc_graph_oracle())
+def cdc_graph_search_live(spark, sf_dir):
+    """S1 for the THIRD index family: the relation index under CDC.
+    A resource reindex deletes its previous relation entries and
+    indexes the new set (nidx/src/indexer.rs over nidx_relation
+    segments + deletion lists), so the op log keys on the EDGE
+    identity. The 1-hop neighborhood of the query entities over the
+    live graph: deleted edges are absent, re-indexed edges carry
+    their REVISED provenance slice (0-480). The live resolution is
+    one edge-keyed max_by — the same partial-aggregatable shuffle as
+    the text and vector CDC, completing text/vector/relation
+    serving-freshness symmetry."""
+    from pyspark.sql import functions as F
+
+    live = ingest.cdc_live_relations(
+        ingest.cdc_relation_log(tpch.relations(spark, sf_dir))
+    )
+    ents = _REL_CDC_ENTITIES
+    cond = F.col("source_value").isin(ents) | F.col("target_value").isin(ents)
+    return (
+        live.filter(cond)
+        .select("source_value", "relation_label", "target_value", "paragraph_id")
+        .orderBy(
+            F.col("relation_label").desc(), "source_value", "target_value"
+        )
+        .limit(100)
+    )
+
+
+def _cdc_relation_served_index(spark, sf_dir):
+    """Session-scoped STREAMED relation index: stage the edge op log
+    once, drain it through cdc_relation_ingest, serve from the
+    materialized edge segments + oplog — the relation sibling of the
+    fielded/vector served indexes."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_scalar
+
+    rel = tpch.relations(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="rcdc_idx_")
+        ingest.cdc_relation_log(rel).repartition(2).write.parquet(
+            f"{workdir}/log"
+        )
+        ingest.cdc_relation_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        return workdir
+
+    wd = cached_scalar(rel, sf_dir, "rcdc_workdir", build)
+    edges = spark.read.parquet(f"{wd}/index/edges")
+    oplog = spark.read.parquet(f"{wd}/index/oplog")
+    return edges, oplog
+
+
+@register("cdc_graph_search_served", _cdc_graph_oracle())
+def cdc_graph_search_served(spark, sf_dir):
+    """`cdc_graph_search_live` SERVED from the streamed edge
+    segments under the oplog alive-mask instead of a per-request log
+    resolution — completing the served trio (text postings, vector
+    segments, relation edges all stream-ingested exactly-once and
+    queried through a deletion-list join, the alive-bitset over
+    built segments). Same oracle as the live variant — stream ==
+    batch."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+
+    edges, oplog = _cdc_relation_served_index(spark, sf_dir)
+    live = cached_df(
+        sf_dir,
+        "rcdc_live_edges",
+        lambda: ingest.live_relation_segments(edges, oplog),
+    )
+    ents = _REL_CDC_ENTITIES
+    cond = F.col("source_value").isin(ents) | F.col("target_value").isin(ents)
+    return (
+        live.filter(cond)
+        .select("source_value", "relation_label", "target_value", "paragraph_id")
+        .orderBy(
+            F.col("relation_label").desc(), "source_value", "target_value"
+        )
+        .limit(100)
+    )
+
+
 _AS_OF_SEQ = 1_500_000  # post-revisions, pre-deletes snapshot point
 
 

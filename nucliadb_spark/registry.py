@@ -68,6 +68,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "resources_list_after",
     "search_as_of",
     "cdc_vector_search_served",
+    "cdc_graph_search_live",
+    "cdc_graph_search_served",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",

@@ -573,6 +573,159 @@ def live_fielded_postings(post: DataFrame, oplog: DataFrame) -> DataFrame:
 # sidecar (ann.assign_cells) — centroid drift is repaired by periodic
 # index rebuild, which is the reference's merge/rebuild story too.
 
+# --- relation-index CDC (S1 relation path) ----------------------------------
+#
+# The reference's indexer maintains the relation index per message
+# too: a resource reindex deletes the resource's previous relation
+# entries and indexes the new set (nidx/src/indexer.rs over
+# nidx_relation segments + deletion lists). Same oplog design as the
+# text/vector CDC; the op-log key is the EDGE IDENTITY
+# (source_value, relation_label, target_value).
+
+# deterministic relation CDC, scheduled by a portable md5 of the edge
+# identity (so the oracle computes the identical schedule): every
+# edge inserted at seq = md5 % 1e6; edges with md5 % 7 == 0 get their
+# PROVENANCE revised at +1e6 (the reindex widened the supporting
+# paragraph slice 0-240 → 0-480); edges with md5 % 9 == 0 deleted at
+# +2e6 (the new resource version no longer asserts them; an edge
+# hitting both rules is deleted — delete wins at the higher seq).
+
+_EDGE_SALT = "relcdc:"
+_EDGE_COLS = ["source_value", "relation_label", "target_value"]
+
+
+def _edge_md5(df_or_none=None):
+    from nucliadb_spark.functions.text import md5_int60
+
+    key = F.concat_ws("|", *[F.col(c) for c in _EDGE_COLS])
+    return md5_int60(key, salt=_EDGE_SALT)
+
+
+def _edge_md5_sql() -> str:
+    from nucliadb_spark.functions.text import md5_int60_sql
+
+    key = "concat_ws('|', source_value, relation_label, target_value)"
+    return md5_int60_sql(key, salt=_EDGE_SALT)
+
+
+def cdc_relation_log(relations: DataFrame) -> DataFrame:
+    """(edge cols, paragraph_id, seq, op) versioned relation op log
+    derived from a triples frame."""
+    h = _edge_md5()
+    cols = [*_EDGE_COLS, "source_type", "source_subtype", "target_type",
+            "target_subtype"]
+    base = relations.select(
+        *cols, "paragraph_id",
+        (h % 1_000_000).alias("seq"), F.lit("upsert").alias("op"),
+    )
+    rev = relations.filter(h % 7 == 0).select(
+        *cols,
+        F.regexp_replace("paragraph_id", "/0-240$", "/0-480").alias(
+            "paragraph_id"
+        ),
+        (h % 1_000_000 + 1_000_000).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    dele = relations.filter(h % 9 == 0).select(
+        *cols,
+        F.lit(None).cast("string").alias("paragraph_id"),
+        (h % 1_000_000 + 2_000_000).alias("seq"),
+        F.lit("delete").alias("op"),
+    )
+    return base.unionByName(rev).unionByName(dele)
+
+
+def cdc_live_relations(log: DataFrame) -> DataFrame:
+    """Latest-op-wins live relation set — deletion-list application
+    at edge grain. One shuffle keyed by the edge identity; max_by
+    keeps it partial-aggregatable."""
+    rest = [c for c in log.columns if c not in (*_EDGE_COLS, "seq")]
+    return (
+        log.groupBy(*_EDGE_COLS)
+        .agg(F.max_by(F.struct(*rest), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select(
+            *_EDGE_COLS,
+            *[F.col(f"last.{c}").alias(c) for c in rest if c != "op"],
+        )
+    )
+
+
+def cdc_relations_live_sql(relations_sql: str) -> str:
+    """DuckDB twin of cdc_relation_log → cdc_live_relations."""
+    h = _edge_md5_sql()
+    return f"""
+SELECT source_value, relation_label, target_value,
+       source_type, source_subtype, target_type, target_subtype,
+       paragraph_id
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY source_value, relation_label, target_value
+           ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT *, {h} % 1000000 AS seq, 'upsert' AS op
+    FROM ({relations_sql})
+    UNION ALL
+    SELECT * REPLACE (regexp_replace(paragraph_id, '/0-240$', '/0-480')
+                      AS paragraph_id),
+           {h} % 1000000 + 1000000, 'upsert'
+    FROM ({relations_sql}) WHERE {h} % 7 = 0
+    UNION ALL
+    SELECT * REPLACE (NULL AS paragraph_id),
+           {h} % 1000000 + 2000000, 'delete'
+    FROM ({relations_sql}) WHERE {h} % 9 = 0
+  )
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+def cdc_relation_ingest(
+    spark: SparkSession,
+    log_path: str,
+    index_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream a relation op log into searchable edge segments:
+    upsert batches append seq-tagged edge rows, every op appends to
+    the edge-grain oplog — the relation-index sibling of
+    cdc_index_ingest / cdc_vector_ingest (the reference's indexer
+    maintains nidx_relation segments + deletion lists per message).
+    Same exactly-once file-source + checkpoint contract."""
+    schema = spark.read.parquet(log_path).schema
+    if os.path.isfile(log_path):
+        log_path = stage_arrival_dir(log_path)
+    stream = spark.readStream.schema(schema).parquet(log_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.filter(F.col("op") == "upsert").drop("op").write.mode(
+            "append"
+        ).parquet(f"{index_path}/edges")
+        batch_df.select(*_EDGE_COLS, "seq", "op").write.mode("append").parquet(
+            f"{index_path}/oplog"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def live_relation_segments(edges: DataFrame, oplog: DataFrame) -> DataFrame:
+    """Edge segments restricted to live versions — deletion-list
+    application at edge grain: one edge-keyed aggregation over the
+    oplog, joined back on (edge identity, seq)."""
+    live = (
+        oplog.groupBy(*_EDGE_COLS)
+        .agg(F.max_by("op", "seq").alias("op"), F.max("seq").alias("seq"))
+        .filter(F.col("op") == "upsert")
+        .select(*_EDGE_COLS, "seq")
+    )
+    return edges.join(live, [*_EDGE_COLS, "seq"]).drop("seq")
+
+
 # deterministic vector CDC: rid%6==0 revised to the reversed
 # embedding at seq=rid+1e6; rid%9==0 deleted at seq=rid+2e6.
 

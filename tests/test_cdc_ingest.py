@@ -251,3 +251,50 @@ def test_search_as_of_snapshot_semantics(spark, sf_dir, fields):
     first = ingest.cdc_live_as_of(log, 10)
     assert first.filter(F.col("rid") > 10).count() == 0
     assert first.filter(F.col("text").endswith(" refreshed revision")).count() == 0
+
+
+def test_relation_cdc_semantics(spark, sf_dir):
+    """Relation-index CDC: deleted edges absent from the live graph,
+    re-indexed edges carry the revised provenance slice, untouched
+    edges unchanged — and the md5 schedule partitions the edge set
+    exactly (live = base - deleted)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    rel = tpch.relations(spark, sf_dir)
+    log = ingest.cdc_relation_log(rel)
+    live = ingest.cdc_live_relations(log)
+
+    h = ingest._edge_md5()
+    n_base = rel.count()
+    n_deleted = rel.filter(h % 9 == 0).count()
+    assert live.count() == n_base - n_deleted
+    # no deleted edge survives
+    assert live.filter(ingest._edge_md5() % 9 == 0).count() == 0
+    # every revised (non-deleted) SUPPLIED_BY edge serves 0-480
+    revised = live.filter(
+        (ingest._edge_md5() % 7 == 0)
+        & (F.col("relation_label") == "SUPPLIED_BY")
+    )
+    assert revised.count() > 0
+    assert revised.filter(~F.col("paragraph_id").endswith("/0-480")).count() == 0
+    # untouched edges keep the original slice
+    untouched = live.filter(
+        (ingest._edge_md5() % 7 != 0)
+        & (F.col("relation_label") == "SUPPLIED_BY")
+    )
+    assert untouched.filter(~F.col("paragraph_id").endswith("/0-240")).count() == 0
+
+
+def test_cdc_graph_served_equals_live(spark, sf_dir):
+    """Relation serving (streamed edge segments + oplog alive-mask)
+    must equal the live rebuild — the third leg of the served==live
+    contract (text, vector, relation)."""
+    from nucliadb_spark import registry
+
+    qs = registry.queries()
+    served = qs["cdc_graph_search_served"](spark, sf_dir).collect()
+    live = qs["cdc_graph_search_live"](spark, sf_dir).collect()
+    assert served == live and len(served) > 0
