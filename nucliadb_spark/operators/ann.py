@@ -281,6 +281,121 @@ def ivf_search_labeled(
     )
 
 
+def batch_knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Multi-query IVF KNN: (query_id, id, score, rank) — the
+    kNN-graph construction plan that actually survives corpus-sized
+    Q. Each query ranks the (tiny, broadcast) centroid table and
+    keeps its nprobe cells; candidates then come from ONE equi-join
+    of the query-probe frame against the cell-labeled vector table
+    on `label` — never a query×corpus cartesian. At 100 TB both
+    sides of that join are partitioned by cell (the persisted IVF
+    layout), so scoring is cell-local; the per-query top-k is one
+    window keyed by query_id over only the probed candidates
+    (nprobe/ncells of the corpus per query).
+
+    Probe ranking rounds centroid cosines to 6 decimals and the
+    final score to 5, with id tiebreaks — the SQL twin replays the
+    identical probe, so even the pruning is oracle-checked.
+    """
+    from pyspark.sql import Window
+
+    pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent_long = pos.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    centroids = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "label",
+            F.round(V.cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+            "qvec",
+        )
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "label", "qvec")
+    )
+    cand = embeddings.join(probes, "label")
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.round(V.cosine(F.col("embedding"), F.col("qvec")), 5)
+        .cast(SCORE_TYPE)
+        .alias("score"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("query_id"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def batch_knn_ivf_sql(
+    queries_sql: str,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_self: bool = False,
+) -> str:
+    """DuckDB twin of :func:`batch_knn_ivf` over the embeddings
+    table's precomputed `label` cells."""
+    cos_cq = V.cosine_sql_unrolled("c.centroid", "q.qvec", dim)
+    cos_eq = V.cosine_sql_unrolled("e.embedding", "p.qvec", dim)
+    self_cut = "WHERE id <> query_id" if exclude_self else ""
+    return f"""
+WITH q AS ({queries_sql}),
+pos AS (
+  SELECT label, unnest(generate_series(1, {dim})) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent_long AS (
+  SELECT label, pos, AVG(val) AS m FROM pos GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM cent_long GROUP BY label
+),
+probes AS (
+  SELECT query_id, label, qvec FROM (
+    SELECT q.query_id, c.label, q.qvec,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({cos_cq}, 6) DESC, c.label ASC) AS prank
+    FROM centroids c CROSS JOIN q
+  ) WHERE prank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS id,
+         ROUND({cos_eq}, 5)::DOUBLE AS score
+  FROM embeddings e
+  JOIN probes p ON e.label = p.label
+)
+SELECT query_id, id, score, rank FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+  FROM scored {self_cut}
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def ivf_search_labeled_sql(k: int = 10, nprobe: int = 2, dim: int = 64) -> str:
     """DuckDB twin of :func:`ivf_search_labeled`.
 

@@ -87,6 +87,79 @@ def exact_knn(
     )
 
 
+def batch_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    similarity: str = "cosine",
+    exclude_self: bool = False,
+    id_col: str = "rid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Multi-query exact KNN in ONE pass: (query_id, id, score, rank)
+    — the vector sibling of bm25.batch_bm25 and the kNN-GRAPH shape
+    (SemDeDup / clustering mining jobs run exactly this: every doc's
+    top-k neighbours in one job, never one query at a time).
+
+    queries: (query_id, qvec). The query frame broadcasts — this
+    exact variant is the bounded-Q baseline (eval sets, probe
+    panels). For corpus-sized Q the cartesian score matrix is the
+    wrong plan at any k; use ann.batch_knn_ivf, whose probe turns
+    the cartesian into a cell-keyed EQUI-join.
+
+    Per-query top-k is one window cut keyed by query_id; the rank
+    orders by the ROUNDED score (id tiebreak) so the SQL twin cuts
+    identically. exclude_self drops the trivial self-match when
+    queries come from the corpus itself (kNN-graph convention).
+    """
+    from pyspark.sql import Window
+
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        F.round(_sim(similarity, F.col(vec_col), F.col("qvec")), 5)
+        .cast(SCORE_TYPE)
+        .alias("score"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def batch_knn_sql(
+    vectors_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 10,
+    similarity: str = "cosine",
+    exclude_self: bool = False,
+    id_col: str = "rid",
+) -> str:
+    self_cut = f"WHERE v.{id_col} <> q.query_id" if exclude_self else ""
+    return f"""
+WITH q AS ({queries_sql}),
+scored AS (
+  SELECT q.query_id, v.{id_col} AS id,
+         ROUND({sim_sql(similarity, "v.vector", "q.qvec", dim)}, 5)::DOUBLE AS score
+  FROM ({vectors_sql}) v CROSS JOIN q
+  {self_cut}
+)
+SELECT query_id, id, score, rank FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def exact_knn_sql(
     vectors_sql: str,
     query_sql: str,

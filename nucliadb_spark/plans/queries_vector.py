@@ -187,6 +187,55 @@ def knn_vectorset_alt(spark, sf_dir):
 # --- V1 replacement: IVF probe (label cells, mean centroids) --------------
 
 
+_BATCH_Q_SQL = (
+    "SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qvec "
+    "FROM embeddings WHERE vec_id IN (0, 1, 5, 9)"
+)
+
+
+def _batch_queries(spark, sf_dir):
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id").isin([0, 1, 5, 9])).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+
+@register(
+    "batch_knn",
+    knn.batch_knn_sql(
+        tpch.SQL_VECTORS, _BATCH_Q_SQL, DIM, k=5, exclude_self=True
+    ),
+)
+def batch_knn(spark, sf_dir):
+    """kNN-graph baseline: every query's exact top-5 neighbours in
+    ONE pass (self-matches excluded) — the vector sibling of
+    batch_bm25. Bounded-Q exact scoring; the corpus-sized-Q plan is
+    batch_knn_ivf below."""
+    return knn.batch_knn(
+        _vectors(spark, sf_dir),
+        _batch_queries(spark, sf_dir),
+        k=5,
+        exclude_self=True,
+    )
+
+
+@register(
+    "batch_knn_ivf",
+    ann.batch_knn_ivf_sql(_BATCH_Q_SQL, DIM, k=5, nprobe=2, exclude_self=True),
+)
+def batch_knn_ivf(spark, sf_dir):
+    """kNN-graph construction at scale: per-query IVF probe turns the
+    query×corpus cartesian into ONE cell-keyed equi-join (both sides
+    cell-partitioned in the persisted layout), per-query top-5 over
+    only the probed candidates. Even the pruning is oracle-checked —
+    the SQL twin replays the identical probe ranking."""
+    e = tpch.table(spark, sf_dir, "embeddings")
+    return ann.batch_knn_ivf(
+        e, _batch_queries(spark, sf_dir), k=5, nprobe=2, exclude_self=True
+    )
+
+
 @register("ann_ivf_probe", ann.ivf_search_labeled_sql(k=10, nprobe=2, dim=DIM))
 def ann_ivf_probe(spark, sf_dir):
     e = tpch.table(spark, sf_dir, "embeddings")

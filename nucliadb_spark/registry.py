@@ -70,6 +70,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_vector_search_served",
     "cdc_graph_search_live",
     "cdc_graph_search_served",
+    "batch_knn",
+    "batch_knn_ivf",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",

@@ -594,7 +594,7 @@ _EDGE_SALT = "relcdc:"
 _EDGE_COLS = ["source_value", "relation_label", "target_value"]
 
 
-def _edge_md5(df_or_none=None):
+def _edge_md5():
     from nucliadb_spark.functions.text import md5_int60
 
     key = F.concat_ws("|", *[F.col(c) for c in _EDGE_COLS])

@@ -145,3 +145,46 @@ def test_adaptive_probe_dominates_fixed_under_selective_filter(spark, sf_dir):
     assert len(adaptive) >= len(fixed)
     if fixed and adaptive:
         assert adaptive[-1]["score"] >= fixed[-1]["score"]
+
+
+def test_batch_knn_ivf_recall(spark, corpus):
+    """The BATCHED IVF path (ann.batch_knn_ivf — one cell-keyed
+    equi-join for all queries) hits the same recall gate as the
+    single-query probes, on the clustered corpus. (The driver's
+    embeddings table is near-uniform random, so probe recall is only
+    meaningful here — the registry query's fidelity is instead
+    oracle-checked: the SQL twin replays the identical probe.)"""
+    from nucliadb_spark.operators import ann, knn
+
+    vecs, rng = corpus
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "rid long, vector array<float>",
+    )
+    assigned, _ = ann.build_ivf(df, k_cells=8, seed=42)
+    emb = assigned.selectExpr(
+        "rid AS vec_id", "vector AS embedding", "cell AS label"
+    ).cache()
+    emb.count()
+
+    n_q = 20
+    qrows = []
+    for qi in range(n_q):
+        base = vecs[rng.integers(0, len(vecs))]
+        fuzz = _normalize(rng.uniform(-1, 1, DIM)) * 0.05
+        qrows.append((1_000_000 + qi, [float(x) for x in _normalize(base + fuzz)]))
+    queries = spark.createDataFrame(qrows, "query_id long, qvec array<float>")
+
+    batched = ann.batch_knn_ivf(emb, queries, k=K, nprobe=2)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+
+    hits = total = 0
+    for qid, qv in qrows:
+        q = spark.createDataFrame([(qv,)], "qvec array<float>")
+        exact = {r.id for r in knn.exact_knn(df, q, k=K, similarity="cosine").collect()}
+        hits += len(exact & got[qid])
+        total += K
+    recall = hits / total
+    assert recall >= 0.95, f"batched IVF recall@{K} = {recall:.3f} < 0.95"

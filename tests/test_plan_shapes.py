@@ -602,3 +602,25 @@ def test_fielded_graph_leg_scope_semijoin(spark, sf_dir):
     rows = {r.id: r.matched_sources for r in df.collect()}
     assert "graph" in rows.get(3, "") and "graph" in rows.get(6, "")
     assert 17 not in rows or "graph" not in rows[17]
+
+
+def test_batch_knn_ivf_no_cartesian(spark, sf_dir):
+    """batch_knn_ivf's candidate generation must be an EQUI-join on
+    the cell label — a CartesianProduct between the query frame and
+    the vector table is the plan that dies at corpus-sized Q. The
+    only cartesian allowed is queries × the tiny centroid table
+    (broadcast nested loop, bounded by ncells)."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.sources import tpch
+
+    df = registry.queries()["batch_knn_ivf"](spark, sf_dir)
+    plan = _plan(df)
+    n_vec_rows = tpch.table(spark, sf_dir, "embeddings").count()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the probe side joins embeddings on label (hash or sort-merge or
+    # broadcast hash — any keyed join), visible as an equi-join cond
+    assert "label" in plan
+    # per-query candidate sets are bounded: 4 queries x nprobe=2
+    # cells never surface more than the corpus (sanity)
+    rows = df.collect()
+    assert len(rows) == 20 and len({r.query_id for r in rows}) == 4
