@@ -77,6 +77,9 @@ HEADLINE = [
     # pays the streamed index build; steady-state is the cached join)
     "find_hybrid_fielded_graph",
     "cdc_fielded_search_served",
+    # round 8b: the batched kNN-graph plan (cell-keyed equi-join, no
+    # cartesian) — the mining-job shape at its smallest
+    "batch_knn_ivf",
 ]
 
 
