@@ -281,12 +281,26 @@ def ivf_search_labeled(
     )
 
 
+def labeled_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, centroid) element-wise-mean centroid table for the
+    precomputed `label` cell assignment — an index-build sidecar
+    (cache/persist it; the probe queries only read it)."""
+    pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent_long = pos.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    return cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
 def batch_knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 2,
     exclude_self: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-query IVF KNN: (query_id, id, score, rank) — the
     kNN-graph construction plan that actually survives corpus-sized
@@ -302,16 +316,16 @@ def batch_knn_ivf(
     Probe ranking rounds centroid cosines to 6 decimals and the
     final score to 5, with id tiebreaks — the SQL twin replays the
     identical probe, so even the pruning is oracle-checked.
+
+    centroids: pass the cached/persisted (label, centroid) sidecar
+    to skip the per-call derivation — at any real scale the centroid
+    table is an index-build artifact, never per-query work (the 10×
+    probe showed the derivation dominating the per-call cost).
     """
     from pyspark.sql import Window
 
-    pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
-    cent_long = pos.groupBy("label", "pos").agg(F.avg("val").alias("m"))
-    centroids = cent_long.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("centroid")
-    )
+    if centroids is None:
+        centroids = labeled_centroids(embeddings)
     wp = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("label").asc()
     )

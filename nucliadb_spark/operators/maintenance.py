@@ -229,3 +229,52 @@ SELECT 'vector_without_field',
             AS BIGINT)
 ORDER BY "check"
 """
+
+
+def fielded_compaction_plan(log: DataFrame) -> DataFrame:
+    """(field_key, n_fields_live, n_dead_versions, n_ops) — the
+    review artifact a compaction pass reads before force-merging the
+    streamed fielded index (the per-family sibling of the segment
+    merge scheduler; ref log_merge.rs:59-110 deletion purging and
+    the indexer's per-field delete-then-reindex, indexer.rs:254-298).
+
+    n_fields_live = field versions a compacted index keeps;
+    n_dead_versions = superseded upsert segments a purge deletes
+    (a revised field's old version, a deleted field's whole history);
+    n_ops = total op-log length. Two map-side-combinable groupBys —
+    (rid, field_id) then field_key; report size = family count.
+    """
+    pf = log.groupBy("field_key", "rid", "field_id").agg(
+        F.count("*").alias("n_ops"),
+        F.count(F.when(F.col("op") == "upsert", True)).alias("n_upserts"),
+        (F.max_by("op", "seq") == "upsert").cast("int").alias("live"),
+    )
+    return (
+        pf.groupBy("field_key")
+        .agg(
+            F.sum("live").cast("long").alias("n_fields_live"),
+            F.sum(F.col("n_upserts") - F.col("live"))
+            .cast("long")
+            .alias("n_dead_versions"),
+            F.sum("n_ops").cast("long").alias("n_ops"),
+        )
+        .orderBy("field_key")
+    )
+
+
+def fielded_compaction_plan_sql(log_sql: str) -> str:
+    return f"""
+WITH log AS ({log_sql}),
+pf AS (
+  SELECT field_key, rid, field_id,
+         COUNT(*) AS n_ops,
+         COUNT(CASE WHEN op = 'upsert' THEN 1 END) AS n_upserts,
+         CASE WHEN max_by(op, seq) = 'upsert' THEN 1 ELSE 0 END AS live
+  FROM log GROUP BY 1, 2, 3
+)
+SELECT field_key,
+       CAST(SUM(live) AS BIGINT) AS n_fields_live,
+       CAST(SUM(n_upserts - live) AS BIGINT) AS n_dead_versions,
+       CAST(SUM(n_ops) AS BIGINT) AS n_ops
+FROM pf GROUP BY 1 ORDER BY 1
+"""

@@ -807,3 +807,27 @@ def shard_rebalance_plan(spark, sf_dir):
     report."""
     paras = tpch.paragraphs(spark, sf_dir).select("rid")
     return shards.rebalance_report(paras, n_shards=13)
+
+
+def _fielded_compaction_oracle() -> str:
+    from nucliadb_spark.streaming import ingest
+
+    return maintenance.fielded_compaction_plan_sql(
+        ingest.cdc_field_log_sql(tpch.SQL_FIELDS_MULTI)
+    )
+
+
+@register("fielded_compaction_plan", _fielded_compaction_oracle())
+def fielded_compaction_plan(spark, sf_dir):
+    """Compaction review table for the streamed per-family index:
+    live field versions a compacted index keeps, dead (superseded /
+    deleted) upsert segments a purge deletes, and op-log length —
+    per field_key (the '/u/link' family shows the churn: its
+    revision and delete waves create all the dead versions, while
+    body/title stay 1:1). The destructive half is
+    ingest.compact_fielded_index, results-before==after tested."""
+    from nucliadb_spark.streaming import ingest
+
+    return maintenance.fielded_compaction_plan(
+        ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir))
+    )

@@ -230,9 +230,19 @@ def batch_knn_ivf(spark, sf_dir):
     cell-partitioned in the persisted layout), per-query top-5 over
     only the probed candidates. Even the pruning is oracle-checked —
     the SQL twin replays the identical probe ranking."""
+    from nucliadb_spark.cache import cached_df
+
     e = tpch.table(spark, sf_dir, "embeddings")
+    cents = cached_df(
+        sf_dir, "labeled_centroids", lambda: ann.labeled_centroids(e)
+    )
     return ann.batch_knn_ivf(
-        e, _batch_queries(spark, sf_dir), k=5, nprobe=2, exclude_self=True
+        e,
+        _batch_queries(spark, sf_dir),
+        k=5,
+        nprobe=2,
+        exclude_self=True,
+        centroids=cents,
     )
 
 

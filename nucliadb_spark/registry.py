@@ -72,6 +72,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_graph_search_served",
     "batch_knn",
     "batch_knn_ivf",
+    "fielded_compaction_plan",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",

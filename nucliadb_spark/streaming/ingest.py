@@ -471,15 +471,10 @@ def cdc_live_fielded(log: DataFrame) -> DataFrame:
     )
 
 
-def cdc_fielded_live_sql(fields_multi_sql: str, field_key: str | None = None) -> str:
-    """DuckDB twin of cdc_field_log → cdc_live_fielded, optionally
-    pre-filtered to one family."""
-    key_and = f"AND field_key = '{field_key}'" if field_key else ""
+def cdc_field_log_sql(fields_multi_sql: str) -> str:
+    """DuckDB twin of cdc_field_log — the raw field-grain op log
+    (rid, field_id, field_key, seq, op, text)."""
     return f"""
-SELECT field_key, rid, field_id, text FROM (
-  SELECT rid, field_id, field_key, op, text,
-         row_number() OVER (PARTITION BY rid, field_id ORDER BY seq DESC) AS rn
-  FROM (
     SELECT rid, field_id, field_key, CAST(rid AS BIGINT) AS seq,
            'upsert' AS op, text
     FROM ({fields_multi_sql})
@@ -493,7 +488,18 @@ SELECT field_key, rid, field_id, text FROM (
            'delete', NULL
     FROM ({fields_multi_sql})
     WHERE field_key = '/u/link' AND rid % 9 = 0
-  )
+"""
+
+
+def cdc_fielded_live_sql(fields_multi_sql: str, field_key: str | None = None) -> str:
+    """DuckDB twin of cdc_field_log → cdc_live_fielded, optionally
+    pre-filtered to one family."""
+    key_and = f"AND field_key = '{field_key}'" if field_key else ""
+    return f"""
+SELECT field_key, rid, field_id, text FROM (
+  SELECT rid, field_id, field_key, op, text,
+         row_number() OVER (PARTITION BY rid, field_id ORDER BY seq DESC) AS rn
+  FROM ({cdc_field_log_sql(fields_multi_sql)})
 ) WHERE rn = 1 AND op = 'upsert' {key_and}
 """
 
@@ -547,21 +553,50 @@ def cdc_fielded_index_ingest(
     q.awaitTermination()
 
 
+def live_field_versions(oplog: DataFrame) -> DataFrame:
+    """(rid, field_id, seq) of live field versions — the field-grain
+    deletion-list application as one partial-aggregatable groupBy."""
+    return (
+        oplog.groupBy("rid", "field_id")
+        .agg(F.max_by("op", "seq").alias("op"), F.max("seq").alias("seq"))
+        .filter(F.col("op") == "upsert")
+        .select("rid", "field_id", "seq")
+    )
+
+
 def live_fielded_postings(post: DataFrame, oplog: DataFrame) -> DataFrame:
     """Streamed postings restricted to live field versions:
     (field_key, rid, field_id, term, tf). The live-version frame is
     one (rid, field_id)-keyed aggregation; the equi-join on
     (rid, field_id, seq) masks dead segments exactly like the
     resource-grain live_postings."""
-    live = (
-        oplog.groupBy("rid", "field_id")
-        .agg(F.max_by("op", "seq").alias("op"), F.max("seq").alias("seq"))
-        .filter(F.col("op") == "upsert")
-        .select("rid", "field_id", "seq")
-    )
-    return post.join(live, ["rid", "field_id", "seq"]).select(
+    return post.join(live_field_versions(oplog), ["rid", "field_id", "seq"]).select(
         "field_key", "rid", "field_id", "term", "tf"
     )
+
+
+def compact_fielded_index(spark: SparkSession, index_path: str) -> None:
+    """Physically purge dead per-family postings segments + truncate
+    the field-grain oplog (the deletion-purging force merge applied
+    to the streamed fielded index; search results before == after,
+    only storage shrinks). The rewrite preserves the field_key
+    partitioning, so family pruning keeps working on the compacted
+    layout."""
+    post = spark.read.parquet(f"{index_path}/postings")
+    oplog = spark.read.parquet(f"{index_path}/oplog")
+    live = live_field_versions(oplog)
+    kept = post.join(live, ["rid", "field_id", "seq"])
+    tmp = tempfile.mkdtemp(prefix="compactf_")
+    kept.write.mode("overwrite").partitionBy("field_key").parquet(
+        f"{tmp}/postings"
+    )
+    live.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
+        f"{tmp}/oplog"
+    )
+    for t in ("postings", "oplog"):
+        shutil.rmtree(f"{index_path}/{t}")
+        shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --- vector-index CDC (S1 vector path + V1 ingest-time assignment) ----------

@@ -298,3 +298,48 @@ def test_cdc_graph_served_equals_live(spark, sf_dir):
     served = qs["cdc_graph_search_served"](spark, sf_dir).collect()
     live = qs["cdc_graph_search_live"](spark, sf_dir).collect()
     assert served == live and len(served) > 0
+
+
+def test_fielded_compaction_purges_and_preserves(spark, sf_dir):
+    """compact_fielded_index: dead per-family segments physically
+    purged, oplog truncated to live versions, field_key partitioning
+    preserved — and the served live postings are IDENTICAL before
+    and after (deletion-list application becomes a no-op). The
+    review numbers come from maintenance.fielded_compaction_plan."""
+    import os
+
+    from nucliadb_spark.operators import maintenance
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    fm = tpch.fields_multi(spark, sf_dir)
+    log = ingest.cdc_field_log(fm)
+    workdir = tempfile.mkdtemp(prefix="ffcomp_")
+    try:
+        log.repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_fielded_index_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        post = spark.read.parquet(f"{workdir}/index/postings")
+        oplog = spark.read.parquet(f"{workdir}/index/oplog")
+        before = sorted(ingest.live_fielded_postings(post, oplog).collect())
+        raw_rows = post.count()
+        plan = {
+            r.field_key: r for r in maintenance.fielded_compaction_plan(log).collect()
+        }
+        n_live_versions = ingest.live_field_versions(oplog).count()
+        assert n_live_versions == sum(r.n_fields_live for r in plan.values())
+
+        ingest.compact_fielded_index(spark, f"{workdir}/index")
+        post2 = spark.read.parquet(f"{workdir}/index/postings")
+        oplog2 = spark.read.parquet(f"{workdir}/index/oplog")
+        assert post2.count() < raw_rows  # dead versions purged
+        assert oplog2.count() == n_live_versions
+        after = sorted(ingest.live_fielded_postings(post2, oplog2).collect())
+        assert after == before
+        # the family layout survives the rewrite
+        parts = {p for p in os.listdir(f"{workdir}/index/postings")
+                 if p.startswith("field_key=")}
+        assert len(parts) == 3
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
