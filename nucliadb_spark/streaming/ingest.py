@@ -748,17 +748,41 @@ def cdc_relation_ingest(
     q.awaitTermination()
 
 
-def live_relation_segments(edges: DataFrame, oplog: DataFrame) -> DataFrame:
-    """Edge segments restricted to live versions — deletion-list
-    application at edge grain: one edge-keyed aggregation over the
-    oplog, joined back on (edge identity, seq)."""
-    live = (
+def live_edge_versions(oplog: DataFrame) -> DataFrame:
+    """(edge identity, seq) of live edges — the edge-grain
+    deletion-list application as one partial-aggregatable groupBy."""
+    return (
         oplog.groupBy(*_EDGE_COLS)
         .agg(F.max_by("op", "seq").alias("op"), F.max("seq").alias("seq"))
         .filter(F.col("op") == "upsert")
         .select(*_EDGE_COLS, "seq")
     )
-    return edges.join(live, [*_EDGE_COLS, "seq"]).drop("seq")
+
+
+def live_relation_segments(edges: DataFrame, oplog: DataFrame) -> DataFrame:
+    """Edge segments restricted to live versions — deletion-list
+    application at edge grain: one edge-keyed aggregation over the
+    oplog, joined back on (edge identity, seq)."""
+    return edges.join(live_edge_versions(oplog), [*_EDGE_COLS, "seq"]).drop("seq")
+
+
+def compact_relation_index(spark: SparkSession, index_path: str) -> None:
+    """Force-merge the streamed relation index: dead edge versions
+    physically purged, oplog truncated to live edges. Search results
+    before == after."""
+    edges = spark.read.parquet(f"{index_path}/edges")
+    oplog = spark.read.parquet(f"{index_path}/oplog")
+    live = live_edge_versions(oplog)
+    kept = edges.join(live, [*_EDGE_COLS, "seq"])
+    tmp = tempfile.mkdtemp(prefix="compactr_")
+    kept.write.mode("overwrite").parquet(f"{tmp}/edges")
+    live.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
+        f"{tmp}/oplog"
+    )
+    for t in ("edges", "oplog"):
+        shutil.rmtree(f"{index_path}/{t}")
+        shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 # deterministic vector CDC: rid%6==0 revised to the reversed
@@ -857,6 +881,26 @@ def live_vector_segments(vecs: DataFrame, oplog: DataFrame) -> DataFrame:
     return vecs.join(live_doc_versions(oplog), ["rid", "seq"]).select(
         "rid", "vector", "cluster_label"
     )
+
+
+def compact_vector_index(spark: SparkSession, index_path: str) -> None:
+    """Force-merge the streamed vector index: dead vector versions
+    physically purged (the alive-bitset becomes a no-op), oplog
+    truncated to live versions; ingest-assigned cell labels ride
+    along untouched. Search results before == after."""
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    oplog = spark.read.parquet(f"{index_path}/oplog")
+    live = live_doc_versions(oplog)
+    kept = vecs.join(live, ["rid", "seq"])
+    tmp = tempfile.mkdtemp(prefix="compactv_")
+    kept.write.mode("overwrite").parquet(f"{tmp}/vectors")
+    live.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
+        f"{tmp}/oplog"
+    )
+    for t in ("vectors", "oplog"):
+        shutil.rmtree(f"{index_path}/{t}")
+        shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --- stateful streaming sessionization (applyInPandasWithState) -------------

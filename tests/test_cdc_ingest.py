@@ -343,3 +343,67 @@ def test_fielded_compaction_purges_and_preserves(spark, sf_dir):
         assert len(parts) == 3
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_vector_and_relation_compaction_preserve_results(spark, sf_dir):
+    """compact_vector_index / compact_relation_index: dead versions
+    purged, oplogs truncated, served results identical before and
+    after — the force-merge contract for all three streamed index
+    families (the fielded one is tested above)."""
+    from nucliadb_spark.operators import ann
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    vectors = tpch.vectors(spark, sf_dir)
+    centroids = ann.cell_centroids(vectors)
+    vworkdir = tempfile.mkdtemp(prefix="vcomp_")
+    rworkdir = tempfile.mkdtemp(prefix="rcomp_")
+    try:
+        ingest.cdc_vector_log(vectors).repartition(2).write.parquet(
+            f"{vworkdir}/log"
+        )
+        ingest.cdc_vector_ingest(
+            spark, f"{vworkdir}/log", f"{vworkdir}/index", f"{vworkdir}/ckpt",
+            centroids,
+        )
+        vecs = spark.read.parquet(f"{vworkdir}/index/vectors")
+        voplog = spark.read.parquet(f"{vworkdir}/index/oplog")
+        v_before = sorted(
+            (r.rid, tuple(r.vector), r.cluster_label)
+            for r in ingest.live_vector_segments(vecs, voplog).collect()
+        )
+        v_raw = vecs.count()
+        v_live_versions = ingest.live_doc_versions(voplog).count()
+        ingest.compact_vector_index(spark, f"{vworkdir}/index")
+        vecs2 = spark.read.parquet(f"{vworkdir}/index/vectors")
+        voplog2 = spark.read.parquet(f"{vworkdir}/index/oplog")
+        assert vecs2.count() < v_raw
+        assert voplog2.count() == v_live_versions
+        v_after = sorted(
+            (r.rid, tuple(r.vector), r.cluster_label)
+            for r in ingest.live_vector_segments(vecs2, voplog2).collect()
+        )
+        assert v_after == v_before
+
+        rel = tpch.relations(spark, sf_dir)
+        ingest.cdc_relation_log(rel).repartition(2).write.parquet(
+            f"{rworkdir}/log"
+        )
+        ingest.cdc_relation_ingest(
+            spark, f"{rworkdir}/log", f"{rworkdir}/index", f"{rworkdir}/ckpt"
+        )
+        edges = spark.read.parquet(f"{rworkdir}/index/edges")
+        roplog = spark.read.parquet(f"{rworkdir}/index/oplog")
+        r_before = sorted(ingest.live_relation_segments(edges, roplog).collect())
+        r_raw = edges.count()
+        r_live_versions = ingest.live_edge_versions(roplog).count()
+        ingest.compact_relation_index(spark, f"{rworkdir}/index")
+        edges2 = spark.read.parquet(f"{rworkdir}/index/edges")
+        roplog2 = spark.read.parquet(f"{rworkdir}/index/oplog")
+        assert edges2.count() < r_raw
+        assert roplog2.count() == r_live_versions
+        r_after = sorted(ingest.live_relation_segments(edges2, roplog2).collect())
+        assert r_after == r_before
+    finally:
+        shutil.rmtree(vworkdir, ignore_errors=True)
+        shutil.rmtree(rworkdir, ignore_errors=True)
