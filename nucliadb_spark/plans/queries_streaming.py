@@ -348,6 +348,94 @@ def search_as_of(spark, sf_dir):
     return bm25.bm25_search(live, "refreshed revision stream", top_k=20, mode="any")
 
 
+def _vector_as_of_sql(seq: int) -> str:
+    return f"""
+SELECT rid, vector FROM (
+  SELECT rid, op, vector,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT CAST(vec_id AS BIGINT) AS rid, CAST(vec_id AS BIGINT) AS seq,
+           'upsert' AS op, embedding AS vector FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST(vec_id + 1000000 AS BIGINT),
+           'upsert', list_reverse(embedding) FROM embeddings WHERE vec_id % 6 = 0
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST(vec_id + 2000000 AS BIGINT),
+           'delete', NULL FROM embeddings WHERE vec_id % 9 = 0
+  ) WHERE seq <= {seq}
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+@register(
+    "knn_as_of",
+    knn.exact_knn_sql(_vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=10),
+)
+def knn_as_of(spark, sf_dir):
+    """Snapshot-consistent VECTOR retrieval: KNN over the vector set
+    AS OF log sequence 1.5M — re-embedded vectors (the rid%6 wave at
+    +1M) already serve their new embedding, while vectors the later
+    delete wave removes are still retrievable. The same
+    reproducible-read contract as search_as_of, applied to the
+    vector index: replaying 'nearest neighbours as of snapshot S'
+    months later returns these exact ids."""
+    from pyspark.sql import functions as F
+
+    log = ingest.cdc_vector_log(tpch.vectors(spark, sf_dir))
+    live = ingest.cdc_live_vectors(log.filter(F.col("seq") <= _AS_OF_SEQ))
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return knn.exact_knn(live, qvec, k=10)
+
+
+def _graph_as_of_oracle(seq: int) -> str:
+    live = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    # the as-of twin: same resolution, ops cut at the snapshot seq
+    # (WHERE applies before the window, so rn ranks only <=seq ops)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_as_of = live.replace(
+        anchor, f"WHERE seq <= {seq}{anchor}"
+    )
+    lst = ", ".join(f"'{e}'" for e in _REL_CDC_ENTITIES)
+    return f"""
+WITH live AS ({live_as_of})
+SELECT source_value, relation_label, target_value, paragraph_id
+FROM live
+WHERE source_value IN ({lst}) OR target_value IN ({lst})
+ORDER BY relation_label DESC, source_value, target_value
+LIMIT 100
+"""
+
+
+@register("graph_as_of", _graph_as_of_oracle(_AS_OF_SEQ))
+def graph_as_of(spark, sf_dir):
+    """Snapshot-consistent GRAPH retrieval: the entity neighborhood
+    over the relation set AS OF log sequence 1.5M — provenance
+    revisions (the md5%7 wave at +1M) are applied, edges the later
+    delete wave (+2M) retracts are still present. Completes the
+    as-of story across all three index families (text, vector,
+    relation): one seq predicate on the op-log scan, the same
+    edge-keyed max_by shuffle as the live read."""
+    from pyspark.sql import functions as F
+
+    log = ingest.cdc_relation_log(tpch.relations(spark, sf_dir))
+    live = ingest.cdc_live_relations(log.filter(F.col("seq") <= _AS_OF_SEQ))
+    ents = _REL_CDC_ENTITIES
+    cond = F.col("source_value").isin(ents) | F.col("target_value").isin(ents)
+    return (
+        live.filter(cond)
+        .select("source_value", "relation_label", "target_value", "paragraph_id")
+        .orderBy(
+            F.col("relation_label").desc(), "source_value", "target_value"
+        )
+        .limit(100)
+    )
+
+
 def _cdc_vector_served_index(spark, sf_dir):
     """Session-scoped STREAMED vector index: stage the vector op log
     once, drain it through cdc_vector_ingest (upserts get their IVF

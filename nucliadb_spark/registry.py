@@ -73,6 +73,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "batch_knn",
     "batch_knn_ivf",
     "fielded_compaction_plan",
+    "knn_as_of",
+    "graph_as_of",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",

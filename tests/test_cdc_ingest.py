@@ -407,3 +407,35 @@ def test_vector_and_relation_compaction_preserve_results(spark, sf_dir):
     finally:
         shutil.rmtree(vworkdir, ignore_errors=True)
         shutil.rmtree(rworkdir, ignore_errors=True)
+
+
+def test_as_of_family_semantics(spark, sf_dir):
+    """The as-of snapshot (1.5M: post-revision, pre-delete) must
+    differ from the fully-live read in exactly the delete wave, for
+    the vector and relation families (the text family is covered by
+    test_search_as_of_snapshot_semantics)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    vlog = ingest.cdc_vector_log(tpch.vectors(spark, sf_dir))
+    v_asof = ingest.cdc_live_vectors(vlog.filter(F.col("seq") <= 1_500_000))
+    v_live = ingest.cdc_live_vectors(vlog)
+    assert v_asof.filter(F.col("rid") % 9 == 0).count() > 0
+    assert v_live.filter(F.col("rid") % 9 == 0).count() == 0
+    # revisions (at +1M) already serve the reversed embedding
+    rev = v_asof.filter((F.col("rid") % 6 == 0) & (F.col("rid") % 9 != 0))
+    orig = tpch.vectors(spark, sf_dir).filter(
+        (F.col("rid") % 6 == 0) & (F.col("rid") % 9 != 0)
+    )
+    a = {r.rid: tuple(r.vector) for r in rev.collect()}
+    b = {r.rid: tuple(reversed(r.vector)) for r in orig.collect()}
+    assert a == b
+
+    rlog = ingest.cdc_relation_log(tpch.relations(spark, sf_dir))
+    r_asof = ingest.cdc_live_relations(rlog.filter(F.col("seq") <= 1_500_000))
+    r_live = ingest.cdc_live_relations(rlog)
+    h = ingest._edge_md5()
+    assert r_asof.filter(h % 9 == 0).count() > 0  # deletes not yet applied
+    assert r_live.filter(h % 9 == 0).count() == 0
