@@ -326,6 +326,39 @@ def suggest_paragraphs(spark, sf_dir):
     )
 
 
+_TITLE_FIELDS_SQL = (
+    f"SELECT rid, text FROM ({tpch.SQL_FIELDS_MULTI}) "
+    "WHERE field_key = '/a/title'"
+)
+
+
+@register(
+    "suggest_fielded",
+    suggest.suggest_paragraphs_sql(_TITLE_FIELDS_SQL, "filt"),
+)
+def suggest_fielded(spark, sf_dir):
+    """/suggest under a `fields` scope: the as-you-type prefix search
+    over ONLY the '/a/title' family — the reference's SuggestRequest
+    takes the same `fields` param as find, and title fields are what
+    a picker actually suggests from. Serves from the session-cached
+    per-family sidecars (field_key-pruned postings/stats/vocab/
+    corpus, partition pruning at scale) — a suggest endpoint must
+    never rebuild an index per keystroke, and the scoped variant
+    must not either."""
+    from pyspark.sql import functions as F
+
+    post, stats, vocab, corpus = _fielded_text_index(spark, sf_dir)
+    fk = F.col("field_key") == "/a/title"
+    return suggest.suggest_paragraphs(
+        None,
+        "filt",
+        post=post.filter(fk).drop("field_key"),
+        stats=stats.filter(fk).drop("field_key"),
+        vocab=vocab.filter(fk).drop("field_key"),
+        corpus=corpus.filter(fk).select("n", "avgdl"),
+    )
+
+
 @register(
     "suggest_entities",
     suggest.suggest_entities_sql(tpch.SQL_RELATIONS, "customer:19"),

@@ -75,6 +75,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "fielded_compaction_plan",
     "knn_as_of",
     "graph_as_of",
+    "suggest_fielded",
     # --- latest driver evidence: r3 (31 queries, alphabetical) ---
     "export_image_classification",
     "export_paragraph_streaming",
