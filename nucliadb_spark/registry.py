@@ -316,44 +316,39 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Plan modules whose import populates the registry. Optional-dependency
+# modules are allowed to fail to import, but the failure is logged so a
+# silently-dropped query block is diagnosable (the PRIORITY invariant
+# test then names the dangling seats).
+_PLAN_MODULES = (
+    "queries_text",
+    "queries_vector",
+    "queries_graph",
+    "queries_pipeline",
+    "queries_dataops",
+    "queries_streaming",
+    "queries_trainset",
+    "queries_api",
+)
+
 
 def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    import importlib
+    import logging
+
     # importing these modules populates the registry
     from nucliadb_spark.plans import queries_catalog  # noqa: F401
 
-    try:
-        from nucliadb_spark.plans import queries_text  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_vector  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_graph  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_pipeline  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_dataops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_streaming  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_trainset  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from nucliadb_spark.plans import queries_api  # noqa: F401
-    except ImportError:
-        pass
+    for mod in _PLAN_MODULES:
+        try:
+            importlib.import_module(f"nucliadb_spark.plans.{mod}")
+        except ImportError:
+            logging.getLogger(__name__).exception(
+                "plan module %s failed to import; its registry queries "
+                "are dropped and will surface as dangling PRIORITY seats",
+                mod,
+            )
     _LOADED = True
