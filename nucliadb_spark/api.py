@@ -96,6 +96,14 @@ class FindRequest:
     # PreQueriesStrategy): preliminary retrievals whose results fuse
     # with the main query's under per-query weights
     prequeries: list[tuple["FindRequest", float]] | None = None
+    # snapshot-consistent retrieval: resolve EVERY leg's corpus AS OF
+    # this log sequence (the MVCC reproducible-read primitive the
+    # per-family search_as_of/knn_as_of/graph_as_of queries expose,
+    # threaded through the full find pipeline). The reference cannot
+    # do this — its indexer applies ops destructively past the seq
+    # guard (nidx/src/indexer.rs:121-253); a training-data pipeline
+    # must ("re-run this retrieval as it stood at snapshot S").
+    as_of: int | None = None
 
 
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
@@ -132,6 +140,20 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     fields = tpch.fields(spark, sf_dir)
     sources: dict[str, DataFrame] = {}
 
+    # snapshot-consistent retrieval: one as_of seq resolves EVERY
+    # leg's corpus (text / vector / relation op logs cut at the same
+    # point, the per-leg resolution being the identical single
+    # max_by shuffle the live CDC reads pay). Scope/rephrase/filters
+    # reference batch-corpus metadata that has no snapshot identity
+    # here, so the combination is rejected rather than silently
+    # answered against mixed snapshots.
+    as_of = req.as_of
+    if as_of is not None and (req.fields or req.rephrase or filters is not None):
+        raise ValueError(
+            "as_of composes with the unscoped find pipeline only "
+            "(fields scope / rephrase / filters are not snapshot-resolved)"
+        )
+
     # `fields` scope: validate, then resolve the scoped field-key set
     # and the owning-resource frame once (both reused across legs)
     scoped_keys: list[str] | None = None
@@ -143,7 +165,45 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         )
         scope_rids = scoped_fields.select("rid").distinct()
 
-    if "keyword" in features and req.query.strip() and scoped_keys:
+    if "keyword" in features and req.query.strip() and as_of is not None:
+        # the snapshot's text index: the as-of corpus resolves ONCE
+        # per (corpus, seq) and its postings/doc-stats/corpus sidecars
+        # are session-cached per snapshot — repeated requests at the
+        # same snapshot serve from built segments exactly like the
+        # live path (the batch analog of reading seq-cut segments
+        # under a deletion list; `cdc_live_as_of`'s seq predicate is
+        # partition pruning over seq-ranged log segments at scale).
+        from nucliadb_spark.cache import cached_df
+        from nucliadb_spark.streaming import ingest
+
+        post = cached_df(
+            sf_dir,
+            f"asof{as_of}_text_post",
+            lambda: bm25.postings(
+                ingest.cdc_live_as_of(ingest.cdc_log(fields), as_of)
+            ),
+        )
+        stats = cached_df(
+            sf_dir,
+            f"asof{as_of}_text_stats",
+            lambda: bm25.doc_stats_from_postings(post),
+        )
+        corpus = cached_df(
+            sf_dir,
+            f"asof{as_of}_text_corpus",
+            lambda: bm25.corpus_stats(stats),
+        )
+        sources["keyword"] = bm25.bm25_search(
+            None,
+            req.query,
+            top_k=win,
+            synonyms=req.synonyms,
+            min_score=req.min_score_bm25 or None,
+            post=post,
+            stats=stats,
+            corpus=corpus,
+        ).select(F.col("rid").alias("id"), "score")
+    elif "keyword" in features and req.query.strip() and scoped_keys:
         # field-scoped keyword search SERVES from the session-cached
         # per-family sidecars (postings/docstats/vocab/corpus keyed
         # by field_key — _fielded_text_index): no per-request
@@ -253,7 +313,23 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 vec_col="embedding",
             )
         else:
-            vectors = tpch.vectors(spark, sf_dir)
+            if as_of is not None:
+                # the vector set AS OF the same seq: one seq-pruned
+                # scan + the same max_by the live vector CDC read pays
+                from nucliadb_spark.cache import cached_df
+                from nucliadb_spark.streaming import ingest
+
+                vectors = cached_df(
+                    sf_dir,
+                    f"asof{as_of}_vectors",
+                    lambda: ingest.cdc_live_vectors(
+                        ingest.cdc_vector_log(
+                            tpch.vectors(spark, sf_dir)
+                        ).filter(F.col("seq") <= as_of)
+                    ),
+                )
+            else:
+                vectors = tpch.vectors(spark, sf_dir)
             if filters is not None:
                 allowed = fields.filter(filters.to_column()).select("rid")
                 vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
@@ -292,9 +368,24 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         if ents:
             from nucliadb_spark.cache import cached_df
 
-            rel = cached_df(
-                sf_dir, "relations", lambda: tpch.relations(spark, sf_dir)
-            )
+            if as_of is not None:
+                # the relation set AS OF the same seq — edge-keyed
+                # max_by over the seq-cut edge op log
+                from nucliadb_spark.streaming import ingest
+
+                rel = cached_df(
+                    sf_dir,
+                    f"asof{as_of}_relations",
+                    lambda: ingest.cdc_live_relations(
+                        ingest.cdc_relation_log(
+                            tpch.relations(spark, sf_dir)
+                        ).filter(F.col("seq") <= as_of)
+                    ),
+                )
+            else:
+                rel = cached_df(
+                    sf_dir, "relations", lambda: tpch.relations(spark, sf_dir)
+                )
             g = (
                 rel.filter(
                     (

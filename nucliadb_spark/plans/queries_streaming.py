@@ -436,6 +436,86 @@ def graph_as_of(spark, sf_dir):
     )
 
 
+_ASOF_HYBRID_Q = "refreshed revision stream part:3 part:6 part:17"
+
+
+def _find_hybrid_as_of_oracle() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import fusion
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            ingest.cdc_live_as_of_sql(_AS_OF_SEQ), q, top_k=win, mode="any"
+        )
+        + ")"
+    )
+    semantic = knn.exact_knn_sql(
+        _vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=win
+    )
+    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+    graph = f"""
+SELECT DISTINCT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id,
+       1.0::DOUBLE AS score
+FROM ({live_rel_as_of})
+WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
+  AND paragraph_id IS NOT NULL
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_as_of", _find_hybrid_as_of_oracle())
+def find_hybrid_as_of(spark, sf_dir):
+    """The snapshot-consistent HYBRID flagship: keyword + semantic +
+    relations retrieval, every leg resolved AS OF the same log
+    sequence (1.5M — revision waves applied, delete waves not),
+    fused with RRF k=60 through the serving API with ONE snapshot
+    parameter end-to-end (`FindRequest.as_of`). This is the
+    reproducible-RAG capstone the reference cannot express — its
+    indexer applies ops destructively past the seq guard
+    (nidx/src/indexer.rs:121-253; find pipeline
+    nucliadb/src/nucliadb/search/search/find.py:65) — and a
+    training-data pipeline must: 'replay this exact retrieval as it
+    stood at snapshot S' months later returns these exact ids.
+    Each leg pays ONE seq-pruned log scan + the same max_by shuffle
+    as its live CDC read (partition pruning over seq-ranged log
+    segments at 100 TB); the per-snapshot text index is
+    session-cached, so repeated requests at a snapshot serve from
+    built sidecars like the live path."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
 def _cdc_vector_served_index(spark, sf_dir):
     """Session-scoped STREAMED vector index: stage the vector op log
     once, drain it through cdc_vector_ingest (upserts get their IVF

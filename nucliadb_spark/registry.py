@@ -38,80 +38,26 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-8 window policy (oldest-driver-evidence-first rotation; the
+# Round-9 window policy (oldest-driver-evidence-first rotation; the
 # membership invariant is mechanical — tests/test_registry_invariants.py
 # pins set(PRIORITY) == set(queries()) so no registered query can be
 # driver-unreachable, and `scripts/check.sh` runs those tests in
 # seconds so they gate every commit that touches the registry):
-# seats 0-2 are the three maintenance queries registered late in r7
-# that the driver has never graded; new r8 queries take the seats
-# right after them once locally parity-green at sf0.001 AND sf0.01;
-# the rest of the window is the 31 queries whose latest green driver
-# evidence is r3, then the oldest-r4 block fills to 50. The tail
-# holds every remaining query ordered by staleness (r4, r5, r6, r7 —
-# alphabetical within a round) so future rounds keep rotating
-# forward. Local parity (tests/test_oracle_parity.py) re-verifies
-# ALL oracles every run, so a stale seat is re-confirmation debt,
-# not correctness risk.
+# never-graded is ZERO after r8, so the window is pure rotation —
+# new r9 queries take the head seats once locally parity-green at
+# sf0.001 AND sf0.01 (displacing the r5 re-confirmations at the
+# window's end, never the stale block), then the 28 queries whose
+# latest green driver evidence is r4, then the oldest-r5 block fills
+# to 50. The tail holds every remaining query ordered by staleness
+# (r5, r6, r7, r8 — alphabetical within a round) so future rounds
+# keep rotating forward. Local parity (tests/test_oracle_parity.py)
+# re-verifies ALL oracles every run, so a stale seat is
+# re-confirmation debt, not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # seats 0-2: the three r7-late maintenance queries the driver
-    # has never graded (registered in the final r7 snapshot commit
-    # without PRIORITY seats — the bug the invariant test pins)
-    "purge_orphans_plan",
-    "index_integrity_audit",
-    "shard_rebalance_plan",
-    # seats 3+: new r8 queries, inserted once locally parity-green
-    # at sf0.001+sf0.01, displacing the tail of the r4 block below
-    # out of the window
-    "cdc_fielded_search_served",
-    "find_hybrid_fielded_graph",
-    "resources_list_after",
-    "search_as_of",
-    "cdc_vector_search_served",
-    "cdc_graph_search_live",
-    "cdc_graph_search_served",
-    "batch_knn",
-    "batch_knn_ivf",
-    "fielded_compaction_plan",
-    "knn_as_of",
-    "graph_as_of",
-    "suggest_fielded",
-    # --- latest driver evidence: r3 (31 queries, alphabetical) ---
-    "export_image_classification",
-    "export_paragraph_streaming",
-    "export_question_answer",
-    "export_sentence_classification",
-    "export_token_classification",
-    "find_exact_match_query",
-    "find_relations_feature",
-    "find_single_source",
-    "graph_reachability",
-    "graph_semantic_paths",
-    "kb_counters",
-    "knn_dedup",
-    "knn_normalized",
-    "knn_sq8_rerank",
-    "legacy_search",
-    "multi_kb_scoped_search",
-    "old_filters_translation",
-    "paragraph_search_no_dups",
-    "resource_search",
-    "retrieve_scores",
-    "sample_mixture",
-    "sample_stratified",
-    "shard_rollover_plan",
-    "stream_session_window",
-    "stream_sessionization",
-    "stream_sliding_counts",
-    "stream_windowed_counts",
-    "suggest_combined",
-    "suggest_entities_folded",
-    "text_pii_scan",
-    "text_repetition",
-    # --- latest driver evidence: r4, oldest 16 fill the window ---
-    "ann_kmeans_step",
-    "ask_stub",
-    "batch_by_length",
+    # seats 0+: new r9 queries, inserted once locally parity-green
+    # at sf0.001+sf0.01
+    "find_hybrid_as_of",
+    # --- latest driver evidence: r4 (28 queries, alphabetical) ---
     "bm25_autocorrect",
     "bm25_explain",
     "bm25_snippets",
@@ -125,8 +71,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "multimodal_frame_sample",
     "multimodal_text_to_image",
     "pack_sequences",
-    # ---------------- end of the 50-seat graded window ----------------
-    # --- tail: latest driver evidence r4 (remaining 15, alphabetical) ---
     "rrf_explain",
     "sample_perplexity_buckets",
     "sample_token_budget",
@@ -142,7 +86,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "trainset_split",
     "vocab_kmv_sketch",
     "vocab_prune_plan",
-    # --- tail: latest driver evidence r5 (50 queries, alphabetical) ---
+    # --- latest driver evidence: r5, oldest fill the window ---
     "advanced_query_fielded",
     "ann_ivf_adaptive",
     "ann_ivf_geometric",
@@ -164,6 +108,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "dedup_minhash_lsh",
     "dedup_span_removal",
     "find_hybrid",
+    # ---------------- end of the 50-seat graded window ----------------
+    # --- tail: latest driver evidence r5 (remaining 29, alphabetical) ---
     "find_hybrid_ivf",
     "find_prefiltered",
     "find_prefiltered_served",
@@ -295,6 +241,57 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "url_dedup_exact",
     "url_filter_hosts",
     "vocab_stats",
+    # --- tail: latest driver evidence r8 (50 queries, alphabetical) ---
+    "ann_kmeans_step",
+    "ask_stub",
+    "batch_by_length",
+    "batch_knn",
+    "batch_knn_ivf",
+    "cdc_fielded_search_served",
+    "cdc_graph_search_live",
+    "cdc_graph_search_served",
+    "cdc_vector_search_served",
+    "export_image_classification",
+    "export_paragraph_streaming",
+    "export_question_answer",
+    "export_sentence_classification",
+    "export_token_classification",
+    "fielded_compaction_plan",
+    "find_exact_match_query",
+    "find_hybrid_fielded_graph",
+    "find_relations_feature",
+    "find_single_source",
+    "graph_as_of",
+    "graph_reachability",
+    "graph_semantic_paths",
+    "index_integrity_audit",
+    "kb_counters",
+    "knn_as_of",
+    "knn_dedup",
+    "knn_normalized",
+    "knn_sq8_rerank",
+    "legacy_search",
+    "multi_kb_scoped_search",
+    "old_filters_translation",
+    "paragraph_search_no_dups",
+    "purge_orphans_plan",
+    "resource_search",
+    "resources_list_after",
+    "retrieve_scores",
+    "sample_mixture",
+    "sample_stratified",
+    "search_as_of",
+    "shard_rebalance_plan",
+    "shard_rollover_plan",
+    "stream_session_window",
+    "stream_sessionization",
+    "stream_sliding_counts",
+    "stream_windowed_counts",
+    "suggest_combined",
+    "suggest_entities_folded",
+    "suggest_fielded",
+    "text_pii_scan",
+    "text_repetition",
 ]
 
 

@@ -624,3 +624,35 @@ def test_batch_knn_ivf_no_cartesian(spark, sf_dir):
     # cells never surface more than the corpus (sanity)
     rows = df.collect()
     assert len(rows) == 20 and len({r.query_id for r in rows}) == 4
+
+
+def test_find_hybrid_as_of_seq_predicate_per_leg(spark, sf_dir):
+    """`find_hybrid_as_of`: every leg (text / vector / relation) must
+    resolve its corpus under the SAME snapshot seq predicate — the
+    analyzed plan carries the seq cut at least once per leg (at scale
+    that predicate is partition pruning over seq-ranged log
+    segments). No CartesianProduct may enter (the only cross shape
+    allowed is the broadcast 1-row query vector), and the snapshot
+    resolution must stay within the live reads' shuffle budget: three
+    max_by resolutions + the 3-leg fusion over find_hybrid's 2-leg
+    plan, pinned as an exchange-count bound so an accidental extra
+    corpus shuffle (e.g. a lost broadcast) fails here instead of a
+    benchmark."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_hybrid_as_of"]
+    q(spark, sf_dir).collect()  # first call builds + caches snapshot index
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 3, analyzed[:2000]
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+    # repeat requests at a snapshot serve from the cached snapshot
+    # index — the per-query text leg reads InMemoryTableScan, it does
+    # not re-tokenize (Generate) the as-of corpus
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
+    n_asof = sum("Exchange" in c for c in nodes)
+    control = registry.queries()["find_hybrid"](spark, sf_dir)
+    n_live = sum("Exchange" in c for c, _ in _walk_physical(control))
+    assert n_asof <= n_live + 8, (n_asof, n_live)
