@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from nucliadb_spark.operators import bm25, feedback, knn
+from nucliadb_spark.operators import bm25, feedback, knn, suggest
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
 from nucliadb_spark.streaming import ingest
@@ -612,20 +612,11 @@ def _cdc_fielded_served_index(spark, sf_dir):
     return post, oplog
 
 
-@register("cdc_fielded_search_served", _cdc_fielded_oracle())
-def cdc_fielded_search_served(spark, sf_dir):
-    """`cdc_fielded_search_live` SERVED from the incrementally
-    maintained postings sidecar instead of a per-request family
-    rebuild: the streaming ingest already materialized seq-tagged
-    per-family postings (field_key-partitioned → the '/u/link' prune
-    is partition pruning); the live mask is the (rid, field_id)-keyed
-    max_by over the oplog joined back on (rid, field_id, seq) — a
-    deletion-list application, exactly how tantivy serves built
-    segments under an alive bitset. BM25 stats (dl, df, N, avgdl)
-    derive from the MAINTAINED postings, so no per-request
-    tokenization of the live corpus happens anywhere in the plan
-    (pinned by tests/test_plan_shapes.py). Same oracle as the _live
-    variant — stream == batch."""
+def _cdc_link_live_index(spark, sf_dir):
+    """The '/u/link' family's live serving sidecars derived from the
+    STREAMED index: alive-masked postings + doc-stats + corpus stats
+    + vocabulary, all session-cached — every '/u/link' serving path
+    (search, suggest) reads these, none re-tokenizes."""
     from pyspark.sql import functions as F
 
     from nucliadb_spark.cache import cached_df
@@ -644,6 +635,27 @@ def cdc_fielded_search_served(spark, sf_dir):
         lambda: bm25.doc_stats_from_postings(link_live),
     )
     corpus = cached_df(sf_dir, "cdcf_link_corpus", lambda: bm25.corpus_stats(stats))
+    vocab = cached_df(
+        sf_dir, "cdcf_link_vocab", lambda: bm25.vocabulary(link_live)
+    )
+    return link_live, stats, corpus, vocab
+
+
+@register("cdc_fielded_search_served", _cdc_fielded_oracle())
+def cdc_fielded_search_served(spark, sf_dir):
+    """`cdc_fielded_search_live` SERVED from the incrementally
+    maintained postings sidecar instead of a per-request family
+    rebuild: the streaming ingest already materialized seq-tagged
+    per-family postings (field_key-partitioned → the '/u/link' prune
+    is partition pruning); the live mask is the (rid, field_id)-keyed
+    max_by over the oplog joined back on (rid, field_id, seq) — a
+    deletion-list application, exactly how tantivy serves built
+    segments under an alive bitset. BM25 stats (dl, df, N, avgdl)
+    derive from the MAINTAINED postings, so no per-request
+    tokenization of the live corpus happens anywhere in the plan
+    (pinned by tests/test_plan_shapes.py). Same oracle as the _live
+    variant — stream == batch."""
+    link_live, stats, corpus, _ = _cdc_link_live_index(spark, sf_dir)
     return bm25.bm25_search(
         None,
         "refreshed revision stream",
@@ -651,5 +663,42 @@ def cdc_fielded_search_served(spark, sf_dir):
         mode="any",
         post=link_live,
         stats=stats,
+        corpus=corpus,
+    )
+
+
+def _cdc_suggest_oracle() -> str:
+    live_link = (
+        "SELECT rid, text FROM ("
+        + ingest.cdc_fielded_live_sql(tpch.SQL_FIELDS_MULTI, field_key="/u/link")
+        + ")"
+    )
+    return suggest.suggest_paragraphs_sql(live_link, "refre")
+
+
+@register("cdc_suggest_served", _cdc_suggest_oracle())
+def cdc_suggest_served(spark, sf_dir):
+    """/suggest served from the CDC-MAINTAINED postings: the prefix
+    search reads the same streamed '/u/link' segments + deletion
+    lists the served find path queries (alive-masked postings,
+    vocabulary with term doc-freqs as a sidecar of the maintained
+    index) — completing 'every serving path has a CDC twin' (find:
+    r8; suggest: here). The reference's suggest reads the very
+    segments its indexer maintains (nidx/src/searcher/
+    shard_suggest.rs:95-180) — it never re-derives an index per
+    keystroke, and neither does this plan (no tokenization anywhere:
+    prefix+fuzzy match runs on the maintained vocabulary, scoring on
+    the maintained postings; pinned by tests/test_plan_shapes.py).
+    'refre' prefix-matches the revision wave's 'refreshed' terms, so
+    the suggestions prove index freshness: only live revised fields
+    surface, field-deleted links don't. Oracle replays the log
+    resolution + suggest pipeline in SQL — stream == batch."""
+    link_live, stats, corpus, vocab = _cdc_link_live_index(spark, sf_dir)
+    return suggest.suggest_paragraphs(
+        None,
+        "refre",
+        post=link_live,
+        stats=stats,
+        vocab=vocab,
         corpus=corpus,
     )

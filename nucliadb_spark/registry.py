@@ -57,6 +57,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     # seats 0+: new r9 queries, inserted once locally parity-green
     # at sf0.001+sf0.01
     "find_hybrid_as_of",
+    "cdc_suggest_served",
     # --- latest driver evidence: r4 (28 queries, alphabetical) ---
     "bm25_autocorrect",
     "bm25_explain",

@@ -656,3 +656,20 @@ def test_find_hybrid_as_of_seq_predicate_per_leg(spark, sf_dir):
     control = registry.queries()["find_hybrid"](spark, sf_dir)
     n_live = sum("Exchange" in c for c, _ in _walk_physical(control))
     assert n_asof <= n_live + 8, (n_asof, n_live)
+
+
+def test_cdc_suggest_served_no_per_request_tokenize(spark, sf_dir):
+    """`cdc_suggest_served` must run the prefix+fuzzy match on the
+    MAINTAINED vocabulary and score on the maintained postings — no
+    tokenization (Generate/explode) anywhere in the per-keystroke
+    plan, same serving rule as the CDC find path. The suggest
+    endpoint is the most latency-sensitive serving path there is."""
+    from nucliadb_spark import registry
+
+    q = registry.queries()["cdc_suggest_served"]
+    rows = q(spark, sf_dir).collect()
+    assert rows, "suggest must surface the revision wave's terms"
+    df = q(spark, sf_dir)
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("Generate" in c for c in nodes), nodes
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
