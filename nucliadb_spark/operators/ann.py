@@ -410,6 +410,126 @@ ORDER BY query_id, rank
 """
 
 
+def maxsim_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    similarity: str = "dot",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Multivector MaxSim over the IVF probe path: (id, score).
+
+    The reference's multi-vector search runs per-query-vector ANN to
+    RETRIEVE candidates, then MaxSim-scores the retrieved paragraphs
+    against the full query set (nidx/nidx_vector/src/searcher.rs:
+    345-394) -- it never scores every query vector against the whole
+    corpus. Same two-stage composition: each query vector (qid, qvec)
+    ranks the broadcast centroid table and keeps its nprobe cells;
+    the CANDIDATE docs come from ONE cell-keyed equi-join of the
+    probed-cell list against the cell-labeled vector table (never a
+    query-by-corpus cartesian -- both sides cell-partitioned in the
+    persisted layout, so this is partition pruning); the bounded
+    candidate set then reranks EXACTLY against all query vectors
+    (broadcast -- candidates x |Q| rows): max per (doc, qid), sum per
+    doc, both partial-aggregated map-side. Only docs outside EVERY
+    query vector's probed cells are missed -- the clustered-corpus
+    test gates this approximation against the exact maxsim_knn.
+
+    Probe ranking rounds centroid cosines to 6 decimals with label
+    tiebreak so the SQL twin replays the identical pruning.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = labeled_centroids(embeddings)
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probed_cells = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            "label",
+            F.round(V.cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+        )
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= nprobe)
+        .select("label")
+        .distinct()
+    )
+    sim = V.dot if similarity == "dot" else V.cosine
+    cand = embeddings.join(F.broadcast(probed_cells), "label")
+    per_pair = (
+        cand.crossJoin(F.broadcast(queries))
+        .select(
+            F.col("vec_id").alias("id"),
+            "qid",
+            sim(F.col("embedding"), F.col("qvec")).alias("raw"),
+        )
+        .groupBy("id", "qid")
+        .agg(F.max("raw").alias("best"))
+    )
+    return (
+        per_pair.groupBy("id")
+        .agg(F.round(F.sum("best"), 5).cast(SCORE_TYPE).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def maxsim_ivf_sql(
+    queries_sql: str,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 2,
+    similarity: str = "dot",
+) -> str:
+    """DuckDB twin of :func:`maxsim_ivf` over the embeddings table's
+    precomputed `label` cells (identical probe replay)."""
+    cos_cq = V.cosine_sql_unrolled("c.centroid", "q.qvec", dim)
+    sim_eq = (
+        V.dot_sql_unrolled("e.embedding", "q.qvec", dim)
+        if similarity == "dot"
+        else V.cosine_sql_unrolled("e.embedding", "q.qvec", dim)
+    )
+    return f"""
+WITH q AS ({queries_sql}),
+pos AS (
+  SELECT label, unnest(generate_series(1, {dim})) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent_long AS (
+  SELECT label, pos, AVG(val) AS m FROM pos GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM cent_long GROUP BY label
+),
+probed_cells AS (
+  SELECT DISTINCT label FROM (
+    SELECT q.qid, c.label,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND({cos_cq}, 6) DESC, c.label ASC) AS prank
+    FROM centroids c CROSS JOIN q
+  ) WHERE prank <= {nprobe}
+),
+per_pair AS (
+  SELECT e.vec_id AS id, q.qid, MAX({sim_eq}) AS best
+  FROM embeddings e
+  JOIN probed_cells p ON e.label = p.label
+  CROSS JOIN q
+  GROUP BY 1, 2
+)
+SELECT id, ROUND(SUM(best), 5)::DOUBLE AS score
+FROM per_pair
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
 def ivf_search_labeled_sql(k: int = 10, nprobe: int = 2, dim: int = 64) -> str:
     """DuckDB twin of :func:`ivf_search_labeled`.
 

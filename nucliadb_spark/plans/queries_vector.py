@@ -285,6 +285,41 @@ def knn_maxsim(spark, sf_dir):
     return knn.maxsim_knn(_vectors(spark, sf_dir), queries, k=10, similarity="dot")
 
 
+_MAXSIM_Q_SQL = (
+    "SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+    "WHERE vec_id IN (0, 1)"
+)
+
+
+@register(
+    "knn_maxsim_ivf",
+    ann.maxsim_ivf_sql(_MAXSIM_Q_SQL, DIM, k=10, nprobe=2, similarity="dot"),
+)
+def knn_maxsim_ivf(spark, sf_dir):
+    """Multivector MaxSim over the IVF probe path — the plan the
+    reference's multi-vector search actually runs (per-query-vector
+    ANN, then MaxSim over the retrieved vectors — nidx/nidx_vector/
+    src/searcher.rs:345-394) and the only shape that survives a
+    100 TB corpus: each query vector probes nprobe cells of the
+    persisted IVF layout (cell-keyed equi-join, no query×corpus
+    cartesian — pinned by tests/test_plan_shapes.py), MaxSim
+    aggregates map-side. Even the probe pruning is oracle-checked;
+    the clustered-corpus test compares the approximation against the
+    exact knn_maxsim."""
+    from nucliadb_spark.cache import cached_df
+
+    e = tpch.table(spark, sf_dir, "embeddings")
+    cents = cached_df(
+        sf_dir, "labeled_centroids", lambda: ann.labeled_centroids(e)
+    )
+    queries = e.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann.maxsim_ivf(
+        e, queries, k=10, nprobe=2, similarity="dot", centroids=cents
+    )
+
+
 # --- vectorset config normalize_vectors=true --------------------------------
 # ref: nidx/tests/integration/vector_normalization.rs +
 # nidx_vector/src/config.rs:107 — vectors are L2-normalized at index

@@ -58,6 +58,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     # at sf0.001+sf0.01
     "find_hybrid_as_of",
     "cdc_suggest_served",
+    "knn_maxsim_ivf",
     # --- latest driver evidence: r4 (28 queries, alphabetical) ---
     "bm25_autocorrect",
     "bm25_explain",

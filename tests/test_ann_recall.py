@@ -188,3 +188,50 @@ def test_batch_knn_ivf_recall(spark, corpus):
         total += K
     recall = hits / total
     assert recall >= 0.95, f"batched IVF recall@{K} = {recall:.3f} < 0.95"
+
+
+def test_maxsim_ivf_matches_exact_on_clusters(spark, corpus):
+    """MaxSim over the IVF probe path vs the exact maxsim_knn on the
+    clustered corpus: the probe approximation (each query vector
+    contributes only within its nprobe cells, the reference's
+    retrieved-set MaxSim — nidx_vector/src/searcher.rs:345-394) must
+    keep ≥0.9 of the exact top-10 when the data has cluster
+    structure. (Driver embeddings are near-uniform random — fidelity
+    there is oracle-checked, not recall-gated.)"""
+    from nucliadb_spark.operators import ann, knn
+
+    vecs, rng = corpus
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "rid long, vector array<float>",
+    )
+    assigned, _ = ann.build_ivf(df, k_cells=8, seed=42)
+    emb = assigned.selectExpr(
+        "rid AS vec_id", "vector AS embedding", "cell AS label"
+    ).cache()
+    emb.count()
+
+    hits = total = 0
+    for trial in range(5):
+        qrows = []
+        for qi in range(2):  # a 2-vector multivector query
+            base = vecs[rng.integers(0, len(vecs))]
+            fuzz = _normalize(rng.uniform(-1, 1, DIM)) * 0.05
+            qrows.append((qi, [float(x) for x in _normalize(base + fuzz)]))
+        queries = spark.createDataFrame(qrows, "qid long, qvec array<float>")
+        exact = {
+            r.id
+            for r in knn.maxsim_knn(
+                df, queries, k=K, similarity="dot"
+            ).collect()
+        }
+        approx = {
+            r.id
+            for r in ann.maxsim_ivf(
+                emb, queries, k=K, nprobe=2, similarity="dot"
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += K
+    overlap = hits / total
+    assert overlap >= 0.9, f"maxsim IVF overlap@{K} = {overlap:.3f} < 0.9"

@@ -673,3 +673,16 @@ def test_cdc_suggest_served_no_per_request_tokenize(spark, sf_dir):
     nodes = [c for c, _ in _walk_physical(df)]
     assert not any("Generate" in c for c in nodes), nodes
     assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+
+def test_maxsim_ivf_no_cartesian(spark, sf_dir):
+    """knn_maxsim_ivf's candidate generation must be the cell-keyed
+    equi-join — the only cross shape allowed is query vectors × the
+    tiny centroid table (broadcast nested loop, bounded by ncells)."""
+    from nucliadb_spark import registry
+
+    df = registry.queries()["knn_maxsim_ivf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "label" in plan
+    assert df.count() > 0
