@@ -104,6 +104,14 @@ class FindRequest:
     # guard (nidx/src/indexer.rs:121-253); a training-data pipeline
     # must ("re-run this retrieval as it stood at snapshot S").
     as_of: int | None = None
+    # keyset pagination through the fused ranking (O5 applied to the
+    # flagship — ref nodereader.proto:382-386 + search/search/
+    # search_after.py): the (score, id) cursor is the previous page's
+    # last row; the next page is a pushed-down predicate over the
+    # fusion-window candidates, so page depth never changes the cost
+    # (the window bound IS the pageable depth, the reference's O6
+    # window-cut semantics).
+    search_after: tuple[float, int] | None = None
 
 
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
@@ -416,6 +424,13 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     if not sources:
         raise ValueError("request selects no retrievers")
 
+    # keyset pagination needs the fused ranking to the window depth
+    # (the pageable horizon); a reranked list has page-dependent
+    # scores, so the combination is rejected
+    if req.search_after is not None and req.reranker != "noop":
+        raise ValueError("search_after pages the fused ranking; rerankers re-score pages")
+    cut = win if req.search_after is not None else req.top_k
+
     # R3: single source skips fusion entirely
     if len(sources) == 1:
         name, df = next(iter(sources.items()))
@@ -423,9 +438,20 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             "id",
             F.col("score").cast("double").alias("score"),
             F.array(F.lit(name)).alias("matched_sources"),
-        ).orderBy(F.col("score").desc(), F.col("id").asc()).limit(req.top_k)
+        ).orderBy(F.col("score").desc(), F.col("id").asc()).limit(cut)
     else:
-        fused = fusion.rrf(sources, weights=req.fusion_weights, top_k=req.top_k)
+        fused = fusion.rrf(sources, weights=req.fusion_weights, top_k=cut)
+
+    if req.search_after is not None:
+        c_score, c_id = req.search_after
+        fused = (
+            fused.filter(
+                (F.col("score") < c_score)
+                | ((F.col("score") == c_score) & (F.col("id") > c_id))
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(req.top_k)
+        )
 
     # R5: optional cross-encoder rerank over min(2k, 200) candidates
     if req.reranker == "stub":

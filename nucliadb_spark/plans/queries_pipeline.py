@@ -40,6 +40,78 @@ def find_hybrid(spark, sf_dir):
     )
 
 
+def _find_after_oracle() -> str:
+    inner = find.find_sql(
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=50,
+        window=50,
+    )
+    return f"""
+WITH ranking AS ({inner}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rn
+  FROM ranking
+),
+cursor AS (SELECT score AS c_score, id AS c_id FROM ranked WHERE rn = 10)
+SELECT r.id, r.score, r.matched_sources, r.language, r.source, r.snippet
+FROM ranking r, cursor c
+WHERE r.score < c.c_score OR (r.score = c.c_score AND r.id > c.c_id)
+ORDER BY r.score DESC, r.id ASC
+LIMIT 10
+"""
+
+
+@register("find_hybrid_after", _find_after_oracle())
+def find_hybrid_after(spark, sf_dir):
+    """PAGE 2 of the flagship via keyset pagination (O5 through the
+    find pipeline — ref nodereader.proto:382-386 + search/search/
+    search_after.py): the fused ranking is computed once to the
+    fusion-window depth (the pageable horizon, O6), page 1's last
+    (score, id) row becomes the cursor as a broadcast 1-row join,
+    and page 2 is a pushed-down keyset predicate + top-10 — no
+    OFFSET scan, so the cost is independent of page depth (the same
+    cursor shape `FindRequest.search_after` accepts as literals from
+    a client's previous response). All paging work happens on the
+    ≤window-row fused frame; the corpus-sized retriever legs are
+    untouched."""
+    from pyspark.sql import Window, functions as F
+
+    from nucliadb_spark.plans.queries_text import _corpus, _text_index, _vocab
+
+    post, stats = _text_index(spark, sf_dir)
+    ranking = find.find(
+        spark,
+        sf_dir,
+        "spark shuffle partition",
+        query_vec_id=0,
+        entity_sources=["src3", "src11"],
+        top_k=50,
+        window=50,
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    cursor = (
+        ranking.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 10)
+        .select(F.col("score").alias("c_score"), F.col("id").alias("c_id"))
+    )
+    return (
+        ranking.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score")) & (F.col("id") > F.col("c_id")))
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(10)
+        .select("id", "score", "matched_sources", "language", "source", "snippet")
+    )
+
+
 # --- flagship served from the IVF index (the 100 TB plan shape) ----------
 # Semantic leg probes nprobe=2 of the prebuilt cells instead of
 # scanning the whole vectors table (V1 serving analog of HNSW,

@@ -59,6 +59,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_hybrid_as_of",
     "cdc_suggest_served",
     "knn_maxsim_ivf",
+    "find_hybrid_after",
     # --- latest driver evidence: r4 (28 queries, alphabetical) ---
     "bm25_autocorrect",
     "bm25_explain",

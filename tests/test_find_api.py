@@ -156,3 +156,43 @@ def test_find_request_fields_scope_executes(spark, sf_dir):
     )
     unscoped = [r.id for r in api.find_request(spark, sf_dir, req3).collect()]
     assert scoped and unscoped and scoped != unscoped
+
+
+def test_search_after_literal_cursor_pages_the_ranking(spark, sf_dir):
+    """FindRequest.search_after with a client-held (score, id) cursor:
+    page 2 equals rows 11-20 of the same request at top_k=20, and the
+    pages are disjoint — keyset semantics, no OFFSET."""
+    from nucliadb_spark import api
+
+    base = dict(
+        query="spark shuffle partition",
+        features=["keyword", "semantic"],
+        top_k=10,
+        window=50,
+        query_vec_id=0,
+    )
+    page1 = api.find_request(spark, sf_dir, api.FindRequest(**base)).collect()
+    assert len(page1) == 10
+    cursor = (page1[-1].score, page1[-1].id)
+    page2 = api.find_request(
+        spark, sf_dir, api.FindRequest(**base, search_after=cursor)
+    ).collect()
+    deep = api.find_request(
+        spark, sf_dir, api.FindRequest(**{**base, "top_k": 20})
+    ).collect()
+    assert [r.id for r in page2] == [r.id for r in deep[10:20]]
+    assert not {r.id for r in page1} & {r.id for r in page2}
+
+
+def test_search_after_rejects_reranker(spark, sf_dir):
+    from nucliadb_spark import api
+
+    import pytest
+
+    req = api.FindRequest(
+        query="spark shuffle partition",
+        search_after=(0.5, 1),
+        reranker="stub",
+    )
+    with pytest.raises(ValueError, match="search_after"):
+        api.find_request(spark, sf_dir, req)
