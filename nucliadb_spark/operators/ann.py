@@ -151,6 +151,143 @@ def assign_cells(
     )
 
 
+def ivf_drift_plan(
+    versions: DataFrame,
+    base_centroids: DataFrame,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(cell, n_live, n_dead_versions, n_would_move, live_share) —
+    the review artifact the IVF lifecycle reads before retraining a
+    CDC-maintained vector index.
+
+    `cdc_vector_ingest` pins cell assignment to a FIXED broadcast
+    centroid sidecar; after enough upsert waves the layout skews and
+    probe recall degrades — the failure the reference's vector merge
+    avoids by rebuilding segments (nidx/src/scheduler/
+    vector_merge.rs). This plan quantifies the drift without touching
+    the index: every upsert version gets its ingest-rule cell
+    (nearest base centroid, cosine rounded 6, lower-cell tiebreak —
+    byte-identical to assign_cells), liveness resolves latest-op-wins,
+    refreshed centroids are ONE Lloyd step (per-cell mean of the live
+    members), and n_would_move counts live vectors whose nearest
+    refreshed centroid differs from their ingest cell. Shuffle
+    budget: the centroid tables broadcast; the wide ops are the
+    (rid)-keyed liveness max_by and two map-side-combinable groupBys
+    — report size = cell count.
+
+    versions: the vector op log (rid, seq, op, vector).
+    """
+    ups = versions.filter(F.col("op") == "upsert").select("rid", "seq", vec_col)
+    assigned = assign_cells(ups, base_centroids, keys=("rid", "seq"))
+    last = versions.groupBy("rid").agg(
+        F.max("seq").alias("seq"),
+        (F.max_by("op", "seq") == "upsert").alias("alive"),
+    )
+    flagged = assigned.join(
+        last.filter("alive").select("rid", "seq").withColumn("live", F.lit(1)),
+        ["rid", "seq"],
+        "left",
+    ).withColumn("live", F.coalesce("live", F.lit(0)))
+    live = flagged.filter(F.col("live") == 1)
+    refreshed = cell_centroids(live, cell_col="cluster_label", vec_col=vec_col)
+    moved = (
+        assign_cells(
+            live.select("rid", F.col("cluster_label").alias("old"), vec_col),
+            refreshed,
+            keys=("rid", "old"),
+        )
+        .filter(F.col("cluster_label") != F.col("old"))
+        .groupBy(F.col("old").alias("cell"))
+        .agg(F.count("*").cast("long").alias("n_would_move"))
+    )
+    per_cell = flagged.groupBy(F.col("cluster_label").alias("cell")).agg(
+        F.sum("live").cast("long").alias("n_live"),
+        F.sum(1 - F.col("live")).cast("long").alias("n_dead_versions"),
+    )
+    total = live.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        per_cell.join(moved, "cell", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_live",
+            "n_dead_versions",
+            F.coalesce("n_would_move", F.lit(0)).cast("long").alias("n_would_move"),
+            F.round(F.col("n_live") / F.col("n_total"), 4)
+            .cast("double")
+            .alias("live_share"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_drift_plan_sql(log_sql: str, base_centroids_sql: str, dim: int) -> str:
+    """DuckDB twin of :func:`ivf_drift_plan` (identical assignment
+    rule: cosine rounded 6, lower-cell tiebreak)."""
+    cos_vb = V.cosine_sql_unrolled("u.vector", "b.centroid", dim)
+    cos_lr = V.cosine_sql_unrolled("l.vector", "r.centroid", dim)
+    return f"""
+WITH log AS ({log_sql}),
+base_cent AS ({base_centroids_sql}),
+ups AS (SELECT rid, seq, vector FROM log WHERE op = 'upsert'),
+assigned AS (
+  SELECT rid, seq, vector, cell AS cluster_label FROM (
+    SELECT u.rid, u.seq, u.vector, b.cell,
+           row_number() OVER (
+             PARTITION BY u.rid, u.seq
+             ORDER BY ROUND({cos_vb}, 6) DESC, b.cell ASC) AS rn
+    FROM ups u CROSS JOIN base_cent b
+  ) WHERE rn = 1
+),
+last AS (
+  SELECT rid, MAX(seq) AS seq,
+         max_by(op, seq) = 'upsert' AS alive
+  FROM log GROUP BY rid
+),
+flagged AS (
+  SELECT a.*, CASE WHEN l.rid IS NOT NULL THEN 1 ELSE 0 END AS live
+  FROM assigned a
+  LEFT JOIN (SELECT rid, seq FROM last WHERE alive) l
+    ON a.rid = l.rid AND a.seq = l.seq
+),
+live AS (SELECT * FROM flagged WHERE live = 1),
+pos AS (
+  SELECT cluster_label AS cell, unnest(generate_series(1, {dim})) AS pos,
+         unnest(vector) AS val
+  FROM live
+),
+refreshed AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid
+  FROM (SELECT cell, pos, AVG(val) AS m FROM pos GROUP BY cell, pos)
+  GROUP BY cell
+),
+moved AS (
+  SELECT old AS cell, COUNT(*)::BIGINT AS n_would_move FROM (
+    SELECT l.rid, l.cluster_label AS old, r.cell AS new_cell,
+           row_number() OVER (
+             PARTITION BY l.rid, l.cluster_label
+             ORDER BY ROUND({cos_lr}, 6) DESC, r.cell ASC) AS rn
+    FROM live l CROSS JOIN refreshed r
+  ) WHERE rn = 1 AND new_cell <> cell
+  GROUP BY old
+),
+per_cell AS (
+  SELECT cluster_label AS cell,
+         SUM(live)::BIGINT AS n_live,
+         SUM(1 - live)::BIGINT AS n_dead_versions
+  FROM flagged GROUP BY 1
+),
+total AS (SELECT COUNT(*)::DOUBLE AS n_total FROM live)
+SELECT CAST(p.cell AS BIGINT) AS cell, p.n_live, p.n_dead_versions,
+       COALESCE(m.n_would_move, 0)::BIGINT AS n_would_move,
+       ROUND(p.n_live / t.n_total, 4)::DOUBLE AS live_share
+FROM per_cell p
+LEFT JOIN moved m ON p.cell = m.cell
+CROSS JOIN total t
+ORDER BY cell
+"""
+
+
 def probe_cells(
     centroids: DataFrame,
     query: DataFrame,

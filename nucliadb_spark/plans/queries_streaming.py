@@ -436,6 +436,60 @@ def graph_as_of(spark, sf_dir):
     )
 
 
+_VECTOR_LOG_SQL = """
+    SELECT CAST(vec_id AS BIGINT) AS rid, CAST(vec_id AS BIGINT) AS seq,
+           'upsert' AS op, embedding AS vector FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST(vec_id + 1000000 AS BIGINT),
+           'upsert', list_reverse(embedding) FROM embeddings WHERE vec_id % 6 = 0
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST(vec_id + 2000000 AS BIGINT),
+           'delete', NULL FROM embeddings WHERE vec_id % 9 = 0
+"""
+
+_BASE_CENTROIDS_SQL = """
+SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+  SELECT label AS cell, pos, AVG(val) AS m FROM (
+    SELECT label, unnest(generate_series(1, 64)) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+  ) GROUP BY label, pos
+) GROUP BY cell
+"""
+
+
+def _ivf_drift_oracle() -> str:
+    from nucliadb_spark.operators import ann as ann_ops
+
+    return ann_ops.ivf_drift_plan_sql(_VECTOR_LOG_SQL, _BASE_CENTROIDS_SQL, dim=64)
+
+
+@register("ivf_drift_plan", _ivf_drift_oracle())
+def ivf_drift_plan(spark, sf_dir):
+    """IVF centroid drift under CDC: `cdc_vector_ingest` assigns
+    cells against a FIXED broadcast centroid sidecar, so upsert waves
+    (here the rid%6 re-embed wave writing REVERSED vectors) skew the
+    cell layout away from the data — the exact failure the
+    reference's vector merge avoids by rebuilding segments
+    (nidx/src/scheduler/vector_merge.rs). This review table reports,
+    per cell: live members under the ingest assignment, dead
+    versions a compaction would purge, how many live vectors ONE
+    Lloyd refresh of the centroids would reassign elsewhere
+    (n_would_move — the retrain trigger), and the live share (skew
+    indicator). Centroid tables broadcast; the wide work is one
+    rid-keyed liveness max_by + two map-side-combinable groupBys.
+    The retrain itself is ingest.retrain_vector_index, recall-gated
+    on the clustered corpus in tests/test_streamed_index.py."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators import ann as ann_ops
+
+    vectors = tpch.vectors(spark, sf_dir)
+    cents = cached_df(
+        sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+    )
+    return ann_ops.ivf_drift_plan(ingest.cdc_vector_log(vectors), cents)
+
+
 _ASOF_HYBRID_Q = "refreshed revision stream part:3 part:6 part:17"
 
 

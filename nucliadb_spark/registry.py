@@ -60,6 +60,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_suggest_served",
     "knn_maxsim_ivf",
     "find_hybrid_after",
+    "ivf_drift_plan",
     # --- latest driver evidence: r4 (28 queries, alphabetical) ---
     "bm25_autocorrect",
     "bm25_explain",

@@ -903,6 +903,45 @@ def compact_vector_index(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def retrain_vector_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Compact + RETRAIN the streamed IVF layout: re-derive centroids
+    from the LIVE vectors (one Lloyd refresh of the per-cell means)
+    and reassign every live vector to its nearest refreshed centroid
+    — the CDC answer to centroid drift (`ann.ivf_drift_plan` is the
+    trigger report; the reference's vector merge rebuilds segments
+    the same way, nidx/src/scheduler/vector_merge.rs). Dead versions
+    purge and the oplog truncates exactly like compact_vector_index;
+    exact search results are unchanged by construction (cells don't
+    enter exact scoring) and probe recall is re-gated on the
+    clustered corpus in tests/test_cdc_ingest.py.
+
+    Returns the refreshed (cell, centroid) sidecar — the caller
+    republishes it to the ingest assigner, closing the lifecycle
+    loop (assign against v2 centroids from here on).
+    """
+    from nucliadb_spark.operators import ann as ann_ops
+
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    oplog = spark.read.parquet(f"{index_path}/oplog")
+    live = live_doc_versions(oplog)
+    kept = vecs.join(live, ["rid", "seq"])
+    refreshed = ann_ops.cell_centroids(kept)
+    reassigned = ann_ops.assign_cells(
+        kept.select("rid", "seq", "vector"), refreshed, keys=("rid", "seq")
+    )
+    tmp = tempfile.mkdtemp(prefix="retrainv_")
+    reassigned.write.mode("overwrite").parquet(f"{tmp}/vectors")
+    live.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
+        f"{tmp}/oplog"
+    )
+    cents = refreshed.collect()  # tiny: n_cells rows, republished sidecar
+    for t in ("vectors", "oplog"):
+        shutil.rmtree(f"{index_path}/{t}")
+        shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(cents, refreshed.schema)
+
+
 # --- stateful streaming sessionization (applyInPandasWithState) -------------
 
 

@@ -439,3 +439,115 @@ def test_as_of_family_semantics(spark, sf_dir):
     h = ingest._edge_md5()
     assert r_asof.filter(h % 9 == 0).count() > 0  # deletes not yet applied
     assert r_live.filter(h % 9 == 0).count() == 0
+
+
+def test_ivf_drift_detected_and_retrain_recovers(spark):
+    """The IVF lifecycle under CDC on a clustered corpus: a re-embed
+    wave moves part of the data to a NEW cluster the fixed ingest
+    centroids know nothing about. ivf_drift_plan must detect the
+    drift (n_would_move > 0, the landing cell overloaded);
+    retrain_vector_index must purge dead versions, keep exact
+    results bit-identical, return the refreshed sidecar, and probe
+    recall@5 with the refreshed layout must clear the 0.95 gate for
+    queries near the old AND the new clusters."""
+    import numpy as np
+
+    from nucliadb_spark.operators import ann, knn
+
+    dim, n_clusters, per = 32, 6, 60
+    rng = np.random.default_rng(20260815)
+
+    def norm(v):
+        return v / np.linalg.norm(v)
+
+    centers = [norm(rng.uniform(-1, 1, dim)) for _ in range(n_clusters)]
+    base = []
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            base.append(norm(c + norm(rng.uniform(-1, 1, dim)) * 0.05))
+    # the new cluster sits BETWEEN two old ones, so its members split
+    # across both cells under the stale centroids — the worst drift
+    # shape for probe recall (a query must probe every splinter cell)
+    new_center = norm(centers[0] + centers[1])
+
+    rows = [
+        (i, i, "upsert", [float(x) for x in v], int(i // per))
+        for i, v in enumerate(base)
+    ]
+    # the drift wave: every 4th vector re-embeds into the NEW cluster
+    moved_ids = [i for i in range(len(base)) if i % 4 == 0]
+    for i in moved_ids:
+        v = norm(new_center + norm(rng.uniform(-1, 1, dim)) * 0.05)
+        rows.append((i, i + 10**6, "upsert", [float(x) for x in v], -1))
+    deleted_ids = [i for i in range(len(base)) if i % 17 == 5]
+    for i in deleted_ids:
+        rows.append((i, i + 2 * 10**6, "delete", None, -1))
+    log = spark.createDataFrame(
+        rows, "rid long, seq long, op string, vector array<double>, lbl int"
+    )
+    base_df = log.filter("seq < 1000000").selectExpr(
+        "rid", "vector", "lbl AS cluster_label"
+    )
+    base_cents = ann.cell_centroids(base_df).cache()
+
+    # drift report straight off the log: the wave must be visible
+    plan = ann.ivf_drift_plan(log.drop("lbl"), base_cents).collect()
+    assert sum(r.n_would_move for r in plan) > 0
+    assert max(r.live_share for r in plan) > 1.2 / n_clusters  # landing cells overloaded
+
+    workdir = tempfile.mkdtemp(prefix="retrain_")
+    try:
+        log.drop("lbl").repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_vector_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt",
+            base_cents,
+        )
+        vecs = spark.read.parquet(f"{workdir}/index/vectors")
+        oplog = spark.read.parquet(f"{workdir}/index/oplog")
+        live_before = ingest.live_vector_segments(vecs, oplog)
+        qvec = spark.createDataFrame(
+            [([float(x) for x in new_center],)], "qvec array<double>"
+        )
+        exact_before = [
+            (r.id, r.score)
+            for r in knn.exact_knn(
+                live_before.select("rid", "vector"), qvec, k=5
+            ).collect()
+        ]
+
+        refreshed = ingest.retrain_vector_index(spark, f"{workdir}/index")
+        vecs2 = spark.read.parquet(f"{workdir}/index/vectors")
+        oplog2 = spark.read.parquet(f"{workdir}/index/oplog")
+        live_after = ingest.live_vector_segments(vecs2, oplog2)
+        assert vecs2.count() == live_after.count()  # dead versions purged
+        exact_after = [
+            (r.id, r.score)
+            for r in knn.exact_knn(
+                live_after.select("rid", "vector"), qvec, k=5
+            ).collect()
+        ]
+        assert exact_after == exact_before  # retrain never changes exact results
+
+        # probe recall with the refreshed sidecar: old-cluster and
+        # new-cluster queries both clear the reference's gate
+        hits = total = 0
+        probes = [new_center] + centers[:3]
+        for qv in probes:
+            q = spark.createDataFrame(
+                [([float(x) for x in qv],)], "qvec array<double>"
+            )
+            exact = {
+                r.id
+                for r in knn.exact_knn(
+                    live_after.select("rid", "vector"), q, k=5
+                ).collect()
+            }
+            got = {
+                r.id
+                for r in ann.ivf_serve(live_after, refreshed, q, k=5, nprobe=2).collect()
+            }
+            hits += len(exact & got)
+            total += 5
+        assert hits / total >= 0.95, f"post-retrain recall {hits/total:.2f}"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
