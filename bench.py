@@ -80,6 +80,16 @@ HEADLINE = [
     # round 8b: the batched kNN-graph plan (cell-keyed equi-join, no
     # cartesian) — the mining-job shape at its smallest
     "batch_knn_ivf",
+    # round 9: the snapshot-consistent hybrid flagship (all three
+    # legs resolved AS OF one seq; first call pays the per-snapshot
+    # index build, steady-state serves from the cached sidecars —
+    # should sit near find_hybrid once warm), the keyset page-2
+    # flagship (fused-frame algebra only; should sit ON find_hybrid),
+    # and the probe-path multivector MaxSim (cell equi-join +
+    # bounded exact rerank; should sit near batch_knn_ivf)
+    "find_hybrid_as_of",
+    "find_hybrid_after",
+    "knn_maxsim_ivf",
 ]
 
 
