@@ -436,6 +436,59 @@ def graph_as_of(spark, sf_dir):
     )
 
 
+_DIFF_SEQ_A = 300  # mid-backfill: base upserts past rid 300 land later
+_DIFF_SEQ_B = 3_000_000  # head: all revisions + deletes applied
+
+
+@register(
+    "cdc_snapshot_diff",
+    ingest.cdc_snapshot_diff_sql(ingest.CDC_LOG_SQL, _DIFF_SEQ_A, _DIFF_SEQ_B),
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """The corpus DELTA between two snapshots — added / revised /
+    deleted / unchanged rid classes with counts and rid ranges,
+    resolved in ONE pass over the op log (two conditional max_by
+    aggregates under the same rid-keyed shuffle). Snapshot A sits
+    mid-backfill (seq 300) so every class is populated: docs
+    ingested later are 'added', the rid%7 revision wave is
+    'revised', the rid%11 delete wave is 'deleted'. This is the
+    between-training-runs audit the MVCC machinery exists for
+    ('what moved since the snapshot we trained on?'), the diff twin
+    of cdc_time_travel's per-point report."""
+    log = ingest.cdc_log(
+        tpch.table(spark, sf_dir, "documents").selectExpr(
+            "CAST(doc_id AS BIGINT) AS rid", "text"
+        )
+    )
+    return ingest.cdc_snapshot_diff(log, _DIFF_SEQ_A, _DIFF_SEQ_B)
+
+
+_INC_SINCE = 999_999  # checkpoint: after the backfill, before revisions
+
+
+@register(
+    "cdc_incremental_export",
+    ingest.cdc_incremental_export_sql(ingest.CDC_LOG_SQL, _INC_SINCE),
+)
+def cdc_incremental_export(spark, sf_dir):
+    """The incremental RE-PROCESSING set: live docs whose head
+    version changed after the checkpoint seq — exactly what an
+    incremental pipeline run re-embeds / re-indexes / re-exports
+    (here: the revision wave minus the docs the later delete wave
+    removed; deletions carry no payload and surface through the
+    diff's 'deleted' class instead). One rid-keyed max_by, the
+    since-filter applied AFTER resolution so a multiply-revised doc
+    exports once at its head version. The incremental sibling of the
+    full Arrow export family (S6) and of vectorset_backfill (which
+    keys on MISSING embeddings; this keys on CHANGED content)."""
+    log = ingest.cdc_log(
+        tpch.table(spark, sf_dir, "documents").selectExpr(
+            "CAST(doc_id AS BIGINT) AS rid", "text"
+        )
+    )
+    return ingest.cdc_incremental_export(log, _INC_SINCE)
+
+
 _VECTOR_LOG_SQL = """
     SELECT CAST(vec_id AS BIGINT) AS rid, CAST(vec_id AS BIGINT) AS seq,
            'upsert' AS op, embedding AS vector FROM embeddings

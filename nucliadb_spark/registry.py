@@ -61,6 +61,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "knn_maxsim_ivf",
     "find_hybrid_after",
     "ivf_drift_plan",
+    "cdc_snapshot_diff",
+    "cdc_incremental_export",
     # --- latest driver evidence: r4 (28 queries, alphabetical) ---
     "bm25_autocorrect",
     "bm25_explain",

@@ -1715,6 +1715,121 @@ SNAPSHOT_POINTS: dict[str, int] = {
 }
 
 
+def cdc_snapshot_diff(log: DataFrame, seq_a: int, seq_b: int) -> DataFrame:
+    """(change, n_rids, min_rid, max_rid) — the corpus delta between
+    two snapshots: added / revised / deleted / unchanged, resolved in
+    ONE pass over the op log (two conditional max_by aggregates under
+    the same rid-keyed shuffle — never two corpus scans).
+
+    This is the question an incremental training pipeline asks
+    between runs ("what moved since the snapshot we trained on?") and
+    the audit view of the MVCC machinery `cdc_time_travel` exposes
+    per point. Rids alive in neither snapshot (created and deleted
+    between, or created after B) classify as no change and drop out.
+    """
+    a_last = F.max_by(
+        F.struct("op", "seq"), F.when(F.col("seq") <= seq_a, F.col("seq"))
+    ).alias("a")
+    b_last = F.max_by(
+        F.struct("op", "seq"), F.when(F.col("seq") <= seq_b, F.col("seq"))
+    ).alias("b")
+    per_rid = log.groupBy("rid").agg(a_last, b_last)
+    alive_a = F.col("a").isNotNull() & (F.col("a.op") == "upsert")
+    alive_b = F.col("b").isNotNull() & (F.col("b.op") == "upsert")
+    change = (
+        F.when(~alive_a & alive_b, "added")
+        .when(alive_a & ~alive_b, "deleted")
+        .when(alive_a & alive_b & (F.col("a.seq") != F.col("b.seq")), "revised")
+        .when(alive_a & alive_b, "unchanged")
+    )
+    return (
+        per_rid.select("rid", change.alias("change"))
+        .filter(F.col("change").isNotNull())
+        .groupBy("change")
+        .agg(
+            F.count("*").cast("long").alias("n_rids"),
+            F.min("rid").cast("long").alias("min_rid"),
+            F.max("rid").cast("long").alias("max_rid"),
+        )
+        .orderBy("change")
+    )
+
+
+def cdc_snapshot_diff_sql(log_sql: str, seq_a: int, seq_b: int) -> str:
+    """DuckDB twin of :func:`cdc_snapshot_diff` (per-snapshot
+    resolution via ranked CTEs + full outer join — same classes)."""
+    return f"""
+WITH log AS ({log_sql}),
+a AS (
+  SELECT rid, op, seq FROM (
+    SELECT rid, op, seq,
+           row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+    FROM log WHERE seq <= {seq_a}
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT rid, op, seq FROM (
+    SELECT rid, op, seq,
+           row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+    FROM log WHERE seq <= {seq_b}
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(a.rid, b.rid) AS rid,
+         (a.rid IS NOT NULL AND a.op = 'upsert') AS alive_a,
+         a.seq AS a_seq,
+         (b.rid IS NOT NULL AND b.op = 'upsert') AS alive_b,
+         b.seq AS b_seq
+  FROM a FULL OUTER JOIN b ON a.rid = b.rid
+),
+classified AS (
+  SELECT rid,
+         CASE WHEN NOT alive_a AND alive_b THEN 'added'
+              WHEN alive_a AND NOT alive_b THEN 'deleted'
+              WHEN alive_a AND alive_b AND a_seq <> b_seq THEN 'revised'
+              WHEN alive_a AND alive_b THEN 'unchanged'
+         END AS change
+  FROM merged
+)
+SELECT change, COUNT(*)::BIGINT AS n_rids,
+       CAST(MIN(rid) AS BIGINT) AS min_rid,
+       CAST(MAX(rid) AS BIGINT) AS max_rid
+FROM classified WHERE change IS NOT NULL
+GROUP BY change ORDER BY change
+"""
+
+
+def cdc_incremental_export(log: DataFrame, since_seq: int) -> DataFrame:
+    """(rid, seq, text) — the docs whose LIVE version changed after
+    `since_seq`, i.e. exactly the re-processing set an incremental
+    pipeline run needs (re-embed / re-index / re-export only what
+    moved since the checkpoint; deletions carry no payload and are
+    handled by the diff's 'deleted' class). Latest-op-wins resolution
+    is the same single rid-keyed max_by as the live read; the
+    since-filter lands AFTER resolution so a doc revised-then-revised
+    exports once with its head version."""
+    return (
+        log.groupBy("rid")
+        .agg(F.max_by(F.struct("op", "seq", "text"), "seq").alias("last"))
+        .filter((F.col("last.op") == "upsert") & (F.col("last.seq") > since_seq))
+        .select(
+            "rid",
+            F.col("last.seq").alias("seq"),
+            F.col("last.text").alias("text"),
+        )
+    )
+
+
+def cdc_incremental_export_sql(log_sql: str, since_seq: int) -> str:
+    return f"""
+SELECT rid, seq, text FROM (
+  SELECT rid, op, seq, text,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM ({log_sql})
+) WHERE rn = 1 AND op = 'upsert' AND seq > {since_seq}
+"""
+
+
 def cdc_snapshot_report(
     log: DataFrame, points: dict[str, int] | None = None
 ) -> DataFrame:
