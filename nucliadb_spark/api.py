@@ -117,6 +117,15 @@ class FindRequest:
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
     """Execute a FindRequest → (id, score, matched_sources)."""
     if req.prequeries:
+        # the cursor would otherwise be applied to the INNER main-leg
+        # ranking and then re-ranked by the outer weighted RRF — page
+        # 2 would not tile the fused ranking, so the combination is
+        # rejected (same contract as search_after + reranker below)
+        if req.search_after is not None:
+            raise ValueError(
+                "search_after pages a single fused ranking; prequeries "
+                "re-fuse results after the cursor would apply"
+            )
         # each prequery retrieves independently; a final weighted RRF
         # fuses the main result with every prequery result
         main = find_request(
@@ -151,29 +160,114 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # snapshot-consistent retrieval: one as_of seq resolves EVERY
     # leg's corpus (text / vector / relation op logs cut at the same
     # point, the per-leg resolution being the identical single
-    # max_by shuffle the live CDC reads pay). Scope/rephrase/filters
-    # reference batch-corpus metadata that has no snapshot identity
-    # here, so the combination is rejected rather than silently
-    # answered against mixed snapshots.
+    # max_by shuffle the live CDC reads pay). A `fields` scope
+    # composes: the fielded op log carries field_key, so the scoped
+    # field-key set resolves AS OF the same seq (below). Rephrase and
+    # filters still reference batch-corpus metadata with no snapshot
+    # identity, so those combinations are rejected rather than
+    # silently answered against mixed snapshots.
     as_of = req.as_of
-    if as_of is not None and (req.fields or req.rephrase or filters is not None):
+    if as_of is not None and (req.rephrase or filters is not None):
         raise ValueError(
-            "as_of composes with the unscoped find pipeline only "
-            "(fields scope / rephrase / filters are not snapshot-resolved)"
+            "as_of does not compose with rephrase / filters "
+            "(not snapshot-resolved)"
         )
 
     # `fields` scope: validate, then resolve the scoped field-key set
-    # and the owning-resource frame once (both reused across legs)
+    # and the owning-resource frame once (both reused across legs).
+    # Under as_of the scope resolves from the FIELDED op log cut at
+    # the same seq — a field deleted after the snapshot is still in
+    # scope, one added after it is not (field-grain MVCC, the same
+    # latest-op-wins shuffle the live fielded CDC read pays).
     scoped_keys: list[str] | None = None
     scope_rids = None
     if req.fields:
         scoped_keys = ["/" + f_ for f_ in normalize_fields(req.fields)]
-        scoped_fields = tpch.fields_multi(spark, sf_dir).filter(
-            F.col("field_key").isin(scoped_keys)
-        )
+        if as_of is not None:
+            from nucliadb_spark.cache import cached_df
+            from nucliadb_spark.streaming import ingest
+
+            live_fielded = cached_df(
+                sf_dir,
+                f"asof{as_of}_fielded_live",
+                lambda: ingest.cdc_live_fielded(
+                    ingest.cdc_field_log(
+                        tpch.fields_multi(spark, sf_dir)
+                    ).filter(F.col("seq") <= as_of)
+                ),
+            )
+            scoped_fields = live_fielded.filter(
+                F.col("field_key").isin(scoped_keys)
+            )
+        else:
+            scoped_fields = tpch.fields_multi(spark, sf_dir).filter(
+                F.col("field_key").isin(scoped_keys)
+            )
         scope_rids = scoped_fields.select("rid").distinct()
 
-    if "keyword" in features and req.query.strip() and as_of is not None:
+    if (
+        "keyword" in features
+        and req.query.strip()
+        and as_of is not None
+        and scoped_keys
+    ):
+        # fields scope AT a snapshot: each scoped family's text index
+        # builds from the as-of FIELDED corpus (the same live_fielded
+        # resolution the scope used) and is session-cached per
+        # (snapshot, family) — repeated requests at a snapshot serve
+        # from built sidecars exactly like the live fielded path.
+        # Multi-family scopes sum per-field scores per resource
+        # (tantivy's multi-field Occur::Should), each family ranking
+        # against its OWN as-of stats.
+        from nucliadb_spark.cache import cached_df
+
+        legs = []
+        for key in scoped_keys:
+            fam = scoped_fields.filter(F.col("field_key") == key).select(
+                "rid", "text"
+            )
+            slug = key.strip("/").replace("/", "_")
+            post = cached_df(
+                sf_dir,
+                f"asof{as_of}_f{slug}_post",
+                lambda fam=fam: bm25.postings(fam),
+            )
+            stats = cached_df(
+                sf_dir,
+                f"asof{as_of}_f{slug}_stats",
+                lambda post=post: bm25.doc_stats_from_postings(post),
+            )
+            corpus = cached_df(
+                sf_dir,
+                f"asof{as_of}_f{slug}_corpus",
+                lambda stats=stats: bm25.corpus_stats(stats),
+            )
+            legs.append(
+                bm25.bm25_search(
+                    None,
+                    req.query,
+                    top_k=win,
+                    synonyms=req.synonyms,
+                    post=post,
+                    stats=stats,
+                    corpus=corpus,
+                )
+            )
+        kw = legs[0]
+        for other in legs[1:]:
+            kw = kw.unionByName(other)
+        if len(legs) > 1:
+            kw = kw.groupBy("rid").agg(
+                F.round(F.sum("score"), 4).cast("double").alias("score")
+            )
+        if req.min_score_bm25:
+            kw = kw.filter(F.col("score") >= req.min_score_bm25)
+        sources["keyword"] = (
+            kw.orderBy(F.col("score").desc(), F.col("rid").asc())
+            .limit(win)
+            .select(F.col("rid").alias("id"), "score")
+        )
+    elif "keyword" in features and req.query.strip() and as_of is not None:
         # the snapshot's text index: the as-of corpus resolves ONCE
         # per (corpus, seq) and its postings/doc-stats/corpus sidecars
         # are session-cached per snapshot — repeated requests at the

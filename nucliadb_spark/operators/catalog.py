@@ -242,6 +242,36 @@ def faceted_search(
     )
 
 
+def faceted_search_from_counters(
+    counters: DataFrame, roots: list[str], top_k: int = 50
+) -> DataFrame:
+    """:func:`faceted_search` SERVED from a maintained (facet, n)
+    counter sidecar instead of the corpus: per-root prefix prune +
+    top-k window over a facet-cardinality-sized frame — no corpus
+    scan, no label explode, per request. The maintenance plane is
+    ingest.cdc_facet_counter_ingest (the streaming analog of the
+    catalog_facets table PostgreSQL maintains transactionally,
+    nucliadb/src/nucliadb/common/catalog/pg.py:72-107)."""
+    out = None
+    for root in roots:
+        part = (
+            counters.filter(F.col("facet").startswith(root + "/"))
+            .withColumn("root", F.lit(root))
+            .withColumnRenamed("n", "count_")
+        )
+        out = part if out is None else out.unionByName(part)
+    assert out is not None
+    w = Window.partitionBy("root").orderBy(
+        F.col("count_").desc(), F.col("facet").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+        .select("root", "facet", "count_")
+    )
+
+
 def catalog_endpoint(
     resources: DataFrame,
     query: str | None = None,

@@ -98,6 +98,67 @@ def cdc_facet_counts(spark, sf_dir):
     return ingest.cdc_facet_counts(spark, sf_dir)
 
 
+_FACET_ROOTS = ["/l/type", "/l/brand", "/n/s"]
+
+
+def _cdc_facet_counter_sidecar(spark, sf_dir):
+    """Session-scoped maintained facet counters: stage the label op
+    log once (2 files → ≥2 micro-batches), drain it through
+    cdc_facet_counter_ingest exactly-once, serve every later call
+    from the materialized (facet, delta) partials."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_df, cached_scalar
+
+    res = tpch.resources(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="fctr_")
+        ingest.cdc_label_log(res).repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_facet_counter_ingest(
+            spark, f"{workdir}/log", f"{workdir}/counters", f"{workdir}/ckpt"
+        )
+        return workdir
+
+    wd = cached_scalar(res, sf_dir, "fctr_workdir", build)
+    return cached_df(
+        sf_dir,
+        "fctr_counters",
+        lambda: ingest.live_facet_counters(spark.read.parquet(f"{wd}/counters")),
+    )
+
+
+def _cdc_catalog_facets_oracle() -> str:
+    from nucliadb_spark.operators import catalog as cat
+
+    return cat.faceted_search_sql(
+        ingest.cdc_labels_live_sql(tpch.SQL_RESOURCES), roots=_FACET_ROOTS
+    )
+
+
+@register("cdc_catalog_facets_served", _cdc_catalog_facets_oracle())
+def cdc_catalog_facets_served(spark, sf_dir):
+    """The CDC twin for the CATALOG/FACET plane — the last serving
+    path without one (find r8, suggest r9): per-root facet counts
+    after an insert + relabel (/l/type collapses for rid%7) + delete
+    (rid%11) wave, SERVED from the maintained (facet, n) counter
+    sidecar. The maintenance plane consumes a label op log with
+    before-images (the Debezium/PG-logical-decoding update shape), so
+    each micro-batch folds to per-facet ±1 deltas with no cross-batch
+    state — the streaming analog of the catalog_facets table the
+    reference's PostgreSQL catalog maintains transactionally on every
+    resource write (nucliadb/src/nucliadb/common/catalog/pg.py:
+    72-107). The per-request plan is a prefix prune + top-k window
+    over the facet-cardinality-sized counter frame — NO corpus scan,
+    no explode (tests/test_plan_shapes.py pins it); the oracle is the
+    BATCH faceted aggregation over the live-resolved corpus — stream
+    == batch."""
+    from nucliadb_spark.operators import catalog as cat
+
+    counters = _cdc_facet_counter_sidecar(spark, sf_dir)
+    return cat.faceted_search_from_counters(counters, roots=_FACET_ROOTS)
+
+
 @register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
 def stream_exact_dedup(spark, sf_dir):
     """Ingest-side exact-dedup gate as a real streaming run:
@@ -546,7 +607,10 @@ def ivf_drift_plan(spark, sf_dir):
 _ASOF_HYBRID_Q = "refreshed revision stream part:3 part:6 part:17"
 
 
-def _find_hybrid_as_of_oracle() -> str:
+def _as_of_fused_sql(top_k: int) -> str:
+    """The three as-of legs (keyword / semantic / relations, each cut
+    at _AS_OF_SEQ) fused with RRF to `top_k` — shared by the snapshot
+    flagship (top_k=10) and its keyset page-2 twin (top_k=window)."""
     from nucliadb_spark.functions.models import detect_entity_values_py
     from nucliadb_spark.operators import fusion
 
@@ -574,11 +638,14 @@ FROM ({live_rel_as_of})
 WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
   AND paragraph_id IS NOT NULL
 """
-    fused = fusion.rrf_sql(
-        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    return fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=top_k
     )
+
+
+def _find_hybrid_as_of_oracle() -> str:
     return f"""
-WITH fused AS ({fused})
+WITH fused AS ({_as_of_fused_sql(10)})
 SELECT id, score,
        array_to_string(matched_sources, ',') AS matched_sources
 FROM fused
@@ -620,6 +687,154 @@ def find_hybrid_as_of(spark, sf_dir):
         "id",
         "score",
         F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
+def _find_hybrid_fielded_as_of_oracle() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import fusion
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    link_asof = ingest.cdc_fielded_live_sql(
+        tpch.SQL_FIELDS_MULTI, field_key="/u/link", as_of=_AS_OF_SEQ
+    )
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            f"SELECT rid, text FROM ({link_asof})", q, top_k=win, mode="any"
+        )
+        + ")"
+    )
+    scope = f"rid IN (SELECT rid FROM ({link_asof}))"
+    semantic = knn.exact_knn_sql(
+        _vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=win, where=scope
+    )
+    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+    graph = f"""
+SELECT DISTINCT id, 1.0::DOUBLE AS score FROM (
+  SELECT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id
+  FROM ({live_rel_as_of})
+  WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
+    AND paragraph_id IS NOT NULL
+) WHERE id IN (SELECT rid FROM ({link_asof}))
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_fielded_as_of", _find_hybrid_fielded_as_of_oracle())
+def find_hybrid_fielded_as_of(spark, sf_dir):
+    """The SCOPED flagship at a snapshot — r9's one self-documented
+    composition limit, lifted: `fields=["u/link"]` + `as_of=1.5M`
+    through the serving API. The scope's field-key set resolves from
+    the FIELDED op log cut at the same seq (field-grain MVCC: a link
+    field deleted after the snapshot is still in scope, the same
+    latest-op-wins (rid, field_id) shuffle the live fielded CDC read
+    pays — ingest.cdc_field_log / cdc_live_fielded), the keyword leg
+    ranks against the scoped family's OWN as-of corpus/stats
+    (session-cached per (snapshot, family) like the live sidecars),
+    and the vector + relation legs cut their op logs at the same seq
+    before the scope semijoin. The reference can express neither
+    half together: its indexer is destructive past the seq guard
+    (nidx/src/indexer.rs:121-253) and scoping is serve-time-only
+    (nidx/nidx_text/src/reader.rs:148-180). At 100 TB each leg is
+    one seq-pruned, family-pruned scan + its live read's shuffle."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        fields=["u/link"],
+        as_of=_AS_OF_SEQ,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
+def _find_as_of_after_oracle() -> str:
+    return f"""
+WITH ranking AS ({_as_of_fused_sql(50)}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rn
+  FROM ranking
+),
+keyset AS (SELECT score AS c_score, id AS c_id FROM ranked WHERE rn = 10)
+SELECT r.id, r.score,
+       array_to_string(r.matched_sources, ',') AS matched_sources
+FROM ranking r, keyset c
+WHERE r.score < c.c_score OR (r.score = c.c_score AND r.id > c.c_id)
+ORDER BY r.score DESC, r.id ASC
+LIMIT 10
+"""
+
+
+@register("find_hybrid_as_of_after", _find_as_of_after_oracle())
+def find_hybrid_as_of_after(spark, sf_dir):
+    """REPRODUCIBLE PAGING — the contractual training-data read:
+    'page through this retrieval exactly as it stood at snapshot S'.
+    `as_of` freezes every leg's corpus at one log seq;
+    `search_after` keyset-pages the ranking fused FROM that frozen
+    corpus, so page 2 months later returns these exact rows (both
+    parameters thread through one FindRequest;
+    tests/test_find_api.py walks the full window via the API
+    asserting pages tile it with no overlap or gap). Page cost is
+    depth- AND corpus-independent: the cursor is a broadcast 1-row
+    join over the ≤window fused frame, the seq-pruned retriever legs
+    identical to page 1's (session-cached per snapshot, so page 2
+    reuses page 1's built as-of sidecars)."""
+    from pyspark.sql import Window, functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=50,
+        window=50,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+    )
+    ranking = api.find_request(spark, sf_dir, req)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    cursor = (
+        ranking.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 10)
+        .select(F.col("score").alias("c_score"), F.col("id").alias("c_id"))
+    )
+    return (
+        ranking.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score")) & (F.col("id") > F.col("c_id")))
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(10)
+        .select(
+            "id",
+            "score",
+            F.array_join("matched_sources", ",").alias("matched_sources"),
+        )
     )
 
 

@@ -196,3 +196,93 @@ def test_search_after_rejects_reranker(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="search_after"):
         api.find_request(spark, sf_dir, req)
+
+
+def test_search_after_rejects_prequeries(spark, sf_dir):
+    """The cursor would apply to the inner main leg BEFORE the outer
+    weighted RRF re-ranks — page 2 would not tile the fused ranking,
+    so the combination must be rejected up front."""
+    from nucliadb_spark import api
+
+    import pytest
+
+    pre = api.FindRequest(query="lineitem", features=["keyword"])
+    req = api.FindRequest(
+        query="spark shuffle partition",
+        search_after=(0.5, 1),
+        prequeries=[(pre, 0.5)],
+    )
+    with pytest.raises(ValueError, match="search_after"):
+        api.find_request(spark, sf_dir, req)
+
+
+def test_fielded_scope_resolves_at_snapshot(spark, sf_dir):
+    """The `fields` scope under as_of is field-grain MVCC: at the
+    HEAD snapshot (all ops applied) the '/u/link' scope must equal
+    the live fielded corpus — link fields deleted by the rid%9 wave
+    are OUT of scope — while at the pre-delete snapshot they are
+    still IN scope (deletes not yet visible)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    fm = tpch.fields_multi(spark, sf_dir)
+    log = ingest.cdc_field_log(fm)
+
+    def scope_rids(as_of):
+        return {
+            r.rid
+            for r in ingest.cdc_live_fielded(log.filter(F.col("seq") <= as_of))
+            .filter(F.col("field_key") == "/u/link")
+            .select("rid")
+            .distinct()
+            .collect()
+        }
+
+    batch = {
+        r.rid
+        for r in fm.filter(F.col("field_key") == "/u/link")
+        .select("rid")
+        .distinct()
+        .collect()
+    }
+    pre_delete = scope_rids(1_500_000)
+    head = scope_rids(3_000_000)
+    deleted = {rid for rid in batch if rid % 9 == 0}
+    assert deleted, "fixture must delete some link fields"
+    assert pre_delete == batch
+    assert head == batch - deleted
+
+
+def test_as_of_after_pages_tile_the_snapshot_window(spark, sf_dir):
+    """Reproducible paging: walking the snapshot ranking through the
+    API with literal (score, id) cursors must partition the fused
+    window exactly — no overlap, no gap, same rows as the one-shot
+    top-window read at the same snapshot."""
+    from nucliadb_spark import api
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ, _ASOF_HYBRID_Q
+
+    base = dict(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        window=20,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+    )
+    full = api.find_request(
+        spark, sf_dir, api.FindRequest(**base, top_k=20)
+    ).collect()
+    walked, cursor = [], None
+    for _ in range(5):
+        page = api.find_request(
+            spark,
+            sf_dir,
+            api.FindRequest(**base, top_k=5, search_after=cursor),
+        ).collect()
+        if not page:
+            break
+        walked.extend(page)
+        cursor = (page[-1].score, page[-1].id)
+    assert [r.id for r in walked] == [r.id for r in full]
+    assert len({r.id for r in walked}) == len(walked)

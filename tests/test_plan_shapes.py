@@ -686,3 +686,41 @@ def test_maxsim_ivf_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "label" in plan
     assert df.count() > 0
+
+
+def test_find_hybrid_fielded_as_of_scope_and_seq(spark, sf_dir):
+    """The scoped snapshot flagship: the analyzed plan must carry the
+    snapshot seq cut for EVERY resolution (fielded scope + per-family
+    text postings + vector log + relation log ≥ 4 occurrences), no
+    CartesianProduct may enter, and repeated requests at the snapshot
+    serve from the session-cached as-of sidecars (InMemoryTableScan
+    present — no per-request corpus re-tokenization)."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_hybrid_fielded_as_of"]
+    q(spark, sf_dir).collect()  # first call builds + caches snapshot sidecars
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 4, analyzed[:2000]
+    # the scope semijoin is present on the vector leg
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+
+def test_cdc_catalog_facets_served_no_corpus_scan(spark, sf_dir):
+    """The per-request facet plan must read the MAINTAINED counter
+    sidecar only: no label explode (Generate) and no resources-corpus
+    derivation — the counters are session-cached (InMemoryTableScan),
+    the per-request work is a prefix prune + one top-k window over a
+    facet-cardinality-sized frame."""
+    from nucliadb_spark import registry
+
+    q = registry.queries()["cdc_catalog_facets_served"]
+    assert q(spark, sf_dir).count() > 0  # first call builds the sidecar
+    df = q(spark, sf_dir)
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("Generate" in c for c in nodes), nodes
+    assert any("InMemoryTableScan" in c for c in nodes), nodes

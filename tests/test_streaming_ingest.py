@@ -45,3 +45,43 @@ def test_sessionization_gap_rule(spark, sf_dir):
     total_events = tpch.table(spark, sf_dir, "events").count()
     assert row.n == total_events  # every event lands in exactly one session
     assert row.s >= 1
+
+
+def test_facet_counters_stream_equals_batch(spark, sf_dir):
+    """The maintained facet counter sidecar must agree with the batch
+    faceted aggregation over the live-resolved corpus — per root,
+    facet for facet, count for count (stream == batch for the catalog
+    plane). The relabel wave must be visible: '/l/type/relabeled'
+    carries every live rid%7 resource, and no deleted resource counts
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import catalog as cat
+    from nucliadb_spark.plans.queries_streaming import (
+        _FACET_ROOTS,
+        cdc_catalog_facets_served,
+    )
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    served = {
+        (r.root, r.facet): r.count_
+        for r in cdc_catalog_facets_served(spark, sf_dir).collect()
+    }
+    live = (
+        ingest.cdc_label_log(tpch.resources(spark, sf_dir))
+        .groupBy("rid")
+        .agg(F.max_by(F.struct("op", "labels"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select("rid", F.col("last.labels").alias("labels"))
+    )
+    batch = {
+        (r.root, r.facet): r.count_
+        for r in cat.faceted_search(live, roots=_FACET_ROOTS).collect()
+    }
+    assert served == batch
+    relabeled = served.get(("/l/type", "/l/type/relabeled"))
+    n_expect = live.filter(
+        F.array_contains("labels", "/l/type/relabeled")
+    ).count()
+    assert relabeled == n_expect and n_expect > 0
