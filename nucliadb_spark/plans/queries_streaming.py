@@ -604,6 +604,188 @@ def ivf_drift_plan(spark, sf_dir):
     return ann_ops.ivf_drift_plan(ingest.cdc_vector_log(vectors), cents)
 
 
+_REFRESH_HEAD = 3_000_000  # all waves applied
+_DRIFT_RETRAIN_SHARE = 0.05  # retrain when ≥5% of live vectors would move
+
+
+def _refresh_workdir(spark, sf_dir):
+    """Session-scoped REFRESH pipeline run (this query's own index —
+    the shared served index is never mutated): stage the vector op
+    log, drain it through cdc_vector_ingest against the base
+    centroids, snapshot the ingest-time assignment (vectors_v1), then
+    apply the drift rule — if the would-move share is ≥ the retrain
+    threshold, retrain_vector_index compacts + re-derives centroids +
+    reassigns, republishing the v2 sidecar. Returns the workdir."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df, cached_scalar
+    from nucliadb_spark.operators import ann as ann_ops
+
+    vectors = tpch.vectors(spark, sf_dir)
+    cents = cached_df(
+        sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+    )
+
+    def build() -> str:
+        import shutil
+
+        workdir = tempfile.mkdtemp(prefix="refresh_")
+        vlog = ingest.cdc_vector_log(vectors)
+        vlog.repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_vector_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt",
+            cents,
+        )
+        shutil.copytree(f"{workdir}/index/vectors", f"{workdir}/vectors_v1")
+        drift = (
+            ann_ops.ivf_drift_plan(vlog, cents)
+            .agg(
+                F.sum("n_would_move").alias("m"), F.sum("n_live").alias("l")
+            )
+            .collect()[0]  # terminal: the maintenance-plane decision
+        )
+        if drift.m / drift.l >= _DRIFT_RETRAIN_SHARE:
+            v2 = ingest.retrain_vector_index(spark, f"{workdir}/index")
+            v2.write.parquet(f"{workdir}/centroids_v2")
+        return workdir
+
+    return cached_scalar(vectors, sf_dir, "refresh_workdir", build)
+
+
+def _refresh_report_oracle() -> str:
+    from nucliadb_spark.functions import vector as V
+    from nucliadb_spark.operators import ann as ann_ops
+
+    diff = ingest.cdc_snapshot_diff_sql(
+        ingest.CDC_LOG_SQL, _INC_SINCE, _REFRESH_HEAD
+    )
+    export = ingest.cdc_incremental_export_sql(ingest.CDC_LOG_SQL, _INC_SINCE)
+    drift = ann_ops.ivf_drift_plan_sql(
+        _VECTOR_LOG_SQL, _BASE_CENTROIDS_SQL, dim=64
+    )
+    cos = V.cosine_sql_unrolled("u.vector", "b.centroid", 64)
+    return f"""
+WITH diffc AS ({diff}),
+dpivot AS (
+  SELECT COALESCE(SUM(CASE WHEN change = 'added' THEN n_rids END), 0)::BIGINT AS n_added,
+         COALESCE(SUM(CASE WHEN change = 'revised' THEN n_rids END), 0)::BIGINT AS n_revised,
+         COALESCE(SUM(CASE WHEN change = 'deleted' THEN n_rids END), 0)::BIGINT AS n_deleted
+  FROM diffc
+),
+exportc AS (SELECT COUNT(*)::BIGINT AS n_export FROM ({export})),
+cellsc AS (
+  SELECT COUNT(DISTINCT cell)::BIGINT AS cells_touched FROM (
+    SELECT u.rid, u.seq, b.cell,
+           row_number() OVER (
+             PARTITION BY u.rid, u.seq
+             ORDER BY ROUND({cos}, 6) DESC, b.cell ASC) AS rn
+    FROM (SELECT rid, seq, vector FROM ({_VECTOR_LOG_SQL})
+          WHERE op = 'upsert' AND seq > {_INC_SINCE}) u
+    CROSS JOIN ({_BASE_CENTROIDS_SQL}) b
+  ) WHERE rn = 1
+),
+driftc AS (
+  SELECT SUM(n_would_move)::BIGINT AS n_would_move,
+         SUM(n_live)::BIGINT AS n_live
+  FROM ({drift})
+)
+SELECT d.n_added, d.n_revised, d.n_deleted,
+       e.n_export, e.n_export AS n_reembedded,
+       c.cells_touched, f.n_would_move, f.n_live,
+       (f.n_would_move * 1.0 / f.n_live) >= {_DRIFT_RETRAIN_SHARE}
+           AS retrain_triggered
+FROM dpivot d, exportc e, cellsc c, driftc f
+"""
+
+
+@register("incremental_refresh_report", _refresh_report_oracle())
+def incremental_refresh_report(spark, sf_dir):
+    """The END-TO-END incremental-refresh capstone — the ledger a
+    training-data team reads between checkpoints, composing every
+    r9/r10 primitive in pipeline order: `cdc_snapshot_diff` (what
+    moved since the checkpoint: added/revised/deleted doc counts) →
+    `cdc_incremental_export` (the changed head-version payloads) →
+    re-embed (the deterministic pandas_udf stub actually runs over
+    the exported texts — n_reembedded counts its output) →
+    `cdc_vector_ingest` (cells_touched = distinct IVF cells the
+    post-checkpoint upserts landed in, read from the STAGED index's
+    ingest-time assignment) → `ivf_drift_plan` (would-move/live
+    totals) → conditional `retrain_vector_index` (executed inside
+    the session-scoped refresh run when the would-move share crosses
+    the threshold; tests/test_cdc_ingest.py proves the post-refresh
+    index serves results identical to a batch rebuild). Everything
+    wide stays one shuffle per primitive (the ledger itself is
+    crossJoins of 1-row aggregates — broadcast-trivial); the oracle
+    replays the arithmetic from the same op logs."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.functions import models
+    from nucliadb_spark.operators import ann as ann_ops
+
+    docs = tpch.table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS BIGINT) AS rid", "text"
+    )
+    dlog = ingest.cdc_log(docs)
+    dcounts = ingest.cdc_snapshot_diff(dlog, _INC_SINCE, _REFRESH_HEAD).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("change") == "added", F.col("n_rids"))), F.lit(0)
+        ).cast("long").alias("n_added"),
+        F.coalesce(
+            F.sum(F.when(F.col("change") == "revised", F.col("n_rids"))), F.lit(0)
+        ).cast("long").alias("n_revised"),
+        F.coalesce(
+            F.sum(F.when(F.col("change") == "deleted", F.col("n_rids"))), F.lit(0)
+        ).cast("long").alias("n_deleted"),
+    )
+    exported = ingest.cdc_incremental_export(dlog, _INC_SINCE)
+    ecount = exported.agg(F.count("*").cast("long").alias("n_export"))
+    embedded = exported.select(
+        models.stub_embedding(F.col("text")).alias("emb")
+    ).filter(F.size("emb") > 0)
+    rcount = embedded.agg(F.count("*").cast("long").alias("n_reembedded"))
+
+    wd = _refresh_workdir(spark, sf_dir)
+    cells = (
+        spark.read.parquet(f"{wd}/vectors_v1")
+        .filter(F.col("seq") > _INC_SINCE)
+        .agg(
+            F.countDistinct("cluster_label").cast("long").alias("cells_touched")
+        )
+    )
+    vectors = tpch.vectors(spark, sf_dir)
+    from nucliadb_spark.cache import cached_df
+
+    cents = cached_df(
+        sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+    )
+    drift = ann_ops.ivf_drift_plan(ingest.cdc_vector_log(vectors), cents).agg(
+        F.sum("n_would_move").cast("long").alias("n_would_move"),
+        F.sum("n_live").cast("long").alias("n_live"),
+    )
+    return (
+        dcounts.crossJoin(ecount)
+        .crossJoin(rcount)
+        .crossJoin(cells)
+        .crossJoin(drift)
+        .select(
+            "n_added",
+            "n_revised",
+            "n_deleted",
+            "n_export",
+            "n_reembedded",
+            "cells_touched",
+            "n_would_move",
+            "n_live",
+            (
+                F.col("n_would_move") * 1.0 / F.col("n_live")
+                >= _DRIFT_RETRAIN_SHARE
+            ).alias("retrain_triggered"),
+        )
+    )
+
+
 _ASOF_HYBRID_Q = "refreshed revision stream part:3 part:6 part:17"
 
 

@@ -551,3 +551,44 @@ def test_ivf_drift_detected_and_retrain_recovers(spark):
         assert hits / total >= 0.95, f"post-retrain recall {hits/total:.2f}"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_incremental_refresh_results_equal_batch_rebuild(spark, sf_dir):
+    """The refresh capstone's contract: after the pipeline runs (diff
+    → export → re-embed → ingest → drift → conditional retrain), the
+    refreshed index must serve EXACTLY what a from-scratch batch
+    rebuild would — same live (rid, vector) set — and the retrain
+    must actually have executed (the fixture's reversal wave pushes
+    the would-move share past the threshold), leaving every live
+    vector assigned to its nearest REFRESHED centroid."""
+    import os
+
+    from nucliadb_spark.operators import ann as ann_ops
+    from nucliadb_spark.plans.queries_streaming import (
+        _refresh_workdir,
+        incremental_refresh_report,
+    )
+
+    row = incremental_refresh_report(spark, sf_dir).collect()[0]
+    assert row.retrain_triggered
+    assert row.n_reembedded == row.n_export
+    wd = _refresh_workdir(spark, sf_dir)
+    assert os.path.isdir(f"{wd}/centroids_v2"), "retrain must have run"
+
+    vecs = spark.read.parquet(f"{wd}/index/vectors")
+    oplog = spark.read.parquet(f"{wd}/index/oplog")
+    served = ingest.live_vector_segments(vecs, oplog).select("rid", "vector")
+    batch = ingest.cdc_live_vectors(
+        ingest.cdc_vector_log(tpch.vectors(spark, sf_dir))
+    )
+    a = {r.rid: tuple(r.vector) for r in served.collect()}
+    b = {r.rid: tuple(r.vector) for r in batch.collect()}
+    assert a == b and a
+
+    cents2 = spark.read.parquet(f"{wd}/centroids_v2")
+    want = {
+        r.rid: r.cluster_label
+        for r in ann_ops.assign_cells(served, cents2).collect()
+    }
+    got = {r.rid: r.cluster_label for r in vecs.select("rid", "cluster_label").collect()}
+    assert got == want
