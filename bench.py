@@ -90,6 +90,17 @@ HEADLINE = [
     "find_hybrid_as_of",
     "find_hybrid_after",
     "knn_maxsim_ivf",
+    # round 10: the scoped snapshot flagship (fields + as_of — scope
+    # resolves from the seq-cut fielded log; steady-state serves from
+    # the per-(snapshot, family) cached sidecars, should sit near
+    # find_hybrid_fielded once warm), snapshot keyset paging (fused-
+    # frame algebra over the as-of ranking; should sit ON
+    # find_hybrid_as_of), and the counter-served facet endpoint
+    # (prefix prune + top-k over the maintained sidecar — should sit
+    # WELL below catalog_facets, which scans+explodes the corpus)
+    "find_hybrid_fielded_as_of",
+    "find_hybrid_as_of_after",
+    "cdc_catalog_facets_served",
 ]
 
 

@@ -159,6 +159,43 @@ def cdc_catalog_facets_served(spark, sf_dir):
     return cat.faceted_search_from_counters(counters, roots=_FACET_ROOTS)
 
 
+def _catalog_facets_as_of_oracle() -> str:
+    from nucliadb_spark.operators import catalog as cat
+
+    return cat.faceted_search_sql(
+        ingest.cdc_labels_live_sql(tpch.SQL_RESOURCES, as_of=1_500_000),
+        roots=_FACET_ROOTS,
+    )
+
+
+@register("catalog_facets_as_of", _catalog_facets_as_of_oracle())
+def catalog_facets_as_of(spark, sf_dir):
+    """Faceted counts AS OF a log sequence — the catalog plane's
+    snapshot read, completing as-of symmetry across all FOUR serving
+    planes (text r8, vector r8, relation r8, catalog now): at seq
+    1.5M the relabel wave is applied ('/l/type/relabeled' carries the
+    rid%7 resources) while the rid%11 delete wave is not yet visible,
+    so deleted-later resources still count. This is the audit answer
+    to 'what did the catalog dashboard show at snapshot S' and the
+    reproducibility contract for facet-stratified sampling (a
+    sample_stratified run keyed on these counts replays exactly).
+    One seq-pruned label-log scan + the same rid-keyed max_by as the
+    live read, then the standard per-root top-k."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import catalog as cat
+
+    live = (
+        ingest.cdc_label_log(tpch.resources(spark, sf_dir))
+        .filter(F.col("seq") <= 1_500_000)
+        .groupBy("rid")
+        .agg(F.max_by(F.struct("op", "labels"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select("rid", F.col("last.labels").alias("labels"))
+    )
+    return cat.faceted_search(live, roots=_FACET_ROOTS)
+
+
 @register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
 def stream_exact_dedup(spark, sf_dir):
     """Ingest-side exact-dedup gate as a real streaming run:

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_hybrid_as_of_after",
     "cdc_catalog_facets_served",
     "incremental_refresh_report",
+    "catalog_facets_as_of",
     # --- latest driver evidence: r5 (35 queries, alphabetical) ---
     "conversation_typed_search",
     "dedup_best_survivor",
@@ -110,9 +111,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "bm25_stop_words",
     "bm25_synonyms",
     "catalog_count",
-    "catalog_facet_rollup",
     # ---------------- end of the 50-seat graded window ----------------
-    # --- tail: latest driver evidence r6 (remaining 40, alphabetical) ---
+    # --- tail: latest driver evidence r6 (remaining 41, alphabetical) ---
+    "catalog_facet_rollup",
     "catalog_facets",
     "catalog_fuzzy_title",
     "catalog_trigram_title",

@@ -1393,13 +1393,16 @@ def cdc_label_log(resources: DataFrame) -> DataFrame:
     return base.unionByName(upd).unionByName(dele)
 
 
-def cdc_labels_live_sql(resources_sql: str) -> str:
+def cdc_labels_live_sql(resources_sql: str, as_of: int | None = None) -> str:
     """DuckDB twin of cdc_label_log → latest-op-wins: the LIVE
-    labels corpus (rid, labels) the batch facet aggregation sees."""
+    labels corpus (rid, labels) the batch facet aggregation sees —
+    optionally resolved AS OF a log seq (the catalog plane's
+    snapshot read)."""
     relabel = (
         "list_transform(labels, l -> CASE WHEN starts_with(l, '/l/type/') "
         f"THEN '{_RELABEL}' ELSE l END)"
     )
+    seq_where = f"WHERE seq <= {as_of}" if as_of is not None else ""
     return f"""
 SELECT rid, labels FROM (
   SELECT rid, labels, op,
@@ -1413,7 +1416,7 @@ SELECT rid, labels FROM (
     UNION ALL
     SELECT rid, CAST(rid + 2000000 AS BIGINT), 'delete', NULL
     FROM ({resources_sql}) WHERE rid % 11 = 0
-  )
+  ) {seq_where}
 ) WHERE rn = 1 AND op = 'upsert'
 """
 
