@@ -86,13 +86,18 @@ def main() -> None:
 
     def timed(name: str, sf_dir: str, n: int = 3) -> list[float]:
         fn = qs[name]
+        s = time.perf_counter()
         fn(spark, sf_dir).collect()  # warm: index build + cache
+        cold = round(time.perf_counter() - s, 2)
         ts = []
         for _ in range(n):
             s = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             ts.append(round(time.perf_counter() - s, 2))
-        print(f"{name} @ {sf_dir}: {ts} ({len(rows)} rows)", flush=True)
+        print(
+            f"{name} @ {sf_dir}: cold {cold}s, warm {ts} ({len(rows)} rows)",
+            flush=True,
+        )
         return ts
 
     queries = sys.argv[1:] or ["find_hybrid", "find_prefiltered_served"]

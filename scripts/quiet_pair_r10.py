@@ -1,12 +1,12 @@
-"""Round-9 quiet pair: the two r8 fielded-flagship driver outliers
-(find_hybrid_fielded_graph: driver 5.87 s vs r8 quiet 2.4-2.5 s, a
-2.3x gap where the documented driver-load band is ~1.2-1.3x;
-find_hybrid_fielded: 1.34x driver move on untouched code). Protocol
-as the r4/r7/r8 closures: two consecutive measured runs per query on
-a quiet machine, warm session, `find_hybrid` (same family, flat all
-round) as the in-band control.
+"""Round-10 quiet pair: the three r9 driver-bench movers on
+UNTOUCHED code, all above the round's 1.25x uniform inflation band
+(hydrate_multi_field 1.90x, kb_feedback_report 1.84x,
+find_hybrid_ivf 1.60x — none of their files changed in r9, family
+probes flat). Protocol as the r4/r7/r8/r9 closures: two consecutive
+measured runs per query on a quiet machine, warm session,
+`find_hybrid` (flat all round) as the in-band control.
 
-Run: python scripts/quiet_pair_r9.py   (expects a quiet machine)
+Run: python scripts/quiet_pair_r10.py   (expects a quiet machine)
 """
 
 from __future__ import annotations
@@ -22,14 +22,15 @@ from nucliadb_spark.session import get_session
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TARGETS = [
-    "find_hybrid_fielded_graph",
-    "find_hybrid_fielded",
+    "hydrate_multi_field",
+    "kb_feedback_report",
+    "find_hybrid_ivf",
     "find_hybrid",  # control
 ]
 
 
 def main() -> None:
-    spark = get_session("quiet-pair-r9")
+    spark = get_session("quiet-pair-r10")
     spark.range(1).count()
     qs = registry.queries()
     print("load avg:", os.getloadavg())

@@ -29,6 +29,14 @@ TABLES = [
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # each duckdb.connect() is an independent instance whose default
+    # memory_limit is ~80% of PHYSICAL RAM — several instances plus
+    # the 24g Spark JVM can together outrun the box and die with a
+    # "Failed to allocate block" bad_alloc even though every oracle
+    # here is tiny (seen on the r9 grading box and locally in r10).
+    # Bound the oracle explicitly: sf0.01 oracles need well under 8GB.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
