@@ -101,6 +101,10 @@ HEADLINE = [
     "find_hybrid_fielded_as_of",
     "find_hybrid_as_of_after",
     "cdc_catalog_facets_served",
+    # round 10b: the constant-budget drift review — same audit as
+    # ivf_drift_plan over a rid-atomic 20% md5 sample; should sit
+    # WELL below the full plan and the gap widens with the corpus
+    "ivf_drift_plan_sampled",
 ]
 
 

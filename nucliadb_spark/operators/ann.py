@@ -288,6 +288,78 @@ ORDER BY cell
 """
 
 
+def ivf_drift_plan_sampled(
+    versions: DataFrame,
+    base_centroids: DataFrame,
+    vec_col: str = "vector",
+    sample_pct: int = 20,
+) -> DataFrame:
+    """Constant-cost drift review: :func:`ivf_drift_plan` over a
+    deterministic rid-hash sample of the op log.
+
+    The full review is honestly linear in log versions (it IS a
+    full-log audit — SCALE.md measured 11× at a 100× corpus). At
+    100 TB the operator you actually run per maintenance cycle keeps
+    the review budget CONSTANT by shrinking sample_pct as the corpus
+    grows: the drift verdict is a rate (would-move share, live
+    share, dead share), and rates estimate fine from a sample.
+
+    Sampling keys on the portable md5 of rid, so a document's ENTIRE
+    version history is in or out atomically — liveness resolution
+    inside the sample is exact, never truncated mid-history (the
+    property a seq- or row-level sample would break). Refreshed
+    centroids are the one-Lloyd-step means of the SAMPLED live
+    members, so n_would_move_sampled estimates the would-move rate
+    rather than sub-setting the full plan's count. est_n_live scales
+    the live count back to corpus units (exact integer: sample_pct
+    must divide 100). Cells too small to surface in the sample are
+    absent — at review granularity those cells hold <factor vectors
+    and cannot trip a retrain trigger.
+    """
+    if 100 % sample_pct:
+        raise ValueError("sample_pct must divide 100 for exact scale-up")
+    factor = 100 // sample_pct
+    from nucliadb_spark.functions.text import md5_int60
+
+    sampled = versions.filter(
+        md5_int60(F.col("rid").cast("string"), salt="drift:") % 100 < sample_pct
+    )
+    plan = ivf_drift_plan(sampled, base_centroids, vec_col=vec_col)
+    return plan.select(
+        "cell",
+        F.col("n_live").alias("n_live_sampled"),
+        F.col("n_dead_versions").alias("n_dead_sampled"),
+        F.col("n_would_move").alias("n_would_move_sampled"),
+        (F.col("n_live") * factor).cast("long").alias("est_n_live"),
+        "live_share",
+    ).orderBy("cell")
+
+
+def ivf_drift_plan_sampled_sql(
+    log_sql: str, base_centroids_sql: str, dim: int, sample_pct: int = 20
+) -> str:
+    """DuckDB twin of :func:`ivf_drift_plan_sampled`: the identical
+    rid-hash predicate filters the log CTE, then the full-plan SQL
+    runs unchanged over the sample."""
+    from nucliadb_spark.functions.text import md5_int60_sql
+
+    factor = 100 // sample_pct
+    bucket = md5_int60_sql("CAST(rid AS VARCHAR)", salt="drift:")
+    sampled_log = (
+        f"SELECT * FROM ({log_sql}) WHERE {bucket} % 100 < {sample_pct}"
+    )
+    inner = ivf_drift_plan_sql(sampled_log, base_centroids_sql, dim)
+    return f"""
+SELECT cell, n_live AS n_live_sampled,
+       n_dead_versions AS n_dead_sampled,
+       n_would_move AS n_would_move_sampled,
+       (n_live * {factor})::BIGINT AS est_n_live,
+       live_share
+FROM ({inner})
+ORDER BY cell
+"""
+
+
 def probe_cells(
     centroids: DataFrame,
     query: DataFrame,

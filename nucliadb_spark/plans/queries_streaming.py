@@ -641,6 +641,41 @@ def ivf_drift_plan(spark, sf_dir):
     return ann_ops.ivf_drift_plan(ingest.cdc_vector_log(vectors), cents)
 
 
+def _ivf_drift_sampled_oracle() -> str:
+    from nucliadb_spark.operators import ann as ann_ops
+
+    return ann_ops.ivf_drift_plan_sampled_sql(
+        _VECTOR_LOG_SQL, _BASE_CENTROIDS_SQL, dim=64, sample_pct=20
+    )
+
+
+@register("ivf_drift_plan_sampled", _ivf_drift_sampled_oracle())
+def ivf_drift_plan_sampled(spark, sf_dir):
+    """The 100 TB shape of the drift review: `ivf_drift_plan` is an
+    honest full-log audit (linear in versions — SCALE.md measured
+    11× at a 100× corpus), so the per-cycle operator samples. A
+    portable md5(rid) bucket keeps each document's WHOLE version
+    history in or out atomically — liveness inside the sample is
+    exact — and the drift verdict (would-move rate, live share)
+    estimates from the 20% sample at 1/5 the review cost; at larger
+    corpora sample_pct shrinks to hold the budget constant.
+    est_n_live scales the live count back to corpus units. Same
+    reference anchor as the full plan (nidx/src/scheduler/
+    vector_merge.rs decides merges from per-segment COUNTERS, not a
+    corpus scan — sampling is the Spark analog of reviewing cheap
+    summaries instead of data)."""
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators import ann as ann_ops
+
+    vectors = tpch.vectors(spark, sf_dir)
+    cents = cached_df(
+        sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+    )
+    return ann_ops.ivf_drift_plan_sampled(
+        ingest.cdc_vector_log(vectors), cents, sample_pct=20
+    )
+
+
 _REFRESH_HEAD = 3_000_000  # all waves applied
 _DRIFT_RETRAIN_SHARE = 0.05  # retrain when ≥5% of live vectors would move
 

@@ -65,6 +65,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_catalog_facets_served",
     "incremental_refresh_report",
     "catalog_facets_as_of",
+    "ivf_drift_plan_sampled",
     # --- latest driver evidence: r5 (35 queries, alphabetical) ---
     "conversation_typed_search",
     "dedup_best_survivor",
@@ -110,9 +111,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "bm25_prefiltered",
     "bm25_stop_words",
     "bm25_synonyms",
-    "catalog_count",
     # ---------------- end of the 50-seat graded window ----------------
-    # --- tail: latest driver evidence r6 (remaining 41, alphabetical) ---
+    # --- tail: latest driver evidence r6 (remaining 42, alphabetical) ---
+    "catalog_count",
     "catalog_facet_rollup",
     "catalog_facets",
     "catalog_fuzzy_title",

@@ -553,6 +553,86 @@ def test_ivf_drift_detected_and_retrain_recovers(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_ivf_drift_plan_sampled(spark):
+    """The sampled drift review: (a) at sample_pct=100 it IS the full
+    plan (same rows, renamed count columns, est == n_live); (b) at
+    20% the sample keys on rid so every sampled document carries its
+    COMPLETE version history (liveness inside the sample is exact);
+    (c) the drift wave of the full-plan fixture stays visible from
+    the sample (would-move rate survives estimation)."""
+    import numpy as np
+
+    from nucliadb_spark.functions.text import md5_int60
+    from nucliadb_spark.operators import ann
+
+    dim, n_clusters, per = 16, 4, 80
+    rng = np.random.default_rng(20260815)
+
+    def norm(v):
+        return v / np.linalg.norm(v)
+
+    centers = [norm(rng.uniform(-1, 1, dim)) for _ in range(n_clusters)]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            i = ci * per + j
+            v = norm(c + norm(rng.uniform(-1, 1, dim)) * 0.05)
+            rows.append((i, i, "upsert", [float(x) for x in v]))
+    new_center = norm(centers[0] + centers[1])
+    for i in range(0, n_clusters * per, 3):  # heavy re-embed wave
+        v = norm(new_center + norm(rng.uniform(-1, 1, dim)) * 0.05)
+        rows.append((i, i + 10**6, "upsert", [float(x) for x in v]))
+    for i in range(5, n_clusters * per, 13):
+        rows.append((i, i + 2 * 10**6, "delete", None))
+    log = spark.createDataFrame(
+        rows, "rid long, seq long, op string, vector array<double>"
+    )
+    cents = ann.cell_centroids(
+        log.filter("seq < 1000000").selectExpr(
+            "rid", "vector", "CAST(rid DIV 80 AS INT) AS cluster_label"
+        )
+    ).cache()
+
+    full = ann.ivf_drift_plan(log, cents).collect()
+    s100 = ann.ivf_drift_plan_sampled(log, cents, sample_pct=100).collect()
+    assert [
+        (r.cell, r.n_live_sampled, r.n_dead_sampled, r.n_would_move_sampled,
+         r.live_share)
+        for r in s100
+    ] == [
+        (r.cell, r.n_live, r.n_dead_versions, r.n_would_move, r.live_share)
+        for r in full
+    ]
+    assert all(r.est_n_live == r.n_live_sampled for r in s100)
+
+    s20 = ann.ivf_drift_plan_sampled(log, cents, sample_pct=20).collect()
+    in_sample = (
+        md5_int60(F.col("rid").cast("string"), salt="drift:") % 100 < 20
+    )
+    sampled_rids = {r.rid for r in log.filter(in_sample).select("rid").distinct().collect()}
+    # rid-atomic: version counts in the sampled plan reconstruct the
+    # per-rid upsert histories of exactly the sampled rids, nothing
+    # partial (delete ops carry no payload — they flip liveness only)
+    n_versions = log.filter(
+        F.col("rid").isin(list(sampled_rids)) & (F.col("op") == "upsert")
+    ).count()
+    assert sum(r.n_live_sampled + r.n_dead_sampled for r in s20) == n_versions
+    assert sum(r.est_n_live for r in s20) == 5 * sum(
+        r.n_live_sampled for r in s20
+    )
+    # the wave is visible from the sample: a meaningful share of the
+    # sampled live vectors would move under one Lloyd refresh
+    live_s = sum(r.n_live_sampled for r in s20)
+    move_s = sum(r.n_would_move_sampled for r in s20)
+    live_f = sum(r.n_live for r in full)
+    move_f = sum(r.n_would_move for r in full)
+    assert move_s > 0 and live_s > 0
+    assert abs(move_s / live_s - move_f / live_f) < 0.2
+
+    with pytest.raises(ValueError):
+        ann.ivf_drift_plan_sampled(log, cents, sample_pct=30)
+
+
 def test_incremental_refresh_results_equal_batch_rebuild(spark, sf_dir):
     """The refresh capstone's contract: after the pipeline runs (diff
     → export → re-embed → ingest → drift → conditional retrain), the
