@@ -12,16 +12,32 @@ plan shape without filesystem management in the test harness.
 
 Correctness is unaffected: the cache stores exactly the DataFrame the
 builder returns, keyed by (sf_dir, name).
+
+The cache is a bounded LRU: as-of queries key per-snapshot sidecars
+by seq (``asof{seq}_text_post`` …), so a long multi-snapshot session
+would otherwise accumulate persisted frames without bound. Eviction
+unpersists the least-recently-used entry — dropping storage only;
+any plan still holding the frame recomputes it lazily, so eviction
+can never change results. Hot shared sidecars (the live text index,
+centroids) are touched every request and stay resident.
 """
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# ~50 distinct sidecar names exist repo-wide (9 of them per as-of
+# snapshot), so 128 holds every live index across two corpora PLUS a
+# handful of concurrently-warm snapshots without eviction — generous
+# for a session, bounded for a long-running multi-tenant one.
+MAX_ENTRIES = int(os.environ.get("NUCLIADB_SPARK_CACHE_MAX", "128"))
+
+_CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
 
 
 def cached_df(sf_dir: str, name: str, builder: Callable[[], DataFrame]) -> DataFrame:
@@ -34,6 +50,14 @@ def cached_df(sf_dir: str, name: str, builder: Callable[[], DataFrame]) -> DataF
     if cached is None:
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         _CACHE[key] = cached
+        while len(_CACHE) > MAX_ENTRIES:
+            _, evicted = _CACHE.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # dead context — storage is already gone
+    else:
+        _CACHE.move_to_end(key)
     return cached
 
 
