@@ -421,13 +421,23 @@ def bm25_sql(
     """DuckDB twin of :func:`bm25_search` (same CTE pipeline).
 
     matched_sql: override for the matched-terms CTE body (a SELECT
-    yielding (term, boost) — may reference `post`); lets callers
-    swap in a dynamic term set such as autocorrected query terms.
+    yielding (term, boost) — may reference the `vocab (term,
+    df BIGINT)` CTE the scaffold provides); lets callers swap in a
+    dynamic term set such as autocorrected query terms.
 
     where: rebuild-prefilter twin — restricts the corpus before index
     stats. served_where: served-prefilter twin (`allowed` in
     bm25_search) — restricts only the scored candidate docs; df/N/
-    avgdl stay global."""
+    avgdl stay global.
+
+    Single-pass shape (r11): the corpus-wide unnest→GROUP BY postings
+    materialization (one row per (rid, term) over EVERY term) was the
+    driver-box OOM class of CORRECTNESS_r10 — at sf0.01 it hashes
+    millions of (rid, term) pairs when only the handful of query
+    terms matter. dl is row-local (len(toks)); per-term tf is
+    row-local (len(list_filter)); `post` holds only (rid, matched
+    term) rows. The full token stream is scanned at most once, and
+    only when fuzzy/matched_sql genuinely need the vocabulary."""
     toks = tokenize_py(query)
     if stop_words:
         toks = remove_stop_words(toks)
@@ -443,7 +453,7 @@ def bm25_sql(
 matched AS (
   SELECT term,
          CASE WHEN term IN ({term_list}) THEN 1.0 ELSE 0.5 END AS boost
-  FROM (SELECT DISTINCT term FROM post)
+  FROM vocab
   WHERE len(list_filter([{term_list}], q -> levenshtein(term, q) <= 1)) > 0{swap_pred}
 )"""
     else:
@@ -456,6 +466,21 @@ matched AS (
 matched AS (
 {matched_sql}
 )"""
+    # the vocabulary (distinct corpus terms + doc frequency) requires
+    # a full token-stream scan — only pay it when the matched set is
+    # dynamic (fuzzy lev<=1 probe, autocorrect); static term lists
+    # never touch it
+    vocab = (
+        """
+vocab AS (
+  SELECT term, COUNT(*)::BIGINT AS df
+  FROM (SELECT DISTINCT rid, term
+        FROM (SELECT rid, unnest(toks) AS term FROM base))
+  GROUP BY term
+),"""
+        if (fuzzy or matched_sql is not None)
+        else ""
+    )
     ematch_agg = (
         ", list_sort(list(DISTINCT p.term)) AS ematches" if with_ematches else ""
     )
@@ -480,16 +505,20 @@ matched AS (
     return f"""
 WITH fields AS ({fields_sql}),
 filtered AS (SELECT * FROM fields {where_sql}),
-toks AS (
-  SELECT rid, unnest({tokenize_sql("text")}) AS term FROM filtered
+base AS NOT MATERIALIZED (
+  SELECT rid, {tokenize_sql("text")} AS toks FROM filtered
 ),
-post AS (SELECT rid, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-docstats AS (SELECT rid, SUM(tf) AS dl FROM post GROUP BY rid),
-corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),
+docstats AS (SELECT rid, len(toks)::DOUBLE AS dl FROM base WHERE len(toks) > 0),
+corpus AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM docstats),{vocab}
 {matched},
+post AS (
+  SELECT b.rid, m.term, m.boost,
+         len(list_filter(b.toks, t -> t = m.term))::DOUBLE AS tf
+  FROM base b JOIN matched m ON list_contains(b.toks, m.term)
+),
 dfreq AS (
-  SELECT p.term, m.boost, COUNT(*)::DOUBLE AS df
-  FROM post p JOIN matched m USING (term)
+  SELECT term, boost, COUNT(*)::DOUBLE AS df
+  FROM post
   GROUP BY 1, 2
 ),
 scored AS (

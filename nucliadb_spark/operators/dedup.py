@@ -272,15 +272,25 @@ FROM sigs"""
         for b in range(bands)
     )
     shingles_expr = distinct_shingles_sql("text", shingle)
+    # memory shape (r11): the corpus-wide shingle-list CTE used to be
+    # referenced three times (explode + both sides of the verify
+    # join), materializing every document's shingle list at once —
+    # the r10 driver-box OOM class. Now the full corpus is shingled
+    # exactly once, streamed straight into the minhash aggregation
+    # (NOT MATERIALIZED), the small per-doc signature table IS
+    # materialized (one row, 24 ints — read by all 8 band scans),
+    # and the exact-Jaccard verify re-shingles ONLY the candidate
+    # docs (a few hundred rows), mirroring the Spark twin's
+    # candidates-only verify.
     return f"""
 WITH corpus AS ({corpus_sql}),
-shingled AS (
+shingled AS NOT MATERIALIZED (
   SELECT id, {shingles_expr} AS shs FROM corpus
 ),
 exploded AS (
   SELECT id, unnest(shs) AS sh FROM shingled
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT id, {sig_aggs}
   FROM exploded
   GROUP BY id
@@ -288,10 +298,14 @@ sigs AS (
 banded AS (
 {band_selects}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+cand_shs AS MATERIALIZED (
+  SELECT id, shs FROM shingled
+  WHERE id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
 ),
 verified AS (
   SELECT c.id_a, c.id_b,
@@ -299,8 +313,8 @@ verified AS (
          (len(sa.shs) + len(sb.shs)
           - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE AS uni
   FROM cand c
-  JOIN shingled sa ON sa.id = c.id_a
-  JOIN shingled sb ON sb.id = c.id_b
+  JOIN cand_shs sa ON sa.id = c.id_a
+  JOIN cand_shs sb ON sb.id = c.id_b
 )
 SELECT id_a, id_b, ROUND(inter / uni, 5)::DOUBLE AS jaccard
 FROM verified

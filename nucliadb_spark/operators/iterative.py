@@ -260,17 +260,23 @@ def pagerank_sql(
 ) -> str:
     """Unrolled twin: one CTE per power iteration (recursive CTEs
     forbid the aggregation each step needs, so a FIXED iteration
-    count unrolls honestly)."""
+    count unrolls honestly).
+
+    Every shared CTE carries a MATERIALIZED hint: DuckDB inlines
+    CTEs by default, so without the hints pr{iters} expands to ~k
+    concurrent copies of the DISTINCT-edges subtree — the r10
+    driver-box OOM shape. Materialized, each iteration reads one
+    small (node, pr) table (200MB-cap tested at sf0.01)."""
     base = f"""
 WITH rel AS ({edges_sql}),
-e AS (SELECT DISTINCT {src_col} AS a, {dst_col} AS b FROM rel),
-nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+e AS MATERIALIZED (SELECT DISTINCT {src_col} AS a, {dst_col} AS b FROM rel),
+nodes AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e),
 nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
-outdeg AS (SELECT a, COUNT(*)::DOUBLE AS deg FROM e GROUP BY a),
-pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+outdeg AS MATERIALIZED (SELECT a, COUNT(*)::DOUBLE AS deg FROM e GROUP BY a),
+pr0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
     for k in range(1, iters + 1):
         base += f""",
-pr{k} AS (
+pr{k} AS MATERIALIZED (
   SELECT nodes.node,
          ROUND((1.0 - {damping}) / nn.n
                + {damping} * COALESCE(s.m, 0.0), 9) AS pr

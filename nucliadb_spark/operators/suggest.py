@@ -333,7 +333,8 @@ def correction_matched_sql(query: str) -> str:
     pass through, absent terms are replaced by their did-you-mean
     correction (same candidate rule as query_correction), terms with
     no correction drop out. References the surrounding pipeline's
-    `post` CTE for the vocabulary."""
+    `vocab (term, df)` CTE (bm25_sql emits it whenever matched_sql
+    is set)."""
     from nucliadb_spark.functions.text import tokenize_py, transposition_variants
 
     terms = sorted(set(tokenize_py(query)))
@@ -347,8 +348,7 @@ def correction_matched_sql(query: str) -> str:
         else "SELECT '' AS q, '' AS v WHERE false"
     )
     return f"""
-  WITH vocab AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
-  qterms AS (SELECT unnest([{lst}]) AS q),
+  WITH qterms AS (SELECT unnest([{lst}]) AS q),
   missing AS (SELECT q FROM qterms WHERE q NOT IN (SELECT term FROM vocab)),
   swaps AS ({swaps_values}),
   cand AS (
