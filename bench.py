@@ -105,6 +105,11 @@ HEADLINE = [
     # ivf_drift_plan over a rid-atomic 20% md5 sample; should sit
     # WELL below the full plan and the gap widens with the corpus
     "ivf_drift_plan_sampled",
+    # round 11: the filtered snapshot flagship (filters + as_of — the
+    # Facet tree resolves from the seq-cut label log, allowed set
+    # semijoins each leg; should sit near find_hybrid_as_of since
+    # the label resolution is one more seq-pruned max_by)
+    "find_hybrid_as_of_filtered",
 ]
 
 

@@ -64,6 +64,21 @@ def _without_prequeries(req: "FindRequest") -> "FindRequest":
     return replace(req, prequeries=None)
 
 
+def _label_snapshot_filterable(expr: Expr) -> bool:
+    """True iff every leaf of the filter tree is a label/facet
+    predicate — the one plane whose op log (cdc_label_log, with
+    before-images) gives the predicate a snapshot identity, so it can
+    resolve AS OF a seq. And/Or/Not compose; anything referencing
+    batch-corpus metadata (dates, security, JSON KV) does not."""
+    from nucliadb_spark.operators.filters import And, Facet, Not, Or
+
+    if isinstance(expr, (And, Or)):
+        return all(_label_snapshot_filterable(e) for e in expr.operands)
+    if isinstance(expr, Not):
+        return _label_snapshot_filterable(expr.operand)
+    return isinstance(expr, Facet) and expr.column == "labels"
+
+
 @dataclass
 class FindRequest:
     query: str
@@ -162,16 +177,54 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # point, the per-leg resolution being the identical single
     # max_by shuffle the live CDC reads pay). A `fields` scope
     # composes: the fielded op log carries field_key, so the scoped
-    # field-key set resolves AS OF the same seq (below). Rephrase and
-    # filters still reference batch-corpus metadata with no snapshot
-    # identity, so those combinations are rejected rather than
-    # silently answered against mixed snapshots.
+    # field-key set resolves AS OF the same seq (below). Label/facet
+    # filters compose too (r11): the label op log with before-images
+    # gives label state a snapshot identity, so a filter tree whose
+    # every leaf is a Facet resolves from the seq-cut label log —
+    # the reference's prefilter semantics
+    # (nidx/nidx_text/src/reader.rs:148-180) at a snapshot the
+    # reference cannot express. Rephrase and non-label predicates
+    # (dates, security, JSON KV — batch-corpus metadata with no op
+    # log) stay rejected rather than silently answered against mixed
+    # snapshots.
     as_of = req.as_of
-    if as_of is not None and (req.rephrase or filters is not None):
+    if as_of is not None and req.rephrase:
+        raise ValueError("as_of does not compose with rephrase (not snapshot-resolved)")
+    if (
+        as_of is not None
+        and filters is not None
+        and not _label_snapshot_filterable(filters)
+    ):
         raise ValueError(
-            "as_of does not compose with rephrase / filters "
-            "(not snapshot-resolved)"
+            "as_of composes only with label/facet filters — other "
+            "predicates reference batch-corpus metadata with no "
+            "snapshot identity"
         )
+    if as_of is not None and filters is not None and req.fields:
+        raise ValueError(
+            "as_of + filters + fields scope is not composed yet; "
+            "drop one of the three"
+        )
+
+    # the snapshot-resolved prefilter: allowed rids = label state AS
+    # OF the same seq, evaluated by the unchanged filter compiler
+    # (Facet.to_column works on any (rid, labels) frame). Session-
+    # cached per (snapshot) like every other as-of sidecar.
+    asof_allowed = None
+    if as_of is not None and filters is not None:
+        from nucliadb_spark.cache import cached_df
+        from nucliadb_spark.streaming import ingest
+
+        label_state = cached_df(
+            sf_dir,
+            f"asof{as_of}_labels",
+            lambda: ingest.cdc_live_labels(
+                ingest.cdc_label_log(
+                    tpch.fields(spark, sf_dir).select("rid", "labels")
+                ).filter(F.col("seq") <= as_of)
+            ),
+        )
+        asof_allowed = label_state.filter(filters.to_column()).select("rid")
 
     # `fields` scope: validate, then resolve the scoped field-key set
     # and the owning-resource frame once (both reused across legs).
@@ -304,6 +357,11 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             post=post,
             stats=stats,
             corpus=corpus,
+            # the snapshot-resolved label prefilter: candidates
+            # restrict via semijoin while the snapshot's df/N/avgdl
+            # stay global — the same serve-time contract as the live
+            # prefilter (never a stats rebuild)
+            allowed=asof_allowed,
         ).select(F.col("rid").alias("id"), "score")
     elif "keyword" in features and req.query.strip() and scoped_keys:
         # field-scoped keyword search SERVES from the session-cached
@@ -433,7 +491,11 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             else:
                 vectors = tpch.vectors(spark, sf_dir)
             if filters is not None:
-                allowed = fields.filter(filters.to_column()).select("rid")
+                allowed = (
+                    asof_allowed
+                    if asof_allowed is not None
+                    else fields.filter(filters.to_column()).select("rid")
+                )
                 vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
             if scope_rids is not None:
                 vectors = vectors.join(F.broadcast(scope_rids), "rid", "semi")
@@ -447,7 +509,12 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             )
 
     if "graph" in features and req.entity_sources:
-        gdf = fields if filters is None else fields.filter(filters.to_column())
+        if filters is None:
+            gdf = fields
+        elif asof_allowed is not None:
+            gdf = fields.join(F.broadcast(asof_allowed), "rid", "semi")
+        else:
+            gdf = fields.filter(filters.to_column())
         if scope_rids is not None:
             gdf = gdf.join(F.broadcast(scope_rids), "rid", "semi")
         sources["graph"] = (
@@ -503,9 +570,11 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 .distinct()
             )
             if filters is not None:
-                allowed = fields.filter(filters.to_column()).select(
-                    F.col("rid").alias("id")
-                )
+                allowed = (
+                    asof_allowed
+                    if asof_allowed is not None
+                    else fields.filter(filters.to_column()).select("rid")
+                ).select(F.col("rid").alias("id"))
                 g = g.join(allowed, "id", "semi")
             if scope_rids is not None:
                 g = g.join(

@@ -343,6 +343,10 @@ def ivf_drift_plan_sampled_sql(
     runs unchanged over the sample."""
     from nucliadb_spark.functions.text import md5_int60_sql
 
+    if 100 % sample_pct:
+        # mirror the Spark twin: a non-divisor pct would silently
+        # floor-divide the factor and underestimate est_n_live
+        raise ValueError("sample_pct must divide 100 for exact scale-up")
     factor = 100 // sample_pct
     bucket = md5_int60_sql("CAST(rid AS VARCHAR)", salt="drift:")
     sampled_log = (
@@ -358,6 +362,213 @@ SELECT cell, n_live AS n_live_sampled,
 FROM ({inner})
 ORDER BY cell
 """
+
+
+def ivf_drift_counters(
+    versions: DataFrame,
+    base_centroids: DataFrame,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(cell, n_live, n_dead_versions, live_share) — the COUNTER half
+    of :func:`ivf_drift_plan`, without the Lloyd-step geometry
+    (refreshed centroids / n_would_move). This is what nidx's merge
+    scheduler actually reads — per-segment record/deletion counters,
+    never vector geometry (nidx/src/scheduler/log_merge.rs:59,
+    vector_merge.rs) — and it is the half an incremental review can
+    maintain in delta-proportional time."""
+    ups = versions.filter(F.col("op") == "upsert").select("rid", "seq", vec_col)
+    assigned = assign_cells(ups, base_centroids, keys=("rid", "seq"))
+    last = versions.groupBy("rid").agg(
+        F.max("seq").alias("seq"),
+        (F.max_by("op", "seq") == "upsert").alias("alive"),
+    )
+    flagged = assigned.join(
+        last.filter("alive").select("rid", "seq").withColumn("live", F.lit(1)),
+        ["rid", "seq"],
+        "left",
+    ).withColumn("live", F.coalesce("live", F.lit(0)))
+    per_cell = flagged.groupBy(F.col("cluster_label").alias("cell")).agg(
+        F.sum("live").cast("long").alias("n_live"),
+        F.sum(1 - F.col("live")).cast("long").alias("n_dead_versions"),
+    )
+    total = flagged.groupBy().agg(F.sum("live").cast("double").alias("n_total"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_live",
+            "n_dead_versions",
+            F.round(F.col("n_live") / F.col("n_total"), 4)
+            .cast("double")
+            .alias("live_share"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_drift_counters_sql(
+    log_sql: str, base_centroids_sql: str, dim: int
+) -> str:
+    """DuckDB twin of :func:`ivf_drift_counters`."""
+    cos_vb = V.cosine_sql_unrolled("u.vector", "b.centroid", dim)
+    return f"""
+WITH log AS ({log_sql}),
+base_cent AS ({base_centroids_sql}),
+ups AS (SELECT rid, seq, vector FROM log WHERE op = 'upsert'),
+assigned AS (
+  SELECT rid, seq, cell AS cluster_label FROM (
+    SELECT u.rid, u.seq, b.cell,
+           row_number() OVER (
+             PARTITION BY u.rid, u.seq
+             ORDER BY ROUND({cos_vb}, 6) DESC, b.cell ASC) AS rn
+    FROM ups u CROSS JOIN base_cent b
+  ) WHERE rn = 1
+),
+last AS (
+  SELECT rid, MAX(seq) AS seq,
+         max_by(op, seq) = 'upsert' AS alive
+  FROM log GROUP BY rid
+),
+flagged AS (
+  SELECT a.*, CASE WHEN l.rid IS NOT NULL THEN 1 ELSE 0 END AS live
+  FROM assigned a
+  LEFT JOIN (SELECT rid, seq FROM last WHERE alive) l
+    ON a.rid = l.rid AND a.seq = l.seq
+),
+per_cell AS (
+  SELECT cluster_label AS cell,
+         SUM(live)::BIGINT AS n_live,
+         SUM(1 - live)::BIGINT AS n_dead_versions
+  FROM flagged GROUP BY 1
+),
+total AS (SELECT SUM(live)::DOUBLE AS n_total FROM flagged)
+SELECT CAST(p.cell AS BIGINT) AS cell, p.n_live, p.n_dead_versions,
+       ROUND(p.n_live / t.n_total, 4)::DOUBLE AS live_share
+FROM per_cell p CROSS JOIN total t
+ORDER BY cell
+"""
+
+
+def ivf_live_cells(
+    versions: DataFrame,
+    base_centroids: DataFrame,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(rid, seq, cell): every rid's live version with its ingest-rule
+    cell — the checkpoint artifact :func:`ivf_drift_plan_incremental`
+    consumes. Materially this IS the serving index's key layout
+    (cdc_vector_ingest keeps exactly (rid, seq, cell, vector) live
+    rows), so a real deployment reads it for free."""
+    last = versions.groupBy("rid").agg(
+        F.max_by(F.struct("seq", "op", vec_col), "seq").alias("last")
+    )
+    live = last.filter(F.col("last.op") == "upsert").select(
+        "rid",
+        F.col("last.seq").alias("seq"),
+        F.col(f"last.{vec_col}").alias(vec_col),
+    )
+    return assign_cells(live, base_centroids, keys=("rid", "seq")).select(
+        "rid", "seq", F.col("cluster_label").alias("cell")
+    )
+
+
+def ivf_drift_plan_incremental(
+    prior_counters: DataFrame,
+    prior_live: DataFrame,
+    delta_log: DataFrame,
+    base_centroids: DataFrame,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Post-checkpoint drift review: merge the PRIOR review's per-cell
+    counters with only the op-log segments past its seq watermark —
+    cost proportional to the DELTA, not the corpus (the log is
+    seq-partitioned, so the delta read is partition pruning; the only
+    corpus-sized touch is a rid-semijoin against the live index
+    layout, no geometry). Counter algebra per touched rid:
+
+    - every delta upsert version gets its ingest-rule cell; the ones
+      that are not the rid's final live version are newly DEAD in
+      their own cell,
+    - a rid live at the checkpoint that is touched at all has its
+      checkpoint version superseded: -1 live / +1 dead in its OLD
+      cell,
+    - a rid alive after the delta adds +1 live in its NEW cell.
+
+    The fold is associative, so incremental-since-checkpoint equals
+    :func:`ivf_drift_counters` over the full log (tested, and the
+    registry oracle IS the full-log counter SQL — every driver hash
+    check re-proves the equality). The geometry half (refreshed
+    centroids, would-move) stays with the full/sampled reviews:
+    nidx schedules merges from counters exactly like this and
+    reserves geometry for the rebuild itself
+    (nidx/src/scheduler/vector_merge.rs).
+
+    prior_counters: (cell, n_live, n_dead_versions) at the checkpoint.
+    prior_live: (rid, seq, cell) live layout at the checkpoint
+        (:func:`ivf_live_cells`, or the serving index directly).
+    delta_log: ops with seq strictly past the checkpoint.
+    """
+    ups = delta_log.filter(F.col("op") == "upsert").select("rid", "seq", vec_col)
+    assigned = assign_cells(ups, base_centroids, keys=("rid", "seq"))
+    new_last = delta_log.groupBy("rid").agg(
+        F.max("seq").alias("seq"),
+        (F.max_by("op", "seq") == "upsert").alias("alive"),
+    )
+    final_live_keys = new_last.filter("alive").select("rid", "seq")
+    new_live = assigned.join(final_live_keys, ["rid", "seq"], "semi")
+    # newly-dead versions: delta upserts that are not the final live one
+    dead_new = assigned.join(final_live_keys, ["rid", "seq"], "left_anti")
+    # prior live versions superseded by ANY delta op on their rid
+    touched = delta_log.select("rid").distinct()
+    prior_superseded = prior_live.join(F.broadcast(touched), "rid", "semi")
+
+    d_live = (
+        new_live.groupBy(F.col("cluster_label").alias("cell"))
+        .agg(F.count("*").cast("long").alias("d"))
+        .unionByName(
+            prior_superseded.groupBy("cell").agg(
+                (-F.count("*")).cast("long").alias("d")
+            )
+        )
+        .groupBy("cell")
+        .agg(F.sum("d").cast("long").alias("d_live"))
+    )
+    d_dead = (
+        dead_new.select(F.col("cluster_label").alias("cell"))
+        .unionByName(prior_superseded.select("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("d_dead"))
+    )
+    merged = (
+        prior_counters.select("cell", "n_live", "n_dead_versions")
+        .join(d_live, "cell", "full")
+        .join(d_dead, "cell", "full")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            (F.coalesce("n_live", F.lit(0)) + F.coalesce("d_live", F.lit(0)))
+            .cast("long")
+            .alias("n_live"),
+            (
+                F.coalesce("n_dead_versions", F.lit(0))
+                + F.coalesce("d_dead", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dead_versions"),
+        )
+    )
+    total = merged.groupBy().agg(F.sum("n_live").cast("double").alias("n_total"))
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_live",
+            "n_dead_versions",
+            F.round(F.col("n_live") / F.col("n_total"), 4)
+            .cast("double")
+            .alias("live_share"),
+        )
+        .orderBy("cell")
+    )
 
 
 def probe_cells(

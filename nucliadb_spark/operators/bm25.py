@@ -417,6 +417,7 @@ def bm25_sql(
     served_where: str | None = None,
     min_score: float | None = None,
     matched_sql: str | None = None,
+    served_in_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (same CTE pipeline).
 
@@ -497,11 +498,18 @@ vocab AS (
         having = f"HAVING COUNT(*) = {required}"
     else:
         having = ""
-    served_cond = (
-        f"WHERE p.rid IN (SELECT rid FROM fields WHERE {served_where})"
-        if served_where
-        else ""
-    )
+    # served_in_sql: like served_where but the allowed set is a full
+    # SELECT of rids (e.g. a seq-cut label-state resolution) rather
+    # than a predicate over the scaffold's own `fields` CTE
+    if served_in_sql is not None:
+        assert served_where is None, "pick one served prefilter form"
+        served_cond = f"WHERE p.rid IN ({served_in_sql})"
+    else:
+        served_cond = (
+            f"WHERE p.rid IN (SELECT rid FROM fields WHERE {served_where})"
+            if served_where
+            else ""
+        )
     return f"""
 WITH fields AS ({fields_sql}),
 filtered AS (SELECT * FROM fields {where_sql}),

@@ -159,6 +159,84 @@ def cdc_catalog_facets_served(spark, sf_dir):
     return cat.faceted_search_from_counters(counters, roots=_FACET_ROOTS)
 
 
+def _facet_counter_compaction_oracle() -> str:
+    """The compacted sidecar's shape is pure log algebra: net delta
+    per facet over the full op log (+1 per new-version label, -1 per
+    before-image label) — DuckDB replays the deterministic wave
+    schedule, no knowledge of micro-batch boundaries needed (the fold
+    is associative, so batch split cannot change the net)."""
+    relabel = (
+        "list_transform(labels, l -> CASE WHEN starts_with(l, '/l/type/') "
+        "THEN '/l/type/relabeled' ELSE l END)"
+    )
+    return f"""
+WITH res AS (SELECT rid, labels FROM ({tpch.SQL_RESOURCES})),
+log AS (
+  SELECT labels, NULL AS prev_labels FROM res
+  UNION ALL
+  SELECT {relabel}, labels FROM res WHERE rid % 7 = 0
+  UNION ALL
+  SELECT NULL, CASE WHEN rid % 7 = 0 THEN {relabel} ELSE labels END
+  FROM res WHERE rid % 11 = 0
+),
+deltas AS (
+  SELECT facet, SUM(delta)::BIGINT AS delta FROM (
+    SELECT unnest(labels) AS facet, 1 AS delta FROM log
+    WHERE labels IS NOT NULL
+    UNION ALL
+    SELECT unnest(prev_labels), -1 FROM log WHERE prev_labels IS NOT NULL
+  ) GROUP BY facet
+)
+SELECT COUNT(*) FILTER (WHERE delta <> 0)::BIGINT AS n_facet_rows_compacted,
+       COUNT(*) FILTER (WHERE delta > 0)::BIGINT AS n_facets_live,
+       COALESCE(SUM(delta) FILTER (WHERE delta > 0), 0)::BIGINT AS n_total_live
+FROM deltas
+"""
+
+
+@register("facet_counter_compaction", _facet_counter_compaction_oracle())
+def facet_counter_compaction(spark, sf_dir):
+    """S4 maintenance for the r10 counter sidecar — the merge job its
+    ingest docstring promised: drain the label op log into per-batch
+    (facet, delta) partials, COMPACT them to one net row per facet
+    (ingest.compact_facet_counters — partial dirs replaced by a
+    single batch=-1 base the next resumed ingest appends beside), and
+    report the compacted shape: rows kept, live facets, total live
+    label holdings. The oracle replays the fold as pure log algebra
+    (net delta per facet), which micro-batch boundaries cannot change
+    — associativity IS the compaction correctness argument.
+    results-before==after is pinned by
+    test_facet_counter_compaction_preserves_serve_reads."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_scalar
+
+    res = tpch.resources(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="fctr_cmp_")
+        ingest.cdc_label_log(res).repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_facet_counter_ingest(
+            spark, f"{workdir}/log", f"{workdir}/counters", f"{workdir}/ckpt"
+        )
+        ingest.compact_facet_counters(spark, f"{workdir}/counters")
+        return workdir
+
+    wd = cached_scalar(res, sf_dir, "fctr_cmp_workdir", build)
+    compacted = spark.read.parquet(f"{wd}/counters")
+    return compacted.agg(
+        F.count("*").cast("long").alias("n_facet_rows_compacted"),
+        F.sum((F.col("delta") > 0).cast("long")).alias("n_facets_live"),
+        F.coalesce(
+            F.sum(F.when(F.col("delta") > 0, F.col("delta"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_total_live"),
+    )
+
+
 def _catalog_facets_as_of_oracle() -> str:
     from nucliadb_spark.operators import catalog as cat
 
@@ -185,13 +263,10 @@ def catalog_facets_as_of(spark, sf_dir):
 
     from nucliadb_spark.operators import catalog as cat
 
-    live = (
-        ingest.cdc_label_log(tpch.resources(spark, sf_dir))
-        .filter(F.col("seq") <= 1_500_000)
-        .groupBy("rid")
-        .agg(F.max_by(F.struct("op", "labels"), "seq").alias("last"))
-        .filter(F.col("last.op") == "upsert")
-        .select("rid", F.col("last.labels").alias("labels"))
+    live = ingest.cdc_live_labels(
+        ingest.cdc_label_log(tpch.resources(spark, sf_dir)).filter(
+            F.col("seq") <= 1_500_000
+        )
     )
     return cat.faceted_search(live, roots=_FACET_ROOTS)
 
@@ -676,6 +751,78 @@ def ivf_drift_plan_sampled(spark, sf_dir):
     )
 
 
+_DRIFT_CKPT = 500_000  # post-base-inserts; revision + delete waves follow
+
+
+def _ivf_drift_incremental_oracle() -> str:
+    # incremental-since-checkpoint == full-log counters by
+    # construction (the fold is associative), so the oracle IS the
+    # full-log counter SQL — every driver hash check re-proves the
+    # equality the operator claims.
+    from nucliadb_spark.operators import ann as ann_ops
+
+    return ann_ops.ivf_drift_counters_sql(
+        _VECTOR_LOG_SQL, _BASE_CENTROIDS_SQL, dim=64
+    )
+
+
+@register("ivf_drift_plan_incremental", _ivf_drift_incremental_oracle())
+def ivf_drift_plan_incremental(spark, sf_dir):
+    """The SECOND 100 TB shape of the drift review (SCALE.md names
+    both): review only the op-log segments past the LAST review's seq
+    watermark (the log is seq-partitioned, so the delta read is
+    partition pruning) and merge per-cell counter deltas into the
+    prior review's artifact. Here the checkpoint sits after the base
+    inserts (seq 500k), so the delta is the re-embed wave (rid%6,
+    REVERSED vectors — these change cells) plus the delete wave
+    (rid%9): each touched rid subtracts its checkpoint cell's live
+    count, adds its new cell's (if still alive), and every superseded
+    version lands in dead counters. Cost ∝ delta: cell assignment
+    runs over delta upserts only; the corpus is touched only by a
+    rid-semijoin against the live index layout (which
+    cdc_vector_ingest maintains anyway). The geometry half
+    (Lloyd refresh / would-move) stays with the sampled review —
+    nidx's scheduler likewise decides merges from counters and
+    reserves geometry for the rebuild (nidx/src/scheduler/
+    log_merge.rs:59, vector_merge.rs). Incremental == full-log
+    counters by associativity: the oracle IS the full-log counter
+    SQL, and test_ivf_drift_incremental_equals_full pins the Spark
+    twin."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+    from nucliadb_spark.operators import ann as ann_ops
+
+    vectors = tpch.vectors(spark, sf_dir)
+    cents = cached_df(
+        sf_dir, "ivf_centroids", lambda: ann_ops.cell_centroids(vectors)
+    )
+    log = ingest.cdc_vector_log(vectors)
+    # the prior review's artifacts — in production these are read
+    # from the last cycle's output + the serving index; session-cached
+    # here exactly like every other checkpoint sidecar
+    prior_counters = cached_df(
+        sf_dir,
+        f"drift_ckpt{_DRIFT_CKPT}_counters",
+        lambda: ann_ops.ivf_drift_counters(
+            log.filter(F.col("seq") <= _DRIFT_CKPT), cents
+        ),
+    )
+    prior_live = cached_df(
+        sf_dir,
+        f"drift_ckpt{_DRIFT_CKPT}_live",
+        lambda: ann_ops.ivf_live_cells(
+            log.filter(F.col("seq") <= _DRIFT_CKPT), cents
+        ),
+    )
+    return ann_ops.ivf_drift_plan_incremental(
+        prior_counters,
+        prior_live,
+        log.filter(F.col("seq") > _DRIFT_CKPT),
+        cents,
+    )
+
+
 _REFRESH_HEAD = 3_000_000  # all waves applied
 _DRIFT_RETRAIN_SHARE = 0.05  # retrain when ≥5% of live vectors would move
 
@@ -1049,17 +1196,23 @@ def find_hybrid_as_of_after(spark, sf_dir):
     'page through this retrieval exactly as it stood at snapshot S'.
     `as_of` freezes every leg's corpus at one log seq;
     `search_after` keyset-pages the ranking fused FROM that frozen
-    corpus, so page 2 months later returns these exact rows (both
-    parameters thread through one FindRequest;
-    tests/test_find_api.py walks the full window via the API
-    asserting pages tile it with no overlap or gap). Page cost is
-    depth- AND corpus-independent: the cursor is a broadcast 1-row
-    join over the ≤window fused frame, the seq-pruned retriever legs
-    identical to page 1's (session-cached per snapshot, so page 2
-    reuses page 1's built as-of sidecars)."""
+    corpus, so page 2 months later returns these exact rows. The
+    registered plan replays the keyset algebra (cursor derivation +
+    page predicate) over the API's fused as-of ranking; the combined
+    search_after+as_of FindRequest path is covered by
+    test_as_of_after_pages_tile_the_snapshot_window, which walks the
+    full window via the API asserting pages tile it with no overlap
+    or gap. Page cost is depth- AND corpus-independent: the cursor
+    is a broadcast 1-row join over the ≤window fused frame, the
+    seq-pruned retriever legs identical to page 1's (session-cached
+    per snapshot, so page 2 reuses page 1's built as-of sidecars).
+    The fused ranking frame itself is session-cached (cached_df), so
+    the cursor derivation and the page filter share ONE evaluation
+    of the as-of pipeline instead of replaying it cold twice."""
     from pyspark.sql import Window, functions as F
 
     from nucliadb_spark import api
+    from nucliadb_spark.cache import cached_df
 
     req = api.FindRequest(
         query=_ASOF_HYBRID_Q,
@@ -1069,7 +1222,11 @@ def find_hybrid_as_of_after(spark, sf_dir):
         query_vec_id=5,
         as_of=_AS_OF_SEQ,
     )
-    ranking = api.find_request(spark, sf_dir, req)
+    ranking = cached_df(
+        sf_dir,
+        f"asof{_AS_OF_SEQ}_after_ranking",
+        lambda: api.find_request(spark, sf_dir, req),
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     cursor = (
         ranking.withColumn("rn", F.row_number().over(w))
@@ -1089,6 +1246,123 @@ def find_hybrid_as_of_after(spark, sf_dir):
             "score",
             F.array_join("matched_sources", ",").alias("matched_sources"),
         )
+    )
+
+
+def _asof_label_filter():
+    """The snapshot-filter tree the flagship composition exercises:
+    (lang de OR fr) AND NOT source src7 — And/Or/Not over Facet
+    leaves, the full label-expressible grammar."""
+    from nucliadb_spark.operators.filters import And, Facet, Not, Or
+
+    return And(
+        [
+            Or([Facet("/s/p/de"), Facet("/s/p/fr")]),
+            Not(Facet("/u/s/src7")),
+        ]
+    )
+
+
+def _asof_allowed_sql() -> str:
+    """Allowed-rid SELECT: label state resolved AS OF the seq (the
+    same latest-op-wins cut cdc_labels_live_sql gives the catalog
+    plane), filtered by the tree's SQL compilation."""
+    labels_asof = ingest.cdc_labels_live_sql(
+        f"SELECT rid, labels FROM ({tpch.SQL_FIELDS})", as_of=_AS_OF_SEQ
+    )
+    return (
+        f"SELECT rid FROM ({labels_asof}) WHERE {_asof_label_filter().to_sql()}"
+    )
+
+
+def _find_hybrid_as_of_filtered_oracle() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import fusion
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    allowed = _asof_allowed_sql()
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
+            q,
+            top_k=win,
+            mode="any",
+            served_in_sql=allowed,
+        )
+        + ")"
+    )
+    semantic = knn.exact_knn_sql(
+        _vector_as_of_sql(_AS_OF_SEQ),
+        _QVEC_SQL,
+        dim=64,
+        k=win,
+        where=f"rid IN ({allowed})",
+    )
+    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+    graph = f"""
+SELECT DISTINCT id, 1.0::DOUBLE AS score FROM (
+  SELECT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id
+  FROM ({live_rel_as_of})
+  WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
+    AND paragraph_id IS NOT NULL
+) WHERE id IN ({allowed})
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_as_of_filtered", _find_hybrid_as_of_filtered_oracle())
+def find_hybrid_as_of_filtered(spark, sf_dir):
+    """The FILTERED flagship at a snapshot — r10's remaining
+    composition half, lifted: `filters` (an And/Or/Not tree over
+    Facet leaves) + `as_of` through the serving API. The label op
+    log with before-images (ingest.cdc_label_log — the plane the r10
+    catalog CDC work introduced) gives label state a snapshot
+    identity, so the filter resolves from the seq-cut log (the same
+    latest-op-wins rid-keyed max_by every other leg pays) and the
+    allowed-rid set semijoins each leg's candidates while the
+    snapshot's corpus stats stay GLOBAL — the reference's serve-time
+    prefilter semantics (nidx/nidx_text/src/reader.rs:148-180) at a
+    snapshot the reference cannot express (indexing is destructive
+    past the seq guard, nidx/src/indexer.rs:121-253). At seq 1.5M
+    the delete wave (rid%11) is NOT yet applied, so resources
+    deleted later still satisfy the filter and can appear — the
+    observable difference vs filtering live labels (pinned by
+    test_as_of_filter_resolves_label_state_at_the_seq). Non-label
+    predicates (dates, security, JSON KV) keep raising ValueError:
+    they reference batch metadata with no op log, and answering
+    against mixed snapshots would be silently wrong."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+        filters=_asof_label_filter(),
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
     )
 
 

@@ -74,6 +74,10 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_relations_subgraph",
     "find_rephrased",
     "graph_pagerank",
+    # --- new r11 queries (seated once parity-green at sf0.001+0.01) ---
+    "find_hybrid_as_of_filtered",
+    "facet_counter_compaction",
+    "ivf_drift_plan_incremental",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

@@ -1393,6 +1393,19 @@ def cdc_label_log(resources: DataFrame) -> DataFrame:
     return base.unionByName(upd).unionByName(dele)
 
 
+def cdc_live_labels(log: DataFrame) -> DataFrame:
+    """(rid, labels) latest-op-wins live label state from a label op
+    log — the same rid-keyed max_by resolution every other CDC plane
+    pays. Cut the log at a seq first (``.filter(seq <= S)``) for the
+    snapshot read (catalog_facets_as_of, as-of label prefilters)."""
+    return (
+        log.groupBy("rid")
+        .agg(F.max_by(F.struct("op", "labels"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select("rid", F.col("last.labels").alias("labels"))
+    )
+
+
 def cdc_labels_live_sql(resources_sql: str, as_of: int | None = None) -> str:
     """DuckDB twin of cdc_label_log → latest-op-wins: the LIVE
     labels corpus (rid, labels) the batch facet aggregation sees —
@@ -1429,12 +1442,18 @@ def cdc_facet_counter_ingest(
 ) -> None:
     """Stream the label op log into the facet counter sidecar:
     each micro-batch folds its ops to per-facet deltas (+1 per label
-    of a new version, -1 per label of the before-image) and APPENDS
+    of a new version, -1 per label of the before-image) and writes
     one tiny (facet, delta) partial — the IVM pattern
-    cdc_facet_counts/feedback_daily_trend use, under the same
-    exactly-once file-source + checkpoint contract. At 100 TB the
-    partial is micro-batch-sized regardless of corpus size, and
-    compacting partials is the standard S4 merge job."""
+    cdc_facet_counts/feedback_daily_trend use. foreachBatch is
+    at-least-once, and duplicate DELTAS (unlike the (rid, seq)-keyed
+    segment sinks) could not be deduped at read — so each partial
+    lands in a batch_id-named subdirectory with mode=overwrite: a
+    batch replayed after a crash between the write and the
+    checkpoint commit rewrites the same directory instead of
+    double-counting, making the sink idempotent and the end-to-end
+    contract exactly-once. At 100 TB the partial is micro-batch-sized
+    regardless of corpus size, and compacting partials is the
+    standard S4 merge job (compact_facet_counters)."""
     schema = spark.read.parquet(log_path).schema
     if os.path.isfile(log_path):
         log_path = stage_arrival_dir(log_path)
@@ -1455,8 +1474,8 @@ def cdc_facet_counter_ingest(
             plus.unionByName(minus)
             .groupBy("facet")
             .agg(F.sum("delta").cast("long").alias("delta"))
-            .write.mode("append")
-            .parquet(counters_path)
+            .write.mode("overwrite")
+            .parquet(f"{counters_path}/batch={batch_id}")
         )
 
     q = (
@@ -1478,6 +1497,41 @@ def live_facet_counters(partials: DataFrame) -> DataFrame:
         .agg(F.sum("delta").cast("long").alias("n"))
         .filter(F.col("n") > 0)
     )
+
+
+def compact_facet_counters(spark: SparkSession, counters_path: str) -> None:
+    """The S4 merge job for the facet counter sidecar:
+    cdc_facet_counter_ingest appends one (facet, delta) partial per
+    micro-batch forever, so a long-lived stream accumulates
+    batch-count-many partial directories even though the folded state
+    is facet-cardinality-sized. Fold ALL partials to one net delta
+    per facet (dropping facets whose deltas cancel — invisible to the
+    n>0 serve read either way) and replace the partial directories
+    with a single batch=-1 directory. -1 can never collide with a
+    RESUMED ingest: Structured Streaming batch ids are non-negative
+    and monotonic, so post-compaction batches land beside the
+    compacted base and the next compaction folds them in. The folded
+    rows are materialized driver-side (facet-cardinality — the same
+    bound as the serve read) BEFORE the old directories are removed.
+    live_facet_counters reads are identical before and after
+    (results-before==after tested, the r8 force-merge contract).
+    Mirrors nidx's log merge folding seq-ordered segments into one
+    (nidx/src/scheduler/log_merge.rs:59)."""
+    import glob as _glob
+    import shutil
+
+    folded = (
+        spark.read.parquet(counters_path)
+        .groupBy("facet")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+    rows = folded.collect()  # materialize before the partials go away
+    for d in _glob.glob(f"{counters_path}/batch=*"):
+        shutil.rmtree(d, ignore_errors=True)
+    spark.createDataFrame(rows, "facet string, delta long").write.mode(
+        "overwrite"
+    ).parquet(f"{counters_path}/batch=-1")
 
 
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

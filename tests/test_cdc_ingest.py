@@ -672,3 +672,109 @@ def test_incremental_refresh_results_equal_batch_rebuild(spark, sf_dir):
     }
     got = {r.rid: r.cluster_label for r in vecs.select("rid", "cluster_label").collect()}
     assert got == want
+
+
+def test_facet_counter_replay_is_idempotent(spark, sf_dir):
+    """foreachBatch is at-least-once; a replayed micro-batch must not
+    double-count facet deltas. The sink writes each batch's partial to
+    a batch_id-named subdirectory with overwrite, so re-draining the
+    SAME log (fresh checkpoint, same sink — every batch replays with
+    the same ids) leaves the counters bit-identical."""
+    import tempfile
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    res = tpch.resources(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="fctr_replay_")
+    ingest.cdc_label_log(res).repartition(2).write.parquet(f"{workdir}/log")
+    ingest.cdc_facet_counter_ingest(
+        spark, f"{workdir}/log", f"{workdir}/counters", f"{workdir}/ckpt1"
+    )
+    first = {
+        r.facet: r.n
+        for r in ingest.live_facet_counters(
+            spark.read.parquet(f"{workdir}/counters")
+        ).collect()
+    }
+    # full replay: fresh checkpoint re-drains every batch into the
+    # SAME counters sink with the same batch ids
+    ingest.cdc_facet_counter_ingest(
+        spark, f"{workdir}/log", f"{workdir}/counters", f"{workdir}/ckpt2"
+    )
+    replayed = {
+        r.facet: r.n
+        for r in ingest.live_facet_counters(
+            spark.read.parquet(f"{workdir}/counters")
+        ).collect()
+    }
+    assert first and replayed == first
+
+
+def test_facet_counter_compaction_preserves_serve_reads(spark, sf_dir):
+    """The r8 force-merge contract applied to the counter sidecar:
+    folding every per-batch delta partial into one net row per facet
+    must leave live_facet_counters reads bit-identical, and must
+    actually compact (exactly one batch=-1 base directory remains;
+    row count == facet cardinality with non-zero net)."""
+    import glob
+    import tempfile
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    res = tpch.resources(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="fctr_cmpt_")
+    ingest.cdc_label_log(res).repartition(2).write.parquet(f"{workdir}/log")
+    ingest.cdc_facet_counter_ingest(
+        spark, f"{workdir}/log", f"{workdir}/counters", f"{workdir}/ckpt"
+    )
+
+    def served():
+        return {
+            r.facet: r.n
+            for r in ingest.live_facet_counters(
+                spark.read.parquet(f"{workdir}/counters")
+            ).collect()
+        }
+
+    before = served()
+    n_dirs_before = len(glob.glob(f"{workdir}/counters/batch=*"))
+    ingest.compact_facet_counters(spark, f"{workdir}/counters")
+    after = served()
+    assert before and after == before
+    dirs = glob.glob(f"{workdir}/counters/batch=*")
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-1"]
+    assert n_dirs_before >= 1
+    # a second compaction folds the compacted base — still identical
+    ingest.compact_facet_counters(spark, f"{workdir}/counters")
+    assert served() == before
+
+
+def test_ivf_drift_incremental_equals_full(spark, sf_dir):
+    """Counter-fold associativity: the incremental review (prior
+    counters + live layout at the checkpoint, merged with only the
+    post-checkpoint ops) must equal the full-log counter review —
+    at EVERY checkpoint cut, including ones splitting mid-wave."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import ann as ann_ops
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    vectors = tpch.vectors(spark, sf_dir)
+    cents = ann_ops.cell_centroids(vectors)
+    log = ingest.cdc_vector_log(vectors)
+    full = ann_ops.ivf_drift_counters(log, cents).collect()
+    assert full
+    for ckpt in (500_000, 1_000_100, 1_500_000, 2_000_050):
+        prior_c = ann_ops.ivf_drift_counters(
+            log.filter(F.col("seq") <= ckpt), cents
+        )
+        prior_l = ann_ops.ivf_live_cells(
+            log.filter(F.col("seq") <= ckpt), cents
+        )
+        inc = ann_ops.ivf_drift_plan_incremental(
+            prior_c, prior_l, log.filter(F.col("seq") > ckpt), cents
+        ).collect()
+        assert inc == full, f"checkpoint {ckpt} diverged"

@@ -286,3 +286,81 @@ def test_as_of_after_pages_tile_the_snapshot_window(spark, sf_dir):
         cursor = (page[-1].score, page[-1].id)
     assert [r.id for r in walked] == [r.id for r in full]
     assert len({r.id for r in walked}) == len(walked)
+
+
+def test_as_of_filter_resolves_label_state_at_the_seq(spark, sf_dir):
+    """as_of × filters MVCC: the Facet tree resolves against the
+    label op log CUT AT THE SEQ, not live labels. At 1.5M the rid%11
+    label-delete wave is not yet applied, so docs deleted later still
+    satisfy the filter at the snapshot — the observable difference
+    between the two resolutions — and the API's returned ids are a
+    subset of the snapshot-allowed set."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.plans.queries_streaming import (
+        _AS_OF_SEQ,
+        _ASOF_HYBRID_Q,
+        _asof_label_filter,
+    )
+    from nucliadb_spark.streaming import ingest
+
+    filt = _asof_label_filter()
+    labeled = tpch.fields(spark, sf_dir).select("rid", "labels")
+    log = ingest.cdc_label_log(labeled)
+
+    def allowed(lg):
+        return {
+            r.rid
+            for r in ingest.cdc_live_labels(lg)
+            .filter(filt.to_column())
+            .select("rid")
+            .collect()
+        }
+
+    asof_allowed = allowed(log.filter(F.col("seq") <= _AS_OF_SEQ))
+    live_allowed = allowed(log)
+    deleted_later = {rid for rid in asof_allowed if rid % 11 == 0}
+    assert deleted_later, "fixture must label-delete some filter-matching docs"
+    assert not (deleted_later & live_allowed)
+    assert asof_allowed - deleted_later == live_allowed
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword"],
+        top_k=50,
+        window=50,
+        as_of=_AS_OF_SEQ,
+        filters=filt,
+    )
+    ids = {r.id for r in api.find_request(spark, sf_dir, req).collect()}
+    assert ids and ids <= asof_allowed
+
+
+def test_as_of_rejects_non_label_filters(spark, sf_dir):
+    """Predicates over batch metadata (dates, security, ...) have no
+    op log, hence no snapshot identity — the composition must raise,
+    not silently answer against mixed snapshots."""
+    from nucliadb_spark.operators.filters import And, DateRange, Facet
+
+    req = api.FindRequest(
+        query="spark join window",
+        features=["keyword"],
+        as_of=1_500_000,
+        filters=And([Facet("/s/p/en"), DateRange("created", since="2020-01-01")]),
+    )
+    with pytest.raises(ValueError, match="label"):
+        api.find_request(spark, sf_dir, req)
+
+
+def test_as_of_filters_fields_threeway_rejected(spark, sf_dir):
+    from nucliadb_spark.operators.filters import Facet
+
+    req = api.FindRequest(
+        query="spark join window",
+        features=["keyword"],
+        as_of=1_500_000,
+        fields=["u/link"],
+        filters=Facet("/s/p/en"),
+    )
+    with pytest.raises(ValueError, match="fields scope"):
+        api.find_request(spark, sf_dir, req)
