@@ -108,8 +108,14 @@ HEADLINE = [
     # round 11: the filtered snapshot flagship (filters + as_of — the
     # Facet tree resolves from the seq-cut label log, allowed set
     # semijoins each leg; should sit near find_hybrid_as_of since
-    # the label resolution is one more seq-pruned max_by)
+    # the label resolution is one more seq-pruned max_by), the FULL
+    # composition lattice (fields × filters × as_of in one request),
+    # and the post-checkpoint drift review (counter merge over the
+    # delta only — the maintenance plane's constant-ish shape next to
+    # ivf_drift_plan_sampled)
     "find_hybrid_as_of_filtered",
+    "find_hybrid_fielded_as_of_filtered",
+    "ivf_drift_plan_incremental",
 ]
 
 

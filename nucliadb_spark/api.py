@@ -200,16 +200,16 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             "predicates reference batch-corpus metadata with no "
             "snapshot identity"
         )
-    if as_of is not None and filters is not None and req.fields:
-        raise ValueError(
-            "as_of + filters + fields scope is not composed yet; "
-            "drop one of the three"
-        )
-
     # the snapshot-resolved prefilter: allowed rids = label state AS
     # OF the same seq, evaluated by the unchanged filter compiler
     # (Facet.to_column works on any (rid, labels) frame). Session-
-    # cached per (snapshot) like every other as-of sidecar.
+    # cached per (snapshot) like every other as-of sidecar. Label
+    # state is RESOURCE-grain — the reference's grain too (the pg
+    # catalog keys facets by resource, catalog/pg.py:72-107) — so the
+    # same allowed set serves scoped and unscoped requests alike and
+    # the full triple (as_of × fields × filters) composes: scope from
+    # the seq-cut fielded log, filter from the seq-cut label log,
+    # corpus from the seq-cut content logs, one seq everywhere.
     asof_allowed = None
     if as_of is not None and filters is not None:
         from nucliadb_spark.cache import cached_df
@@ -304,6 +304,10 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                     post=post,
                     stats=stats,
                     corpus=corpus,
+                    # triple composition: the snapshot's resource-grain
+                    # label prefilter semijoins candidates while the
+                    # scoped family's as-of stats stay fixed
+                    allowed=asof_allowed,
                 )
             )
         kw = legs[0]

@@ -1173,6 +1173,123 @@ def find_hybrid_fielded_as_of(spark, sf_dir):
     )
 
 
+def _asof_label_filter():
+    """The snapshot-filter tree the flagship composition exercises:
+    (lang de OR fr) AND NOT source src7 — And/Or/Not over Facet
+    leaves, the full label-expressible grammar."""
+    from nucliadb_spark.operators.filters import And, Facet, Not, Or
+
+    return And(
+        [
+            Or([Facet("/s/p/de"), Facet("/s/p/fr")]),
+            Not(Facet("/u/s/src7")),
+        ]
+    )
+
+
+def _asof_allowed_sql() -> str:
+    """Allowed-rid SELECT: label state resolved AS OF the seq (the
+    same latest-op-wins cut cdc_labels_live_sql gives the catalog
+    plane), filtered by the tree's SQL compilation."""
+    labels_asof = ingest.cdc_labels_live_sql(
+        f"SELECT rid, labels FROM ({tpch.SQL_FIELDS})", as_of=_AS_OF_SEQ
+    )
+    return (
+        f"SELECT rid FROM ({labels_asof}) WHERE {_asof_label_filter().to_sql()}"
+    )
+
+
+
+def _find_hybrid_fielded_as_of_filtered_oracle() -> str:
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import fusion
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    allowed = _asof_allowed_sql()
+    link_asof = ingest.cdc_fielded_live_sql(
+        tpch.SQL_FIELDS_MULTI, field_key="/u/link", as_of=_AS_OF_SEQ
+    )
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            f"SELECT rid, text FROM ({link_asof})",
+            q,
+            top_k=win,
+            mode="any",
+            served_in_sql=allowed,
+        )
+        + ")"
+    )
+    scope = f"rid IN (SELECT rid FROM ({link_asof})) AND rid IN ({allowed})"
+    semantic = knn.exact_knn_sql(
+        _vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=win, where=scope
+    )
+    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+    graph = f"""
+SELECT DISTINCT id, 1.0::DOUBLE AS score FROM (
+  SELECT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id
+  FROM ({live_rel_as_of})
+  WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
+    AND paragraph_id IS NOT NULL
+) WHERE id IN (SELECT rid FROM ({link_asof})) AND id IN ({allowed})
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register(
+    "find_hybrid_fielded_as_of_filtered",
+    _find_hybrid_fielded_as_of_filtered_oracle(),
+)
+def find_hybrid_fielded_as_of_filtered(spark, sf_dir):
+    """The FULL composition lattice in one request — fields × filters
+    × as_of through the serving API, the triple neither r9 (fields ×
+    as_of) nor the base r11 lift (filters × as_of) covered: the scope
+    resolves from the seq-cut FIELDED op log (field-grain MVCC), the
+    filter tree from the seq-cut LABEL op log (resource-grain, the
+    reference's own facet grain — catalog/pg.py:72-107), and every
+    retriever corpus from its seq-cut content log — ONE seq
+    everywhere, so 'replay the filtered, scoped retrieval as it stood
+    at snapshot S' is a single FindRequest. Each plane pays exactly
+    its live read's shuffle over a seq-pruned scan; the allowed set
+    and scope semijoin candidates while the scoped family's as-of
+    stats stay fixed (the reference's serve-time prefilter,
+    nidx/nidx_text/src/reader.rs:148-180, which the reference itself
+    can only answer at the LIVE state)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        fields=["u/link"],
+        as_of=_AS_OF_SEQ,
+        filters=_asof_label_filter(),
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
 def _find_as_of_after_oracle() -> str:
     return f"""
 WITH ranking AS ({_as_of_fused_sql(50)}),
@@ -1246,32 +1363,6 @@ def find_hybrid_as_of_after(spark, sf_dir):
             "score",
             F.array_join("matched_sources", ",").alias("matched_sources"),
         )
-    )
-
-
-def _asof_label_filter():
-    """The snapshot-filter tree the flagship composition exercises:
-    (lang de OR fr) AND NOT source src7 — And/Or/Not over Facet
-    leaves, the full label-expressible grammar."""
-    from nucliadb_spark.operators.filters import And, Facet, Not, Or
-
-    return And(
-        [
-            Or([Facet("/s/p/de"), Facet("/s/p/fr")]),
-            Not(Facet("/u/s/src7")),
-        ]
-    )
-
-
-def _asof_allowed_sql() -> str:
-    """Allowed-rid SELECT: label state resolved AS OF the seq (the
-    same latest-op-wins cut cdc_labels_live_sql gives the catalog
-    plane), filtered by the tree's SQL compilation."""
-    labels_asof = ingest.cdc_labels_live_sql(
-        f"SELECT rid, labels FROM ({tpch.SQL_FIELDS})", as_of=_AS_OF_SEQ
-    )
-    return (
-        f"SELECT rid FROM ({labels_asof}) WHERE {_asof_label_filter().to_sql()}"
     )
 
 

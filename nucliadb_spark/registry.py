@@ -78,6 +78,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_hybrid_as_of_filtered",
     "facet_counter_compaction",
     "ivf_drift_plan_incremental",
+    "find_hybrid_fielded_as_of_filtered",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

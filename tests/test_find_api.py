@@ -352,15 +352,49 @@ def test_as_of_rejects_non_label_filters(spark, sf_dir):
         api.find_request(spark, sf_dir, req)
 
 
-def test_as_of_filters_fields_threeway_rejected(spark, sf_dir):
-    from nucliadb_spark.operators.filters import Facet
+def test_as_of_filters_fields_triple_composes(spark, sf_dir):
+    """The full lattice: scope from the seq-cut fielded log, filter
+    from the seq-cut label log, corpus from the seq-cut content logs
+    — every returned id must own a scoped field at the snapshot AND
+    satisfy the label filter at the snapshot."""
+    from pyspark.sql import functions as F
 
+    from nucliadb_spark.operators.filters import Facet
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ, _ASOF_HYBRID_Q
+    from nucliadb_spark.streaming import ingest
+
+    filt = Facet("/s/p/en")
     req = api.FindRequest(
-        query="spark join window",
+        query=_ASOF_HYBRID_Q,
         features=["keyword"],
-        as_of=1_500_000,
+        top_k=50,
+        window=50,
+        as_of=_AS_OF_SEQ,
         fields=["u/link"],
-        filters=Facet("/s/p/en"),
+        filters=filt,
     )
-    with pytest.raises(ValueError, match="fields scope"):
-        api.find_request(spark, sf_dir, req)
+    ids = {r.id for r in api.find_request(spark, sf_dir, req).collect()}
+    assert ids
+
+    labeled = tpch.fields(spark, sf_dir).select("rid", "labels")
+    allowed = {
+        r.rid
+        for r in ingest.cdc_live_labels(
+            ingest.cdc_label_log(labeled).filter(F.col("seq") <= _AS_OF_SEQ)
+        )
+        .filter(filt.to_column())
+        .select("rid")
+        .collect()
+    }
+    scope = {
+        r.rid
+        for r in ingest.cdc_live_fielded(
+            ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
+                F.col("seq") <= _AS_OF_SEQ
+            )
+        )
+        .filter(F.col("field_key") == "/u/link")
+        .select("rid")
+        .collect()
+    }
+    assert ids <= (allowed & scope)
