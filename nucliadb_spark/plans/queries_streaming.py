@@ -1008,29 +1008,33 @@ def incremental_refresh_report(spark, sf_dir):
 _ASOF_HYBRID_Q = "refreshed revision stream part:3 part:6 part:17"
 
 
-def _as_of_fused_sql(top_k: int) -> str:
+def _as_of_fused_sql(top_k: int, seq: int | None = None) -> str:
     """The three as-of legs (keyword / semantic / relations, each cut
-    at _AS_OF_SEQ) fused with RRF to `top_k` — shared by the snapshot
-    flagship (top_k=10) and its keyset page-2 twin (top_k=window)."""
+    at `seq`, default _AS_OF_SEQ) fused with RRF to `top_k` — shared
+    by the snapshot flagship (top_k=10), its keyset page-2 twin
+    (top_k=window) and the cross-snapshot rank-drift audit (both
+    seqs)."""
     from nucliadb_spark.functions.models import detect_entity_values_py
     from nucliadb_spark.operators import fusion
 
+    if seq is None:
+        seq = _AS_OF_SEQ
     win = 50  # fusion_window(50, 10)
     q = _ASOF_HYBRID_Q
     keyword = (
         "SELECT rid AS id, score FROM ("
         + bm25.bm25_sql(
-            ingest.cdc_live_as_of_sql(_AS_OF_SEQ), q, top_k=win, mode="any"
+            ingest.cdc_live_as_of_sql(seq), q, top_k=win, mode="any"
         )
         + ")"
     )
     semantic = knn.exact_knn_sql(
-        _vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=win
+        _vector_as_of_sql(seq), _QVEC_SQL, dim=64, k=win
     )
     live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
     anchor = ") WHERE rn = 1 AND op = 'upsert'"
     assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
-    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {seq}{anchor}")
     lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
     graph = f"""
 SELECT DISTINCT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id,
@@ -1170,6 +1174,102 @@ def find_hybrid_fielded_as_of(spark, sf_dir):
         "id",
         "score",
         F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
+_DRIFT_SEQ_BEFORE = _AS_OF_SEQ  # 1.5M: revisions applied, deletes not
+_DRIFT_SEQ_AFTER = 3_000_000  # all waves applied (the refresh head)
+
+
+def _rank_drift_sql(seq: int, rank_col: str, score_col: str) -> str:
+    fused = _as_of_fused_sql(50, seq=seq)
+    return f"""
+SELECT id, score AS {score_col},
+       row_number() OVER (ORDER BY score DESC, id ASC)::BIGINT AS {rank_col}
+FROM ({fused})
+"""
+
+
+def _find_snapshot_rank_drift_oracle() -> str:
+    before = _rank_drift_sql(_DRIFT_SEQ_BEFORE, "rank_before", "score_before")
+    after = _rank_drift_sql(_DRIFT_SEQ_AFTER, "rank_after", "score_after")
+    return f"""
+WITH b AS ({before}),
+a AS ({after})
+SELECT COALESCE(b.id, a.id) AS id,
+       CASE WHEN b.id IS NULL THEN 'added'
+            WHEN a.id IS NULL THEN 'dropped'
+            WHEN b.rank_before <> a.rank_after THEN 'moved'
+            ELSE 'stable' END AS status,
+       COALESCE(b.rank_before, -1)::BIGINT AS rank_before,
+       COALESCE(a.rank_after, -1)::BIGINT AS rank_after,
+       COALESCE(b.score_before, -1.0)::DOUBLE AS score_before,
+       COALESCE(a.score_after, -1.0)::DOUBLE AS score_after
+FROM b FULL OUTER JOIN a ON b.id = a.id
+ORDER BY id
+"""
+
+
+@register("find_snapshot_rank_drift", _find_snapshot_rank_drift_oracle())
+def find_snapshot_rank_drift(spark, sf_dir):
+    """The RETRIEVAL-drift audit between two snapshots — the read a
+    training-data owner runs after every incremental refresh: 'which
+    retrievals changed between snapshot S1 (pre-delete-wave) and S2
+    (all waves applied)?'. Both fused rankings resolve through the
+    SAME as-of pipeline (so page-1 ids at either seq are reproducible
+    months later), then a full-window diff classifies every id:
+    added / dropped / moved (rank changed) / stable, with both ranks
+    and scores (-1 sentinel where absent — NULL-able longs would
+    float64-ize in the driver's pandas hash). The deterministic
+    classes the wave schedule implies: rid%11 docs drop (deleted at
+    2M), most survivors move (RRF rank shifts as neighbours vanish).
+    Cost: two snapshot rankings — each amortized by the same
+    session-cached per-snapshot sidecars every other as-of query at
+    that seq reuses — and one ~window-sized full-outer diff. The
+    reference cannot ask this question at all: its index has no
+    snapshot identity (nidx/src/indexer.rs:121-253)."""
+    from pyspark.sql import Window, functions as F
+
+    from nucliadb_spark import api
+
+    def ranked(seq, rank_col, score_col):
+        req = api.FindRequest(
+            query=_ASOF_HYBRID_Q,
+            features=["keyword", "semantic", "graph"],
+            top_k=50,
+            window=50,
+            query_vec_id=5,
+            as_of=seq,
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        return (
+            api.find_request(spark, sf_dir, req)
+            .select("id", "score")
+            .withColumn(rank_col, F.row_number().over(w).cast("long"))
+            .withColumnRenamed("score", score_col)
+        )
+
+    b = ranked(_DRIFT_SEQ_BEFORE, "rank_before", "score_before")
+    a = ranked(_DRIFT_SEQ_AFTER, "rank_after", "score_after")
+    return (
+        b.join(a, "id", "full")
+        .select(
+            "id",
+            F.when(F.col("rank_before").isNull(), "added")
+            .when(F.col("rank_after").isNull(), "dropped")
+            .when(F.col("rank_before") != F.col("rank_after"), "moved")
+            .otherwise("stable")
+            .alias("status"),
+            F.coalesce("rank_before", F.lit(-1)).cast("long").alias("rank_before"),
+            F.coalesce("rank_after", F.lit(-1)).cast("long").alias("rank_after"),
+            F.coalesce("score_before", F.lit(-1.0))
+            .cast("double")
+            .alias("score_before"),
+            F.coalesce("score_after", F.lit(-1.0))
+            .cast("double")
+            .alias("score_after"),
+        )
+        .orderBy("id")
     )
 
 

@@ -79,6 +79,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "facet_counter_compaction",
     "ivf_drift_plan_incremental",
     "find_hybrid_fielded_as_of_filtered",
+    "find_snapshot_rank_drift",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

@@ -724,3 +724,63 @@ def test_cdc_catalog_facets_served_no_corpus_scan(spark, sf_dir):
     nodes = [c for c, _ in _walk_physical(df)]
     assert not any("Generate" in c for c in nodes), nodes
     assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+
+def test_find_hybrid_as_of_filtered_label_resolution(spark, sf_dir):
+    """The filtered snapshot flagship: the analyzed plan must carry
+    the snapshot seq cut once MORE than the unfiltered flagship (the
+    label-log resolution joins the text/vector/relation cuts — >= 4
+    occurrences), the allowed set must semijoin candidates
+    (LeftSemi), no CartesianProduct may enter, and repeated requests
+    serve the label state from the session cache like every other
+    as-of sidecar (InMemoryTableScan present)."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_hybrid_as_of_filtered"]
+    q(spark, sf_dir).collect()  # first call builds + caches snapshot sidecars
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 4, analyzed[:2000]
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+
+def test_find_hybrid_fielded_as_of_filtered_triple(spark, sf_dir):
+    """The full lattice (fields x filters x as_of): the analyzed plan
+    carries the seq cut for every plane — fielded scope, label state,
+    per-family text, vector log, relation log (>= 5 occurrences) —
+    with semijoins and no cartesian."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_hybrid_fielded_as_of_filtered"]
+    q(spark, sf_dir).collect()
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 5, analyzed[:2000]
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+
+
+def test_ivf_drift_incremental_no_full_log_assignment(spark, sf_dir):
+    """The incremental review must NOT re-assign the full log against
+    the centroids: the delta filter (seq > checkpoint) must appear in
+    the analyzed plan, and the prior state must come from the session
+    cache (InMemoryTableScan), not a recomputation."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _DRIFT_CKPT
+
+    q = registry.queries()["ivf_drift_plan_incremental"]
+    q(spark, sf_dir).collect()  # builds + caches the checkpoint state
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert f"> {_DRIFT_CKPT}" in analyzed or f"> cast({_DRIFT_CKPT}" in analyzed, (
+        analyzed[:2000]
+    )
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
+    assert not any("CartesianProduct" in c for c in nodes), nodes
