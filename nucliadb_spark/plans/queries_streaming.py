@@ -1177,6 +1177,58 @@ def find_hybrid_fielded_as_of(spark, sf_dir):
     )
 
 
+def _suggest_as_of_oracle() -> str:
+    return suggest.suggest_paragraphs_sql(
+        ingest.cdc_live_as_of_sql(_AS_OF_SEQ), "refre"
+    )
+
+
+@register("suggest_as_of", _suggest_as_of_oracle())
+def suggest_as_of(spark, sf_dir):
+    """/suggest AT A SNAPSHOT — the last serving plane to gain as-of
+    symmetry (text/vector/relation r8, catalog r10, find-compositions
+    r9-r11, suggest: here): prefix+fuzzy autocomplete over the corpus
+    exactly as it stood at seq 1.5M. The 'refre' prefix matches the
+    revision wave's 'refreshed' terms, and at this seq the rid%11
+    delete wave is NOT yet applied — docs deleted later still
+    suggest, which is the observable snapshot semantics (and what a
+    reproducible annotation UI replaying a labeling session needs).
+    Serves from the SAME session-cached per-snapshot sidecars the
+    as-of find keyword leg builds (asof{seq}_text_post/stats/corpus,
+    plus the vocabulary added here) — repeated keystrokes at a
+    snapshot never re-tokenize, the as-you-type contract
+    (nidx/src/searcher/shard_suggest.rs:95-180 reads built
+    segments)."""
+    from nucliadb_spark.cache import cached_df
+
+    fields = tpch.fields(spark, sf_dir)
+    post = cached_df(
+        sf_dir,
+        f"asof{_AS_OF_SEQ}_text_post",
+        lambda: bm25.postings(
+            ingest.cdc_live_as_of(ingest.cdc_log(fields), _AS_OF_SEQ)
+        ),
+    )
+    stats = cached_df(
+        sf_dir,
+        f"asof{_AS_OF_SEQ}_text_stats",
+        lambda: bm25.doc_stats_from_postings(post),
+    )
+    corpus = cached_df(
+        sf_dir,
+        f"asof{_AS_OF_SEQ}_text_corpus",
+        lambda: bm25.corpus_stats(stats),
+    )
+    vocab = cached_df(
+        sf_dir,
+        f"asof{_AS_OF_SEQ}_text_vocab",
+        lambda: bm25.vocabulary(post),
+    )
+    return suggest.suggest_paragraphs(
+        None, "refre", post=post, stats=stats, vocab=vocab, corpus=corpus
+    )
+
+
 _DRIFT_SEQ_BEFORE = _AS_OF_SEQ  # 1.5M: revisions applied, deletes not
 _DRIFT_SEQ_AFTER = 3_000_000  # all waves applied (the refresh head)
 

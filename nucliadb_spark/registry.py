@@ -80,6 +80,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "ivf_drift_plan_incremental",
     "find_hybrid_fielded_as_of_filtered",
     "find_snapshot_rank_drift",
+    "suggest_as_of",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

@@ -398,3 +398,66 @@ def test_as_of_filters_fields_triple_composes(spark, sf_dir):
         .collect()
     }
     assert ids <= (allowed & scope)
+
+
+def test_as_of_filters_search_after_pages_tile(spark, sf_dir):
+    """as_of × filters × search_after in one FindRequest: keyset
+    pages of the FILTERED snapshot ranking must tile the one-shot
+    window exactly — the reproducible-paging contract survives the
+    label prefilter."""
+    from nucliadb_spark.plans.queries_streaming import (
+        _AS_OF_SEQ,
+        _ASOF_HYBRID_Q,
+        _asof_label_filter,
+    )
+
+    base = dict(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        window=20,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+        filters=_asof_label_filter(),
+    )
+    full = api.find_request(
+        spark, sf_dir, api.FindRequest(**base, top_k=20)
+    ).collect()
+    assert full
+    walked, cursor = [], None
+    for _ in range(5):
+        page = api.find_request(
+            spark,
+            sf_dir,
+            api.FindRequest(**base, top_k=5, search_after=cursor),
+        ).collect()
+        if not page:
+            break
+        walked.extend(page)
+        cursor = (page[-1].score, page[-1].id)
+    assert [r.id for r in walked] == [r.id for r in full]
+    assert len({r.id for r in walked}) == len(walked)
+
+
+def test_prequeries_carry_their_own_as_of(spark, sf_dir):
+    """Each prequery is a full FindRequest, so a prequery may resolve
+    at its OWN snapshot — the fusion weights combine rankings frozen
+    at different seqs (e.g. 'today's retrieval boosted by what ranked
+    well before the delete wave')."""
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ, _ASOF_HYBRID_Q
+
+    pre = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword"],
+        top_k=10,
+        as_of=_AS_OF_SEQ,
+    )
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword"],
+        top_k=10,
+        prequeries=[(pre, 2.0)],
+    )
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert len(rows) == 10
+    srcs = {s for r in rows for s in r.matched_sources}
+    assert "pre_0" in srcs or srcs == {"main", "pre_0"}
