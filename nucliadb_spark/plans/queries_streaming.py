@@ -1177,6 +1177,96 @@ def find_hybrid_fielded_as_of(spark, sf_dir):
     )
 
 
+_ASOF_INC_BASE = 500_000  # S1: base inserts only
+_ASOF_INC_HEAD = 3_000_000  # S2: every wave applied
+
+
+def _search_as_of_incremental_oracle() -> str:
+    # incremental derivation == from-scratch build, so the oracle is
+    # the plain BM25 over the FULLY-resolved S2 corpus — every driver
+    # hash check re-proves the index-advance equality
+    return (
+        "SELECT rid, score FROM ("
+        + bm25.bm25_sql(
+            ingest.cdc_live_as_of_sql(_ASOF_INC_HEAD),
+            "refreshed revision stream",
+            top_k=20,
+            mode="any",
+        )
+        + ")"
+    )
+
+
+@register("search_as_of_incremental", _search_as_of_incremental_oracle())
+def search_as_of_incremental(spark, sf_dir):
+    """Attack on the LAST honest-linear serving cost: the cold
+    per-snapshot index build (SCALE.md: 345 s from scratch at a 100×
+    corpus). Snapshot S2's text index derives FROM snapshot S1's
+    index plus only the ops in (S1, S2] (ingest.advance_text_index):
+    untouched rids keep their S1 postings verbatim via an rid-keyed
+    anti-join, touched rids re-tokenize from their final delta
+    version — tokenization, the expensive part, runs over the delta
+    only. Here S1 holds the base inserts and the delta carries BOTH
+    the revision (rid%7) and delete (rid%11) waves, so the advance
+    exercises every op class; the search at S2 then equals a search
+    over the from-scratch S2 corpus (the oracle IS that from-scratch
+    BM25 — each driver hash check re-proves the index-advance
+    algebra, and test_advance_text_index_equals_from_scratch pins
+    the postings/stats frames exactly). The reference advances live
+    state this way (new segment + deletion list,
+    nidx/src/indexer.rs); applying it to SNAPSHOT derivation means
+    consecutive snapshots share everything but the delta."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+
+    fields = tpch.fields(spark, sf_dir)
+    log = ingest.cdc_log(fields)
+    base_post = cached_df(
+        sf_dir,
+        f"asof{_ASOF_INC_BASE}_text_post",
+        lambda: bm25.postings(ingest.cdc_live_as_of(log, _ASOF_INC_BASE)),
+    )
+    base_stats = cached_df(
+        sf_dir,
+        f"asof{_ASOF_INC_BASE}_text_stats",
+        lambda: bm25.doc_stats_from_postings(base_post),
+    )
+    post = cached_df(
+        sf_dir,
+        f"asof{_ASOF_INC_HEAD}_from{_ASOF_INC_BASE}_post",
+        lambda: ingest.advance_text_index(
+            base_post,
+            base_stats,
+            log.filter(
+                (F.col("seq") > _ASOF_INC_BASE) & (F.col("seq") <= _ASOF_INC_HEAD)
+            ),
+        )[0],
+    )
+    # dl = Σ tf per rid, so stats from the ADVANCED postings equal the
+    # advance's own kept∪added stats — one rid-keyed groupBy over the
+    # cached index, no tokenization
+    stats = cached_df(
+        sf_dir,
+        f"asof{_ASOF_INC_HEAD}_from{_ASOF_INC_BASE}_stats",
+        lambda: bm25.doc_stats_from_postings(post),
+    )
+    corpus = cached_df(
+        sf_dir,
+        f"asof{_ASOF_INC_HEAD}_from{_ASOF_INC_BASE}_corpus",
+        lambda: bm25.corpus_stats(stats),
+    )
+    return bm25.bm25_search(
+        None,
+        "refreshed revision stream",
+        top_k=20,
+        mode="any",
+        post=post,
+        stats=stats,
+        corpus=corpus,
+    )
+
+
 def _suggest_as_of_oracle() -> str:
     return suggest.suggest_paragraphs_sql(
         ingest.cdc_live_as_of_sql(_AS_OF_SEQ), "refre"

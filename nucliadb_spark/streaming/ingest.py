@@ -306,6 +306,49 @@ def cdc_live_as_of(log: DataFrame, seq: int) -> DataFrame:
     return cdc_live_fields(log.filter(F.col("seq") <= seq))
 
 
+def advance_text_index(
+    prior_post: DataFrame,
+    prior_stats: DataFrame,
+    delta_log: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Derive snapshot S2's text index FROM snapshot S1's index plus
+    only the ops in (S1, S2] — the incremental form of the cold
+    per-snapshot build, which is the one honest linear cost the as-of
+    serving paths pay (SCALE.md: 345 s from scratch at a 100×
+    corpus). Correctness is the same associativity argument as the
+    incremental drift review: any delta op on a rid supersedes its
+    pre-S1 state (delta seqs are strictly later), so
+
+    - rids untouched by the delta keep their S1 postings/stats rows
+      verbatim (an rid-keyed anti-join — no tokenization),
+    - touched rids resolve latest-op-wins over the DELTA ALONE and
+      are re-tokenized from their final version (or dropped if the
+      final op is a delete).
+
+    Tokenization — the expensive part of an index build — runs over
+    delta docs only. This is exactly how the reference's indexer
+    advances state (a new segment + a deletion list over prior
+    segments, nidx/src/indexer.rs), applied to snapshot derivation:
+    consecutive snapshots share everything but the delta.
+
+    Returns (post, stats); corpus stats re-aggregate from stats
+    (rid-cardinality, trivial) and the vocabulary from post at the
+    caller's discretion.
+    """
+    from nucliadb_spark.operators import bm25
+
+    touched = delta_log.select("rid").distinct()
+    kept_post = prior_post.join(F.broadcast(touched), "rid", "left_anti")
+    kept_stats = prior_stats.join(F.broadcast(touched), "rid", "left_anti")
+    new_docs = cdc_live_fields(delta_log)  # final delta version per rid
+    added_post = bm25.postings(new_docs)
+    added_stats = bm25.doc_stats_from_postings(added_post)
+    return (
+        kept_post.unionByName(added_post),
+        kept_stats.unionByName(added_stats),
+    )
+
+
 def cdc_live_as_of_sql(seq: int) -> str:
     """DuckDB twin of cdc_log → cdc_live_as_of over documents."""
     return f"""

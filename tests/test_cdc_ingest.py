@@ -778,3 +778,36 @@ def test_ivf_drift_incremental_equals_full(spark, sf_dir):
             prior_c, prior_l, log.filter(F.col("seq") > ckpt), cents
         ).collect()
         assert inc == full, f"checkpoint {ckpt} diverged"
+
+
+def test_advance_text_index_equals_from_scratch(spark, sf_dir):
+    """Snapshot-index derivation: advancing S1's index with the ops
+    in (S1, S2] must yield EXACTLY the index a from-scratch build at
+    S2 produces — postings and doc-stats frames equal as sets, at
+    multiple S1 cuts including mid-wave."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    fields = tpch.fields(spark, sf_dir)
+    log = ingest.cdc_log(fields)
+    s2 = 3_000_000
+    scratch_post = bm25.postings(ingest.cdc_live_as_of(log, s2))
+    scratch = {tuple(r) for r in scratch_post.collect()}
+    scratch_stats = {
+        tuple(r)
+        for r in bm25.doc_stats_from_postings(scratch_post).collect()
+    }
+    assert scratch
+    for s1 in (500_000, 1_000_100, 1_500_000):
+        base_post = bm25.postings(ingest.cdc_live_as_of(log, s1))
+        base_stats = bm25.doc_stats_from_postings(base_post)
+        adv_post, adv_stats = ingest.advance_text_index(
+            base_post,
+            base_stats,
+            log.filter((F.col("seq") > s1) & (F.col("seq") <= s2)),
+        )
+        assert {tuple(r) for r in adv_post.collect()} == scratch, s1
+        assert {tuple(r) for r in adv_stats.collect()} == scratch_stats, s1
