@@ -40,6 +40,15 @@ MAX_ENTRIES = int(os.environ.get("NUCLIADB_SPARK_CACHE_MAX", "128"))
 _CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
 
 
+def cached_names(spark, sf_dir: str) -> list[str]:
+    """Names currently cached for this (application, sf_dir) —
+    lets builders CHAIN from existing sidecars (e.g. the as-of text
+    index advances the nearest cached earlier snapshot instead of
+    building from scratch). Read-only; does not touch LRU order."""
+    app = spark.sparkContext.applicationId
+    return [n for (a, s, n) in _CACHE if a == app and s == sf_dir]
+
+
 def cached_df(sf_dir: str, name: str, builder: Callable[[], DataFrame]) -> DataFrame:
     df = builder()
     # key on the Spark application: a restarted/different session must

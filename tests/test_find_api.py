@@ -461,3 +461,31 @@ def test_prequeries_carry_their_own_as_of(spark, sf_dir):
     assert len(rows) == 10
     srcs = {s for r in rows for s in r.matched_sources}
     assert "pre_0" in srcs or srcs == {"main", "pre_0"}
+
+
+def test_asof_text_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
+    """A session touring snapshots must not rebuild the text index
+    from scratch per seq: the second snapshot's index derives from
+    the nearest cached earlier one plus the delta ops, and its
+    contents equal the from-scratch build exactly."""
+    from nucliadb_spark.operators import bm25 as bm25_ops
+    from nucliadb_spark.streaming import ingest
+
+    fields = tpch.fields(spark, sf_dir)
+    s1, s2 = 800_000, 1_200_000
+    api.asof_text_index(spark, sf_dir, fields, s1)  # seed the chain
+    post2, stats2, _ = api.asof_text_index(spark, sf_dir, fields, s2)
+    # the advance engaged: the S2 plan carries the S1 watermark
+    analyzed = post2._jdf.queryExecution().analyzed().toString()
+    assert str(s1) in analyzed, analyzed[:1500]
+    # and equals the from-scratch build exactly
+    scratch = bm25_ops.postings(
+        ingest.cdc_live_as_of(ingest.cdc_log(fields), s2)
+    )
+    assert {tuple(r) for r in post2.collect()} == {
+        tuple(r) for r in scratch.collect()
+    }
+    assert {tuple(r) for r in stats2.collect()} == {
+        tuple(r)
+        for r in bm25_ops.doc_stats_from_postings(scratch).collect()
+    }
