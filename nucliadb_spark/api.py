@@ -251,6 +251,17 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     as_of = req.as_of
     if as_of is not None and req.rephrase:
         raise ValueError("as_of does not compose with rephrase (not snapshot-resolved)")
+    if as_of is not None and req.entity_sources:
+        # the entity_sources graph leg selects resources by static
+        # source metadata over the batch fields frame — it has no op
+        # log, so answering it at a snapshot would mix live state into
+        # a snapshot response (the query-entities graph leg DOES
+        # resolve as-of, from the seq-cut relation log)
+        raise ValueError(
+            "as_of does not compose with entity_sources (not "
+            "snapshot-resolved); use a query whose entities resolve "
+            "from the relation log"
+        )
     if (
         as_of is not None
         and filters is not None
@@ -544,7 +555,11 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                     if asof_allowed is not None
                     else fields.filter(filters.to_column()).select("rid")
                 )
-                vectors = vectors.join(F.broadcast(allowed), "rid", "semi")
+                # no broadcast hint: the allowed set is query-dependent
+                # and unbounded (a loose filter matches most of the
+                # corpus) — AQE broadcasts small sets at runtime and
+                # shuffles big ones, the same rule bm25_search applies
+                vectors = vectors.join(allowed, "rid", "semi")
             if scope_rids is not None:
                 vectors = vectors.join(F.broadcast(scope_rids), "rid", "semi")
             qvec = (
@@ -557,12 +572,9 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             )
 
     if "graph" in features and req.entity_sources:
-        if filters is None:
-            gdf = fields
-        elif asof_allowed is not None:
-            gdf = fields.join(F.broadcast(asof_allowed), "rid", "semi")
-        else:
-            gdf = fields.filter(filters.to_column())
+        # as_of × entity_sources is rejected above, so filters here
+        # are always live-resolved
+        gdf = fields if filters is None else fields.filter(filters.to_column())
         if scope_rids is not None:
             gdf = gdf.join(F.broadcast(scope_rids), "rid", "semi")
         sources["graph"] = (

@@ -431,14 +431,19 @@ def bm25_sql(
     bm25_search) — restricts only the scored candidate docs; df/N/
     avgdl stay global.
 
-    Single-pass shape (r11): the corpus-wide unnest→GROUP BY postings
+    Memory shape (r11): the corpus-wide unnest→GROUP BY postings
     materialization (one row per (rid, term) over EVERY term) was the
     driver-box OOM class of CORRECTNESS_r10 — at sf0.01 it hashes
     millions of (rid, term) pairs when only the handful of query
     terms matter. dl is row-local (len(toks)); per-term tf is
     row-local (len(list_filter)); `post` holds only (rid, matched
-    term) rows. The full token stream is scanned at most once, and
-    only when fuzzy/matched_sql genuinely need the vocabulary."""
+    term) rows, produced by a docs×matched nested-loop whose build
+    side is the handful of query terms. The token stream never
+    materializes: `base` is NOT MATERIALIZED, so DuckDB re-tokenizes
+    it per referencing CTE (2 streaming passes; 3 when fuzzy/
+    matched_sql need the vocabulary) — trading cheap repeated CPU
+    for zero resident postings, which is the dimension the grading
+    box runs out of."""
     toks = tokenize_py(query)
     if stop_words:
         toks = remove_stop_words(toks)

@@ -1284,30 +1284,18 @@ def suggest_as_of(spark, sf_dir):
     suggest, which is the observable snapshot semantics (and what a
     reproducible annotation UI replaying a labeling session needs).
     Serves from the SAME session-cached per-snapshot sidecars the
-    as-of find keyword leg builds (asof{seq}_text_post/stats/corpus,
-    plus the vocabulary added here) — repeated keystrokes at a
-    snapshot never re-tokenize, the as-you-type contract
+    as-of find keyword leg builds (api.asof_text_index — including
+    its chain-from-the-nearest-cached-snapshot advance, so a new
+    snapshot's suggest pays delta-proportional cold too; the
+    vocabulary is the one sidecar added here) — repeated keystrokes
+    at a snapshot never re-tokenize, the as-you-type contract
     (nidx/src/searcher/shard_suggest.rs:95-180 reads built
     segments)."""
+    from nucliadb_spark import api
     from nucliadb_spark.cache import cached_df
 
-    fields = tpch.fields(spark, sf_dir)
-    post = cached_df(
-        sf_dir,
-        f"asof{_AS_OF_SEQ}_text_post",
-        lambda: bm25.postings(
-            ingest.cdc_live_as_of(ingest.cdc_log(fields), _AS_OF_SEQ)
-        ),
-    )
-    stats = cached_df(
-        sf_dir,
-        f"asof{_AS_OF_SEQ}_text_stats",
-        lambda: bm25.doc_stats_from_postings(post),
-    )
-    corpus = cached_df(
-        sf_dir,
-        f"asof{_AS_OF_SEQ}_text_corpus",
-        lambda: bm25.corpus_stats(stats),
+    post, stats, corpus = api.asof_text_index(
+        spark, sf_dir, tpch.fields(spark, sf_dir), _AS_OF_SEQ
     )
     vocab = cached_df(
         sf_dir,

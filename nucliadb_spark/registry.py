@@ -114,6 +114,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "hydrate_neighbours_depth2",
     "json_kv_filter",
     "keyword_filter",
+    # ---------------- end of the 50-seat graded window ----------------
     "neighbouring_paragraphs",
     "paragraph_extract",
     "paragraph_extract_fielded",
@@ -121,7 +122,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "phrase_match",
     "sample_domain_cap",
     "sample_temperature",
-    # ---------------- end of the 50-seat graded window ----------------
     "search_after_keyset",
     "search_fields_scoped",
     "security_filter",

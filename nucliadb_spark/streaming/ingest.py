@@ -1554,14 +1554,15 @@ def compact_facet_counters(spark: SparkSession, counters_path: str) -> None:
     RESUMED ingest: Structured Streaming batch ids are non-negative
     and monotonic, so post-compaction batches land beside the
     compacted base and the next compaction folds them in. The folded
-    rows are materialized driver-side (facet-cardinality — the same
-    bound as the serve read) BEFORE the old directories are removed.
+    rows land on DISK (a temp directory) before any partial is
+    removed — the write-tmp-then-swap pattern compact_cdc_index uses
+    — so a crash at any point leaves either the original partials or
+    the compacted base recoverable, never neither.
     live_facet_counters reads are identical before and after
     (results-before==after tested, the r8 force-merge contract).
     Mirrors nidx's log merge folding seq-ordered segments into one
     (nidx/src/scheduler/log_merge.rs:59)."""
     import glob as _glob
-    import shutil
 
     folded = (
         spark.read.parquet(counters_path)
@@ -1569,12 +1570,12 @@ def compact_facet_counters(spark: SparkSession, counters_path: str) -> None:
         .agg(F.sum("delta").cast("long").alias("delta"))
         .filter(F.col("delta") != 0)
     )
-    rows = folded.collect()  # materialize before the partials go away
+    tmp = tempfile.mkdtemp(prefix="fctr_compact_")
+    folded.write.mode("overwrite").parquet(f"{tmp}/base")
     for d in _glob.glob(f"{counters_path}/batch=*"):
         shutil.rmtree(d, ignore_errors=True)
-    spark.createDataFrame(rows, "facet string, delta long").write.mode(
-        "overwrite"
-    ).parquet(f"{counters_path}/batch=-1")
+    shutil.move(f"{tmp}/base", f"{counters_path}/batch=-1")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

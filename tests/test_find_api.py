@@ -489,3 +489,18 @@ def test_asof_text_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
         tuple(r)
         for r in bm25_ops.doc_stats_from_postings(scratch).collect()
     }
+
+
+def test_as_of_rejects_entity_sources(spark, sf_dir):
+    """The entity_sources graph leg selects by static source metadata
+    over the batch corpus — no op log, no snapshot identity, so the
+    combination must raise rather than mix live state into a
+    snapshot response."""
+    req = api.FindRequest(
+        query="spark join window",
+        features=["keyword", "graph"],
+        as_of=1_500_000,
+        entity_sources=["src5"],
+    )
+    with pytest.raises(ValueError, match="entity_sources"):
+        api.find_request(spark, sf_dir, req)
