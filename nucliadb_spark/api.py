@@ -190,6 +190,73 @@ def asof_text_index(
     return post, stats, corpus
 
 
+def asof_family_text_index(
+    spark: SparkSession, sf_dir: str, key: str, as_of: int
+):
+    """(post, stats, corpus) for ONE field family AS OF a log seq —
+    the per-(snapshot, family) sidecars the scoped snapshot flagship
+    serves from, with the same chain-from-the-nearest-cached-snapshot
+    advance :func:`asof_text_index` gives the unscoped path. Within
+    one family the fielded op log is rid-keyed (one field of that
+    family per resource), so advance_text_index applies verbatim to
+    the family-filtered log: untouched resources keep their S1
+    family postings, touched ones re-tokenize from their final delta
+    version."""
+    import re
+
+    from nucliadb_spark.cache import cached_df, cached_names
+    from nucliadb_spark.streaming import ingest
+
+    slug = key.strip("/").replace("/", "_")
+    flog = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
+        F.col("field_key") == key
+    )
+
+    def fam_at(seq: int) -> DataFrame:
+        return ingest.cdc_live_fielded(flog.filter(F.col("seq") <= seq)).select(
+            "rid", "text"
+        )
+
+    def build_post() -> DataFrame:
+        pat = re.compile(rf"asof(\d+)_f{re.escape(slug)}_post")
+        priors = [
+            int(m.group(1))
+            for n in cached_names(spark, sf_dir)
+            if (m := pat.fullmatch(n)) and int(m.group(1)) < as_of
+        ]
+        if priors:
+            s1 = max(priors)
+            prior_post = cached_df(
+                sf_dir,
+                f"asof{s1}_f{slug}_post",
+                lambda: bm25.postings(fam_at(s1)),
+            )
+            prior_stats = cached_df(
+                sf_dir,
+                f"asof{s1}_f{slug}_stats",
+                lambda: bm25.doc_stats_from_postings(prior_post),
+            )
+            return ingest.advance_text_index(
+                prior_post,
+                prior_stats,
+                flog.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
+            )[0]
+        return bm25.postings(fam_at(as_of))
+
+    post = cached_df(sf_dir, f"asof{as_of}_f{slug}_post", build_post)
+    stats = cached_df(
+        sf_dir,
+        f"asof{as_of}_f{slug}_stats",
+        lambda: bm25.doc_stats_from_postings(post),
+    )
+    corpus = cached_df(
+        sf_dir,
+        f"asof{as_of}_f{slug}_corpus",
+        lambda: bm25.corpus_stats(stats),
+    )
+    return post, stats, corpus
+
+
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
     """Execute a FindRequest → (id, score, matched_sources)."""
     if req.prequeries:
@@ -337,35 +404,19 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         and scoped_keys
     ):
         # fields scope AT a snapshot: each scoped family's text index
-        # builds from the as-of FIELDED corpus (the same live_fielded
-        # resolution the scope used) and is session-cached per
-        # (snapshot, family) — repeated requests at a snapshot serve
-        # from built sidecars exactly like the live fielded path.
-        # Multi-family scopes sum per-field scores per resource
-        # (tantivy's multi-field Occur::Should), each family ranking
-        # against its OWN as-of stats.
-        from nucliadb_spark.cache import cached_df
-
+        # builds from the as-of FIELDED corpus and is session-cached
+        # per (snapshot, family) — repeated requests at a snapshot
+        # serve from built sidecars exactly like the live fielded
+        # path, and the FIRST request at a new snapshot chains from
+        # the nearest cached earlier snapshot of the same family
+        # (asof_family_text_index advances it with only the family's
+        # delta ops). Multi-family scopes sum per-field scores per
+        # resource (tantivy's multi-field Occur::Should), each family
+        # ranking against its OWN as-of stats.
         legs = []
         for key in scoped_keys:
-            fam = scoped_fields.filter(F.col("field_key") == key).select(
-                "rid", "text"
-            )
-            slug = key.strip("/").replace("/", "_")
-            post = cached_df(
-                sf_dir,
-                f"asof{as_of}_f{slug}_post",
-                lambda fam=fam: bm25.postings(fam),
-            )
-            stats = cached_df(
-                sf_dir,
-                f"asof{as_of}_f{slug}_stats",
-                lambda post=post: bm25.doc_stats_from_postings(post),
-            )
-            corpus = cached_df(
-                sf_dir,
-                f"asof{as_of}_f{slug}_corpus",
-                lambda stats=stats: bm25.corpus_stats(stats),
+            post, stats, corpus = asof_family_text_index(
+                spark, sf_dir, key, as_of
             )
             legs.append(
                 bm25.bm25_search(

@@ -504,3 +504,31 @@ def test_as_of_rejects_entity_sources(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="entity_sources"):
         api.find_request(spark, sf_dir, req)
+
+
+def test_asof_family_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
+    """The per-(snapshot, family) sidecars chain too: a second
+    snapshot's family index derives from the nearest cached earlier
+    one plus the family's delta ops, and equals the from-scratch
+    build exactly."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import bm25 as bm25_ops
+    from nucliadb_spark.streaming import ingest
+
+    s1, s2 = 900_000, 1_300_000
+    api.asof_family_text_index(spark, sf_dir, "/u/link", s1)  # seed
+    post2, _, _ = api.asof_family_text_index(spark, sf_dir, "/u/link", s2)
+    analyzed = post2._jdf.queryExecution().analyzed().toString()
+    assert str(s1) in analyzed, analyzed[:1500]
+    flog = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
+        F.col("field_key") == "/u/link"
+    )
+    scratch = bm25_ops.postings(
+        ingest.cdc_live_fielded(flog.filter(F.col("seq") <= s2)).select(
+            "rid", "text"
+        )
+    )
+    assert {tuple(r) for r in post2.collect()} == {
+        tuple(r) for r in scratch.collect()
+    }
