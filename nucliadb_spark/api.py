@@ -257,6 +257,59 @@ def asof_family_text_index(
     return post, stats, corpus
 
 
+def asof_live_state(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    as_of: int,
+    log_builder,
+    resolve,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """A CDC family's live state AS OF a log seq, session-cached as
+    ``asof{seq}_{family}`` and CHAINED like the text index: the first
+    read at a NEW snapshot advances the nearest cached earlier
+    snapshot with only the delta ops (ingest.advance_live_state —
+    prior-state anti-join on touched keys ∪ the delta's own
+    latest-op-wins resolution) instead of re-resolving the full log.
+    This extends the delta-proportional cold-cost contract from the
+    text family to EVERY latest-op-wins plane the find API reads at a
+    snapshot — vectors, relations, labels, the fielded corpus — so a
+    session touring snapshots pays full-log cost once, not once per
+    (seq, family). Falls back to the from-scratch seq-cut resolution
+    when no earlier snapshot of the family is cached."""
+    import re
+
+    from nucliadb_spark.cache import cached_df, cached_names
+    from nucliadb_spark.streaming import ingest
+
+    pat = re.compile(rf"asof(\d+)_{re.escape(family)}")
+
+    def build() -> DataFrame:
+        log = log_builder()
+        priors = [
+            int(m.group(1))
+            for n in cached_names(spark, sf_dir)
+            if (m := pat.fullmatch(n)) and int(m.group(1)) < as_of
+        ]
+        if priors:
+            s1 = max(priors)  # nearest earlier snapshot → smallest delta
+            prior = cached_df(
+                sf_dir,
+                f"asof{s1}_{family}",
+                lambda: resolve(log.filter(F.col("seq") <= s1)),
+            )
+            return ingest.advance_live_state(
+                prior,
+                log.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
+                keys,
+                resolve,
+            )
+        return resolve(log.filter(F.col("seq") <= as_of))
+
+    return cached_df(sf_dir, f"asof{as_of}_{family}", build)
+
+
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
     """Execute a FindRequest → (id, score, matched_sources)."""
     if req.prequeries:
@@ -351,17 +404,18 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # corpus from the seq-cut content logs, one seq everywhere.
     asof_allowed = None
     if as_of is not None and filters is not None:
-        from nucliadb_spark.cache import cached_df
         from nucliadb_spark.streaming import ingest
 
-        label_state = cached_df(
+        label_state = asof_live_state(
+            spark,
             sf_dir,
-            f"asof{as_of}_labels",
-            lambda: ingest.cdc_live_labels(
-                ingest.cdc_label_log(
-                    tpch.fields(spark, sf_dir).select("rid", "labels")
-                ).filter(F.col("seq") <= as_of)
+            "labels",
+            as_of,
+            lambda: ingest.cdc_label_log(
+                tpch.fields(spark, sf_dir).select("rid", "labels")
             ),
+            ingest.cdc_live_labels,
+            ("rid",),
         )
         asof_allowed = label_state.filter(filters.to_column()).select("rid")
 
@@ -376,17 +430,16 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     if req.fields:
         scoped_keys = ["/" + f_ for f_ in normalize_fields(req.fields)]
         if as_of is not None:
-            from nucliadb_spark.cache import cached_df
             from nucliadb_spark.streaming import ingest
 
-            live_fielded = cached_df(
+            live_fielded = asof_live_state(
+                spark,
                 sf_dir,
-                f"asof{as_of}_fielded_live",
-                lambda: ingest.cdc_live_fielded(
-                    ingest.cdc_field_log(
-                        tpch.fields_multi(spark, sf_dir)
-                    ).filter(F.col("seq") <= as_of)
-                ),
+                "fielded_live",
+                as_of,
+                lambda: ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)),
+                ingest.cdc_live_fielded,
+                ("rid", "field_id"),
             )
             scoped_fields = live_fielded.filter(
                 F.col("field_key").isin(scoped_keys)
@@ -584,19 +637,20 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             )
         else:
             if as_of is not None:
-                # the vector set AS OF the same seq: one seq-pruned
-                # scan + the same max_by the live vector CDC read pays
-                from nucliadb_spark.cache import cached_df
+                # the vector set AS OF the same seq: a new snapshot
+                # chains from the nearest cached one (delta advance),
+                # the first pays the seq-pruned scan + the same max_by
+                # the live vector CDC read pays
                 from nucliadb_spark.streaming import ingest
 
-                vectors = cached_df(
+                vectors = asof_live_state(
+                    spark,
                     sf_dir,
-                    f"asof{as_of}_vectors",
-                    lambda: ingest.cdc_live_vectors(
-                        ingest.cdc_vector_log(
-                            tpch.vectors(spark, sf_dir)
-                        ).filter(F.col("seq") <= as_of)
-                    ),
+                    "vectors",
+                    as_of,
+                    lambda: ingest.cdc_vector_log(tpch.vectors(spark, sf_dir)),
+                    ingest.cdc_live_vectors,
+                    ("rid",),
                 )
             else:
                 vectors = tpch.vectors(spark, sf_dir)
@@ -650,17 +704,18 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
 
             if as_of is not None:
                 # the relation set AS OF the same seq — edge-keyed
-                # max_by over the seq-cut edge op log
+                # max_by over the seq-cut edge op log; a new snapshot
+                # chains from the nearest cached one (delta advance)
                 from nucliadb_spark.streaming import ingest
 
-                rel = cached_df(
+                rel = asof_live_state(
+                    spark,
                     sf_dir,
-                    f"asof{as_of}_relations",
-                    lambda: ingest.cdc_live_relations(
-                        ingest.cdc_relation_log(
-                            tpch.relations(spark, sf_dir)
-                        ).filter(F.col("seq") <= as_of)
-                    ),
+                    "relations",
+                    as_of,
+                    lambda: ingest.cdc_relation_log(tpch.relations(spark, sf_dir)),
+                    ingest.cdc_live_relations,
+                    ingest._EDGE_COLS,
                 )
             else:
                 rel = cached_df(

@@ -1267,6 +1267,58 @@ def search_as_of_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "knn_as_of_incremental",
+    # incremental derivation == from-scratch resolution, so the
+    # oracle is exact KNN over the FULLY-resolved S2 vector set —
+    # every driver hash check re-proves the live-state-advance
+    # algebra for the vector family
+    knn.exact_knn_sql(_vector_as_of_sql(_ASOF_INC_HEAD), _QVEC_SQL, dim=64, k=10),
+)
+def knn_as_of_incremental(spark, sf_dir):
+    """The live-state advance generalized past text: snapshot S2's
+    VECTOR set derives FROM snapshot S1's cached set plus only the
+    ops in (S1, S2] (ingest.advance_live_state — untouched rids keep
+    their S1 rows via a key anti-join, touched rids resolve
+    latest-op-wins over the delta alone). search_as_of_incremental
+    proved the shape for the text index, where re-tokenization
+    dominates; here the win is the log itself — a from-scratch S2
+    read scans and shuffles EVERY version ever written, the advance
+    scans the already-materialized S1 state plus a seq-pruned delta
+    (partition pruning on the seq-ranged op log at 100 TB). The find
+    API's as-of legs chain this way automatically for all four
+    latest-op-wins families (api.asof_live_state: vectors, relations,
+    labels, fielded corpus); this query walks the vector path
+    end-to-end: S1 = base inserts only, the delta carries both the
+    re-embed (rid%6) and delete (rid%9) waves, and KNN at S2 over the
+    advanced set must equal KNN over the from-scratch S2 resolution
+    (the oracle). Same advance contract as the reference's indexer —
+    new segment + deletion list over prior segments,
+    nidx/src/indexer.rs:121-253 — applied to snapshot derivation."""
+    from nucliadb_spark import api
+    from pyspark.sql import functions as F
+
+    def log_builder():
+        return ingest.cdc_vector_log(tpch.vectors(spark, sf_dir))
+
+    # warm S1 (the prior snapshot's artifact — in a touring session
+    # this is already resident); S2 then chains from it
+    api.asof_live_state(
+        spark, sf_dir, "vectors", _ASOF_INC_BASE,
+        log_builder, ingest.cdc_live_vectors, ("rid",),
+    )
+    live = api.asof_live_state(
+        spark, sf_dir, "vectors", _ASOF_INC_HEAD,
+        log_builder, ingest.cdc_live_vectors, ("rid",),
+    )
+    qvec = (
+        tpch.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return knn.exact_knn(live, qvec, k=10)
+
+
 def _suggest_as_of_oracle() -> str:
     return suggest.suggest_paragraphs_sql(
         ingest.cdc_live_as_of_sql(_AS_OF_SEQ), "refre"

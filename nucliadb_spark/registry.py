@@ -82,6 +82,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_snapshot_rank_drift",
     "suggest_as_of",
     "search_as_of_incremental",
+    "knn_as_of_incremental",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

@@ -349,6 +349,44 @@ def advance_text_index(
     )
 
 
+def advance_live_state(
+    prior: DataFrame,
+    delta_log: DataFrame,
+    keys: tuple[str, ...],
+    resolve,
+) -> DataFrame:
+    """Generalize :func:`advance_text_index` to EVERY latest-op-wins
+    CDC family: snapshot S2's live state = S1's live state with the
+    delta's touched keys anti-joined out, union the delta's own
+    latest-op-wins resolution. Correct by the same associativity
+    argument — every delta op on a key strictly supersedes its
+    pre-S1 state, so untouched keys keep their S1 rows verbatim and
+    touched keys resolve over the DELTA alone (a delete as the final
+    op simply contributes no row).
+
+    `keys` is the family's identity (vectors/labels: ``("rid",)``,
+    fielded: ``("rid", "field_id")``, relations: the edge triple);
+    `resolve` is the family's live function (cdc_live_vectors,
+    cdc_live_fielded, …) applied to the delta log — its output
+    columns ARE the state schema, so kept ∪ added unions cleanly.
+
+    At scale this converts a new snapshot's cold cost from
+    full-log-sized (scan every version ever written + one
+    corpus+history shuffle) to prior-state + delta: one anti-join
+    against the already-materialized S1 sidecar plus a
+    delta-pruned log scan (the op log is seq-partitioned, so the
+    delta read is partition pruning). The reference advances live
+    state exactly this way — a new segment plus a deletion list over
+    prior segments (nidx/src/indexer.rs:121-253) — here applied to
+    snapshot derivation across all four index families."""
+    touched = delta_log.select(*keys).distinct()
+    kept = prior.join(F.broadcast(touched), list(keys), "left_anti")
+    # the anti-join moves join keys to the front — restore the
+    # family's state schema so advanced and from-scratch frames are
+    # interchangeable
+    return kept.unionByName(resolve(delta_log)).select(*prior.columns)
+
+
 def cdc_live_as_of_sql(seq: int) -> str:
     """DuckDB twin of cdc_log → cdc_live_as_of over documents."""
     return f"""

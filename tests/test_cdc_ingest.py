@@ -811,3 +811,46 @@ def test_advance_text_index_equals_from_scratch(spark, sf_dir):
         )
         assert {tuple(r) for r in adv_post.collect()} == scratch, s1
         assert {tuple(r) for r in adv_stats.collect()} == scratch_stats, s1
+
+
+@pytest.mark.parametrize(
+    "family",
+    ["vectors", "relations", "labels", "fielded"],
+)
+def test_advance_live_state_equals_from_scratch(spark, sf_dir, family):
+    """advance_live_state (the generic latest-op-wins advance) must
+    yield EXACTLY the from-scratch seq-cut resolution for every CDC
+    family the find API reads at a snapshot — at multiple S1 cuts
+    including mid-wave, so kept/touched/deleted keys all exercise."""
+    if family == "vectors":
+        log = ingest.cdc_vector_log(
+            tpch.vectors(spark, sf_dir)
+        )
+        keys, resolve = ("rid",), ingest.cdc_live_vectors
+    elif family == "relations":
+        log = ingest.cdc_relation_log(tpch.relations(spark, sf_dir))
+        keys, resolve = tuple(ingest._EDGE_COLS), ingest.cdc_live_relations
+    elif family == "labels":
+        log = ingest.cdc_label_log(
+            tpch.fields(spark, sf_dir).select("rid", "labels")
+        )
+        keys, resolve = ("rid",), ingest.cdc_live_labels
+    else:
+        log = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir))
+        keys, resolve = ("rid", "field_id"), ingest.cdc_live_fielded
+
+    s2 = 3_000_000
+    scratch = {
+        tuple(map(str, r))
+        for r in resolve(log.filter(F.col("seq") <= s2)).collect()
+    }
+    assert scratch
+    for s1 in (500_000, 1_000_100, 1_500_000):
+        prior = resolve(log.filter(F.col("seq") <= s1))
+        adv = ingest.advance_live_state(
+            prior,
+            log.filter((F.col("seq") > s1) & (F.col("seq") <= s2)),
+            keys,
+            resolve,
+        )
+        assert {tuple(map(str, r)) for r in adv.collect()} == scratch, s1

@@ -532,3 +532,53 @@ def test_asof_family_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
     assert {tuple(r) for r in post2.collect()} == {
         tuple(r) for r in scratch.collect()
     }
+
+
+def test_asof_live_state_chains_for_every_family(spark, sf_dir):
+    """api.asof_live_state: the vector/relation/label/fielded live
+    states chain from the nearest cached earlier snapshot (the plan
+    carries the S1 watermark) and equal the from-scratch seq-cut
+    resolution exactly — the text-index advance contract extended to
+    every latest-op-wins plane the find API reads at a snapshot."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.streaming import ingest
+
+    fams = {
+        "vectors": (
+            lambda: ingest.cdc_vector_log(tpch.vectors(spark, sf_dir)),
+            ingest.cdc_live_vectors,
+            ("rid",),
+        ),
+        "relations": (
+            lambda: ingest.cdc_relation_log(tpch.relations(spark, sf_dir)),
+            ingest.cdc_live_relations,
+            tuple(ingest._EDGE_COLS),
+        ),
+        "labels": (
+            lambda: ingest.cdc_label_log(
+                tpch.fields(spark, sf_dir).select("rid", "labels")
+            ),
+            ingest.cdc_live_labels,
+            ("rid",),
+        ),
+        "fielded_live": (
+            lambda: ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)),
+            ingest.cdc_live_fielded,
+            ("rid", "field_id"),
+        ),
+    }
+    s1, s2 = 850_000, 1_250_000
+    for fam, (log_builder, resolve, keys) in fams.items():
+        api.asof_live_state(
+            spark, sf_dir, fam, s1, log_builder, resolve, keys
+        )  # seed the chain
+        state2 = api.asof_live_state(
+            spark, sf_dir, fam, s2, log_builder, resolve, keys
+        )
+        analyzed = state2._jdf.queryExecution().analyzed().toString()
+        assert str(s1) in analyzed, (fam, analyzed[:1500])
+        scratch = resolve(log_builder().filter(F.col("seq") <= s2))
+        assert {tuple(map(str, r)) for r in state2.collect()} == {
+            tuple(map(str, r)) for r in scratch.collect()
+        }, fam
