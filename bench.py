@@ -116,6 +116,11 @@ HEADLINE = [
     "find_hybrid_as_of_filtered",
     "find_hybrid_fielded_as_of_filtered",
     "ivf_drift_plan_incremental",
+    # round 11b: the chained vector snapshot (S2's live set advances
+    # the cached S1 with only the delta — should sit near knn_as_of's
+    # cost since the toy-scale delta dominates; the advance's scale
+    # win is the probe's, not the bench's)
+    "knn_as_of_incremental",
 ]
 
 

@@ -547,16 +547,13 @@ _TB_BUDGET = 2000
 _TB_SEQ = 512
 
 
-@register(
-    "pipeline_trainset_build",
-    f"""
-WITH c AS (
-  SELECT CAST(doc_id AS BIGINT) AS id, text, source FROM documents
-  UNION ALL
-  SELECT CAST(doc_id AS BIGINT) + {dedup.PLANT_OFFSET} AS id,
-         substring(text, 1, length(text) - {dedup.PLANT_TRUNC}) AS text, source
-  FROM documents WHERE doc_id % {dedup.PLANT_MOD} = 0
-),
+def _trainset_build_sql(corpus_sql: str) -> str:
+    """The composed build (dedup survivors + quality band → md5
+    split → per-source token budget → packing spans) over ANY
+    (id, text, source) corpus CTE — shared by the live build and its
+    as-of twin so the two oracles differ only in the corpus."""
+    return f"""
+WITH c AS ({corpus_sql}),
 feat AS (
   SELECT id, text, source,
          length(text) AS n_chars,
@@ -587,7 +584,21 @@ SELECT source, id, n_tokens,
 FROM train
 WHERE cum <= {_TB_BUDGET}
 ORDER BY source, id
-""",
+"""
+
+
+_PLANTED_CORPUS_SQL = f"""
+  SELECT CAST(doc_id AS BIGINT) AS id, text, source FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + {dedup.PLANT_OFFSET} AS id,
+         substring(text, 1, length(text) - {dedup.PLANT_TRUNC}) AS text, source
+  FROM documents WHERE doc_id % {dedup.PLANT_MOD} = 0
+"""
+
+
+@register(
+    "pipeline_trainset_build",
+    _trainset_build_sql(_PLANTED_CORPUS_SQL),
 )
 def pipeline_trainset_build(spark, sf_dir):
     """The whole trainset build as one composed job: exact-dedup
@@ -596,8 +607,6 @@ def pipeline_trainset_build(spark, sf_dir):
     pass does double duty: the running token sum is simultaneously
     the budget cut and the packing offset, so budget+pack cost one
     shuffle, not two."""
-    from nucliadb_spark.functions.text import md5_int60, tokenize
-
     docs = tpch.table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     base = docs.select(
         F.col("doc_id").cast("long").alias("id"), "text", "source"
@@ -607,7 +616,14 @@ def pipeline_trainset_build(spark, sf_dir):
         F.expr(f"substring(text, 1, length(text) - {dedup.PLANT_TRUNC})").alias("text"),
         "source",
     )
-    c = base.unionByName(planted)
+    return _trainset_build(base.unionByName(planted))
+
+
+def _trainset_build(c):
+    """Spark twin of :func:`_trainset_build_sql` over an
+    (id, text, source) corpus frame."""
+    from nucliadb_spark.functions.text import md5_int60, tokenize
+
     toks = tokenize("text")
     bpe = F.aggregate(
         F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
@@ -651,6 +667,53 @@ def pipeline_trainset_build(spark, sf_dir):
         first_seq.alias("first_seq"),
         last_seq.alias("last_seq"),
     ).orderBy("source", "id")
+
+
+_TB_AS_OF = 1_500_000  # post-revisions, pre-deletes snapshot point
+
+
+def _trainset_as_of_corpus_sql() -> str:
+    from nucliadb_spark.streaming import ingest
+
+    return f"""
+  SELECT l.rid AS id, l.text, d.source
+  FROM ({ingest.cdc_live_as_of_sql(_TB_AS_OF)}) l
+  JOIN documents d ON l.rid = CAST(d.doc_id AS BIGINT)
+"""
+
+
+@register(
+    "trainset_build_as_of",
+    _trainset_build_sql(_trainset_as_of_corpus_sql()),
+)
+def trainset_build_as_of(spark, sf_dir):
+    """The reproducible-dataset contract end-to-end: the SAME
+    composed trainset build (dedup survivors + quality band → md5
+    split → per-source token budget → packing spans), over the corpus
+    AS OF log seq 1.5M. 'Rebuild the training set exactly as it stood
+    at snapshot S' is what makes a months-later retrain auditable —
+    at this seq the revision wave is in (revised docs tokenize on
+    their new text, shifting their pack offsets) while the delete
+    wave is not (docs deleted later still earn budget). Content
+    versions resolve from the op log (one seq-pruned scan + the
+    max_by shuffle every snapshot read pays); static per-doc metadata
+    (source) joins by rid — the reference's own split between
+    versioned index state and resource basic metadata. Every
+    downstream cut (md5 split, budget, packing) is already a pure
+    function of (id, text), so snapshot-in → identical-trainset-out
+    across runs, engines and partitionings."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.streaming import ingest
+
+    live = ingest.cdc_live_as_of(
+        ingest.cdc_log(tpch.fields(spark, sf_dir)), _TB_AS_OF
+    )
+    src = tpch.table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("rid"), "source"
+    )
+    c = live.join(src, "rid").select(F.col("rid").alias("id"), "text", "source")
+    return _trainset_build(c)
 
 
 # --- BPE pair counts (tokenizer-training inner step) ------------------------
