@@ -371,17 +371,12 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     as_of = req.as_of
     if as_of is not None and req.rephrase:
         raise ValueError("as_of does not compose with rephrase (not snapshot-resolved)")
-    if as_of is not None and req.entity_sources:
-        # the entity_sources graph leg selects resources by static
-        # source metadata over the batch fields frame — it has no op
-        # log, so answering it at a snapshot would mix live state into
-        # a snapshot response (the query-entities graph leg DOES
-        # resolve as-of, from the seq-cut relation log)
-        raise ValueError(
-            "as_of does not compose with entity_sources (not "
-            "snapshot-resolved); use a query whose entities resolve "
-            "from the relation log"
-        )
+    # as_of × entity_sources composes (r11): corpus MEMBERSHIP at the
+    # snapshot resolves from the content op log, the source attribute
+    # is static per-resource metadata joined by rid — the same
+    # versioned-state/static-metadata split trainset_build_as_of uses
+    # (and the reference's own split between index state and resource
+    # basic metadata).
     if (
         as_of is not None
         and filters is not None
@@ -677,9 +672,25 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             )
 
     if "graph" in features and req.entity_sources:
-        # as_of × entity_sources is rejected above, so filters here
-        # are always live-resolved
-        gdf = fields if filters is None else fields.filter(filters.to_column())
+        gdf = fields
+        if as_of is not None:
+            # snapshot membership from the content op log (docs
+            # deleted after the seq still match, docs indexed after
+            # it do not); the static source attribute joins by rid
+            from nucliadb_spark.streaming import ingest
+
+            live_rids = ingest.cdc_live_as_of(
+                ingest.cdc_log(fields), as_of
+            ).select("rid")
+            gdf = gdf.join(live_rids, "rid", "semi")
+        if filters is not None:
+            # under as_of the (label-only) filter is the seq-cut
+            # allowed set; live requests evaluate the tree directly
+            gdf = (
+                gdf.join(asof_allowed, "rid", "semi")
+                if asof_allowed is not None
+                else gdf.filter(filters.to_column())
+            )
         if scope_rids is not None:
             gdf = gdf.join(F.broadcast(scope_rids), "rid", "semi")
         sources["graph"] = (

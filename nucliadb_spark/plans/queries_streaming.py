@@ -1319,6 +1319,83 @@ def knn_as_of_incremental(spark, sf_dir):
     return knn.exact_knn(live, qvec, k=10)
 
 
+_ASOF_ENT_SOURCES = ("src3", "src11")
+
+
+def _find_as_of_entities_oracle() -> str:
+    from nucliadb_spark.operators import fusion
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            ingest.cdc_live_as_of_sql(_AS_OF_SEQ), q, top_k=win, mode="any"
+        )
+        + ")"
+    )
+    semantic = knn.exact_knn_sql(
+        _vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=win
+    )
+    lst = ", ".join(f"'{s}'" for s in _ASOF_ENT_SOURCES)
+    graph = f"""
+SELECT id, 1.0::DOUBLE AS score FROM (
+  SELECT l.rid AS id
+  FROM ({ingest.cdc_live_as_of_sql(_AS_OF_SEQ)}) l
+  JOIN documents d ON l.rid = CAST(d.doc_id AS BIGINT)
+  WHERE d.source IN ({lst})
+  ORDER BY id
+  LIMIT {win}
+)
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_as_of_entities", _find_as_of_entities_oracle())
+def find_hybrid_as_of_entities(spark, sf_dir):
+    """The last as_of composition rejection lifted (rephrase remains,
+    honestly — a model boundary has no snapshot identity):
+    `entity_sources` selects the graph leg's resources by their
+    SOURCE attribute, and at a snapshot the leg resolves corpus
+    MEMBERSHIP from the content op log (docs deleted after the seq
+    still match, docs indexed after it do not) while the source
+    attribute — static per-resource metadata, never versioned —
+    joins by rid. That versioned-state/static-metadata split is the
+    same one trainset_build_as_of uses and mirrors the reference's
+    split between index state and resource basic metadata
+    (resources.proto basic vs index messages). At 100 TB the leg is
+    one seq-pruned log scan + a rid semijoin against the static
+    fields frame; keyword and semantic legs are the standard as-of
+    reads at the same seq."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        entity_sources=list(_ASOF_ENT_SOURCES),
+        as_of=_AS_OF_SEQ,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
 def _suggest_as_of_oracle() -> str:
     return suggest.suggest_paragraphs_sql(
         ingest.cdc_live_as_of_sql(_AS_OF_SEQ), "refre"

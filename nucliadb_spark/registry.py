@@ -84,6 +84,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "search_as_of_incremental",
     "knn_as_of_incremental",
     "trainset_build_as_of",
+    "find_hybrid_as_of_entities",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

@@ -491,19 +491,45 @@ def test_asof_text_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
     }
 
 
-def test_as_of_rejects_entity_sources(spark, sf_dir):
-    """The entity_sources graph leg selects by static source metadata
-    over the batch corpus — no op log, no snapshot identity, so the
-    combination must raise rather than mix live state into a
-    snapshot response."""
-    req = api.FindRequest(
-        query="spark join window",
-        features=["keyword", "graph"],
-        as_of=1_500_000,
-        entity_sources=["src5"],
-    )
-    with pytest.raises(ValueError, match="entity_sources"):
-        api.find_request(spark, sf_dir, req)
+def test_as_of_entity_sources_resolves_membership_at_the_seq(spark, sf_dir):
+    """as_of × entity_sources (r11, rejection lifted): the leg's
+    corpus MEMBERSHIP resolves from the content op log while the
+    static source attribute joins by rid. At a mid-backfill seq only
+    already-indexed docs match; at the standard snapshot, docs the
+    later delete wave removes still match (and are absent live)."""
+    from pyspark.sql import functions as F
+
+    def ids(as_of):
+        req = api.FindRequest(
+            query="",
+            features=["graph"],
+            top_k=50,
+            window=50,
+            entity_sources=["src3"],
+            as_of=as_of,
+        )
+        return {r.id for r in api.find_request(spark, sf_dir, req).collect()}
+
+    early = ids(300)  # mid-backfill: rids > 300 not yet indexed
+    assert early and all(i <= 300 for i in early)
+    snap = ids(1_500_000)  # post-revisions, pre-deletes
+    src3 = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir)
+        .filter(F.col("source") == "src3")
+        .select("rid")
+        .collect()
+    }
+    # window-capped leg: the snapshot set is the first 50 src3 rids
+    assert snap == set(sorted(src3)[:50])
+    deleted_later = {i for i in snap if i % 11 == 0}
+    assert deleted_later, "fixture should contain a later-deleted match"
+    # at the log head the rid%11 delete wave has applied: the same
+    # leg no longer serves those docs (and backfills the window from
+    # the next src3 rids)
+    head = ids(3_000_000)
+    assert head == set(sorted(src3 - {r for r in src3 if r % 11 == 0})[:50])
+    assert deleted_later & head == set()
 
 
 def test_asof_family_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
