@@ -369,8 +369,12 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # log) stay rejected rather than silently answered against mixed
     # snapshots.
     as_of = req.as_of
-    if as_of is not None and req.rephrase:
-        raise ValueError("as_of does not compose with rephrase (not snapshot-resolved)")
+    # as_of × rephrase composes (r11): the rewrite is a pure function
+    # of the query text and the doc embeddings are a pure function of
+    # each doc's TEXT VERSION (a pinned model — the refresh capstone's
+    # re-embed contract), so the semantic leg embeds the AS-OF corpus
+    # and nothing mixes snapshots. With every composition lifted,
+    # FindRequest.as_of now composes with the full request surface.
     # as_of × entity_sources composes (r11): corpus MEMBERSHIP at the
     # snapshot resolves from the content op log, the source attribute
     # is static per-resource metadata joined by rid — the same
@@ -617,9 +621,35 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             from nucliadb_spark.operators.find import stub_embedding_sidecar
 
             qtext = models.stub_rephrase_py(req.query)
-            emb_docs = stub_embedding_sidecar(spark, sf_dir)
+            if as_of is not None:
+                # the snapshot's embedding sidecar: the as-of corpus
+                # (revised docs on their revised text, deleted-later
+                # docs still present) re-embedded deterministically —
+                # session-cached per snapshot like every other as-of
+                # sidecar
+                from nucliadb_spark.cache import cached_df
+                from nucliadb_spark.streaming import ingest
+
+                emb_docs = cached_df(
+                    sf_dir,
+                    f"asof{as_of}_stub_embeddings",
+                    lambda: ingest.cdc_live_as_of(
+                        ingest.cdc_log(fields), as_of
+                    ).select(
+                        "rid",
+                        models.stub_embedding(F.col("text")).alias(
+                            "embedding"
+                        ),
+                    ),
+                )
+            else:
+                emb_docs = stub_embedding_sidecar(spark, sf_dir)
             if filters is not None:
-                allowed = fields.filter(filters.to_column()).select("rid")
+                allowed = (
+                    asof_allowed
+                    if asof_allowed is not None
+                    else fields.filter(filters.to_column()).select("rid")
+                )
                 emb_docs = emb_docs.join(allowed, "rid", "semi")
             if scope_rids is not None:
                 emb_docs = emb_docs.join(F.broadcast(scope_rids), "rid", "semi")

@@ -1396,6 +1396,91 @@ def find_hybrid_as_of_entities(spark, sf_dir):
     )
 
 
+def _find_as_of_rephrased_oracle() -> str:
+    from nucliadb_spark.functions import models
+    from nucliadb_spark.functions.models import detect_entity_values_py
+    from nucliadb_spark.operators import fusion
+    from nucliadb_spark.operators.filters import _sql_quote
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            ingest.cdc_live_as_of_sql(_AS_OF_SEQ), q, top_k=win, mode="any"
+        )
+        + ")"
+    )
+    reph = models.stub_rephrase_py(q)
+    semantic = knn.exact_knn_sql(
+        f"SELECT rid, {models.stub_embedding_sql('text')} AS embedding "
+        f"FROM ({ingest.cdc_live_as_of_sql(_AS_OF_SEQ)})",
+        f"SELECT {models.stub_embedding_sql(_sql_quote(reph))} AS qvec",
+        models.STUB_DIM,
+        k=win,
+        similarity="cosine",
+        vec_col="embedding",
+    )
+    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+    graph = f"""
+SELECT DISTINCT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id,
+       1.0::DOUBLE AS score
+FROM ({live_rel_as_of})
+WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
+  AND paragraph_id IS NOT NULL
+"""
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_as_of_rephrased", _find_as_of_rephrased_oracle())
+def find_hybrid_as_of_rephrased(spark, sf_dir):
+    """EVERY as_of composition rejection is now lifted: rephrase was
+    the last, and it composes honestly because both halves are pure
+    functions — the rewrite of the query text (the Predict-rephrase
+    stub), and each document's embedding of its TEXT VERSION (a
+    pinned model, the same re-embed contract the incremental-refresh
+    capstone exercises). So at a snapshot the keyword leg ranks the
+    ORIGINAL query against the as-of text index, the semantic leg
+    embeds the REWRITE and scores it against the as-of corpus's
+    re-derived embedding sidecar (revised docs embed their revised
+    text; deleted-later docs still present), and the relation leg
+    reads the seq-cut edge log — one seq everywhere, nothing mixed.
+    Session-cached per snapshot (`asof{seq}_stub_embeddings`) like
+    every other as-of sidecar; at 100 TB the embed pass is one
+    Arrow-batched UDF over the seq-pruned corpus, paid once per
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        rephrase=True,
+        as_of=_AS_OF_SEQ,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
 def _suggest_as_of_oracle() -> str:
     return suggest.suggest_paragraphs_sql(
         ingest.cdc_live_as_of_sql(_AS_OF_SEQ), "refre"

