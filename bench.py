@@ -121,6 +121,12 @@ HEADLINE = [
     # cost since the toy-scale delta dominates; the advance's scale
     # win is the probe's, not the bench's)
     "knn_as_of_incremental",
+    # round 11c: the two final as_of compositions — entity-source
+    # membership at the seq (one extra semijoin over find_hybrid_as_of)
+    # and the rephrased snapshot flagship (first call pays the
+    # per-snapshot embed sidecar, steady-state serves from it)
+    "find_hybrid_as_of_entities",
+    "find_hybrid_as_of_rephrased",
 ]
 
 
