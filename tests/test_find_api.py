@@ -631,3 +631,26 @@ def test_as_of_rephrase_semantic_tracks_text_versions(spark, sf_dir):
     post = hits(1_500_000)  # revisions in, deletes not
     assert pre and post and pre != post
     assert any(i % 11 == 0 for i, _ in post) or True  # membership pinned by oracle
+
+
+def test_as_of_boundary_seqs_degrade_gracefully(spark, sf_dir):
+    """MVCC boundary semantics, exact: a pre-history seq serves only
+    ops at or before it (seq 0 = the rid-0 base insert alone, not an
+    error, not an empty crash), and a far-future seq equals the log
+    head."""
+    def run(as_of, feats=("keyword", "semantic")):
+        req = api.FindRequest(
+            query="refreshed revision stream",
+            features=list(feats),
+            top_k=5,
+            window=10,
+            query_vec_id=5,
+            as_of=as_of,
+        )
+        return api.find_request(spark, sf_dir, req).collect()
+
+    first = run(0)
+    assert [r.id for r in first] == [0]  # only rid 0 exists at seq 0
+    future = run(10_000_000)
+    head = run(3_000_000)
+    assert [(r.id, r.score) for r in future] == [(r.id, r.score) for r in head]
