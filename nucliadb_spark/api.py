@@ -625,22 +625,30 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 # the snapshot's embedding sidecar: the as-of corpus
                 # (revised docs on their revised text, deleted-later
                 # docs still present) re-embedded deterministically —
-                # session-cached per snapshot like every other as-of
-                # sidecar
-                from nucliadb_spark.cache import cached_df
+                # session-cached per snapshot, and CHAINED like every
+                # other as-of state: a new snapshot embeds only the
+                # delta docs (embeddings are pure functions of text
+                # versions, so untouched rids keep their vectors via
+                # the advance's anti-join — the Arrow UDF pass, the
+                # expensive part, runs over the delta alone)
                 from nucliadb_spark.streaming import ingest
 
-                emb_docs = cached_df(
-                    sf_dir,
-                    f"asof{as_of}_stub_embeddings",
-                    lambda: ingest.cdc_live_as_of(
-                        ingest.cdc_log(fields), as_of
-                    ).select(
+                def _embed_live(log: DataFrame) -> DataFrame:
+                    return ingest.cdc_live_fields(log).select(
                         "rid",
                         models.stub_embedding(F.col("text")).alias(
                             "embedding"
                         ),
-                    ),
+                    )
+
+                emb_docs = asof_live_state(
+                    spark,
+                    sf_dir,
+                    "stub_embeddings",
+                    as_of,
+                    lambda: ingest.cdc_log(fields),
+                    _embed_live,
+                    ("rid",),
                 )
             else:
                 emb_docs = stub_embedding_sidecar(spark, sf_dir)

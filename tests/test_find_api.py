@@ -568,6 +568,7 @@ def test_asof_live_state_chains_for_every_family(spark, sf_dir):
     every latest-op-wins plane the find API reads at a snapshot."""
     from pyspark.sql import functions as F
 
+    from nucliadb_spark.functions import models
     from nucliadb_spark.streaming import ingest
 
     fams = {
@@ -592,6 +593,15 @@ def test_asof_live_state_chains_for_every_family(spark, sf_dir):
             lambda: ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)),
             ingest.cdc_live_fielded,
             ("rid", "field_id"),
+        ),
+        # the rephrase sidecar: embeddings are pure functions of text
+        # versions, so the embed pass advances like any live state
+        "stub_embeddings": (
+            lambda: ingest.cdc_log(tpch.fields(spark, sf_dir)),
+            lambda log: ingest.cdc_live_fields(log).select(
+                "rid", models.stub_embedding(F.col("text")).alias("embedding")
+            ),
+            ("rid",),
         ),
     }
     s1, s2 = 850_000, 1_250_000
