@@ -1396,6 +1396,39 @@ def find_hybrid_as_of_entities(spark, sf_dir):
     )
 
 
+def _suggest_entities_as_of_oracle() -> str:
+    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    live_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
+    return suggest.suggest_entities_sql(live_as_of, "customer:1")
+
+
+@register("suggest_entities_as_of", _suggest_entities_as_of_oracle())
+def suggest_entities_as_of(spark, sf_dir):
+    """/suggest's ENTITY section at a snapshot (G8 × as_of): the
+    prefix scan runs over the distinct graph nodes of the relation
+    set AS OF the seq — provenance revisions applied, edges the later
+    delete wave retracts still contributing their nodes. Serves from
+    the SAME chained per-snapshot relation state the find API's
+    entity leg reads (api.asof_live_state family 'relations'), so an
+    autocomplete session at a snapshot shares the sidecar with its
+    retrieval queries. With suggest_as_of (the paragraph section,
+    r11) this completes snapshot symmetry for both suggest sections."""
+    from nucliadb_spark import api
+
+    rel = api.asof_live_state(
+        spark,
+        sf_dir,
+        "relations",
+        _AS_OF_SEQ,
+        lambda: ingest.cdc_relation_log(tpch.relations(spark, sf_dir)),
+        ingest.cdc_live_relations,
+        tuple(ingest._EDGE_COLS),
+    )
+    return suggest.suggest_entities(rel, "customer:1")
+
+
 def _find_as_of_rephrased_oracle() -> str:
     from nucliadb_spark.functions import models
     from nucliadb_spark.functions.models import detect_entity_values_py

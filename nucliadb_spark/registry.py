@@ -86,6 +86,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "trainset_build_as_of",
     "find_hybrid_as_of_entities",
     "find_hybrid_as_of_rephrased",
+    "suggest_entities_as_of",
     # --- latest driver evidence: r6 — oldest-first fills to 50 ---
     "catalog_count",
     "catalog_facet_rollup",
