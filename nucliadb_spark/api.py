@@ -64,19 +64,93 @@ def _without_prequeries(req: "FindRequest") -> "FindRequest":
     return replace(req, prequeries=None)
 
 
-def _label_snapshot_filterable(expr: Expr) -> bool:
-    """True iff every leaf of the filter tree is a label/facet
-    predicate — the one plane whose op log (cdc_label_log, with
-    before-images) gives the predicate a snapshot identity, so it can
-    resolve AS OF a seq. And/Or/Not compose; anything referencing
-    batch-corpus metadata (dates, security, JSON KV) does not."""
-    from nucliadb_spark.operators.filters import And, Facet, Not, Or
+# the corpus model's STATIC per-resource metadata columns: written at
+# resource creation, never revised by any CDC wave, hence snapshot-
+# independent. The reference draws the same line between index state
+# and resource basic/origin metadata (resources.proto Basic/Origin vs
+# the index messages): dates, security groups, source/language are
+# attributes of the resource, not of any text version.
+_STATIC_COLS = frozenset(
+    {
+        "rid",
+        "kbid",
+        "field_type",
+        "field_id",
+        "field_key",
+        "language",
+        "source",
+        "n_chars",
+        "created",
+        "modified",
+        "security_public",
+        "security_groups",
+    }
+)
+
+
+def _filter_planes(expr: Expr) -> set[str]:
+    """Classify every leaf of a filter tree by the state plane it
+    reads, for the as_of composition rules:
+
+    - ``'label'`` — a Facet over ``labels``: VERSIONED state whose op
+      log (cdc_label_log, with before-images) gives it a snapshot
+      identity, so it resolves AS OF a seq.
+    - ``'static'`` — per-resource metadata that never versions
+      (dates, security, source/language, JSON KV on a static column):
+      corpus MEMBERSHIP at the snapshot comes from the content op
+      log, the attribute itself joins by rid — the same
+      versioned-state/static-metadata split trainset_build_as_of and
+      the entity_sources leg use.
+    - ``'versioned'`` — anything reading versioned NON-label state
+      (e.g. a Keyword predicate over ``text``) or an unknown leaf:
+      no snapshot identity, the composition must raise.
+
+    And/Or/Not union their operands' planes, so a mixed tree is
+    answerable iff no leaf is 'versioned'.
+    """
+    from nucliadb_spark.operators.filters import (
+        And,
+        DateRange,
+        Facet,
+        FieldEquals,
+        JsonPath,
+        Keyword,
+        Not,
+        NotHidden,
+        NumericRange,
+        Or,
+        PrefixMatch,
+        ResourceIs,
+        SecurityFilter,
+    )
 
     if isinstance(expr, (And, Or)):
-        return all(_label_snapshot_filterable(e) for e in expr.operands)
+        return set().union(*(_filter_planes(e) for e in expr.operands))
     if isinstance(expr, Not):
-        return _label_snapshot_filterable(expr.operand)
-    return isinstance(expr, Facet) and expr.column == "labels"
+        return _filter_planes(expr.operand)
+    if isinstance(expr, Facet):
+        return {"label"} if expr.column == "labels" else {"versioned"}
+    if isinstance(expr, SecurityFilter):
+        cols: tuple[str, ...] = (expr.public_column, expr.groups_column)
+    elif isinstance(
+        expr,
+        (
+            DateRange,
+            Keyword,
+            ResourceIs,
+            FieldEquals,
+            PrefixMatch,
+            NumericRange,
+            NotHidden,
+            JsonPath,
+        ),
+    ):
+        cols = (expr.column,)
+    else:
+        return {"versioned"}  # unknown leaf — be honest, reject
+    return (
+        {"static"} if all(c in _STATIC_COLS for c in cols) else {"versioned"}
+    )
 
 
 @dataclass
@@ -150,6 +224,7 @@ def asof_text_index(
     from nucliadb_spark.streaming import ingest
 
     log = ingest.cdc_log(fields)
+    advanced: dict[str, DataFrame] = {}
 
     def build_post() -> DataFrame:
         priors = [
@@ -163,29 +238,38 @@ def asof_text_index(
                 sf_dir,
                 f"asof{s1}_text_post",
                 lambda: bm25.postings(ingest.cdc_live_as_of(log, s1)),
+                spark=spark,
             )
             prior_stats = cached_df(
                 sf_dir,
                 f"asof{s1}_text_stats",
                 lambda: bm25.doc_stats_from_postings(prior_post),
+                spark=spark,
             )
-            return ingest.advance_text_index(
+            post2, stats2 = ingest.advance_text_index(
                 prior_post,
                 prior_stats,
                 log.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
-            )[0]
+            )
+            # the advance derives stats incrementally too (kept rows
+            # verbatim + delta stats) — hand them to the stats sidecar
+            # instead of re-deriving from the advanced postings
+            advanced["stats"] = stats2
+            return post2
         return bm25.postings(ingest.cdc_live_as_of(log, as_of))
 
-    post = cached_df(sf_dir, f"asof{as_of}_text_post", build_post)
+    post = cached_df(sf_dir, f"asof{as_of}_text_post", build_post, spark=spark)
     stats = cached_df(
         sf_dir,
         f"asof{as_of}_text_stats",
-        lambda: bm25.doc_stats_from_postings(post),
+        lambda: advanced.get("stats") or bm25.doc_stats_from_postings(post),
+        spark=spark,
     )
     corpus = cached_df(
         sf_dir,
         f"asof{as_of}_text_corpus",
         lambda: bm25.corpus_stats(stats),
+        spark=spark,
     )
     return post, stats, corpus
 
@@ -217,6 +301,8 @@ def asof_family_text_index(
             "rid", "text"
         )
 
+    advanced: dict[str, DataFrame] = {}
+
     def build_post() -> DataFrame:
         pat = re.compile(rf"asof(\d+)_f{re.escape(slug)}_post")
         priors = [
@@ -230,29 +316,35 @@ def asof_family_text_index(
                 sf_dir,
                 f"asof{s1}_f{slug}_post",
                 lambda: bm25.postings(fam_at(s1)),
+                spark=spark,
             )
             prior_stats = cached_df(
                 sf_dir,
                 f"asof{s1}_f{slug}_stats",
                 lambda: bm25.doc_stats_from_postings(prior_post),
+                spark=spark,
             )
-            return ingest.advance_text_index(
+            post2, stats2 = ingest.advance_text_index(
                 prior_post,
                 prior_stats,
                 flog.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
-            )[0]
+            )
+            advanced["stats"] = stats2
+            return post2
         return bm25.postings(fam_at(as_of))
 
-    post = cached_df(sf_dir, f"asof{as_of}_f{slug}_post", build_post)
+    post = cached_df(sf_dir, f"asof{as_of}_f{slug}_post", build_post, spark=spark)
     stats = cached_df(
         sf_dir,
         f"asof{as_of}_f{slug}_stats",
-        lambda: bm25.doc_stats_from_postings(post),
+        lambda: advanced.get("stats") or bm25.doc_stats_from_postings(post),
+        spark=spark,
     )
     corpus = cached_df(
         sf_dir,
         f"asof{as_of}_f{slug}_corpus",
         lambda: bm25.corpus_stats(stats),
+        spark=spark,
     )
     return post, stats, corpus
 
@@ -298,6 +390,7 @@ def asof_live_state(
                 sf_dir,
                 f"asof{s1}_{family}",
                 lambda: resolve(log.filter(F.col("seq") <= s1)),
+                spark=spark,
             )
             return ingest.advance_live_state(
                 prior,
@@ -307,7 +400,7 @@ def asof_live_state(
             )
         return resolve(log.filter(F.col("seq") <= as_of))
 
-    return cached_df(sf_dir, f"asof{as_of}_{family}", build)
+    return cached_df(sf_dir, f"asof{as_of}_{family}", build, spark=spark)
 
 
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
@@ -364,10 +457,11 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # every leaf is a Facet resolves from the seq-cut label log —
     # the reference's prefilter semantics
     # (nidx/nidx_text/src/reader.rs:148-180) at a snapshot the
-    # reference cannot express. Rephrase and non-label predicates
-    # (dates, security, JSON KV — batch-corpus metadata with no op
-    # log) stay rejected rather than silently answered against mixed
-    # snapshots.
+    # reference cannot express. Static-metadata predicates (dates,
+    # security, JSON KV on static columns) compose as of r12 via the
+    # versioned-state/static-metadata split (_filter_planes); only
+    # predicates over versioned non-label state (text keywords) stay
+    # rejected rather than silently answered against mixed snapshots.
     as_of = req.as_of
     # as_of × rephrase composes (r11): the rewrite is a pure function
     # of the query text and the doc embeddings are a pure function of
@@ -381,42 +475,59 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # versioned-state/static-metadata split trainset_build_as_of uses
     # (and the reference's own split between index state and resource
     # basic metadata).
-    if (
-        as_of is not None
-        and filters is not None
-        and not _label_snapshot_filterable(filters)
-    ):
-        raise ValueError(
-            "as_of composes only with label/facet filters — other "
-            "predicates reference batch-corpus metadata with no "
-            "snapshot identity"
-        )
-    # the snapshot-resolved prefilter: allowed rids = label state AS
-    # OF the same seq, evaluated by the unchanged filter compiler
-    # (Facet.to_column works on any (rid, labels) frame). Session-
-    # cached per (snapshot) like every other as-of sidecar. Label
-    # state is RESOURCE-grain — the reference's grain too (the pg
-    # catalog keys facets by resource, catalog/pg.py:72-107) — so the
-    # same allowed set serves scoped and unscoped requests alike and
-    # the full triple (as_of × fields × filters) composes: scope from
-    # the seq-cut fielded log, filter from the seq-cut label log,
-    # corpus from the seq-cut content logs, one seq everywhere.
+    planes: set[str] = set()
+    if as_of is not None and filters is not None:
+        planes = _filter_planes(filters)
+        if "versioned" in planes:
+            raise ValueError(
+                "as_of composes with label/facet filters and static "
+                "per-resource metadata predicates (dates, security, "
+                "JSON KV); predicates over versioned non-label state "
+                "(e.g. text keywords) have no snapshot identity"
+            )
+    # the snapshot-resolved prefilter: allowed rids = the filter tree
+    # evaluated against a frame that carries each plane's state AT
+    # the seq — label state from the seq-cut label op log (session-
+    # cached per snapshot like every other as-of sidecar), static
+    # attributes from the fields frame by rid (never versioned, so
+    # snapshot-independent). Label state is RESOURCE-grain — the
+    # reference's grain too (the pg catalog keys facets by resource,
+    # catalog/pg.py:72-107) — so the same allowed set serves scoped
+    # and unscoped requests alike and the full triple (as_of × fields
+    # × filters) composes: scope from the seq-cut fielded log, filter
+    # from the seq-cut label log + static metadata, corpus from the
+    # seq-cut content logs, one seq everywhere. A static-only tree
+    # skips the label resolution entirely (one filter over the static
+    # frame; membership at the seq is enforced by each leg's as-of
+    # corpus), a label-only tree skips the static join, and a mixed
+    # tree joins the two planes by rid before the unchanged filter
+    # compiler evaluates the WHOLE tree — And/Or/Not across planes
+    # need no decomposition.
     asof_allowed = None
     if as_of is not None and filters is not None:
-        from nucliadb_spark.streaming import ingest
+        if planes == {"static"}:
+            asof_allowed = fields.filter(filters.to_column()).select("rid")
+        else:
+            from nucliadb_spark.streaming import ingest
 
-        label_state = asof_live_state(
-            spark,
-            sf_dir,
-            "labels",
-            as_of,
-            lambda: ingest.cdc_label_log(
-                tpch.fields(spark, sf_dir).select("rid", "labels")
-            ),
-            ingest.cdc_live_labels,
-            ("rid",),
-        )
-        asof_allowed = label_state.filter(filters.to_column()).select("rid")
+            label_state = asof_live_state(
+                spark,
+                sf_dir,
+                "labels",
+                as_of,
+                lambda: ingest.cdc_label_log(
+                    tpch.fields(spark, sf_dir).select("rid", "labels")
+                ),
+                ingest.cdc_live_labels,
+                ("rid",),
+            )
+            if planes == {"label"}:
+                asof_allowed = label_state.filter(
+                    filters.to_column()
+                ).select("rid")
+            else:
+                snap = fields.drop("labels").join(label_state, "rid")
+                asof_allowed = snap.filter(filters.to_column()).select("rid")
 
     # `fields` scope: validate, then resolve the scoped field-key set
     # and the owning-resource frame once (both reused across legs).
@@ -714,12 +825,23 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         if as_of is not None:
             # snapshot membership from the content op log (docs
             # deleted after the seq still match, docs indexed after
-            # it do not); the static source attribute joins by rid
+            # it do not); the static source attribute joins by rid.
+            # Served through asof_live_state like every other as-of
+            # plane: repeated requests at the snapshot read the
+            # cached 'content_live' sidecar, a new snapshot chains
+            # from the nearest cached one — full-log cost once per
+            # (seq, family), not once per request
             from nucliadb_spark.streaming import ingest
 
-            live_rids = ingest.cdc_live_as_of(
-                ingest.cdc_log(fields), as_of
-            ).select("rid")
+            live_rids = asof_live_state(
+                spark,
+                sf_dir,
+                "content_live",
+                as_of,
+                lambda: ingest.cdc_log(fields),
+                lambda log: ingest.cdc_live_fields(log).select("rid"),
+                ("rid",),
+            )
             gdf = gdf.join(live_rids, "rid", "semi")
         if filters is not None:
             # under as_of the (label-only) filter is the seq-cut

@@ -49,7 +49,23 @@ def cached_names(spark, sf_dir: str) -> list[str]:
     return [n for (a, s, n) in _CACHE if a == app and s == sf_dir]
 
 
-def cached_df(sf_dir: str, name: str, builder: Callable[[], DataFrame]) -> DataFrame:
+def cached_df(
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+    spark=None,
+) -> DataFrame:
+    # with the session in hand the hit path never invokes the
+    # builder: chained as-of builders construct (and would persist)
+    # a PRIOR snapshot's whole plan, so building on a hit could
+    # re-insert an evicted prior entry and evict a hot sidecar for
+    # a frame that is never computed or used
+    if spark is not None:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        hit = _CACHE.get(key)
+        if hit is not None:
+            _CACHE.move_to_end(key)
+            return hit
     df = builder()
     # key on the Spark application: a restarted/different session must
     # rebuild, not serve DataFrames of a dead context

@@ -38,88 +38,22 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-11 window policy (oldest-driver-evidence-first rotation; the
+# Round-12 window policy (oldest-driver-evidence-first rotation; the
 # membership invariant is mechanical — tests/test_registry_invariants.py
 # pins set(PRIORITY) == set(queries()) so no registered query can be
 # driver-unreachable, and `scripts/check.sh` runs those tests in
 # seconds so they gate every commit that touches the registry):
-# seats 0-11 are the 12 r10 oracle-OOM red rows (regraded under
-# rewritten single-pass oracles + a per-oracle memory_limit prelude),
-# then the r6-stale block (42 queries, alphabetical) fills to 50.
-# New r11 queries take seats right after the red block once locally
-# parity-green at sf0.001 AND sf0.01, displacing r6 fills past the
-# window marker (never the red block). The tail holds every remaining
-# query ordered by staleness (r6 overflow, r7, r8, r9, r10 —
-# alphabetical within a round) so future rounds keep rotating
-# forward. Local parity (tests/test_oracle_parity.py) re-verifies ALL
-# oracles every run, so a stale seat is re-confirmation debt, not
-# correctness risk.
+# after the fully-green r11 window, the oldest driver evidence is the
+# 11 remaining r6 seats + the 50 r7 seats. Seats 0-10 are the r6
+# block, then the new r12 queries (seated once locally parity-green
+# at sf0.001 AND sf0.01), then r7 seats alphabetical fill to 50. The
+# tail holds every remaining query ordered by staleness (r7
+# remainder, r8, r9, r10, r11 — alphabetical within a round) so
+# future rounds keep rotating forward. Local parity
+# (tests/test_oracle_parity.py) re-verifies ALL oracles every run, so
+# a stale seat is re-confirmation debt, not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # seats 0-11: the 12 r10 red rows — every one a DuckDB
-    # oracle-process OOM on the grading box (NOT a wrong answer:
-    # each was hash-green in r05 and is value-parity green locally).
-    # Their oracles are rewritten single-pass this round (bm25_sql
-    # row-local tf, lsh_pairs candidates-only verify, pagerank
-    # MATERIALIZED iterations) and carry a SET memory_limit prelude
-    # (_MEMCAP below) so each grading instance self-bounds.
-    "conversation_typed_search",
-    "dedup_best_survivor",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_span_removal",
-    "find_hybrid",
-    "find_hybrid_ivf",
-    "find_prefiltered",
-    "find_prefiltered_served",
-    "find_relations_subgraph",
-    "find_rephrased",
-    "graph_pagerank",
-    # --- new r11 queries (seated once parity-green at sf0.001+0.01) ---
-    "find_hybrid_as_of_filtered",
-    "facet_counter_compaction",
-    "ivf_drift_plan_incremental",
-    "find_hybrid_fielded_as_of_filtered",
-    "find_snapshot_rank_drift",
-    "suggest_as_of",
-    "search_as_of_incremental",
-    "knn_as_of_incremental",
-    "trainset_build_as_of",
-    "find_hybrid_as_of_entities",
-    "find_hybrid_as_of_rephrased",
-    "suggest_entities_as_of",
-    # --- latest driver evidence: r6 — oldest-first fills to 50 ---
-    "catalog_count",
-    "catalog_facet_rollup",
-    "catalog_facets",
-    "catalog_fuzzy_title",
-    "catalog_trigram_title",
-    "catalog_words_paged",
-    "combsum_fusion",
-    "conversation_context",
-    "conversation_search",
-    "corpus_length_stats",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "feedback_daily_trend",
-    "field_facet_counts",
-    "filter_expression_tree",
-    "graph_neighborhood",
-    "graph_node_fuzzy",
-    "graph_node_words",
-    "graph_nodes_projection",
-    "graph_path_prefix",
-    "graph_path_undirected",
-    "graph_relations_projection",
-    "graph_semantic_nodes",
-    "graph_text_blocks",
-    "graph_two_hop",
-    "hydrate_conversation",
-    "hydrate_multi_field",
-    "hydrate_neighbours_depth2",
-    "json_kv_filter",
-    "keyword_filter",
-    # ---------------- end of the 50-seat graded window ----------------
+    # --- latest driver evidence: r6 — the oldest seats, graded first ---
     "neighbouring_paragraphs",
     "paragraph_extract",
     "paragraph_extract_fielded",
@@ -131,7 +65,11 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "search_fields_scoped",
     "security_filter",
     "suggest_entities",
-    # --- tail: latest driver evidence r7 (alphabetical) ---
+    # --- new r12 queries (seated once parity-green at sf0.001+0.01) ---
+    "find_secured_as_of",
+    "find_hybrid_as_of_dated",
+    "find_hybrid_as_of_mixed",
+    # --- latest driver evidence: r7 — alphabetical fill to 50 ---
     "augment_paragraphs",
     "augment_resources",
     "catalog_filter_alias",
@@ -168,6 +106,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "multimodal_decode",
     "paragraph_search",
     "paragraph_search_filtered",
+    # ---------------- end of the 50-seat graded window ----------------
+    # --- tail: r7 remainder (alphabetical) ---
     "rag_field_extension",
     "rag_metadata_extension",
     "rerank_stub",
@@ -322,6 +262,62 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "text_dup_spans",
     "trainset_partitions",
     "vectorset_backfill",
+    # --- tail: latest driver evidence r11 (alphabetical) ---
+    "catalog_count",
+    "catalog_facet_rollup",
+    "catalog_facets",
+    "catalog_fuzzy_title",
+    "catalog_trigram_title",
+    "catalog_words_paged",
+    "combsum_fusion",
+    "conversation_context",
+    "conversation_search",
+    "conversation_typed_search",
+    "corpus_length_stats",
+    "dedup_best_survivor",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_removal",
+    "facet_counter_compaction",
+    "feedback_daily_trend",
+    "field_facet_counts",
+    "filter_expression_tree",
+    "find_hybrid",
+    "find_hybrid_as_of_entities",
+    "find_hybrid_as_of_filtered",
+    "find_hybrid_as_of_rephrased",
+    "find_hybrid_fielded_as_of_filtered",
+    "find_hybrid_ivf",
+    "find_prefiltered",
+    "find_prefiltered_served",
+    "find_relations_subgraph",
+    "find_rephrased",
+    "find_snapshot_rank_drift",
+    "graph_neighborhood",
+    "graph_node_fuzzy",
+    "graph_node_words",
+    "graph_nodes_projection",
+    "graph_pagerank",
+    "graph_path_prefix",
+    "graph_path_undirected",
+    "graph_relations_projection",
+    "graph_semantic_nodes",
+    "graph_text_blocks",
+    "graph_two_hop",
+    "hydrate_conversation",
+    "hydrate_multi_field",
+    "hydrate_neighbours_depth2",
+    "ivf_drift_plan_incremental",
+    "json_kv_filter",
+    "keyword_filter",
+    "knn_as_of_incremental",
+    "search_as_of_incremental",
+    "suggest_as_of",
+    "suggest_entities_as_of",
+    "trainset_build_as_of",
 ]
 
 

@@ -162,6 +162,13 @@ FROM part
 
 def fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # created/modified: deterministic Basic-metadata timestamps
+    # (resources.proto:58-95 created/modified) — STATIC per-resource
+    # attributes, written once at creation and never revised by any
+    # CDC wave, so as_of date predicates legally join them by rid
+    created = F.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, doc_id % 365, 0,0,0)"
+    )
     return d.select(
         F.lit("kb0").alias("kbid"),
         F.col("doc_id").cast("long").alias("rid"),
@@ -180,6 +187,10 @@ def fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.concat(F.lit("group-"), F.col("doc_id") % 7)).alias(
             "security_groups"
         ),
+        created.alias("created"),
+        (created + F.expr("make_interval(0,0,0,0, doc_id % 24, 0, 0)")).alias(
+            "modified"
+        ),
     )
 
 
@@ -196,7 +207,10 @@ SELECT
   n_chars,
   [concat('/s/p/', lang), concat('/u/s/', source)] AS labels,
   doc_id % 4 <> 0 AS security_public,
-  [concat('group-', doc_id % 7)] AS security_groups
+  [concat('group-', doc_id % 7)] AS security_groups,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS created,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY
+      + INTERVAL (doc_id % 24) HOUR AS modified
 FROM documents
 """
 

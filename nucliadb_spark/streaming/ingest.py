@@ -337,9 +337,13 @@ def advance_text_index(
     """
     from nucliadb_spark.operators import bm25
 
+    # no broadcast hint on the touched-key set: a delta is usually
+    # small, but chaining from a distant prior snapshot makes it
+    # unbounded — AQE broadcasts small sets at runtime and shuffles
+    # big ones, the same rule the find API's allowed-set joins follow
     touched = delta_log.select("rid").distinct()
-    kept_post = prior_post.join(F.broadcast(touched), "rid", "left_anti")
-    kept_stats = prior_stats.join(F.broadcast(touched), "rid", "left_anti")
+    kept_post = prior_post.join(touched, "rid", "left_anti")
+    kept_stats = prior_stats.join(touched, "rid", "left_anti")
     new_docs = cdc_live_fields(delta_log)  # final delta version per rid
     added_post = bm25.postings(new_docs)
     added_stats = bm25.doc_stats_from_postings(added_post)
@@ -379,8 +383,10 @@ def advance_live_state(
     state exactly this way — a new segment plus a deletion list over
     prior segments (nidx/src/indexer.rs:121-253) — here applied to
     snapshot derivation across all four index families."""
+    # unbounded key set (delta size depends on how far apart the
+    # snapshots are) — no broadcast hint, AQE picks the strategy
     touched = delta_log.select(*keys).distinct()
-    kept = prior.join(F.broadcast(touched), list(keys), "left_anti")
+    kept = prior.join(touched, list(keys), "left_anti")
     # the anti-join moves join keys to the front — restore the
     # family's state schema so advanced and from-scratch frames are
     # interchangeable

@@ -336,20 +336,114 @@ def test_as_of_filter_resolves_label_state_at_the_seq(spark, sf_dir):
     assert ids and ids <= asof_allowed
 
 
-def test_as_of_rejects_non_label_filters(spark, sf_dir):
-    """Predicates over batch metadata (dates, security, ...) have no
-    op log, hence no snapshot identity — the composition must raise,
-    not silently answer against mixed snapshots."""
-    from nucliadb_spark.operators.filters import And, DateRange, Facet
+def test_as_of_rejects_versioned_nonlabel_filters(spark, sf_dir):
+    """Predicates over VERSIONED non-label state (text keywords) have
+    no snapshot identity outside the label log — the composition must
+    raise, not silently answer against mixed snapshots. Static
+    metadata (dates, security) and label facets both compose (r11/
+    r12); the classifier must reject exactly the versioned leaves."""
+    from nucliadb_spark.operators.filters import And, Facet, Keyword
 
     req = api.FindRequest(
         query="spark join window",
         features=["keyword"],
         as_of=1_500_000,
-        filters=And([Facet("/s/p/en"), DateRange("created", since="2020-01-01")]),
+        filters=And([Facet("/s/p/en"), Keyword("merge")]),
     )
-    with pytest.raises(ValueError, match="label"):
+    with pytest.raises(ValueError, match="snapshot identity"):
         api.find_request(spark, sf_dir, req)
+
+
+def test_filter_planes_classifier():
+    """The as_of composition rule, leaf by leaf: labels are the
+    versioned-but-snapshot-resolvable plane, static resource
+    metadata (dates, security, source) is snapshot-independent,
+    text keywords are versioned with no identity."""
+    from nucliadb_spark.api import _filter_planes
+    from nucliadb_spark.operators.filters import (
+        And,
+        DateRange,
+        Facet,
+        FieldEquals,
+        Keyword,
+        Not,
+        Or,
+        SecurityFilter,
+    )
+
+    assert _filter_planes(Facet("/s/p/en")) == {"label"}
+    assert _filter_planes(DateRange("created", since="2024-01-01")) == {"static"}
+    assert _filter_planes(SecurityFilter(groups=["group-1"])) == {"static"}
+    assert _filter_planes(FieldEquals("source", "src3")) == {"static"}
+    assert _filter_planes(Keyword("merge")) == {"versioned"}
+    assert _filter_planes(FieldEquals("text", "x")) == {"versioned"}
+    mixed = And(
+        [Or([Facet("/s/p/de"), Facet("/s/p/fr")]), SecurityFilter(groups=["g"])]
+    )
+    assert _filter_planes(mixed) == {"label", "static"}
+    assert _filter_planes(Not(mixed)) == {"label", "static"}
+
+
+def test_as_of_static_filter_keeps_deleted_later_docs(spark, sf_dir):
+    """as_of × a STATIC predicate (security): the allowed set is the
+    static attribute by rid, corpus membership comes from the seq
+    cut — docs the later delete wave (rid%11) removes are still
+    candidates, and every hit satisfies the predicate."""
+    from nucliadb_spark.operators.filters import SecurityFilter
+
+    sec = SecurityFilter(groups=["group-2", "group-5"])
+    req = api.FindRequest(
+        query="refreshed revision stream",
+        features=["keyword"],
+        top_k=50,
+        window=50,
+        as_of=1_500_000,
+        filters=sec,
+    )
+    hits = {r.id for r in api.find_request(spark, sf_dir, req).collect()}
+    allowed = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir).filter(sec.to_column()).select("rid").collect()
+    }
+    assert hits and hits <= allowed
+    # the snapshot is pre-delete-wave: revised docs (rid%7) score on
+    # their refreshed text, so the query's top matches include them —
+    # and the rid%11 docs the later wave deletes are still candidates
+    # (they are base-corpus docs here; the as-of oracle queries pin
+    # exact membership, this pins the predicate+snapshot contract)
+    assert any(i % 7 == 0 for i in hits)
+
+
+def test_as_of_mixed_plane_tree_equals_manual_intersection(spark, sf_dir):
+    """A mixed label×static And-tree at a snapshot returns exactly
+    the label-only request's hits restricted to rids satisfying the
+    static predicate — the by-hand composition the joined-plane
+    evaluation must reproduce (modulo window competition, so compare
+    at a window wide enough to be exhaustive)."""
+    from nucliadb_spark.operators.filters import And, Facet, Or, SecurityFilter
+
+    label_tree = Or([Facet("/s/p/de"), Facet("/s/p/fr")])
+    sec = SecurityFilter(groups=["group-2", "group-5"])
+
+    def ids(filt):
+        req = api.FindRequest(
+            query="refreshed revision stream",
+            features=["keyword"],
+            top_k=500,
+            window=500,
+            as_of=1_500_000,
+            filters=filt,
+        )
+        return {r.id for r in api.find_request(spark, sf_dir, req).collect()}
+
+    mixed = ids(And([label_tree, sec]))
+    label_only = ids(label_tree)
+    allowed_static = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir).filter(sec.to_column()).select("rid").collect()
+    }
+    assert mixed == (label_only & allowed_static)
+    assert mixed  # non-vacuous
 
 
 def test_as_of_filters_fields_triple_composes(spark, sf_dir):
@@ -640,7 +734,10 @@ def test_as_of_rephrase_semantic_tracks_text_versions(spark, sf_dir):
     pre = hits(999_999)   # before the rid%7 revision wave
     post = hits(1_500_000)  # revisions in, deletes not
     assert pre and post and pre != post
-    assert any(i % 11 == 0 for i, _ in post) or True  # membership pinned by oracle
+    # deleted-later docs (rid%11) are still candidates at this seq —
+    # exact membership of the top-k is pinned by the driver oracle;
+    # here we pin that the snapshot ranking is reproducible
+    assert hits(1_500_000) == post
 
 
 def test_as_of_boundary_seqs_degrade_gracefully(spark, sf_dir):
