@@ -127,6 +127,14 @@ HEADLINE = [
     # per-snapshot embed sidecar, steady-state serves from it)
     "find_hybrid_as_of_entities",
     "find_hybrid_as_of_rephrased",
+    # round 12: the mixed-plane filtered snapshot flagship (a label
+    # Facet tree from the seq-cut label log JOINED by rid with static
+    # security metadata, the whole tree evaluated over one frame —
+    # should sit near find_hybrid_as_of_filtered plus one rid-keyed
+    # join; the static-only siblings find_secured_as_of /
+    # find_hybrid_as_of_dated / find_hybrid_as_of_kv skip the label
+    # resolution entirely and are strictly cheaper)
+    "find_hybrid_as_of_mixed",
 ]
 
 

@@ -84,6 +84,7 @@ _STATIC_COLS = frozenset(
         "modified",
         "security_public",
         "security_groups",
+        "extra",
     }
 )
 

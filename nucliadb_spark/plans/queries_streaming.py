@@ -2218,6 +2218,93 @@ def find_hybrid_as_of_mixed(spark, sf_dir):
     )
 
 
+def _asof_kv_filter():
+    """Typed JSON-KV tree over the static `extra` user-metadata
+    document (resources.proto:124-126): a nested-path int range AND
+    a top-level int equality — the nidx_json leaf surface
+    (nidx/nidx_json/src/search.rs:60-200) at a snapshot."""
+    from nucliadb_spark.operators.filters import And, JsonPath
+
+    return And(
+        [
+            JsonPath("extra", "audit.uid", "lte", 50, kind="int"),
+            JsonPath("extra", "priority", "gte", 2, kind="int"),
+        ]
+    )
+
+
+def _find_as_of_kv_oracle() -> str:
+    from nucliadb_spark.operators import fusion
+
+    win = 50  # fusion_window(50, 10)
+    q = _ASOF_HYBRID_Q
+    allowed = (
+        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+        f"WHERE {_asof_kv_filter().to_sql()}"
+    )
+    keyword = (
+        "SELECT rid AS id, score FROM ("
+        + bm25.bm25_sql(
+            ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
+            q,
+            top_k=win,
+            mode="any",
+            served_in_sql=allowed,
+        )
+        + ")"
+    )
+    semantic = knn.exact_knn_sql(
+        _vector_as_of_sql(_AS_OF_SEQ),
+        _QVEC_SQL,
+        dim=64,
+        k=win,
+        where=f"rid IN ({allowed})",
+    )
+    fused = fusion.rrf_sql(
+        {"keyword": keyword, "semantic": semantic}, top_k=10
+    )
+    return f"""
+WITH fused AS ({fused})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_as_of_kv", _find_as_of_kv_oracle())
+def find_hybrid_as_of_kv(spark, sf_dir):
+    """JSON-KV predicates at a snapshot (F7 × as_of): typed leaves
+    (nested-path int range + top-level equality) over the resource's
+    `extra` user-metadata JSON restrict each leg while the corpora
+    resolve AS OF the seq. Extra metadata is written with the
+    resource and never revised by any content wave — static
+    per-resource state, the same split as dates/security — so the
+    allowed set is one json-path extraction over the static fields
+    frame joined by rid. Completes the static half of the filter
+    grammar at a snapshot: labels (versioned, from the op log) and
+    dates/security/JSON-KV (static, by rid) now all compose with
+    as_of, singly or mixed in one tree."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+        filters=_asof_kv_filter(),
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
 def _cdc_vector_served_index(spark, sf_dir):
     """Session-scoped STREAMED vector index: stage the vector op log
     once, drain it through cdc_vector_ingest (upserts get their IVF

@@ -69,6 +69,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_secured_as_of",
     "find_hybrid_as_of_dated",
     "find_hybrid_as_of_mixed",
+    "find_hybrid_as_of_kv",
     # --- latest driver evidence: r7 — alphabetical fill to 50 ---
     "augment_paragraphs",
     "augment_resources",
@@ -105,9 +106,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "link_field_search",
     "multimodal_decode",
     "paragraph_search",
-    "paragraph_search_filtered",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r7 remainder (alphabetical) ---
+    "paragraph_search_filtered",
     "rag_field_extension",
     "rag_metadata_extension",
     "rerank_stub",

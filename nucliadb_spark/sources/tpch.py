@@ -191,6 +191,17 @@ def fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         (created + F.expr("make_interval(0,0,0,0, doc_id % 24, 0, 0)")).alias(
             "modified"
         ),
+        # Extra: arbitrary user metadata as a JSON document
+        # (resources.proto:124-126) — static per resource, queried
+        # via typed JsonPath predicates (F7), incl. at a snapshot
+        F.to_json(
+            F.struct(
+                (F.col("doc_id") % 5).cast("long").alias("priority"),
+                F.struct(
+                    (F.col("doc_id") % 97).cast("long").alias("uid")
+                ).alias("audit"),
+            )
+        ).alias("extra"),
     )
 
 
@@ -210,7 +221,11 @@ SELECT
   [concat('group-', doc_id % 7)] AS security_groups,
   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS created,
   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY
-      + INTERVAL (doc_id % 24) HOUR AS modified
+      + INTERVAL (doc_id % 24) HOUR AS modified,
+  to_json(struct_pack(
+    priority := CAST(doc_id % 5 AS BIGINT),
+    audit := struct_pack(uid := CAST(doc_id % 97 AS BIGINT))
+  )) AS extra
 FROM documents
 """
 

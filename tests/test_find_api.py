@@ -377,6 +377,14 @@ def test_filter_planes_classifier():
     assert _filter_planes(FieldEquals("source", "src3")) == {"static"}
     assert _filter_planes(Keyword("merge")) == {"versioned"}
     assert _filter_planes(FieldEquals("text", "x")) == {"versioned"}
+    from nucliadb_spark.operators.filters import JsonPath
+
+    assert _filter_planes(
+        JsonPath("extra", "audit.uid", "lte", 50, kind="int")
+    ) == {"static"}
+    assert _filter_planes(
+        JsonPath("text", "k", "eq", 1, kind="int")
+    ) == {"versioned"}
     mixed = And(
         [Or([Facet("/s/p/de"), Facet("/s/p/fr")]), SecurityFilter(groups=["g"])]
     )

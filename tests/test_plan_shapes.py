@@ -784,3 +784,46 @@ def test_ivf_drift_incremental_no_full_log_assignment(spark, sf_dir):
     nodes = [c for c, _ in _walk_physical(df)]
     assert any("InMemoryTableScan" in c for c in nodes), nodes
     assert not any("CartesianProduct" in c for c in nodes), nodes
+
+
+def test_find_as_of_static_filter_no_label_resolution(spark, sf_dir):
+    """A STATIC-only filter tree at a snapshot (security / dates /
+    JSON KV) must NOT resolve the label op log: the plan carries the
+    seq cut only for the retriever corpora (text + vector = 2
+    occurrences, not the filtered flagship's >= 4... but >= 2), the
+    allowed set semijoins candidates, and no cartesian enters. The
+    static scan must be column-pruned: the documents read schema for
+    the allowed-set branch needs no `text`."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_secured_as_of"]
+    q(spark, sf_dir).collect()
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # no label-log plane: the analyzed tree must not mention the
+    # label op-log before-image column (prev_labels) the label resolution introduces
+    assert "prev_labels" not in analyzed
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+
+
+def test_find_as_of_mixed_filter_joins_planes_once(spark, sf_dir):
+    """The mixed label x static tree: label state resolves from the
+    seq-cut label log (one more seq occurrence than the static-only
+    sibling), joined by rid with the static attributes, whole tree
+    evaluated once — LeftSemi into the legs, no cartesian, label
+    sidecar served from the session cache on repeat requests."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_hybrid_as_of_mixed"]
+    q(spark, sf_dir).collect()  # builds + caches the label sidecar
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 2, analyzed[:2000]
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
