@@ -271,6 +271,82 @@ def catalog_facets_as_of(spark, sf_dir):
     return cat.faceted_search(live, roots=_FACET_ROOTS)
 
 
+# mid-relabel-wave cut: base inserts all applied, relabels for
+# rid <= 123 only (relabel seqs = rid + 1M) — deliberately NOT a
+# bucket boundary so the boundary-bucket replay is non-trivial
+_FCTR_ASOF_SEQ = 1_000_123
+_FCTR_BUCKET = 250_000
+
+
+def _fctr_asof_sidecar(spark, sf_dir):
+    """Session-scoped seq-BUCKETED facet counter sidecar + the staged
+    label op log it was drained from (the boundary-bucket read needs
+    the log; at scale it is the seq-partitioned log table)."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_df, cached_scalar
+
+    res = tpch.resources(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="fctr_asof_")
+        ingest.cdc_label_log(res).repartition(2).write.parquet(f"{workdir}/log")
+        ingest.cdc_facet_counter_ingest(
+            spark,
+            f"{workdir}/log",
+            f"{workdir}/counters",
+            f"{workdir}/ckpt",
+            seq_bucket=_FCTR_BUCKET,
+        )
+        return workdir
+
+    wd = cached_scalar(res, sf_dir, "fctr_asof_workdir", build)
+    partials = cached_df(
+        sf_dir,
+        "fctr_asof_partials",
+        lambda: spark.read.parquet(f"{wd}/counters"),
+    )
+    return partials, spark.read.parquet(f"{wd}/log")
+
+
+def _cdc_catalog_facets_as_of_served_oracle() -> str:
+    from nucliadb_spark.operators import catalog as cat
+
+    return cat.faceted_search_sql(
+        ingest.cdc_labels_live_sql(tpch.SQL_RESOURCES, as_of=_FCTR_ASOF_SEQ),
+        roots=_FACET_ROOTS,
+    )
+
+
+@register(
+    "cdc_catalog_facets_as_of_served",
+    _cdc_catalog_facets_as_of_served_oracle(),
+)
+def cdc_catalog_facets_as_of_served(spark, sf_dir):
+    """Facet counts AS OF a seq SERVED from the counter sidecar —
+    the sublinear form of catalog_facets_as_of, which pays a full
+    label-state resolution (corpus-sized max_by) per request. The
+    sidecar folds per (facet, seq bucket); the snapshot read is
+    checkpoint+delta: full buckets sum from the sidecar (facet ×
+    bucket-count rows), only the snapshot's boundary bucket replays
+    from the op log — one seq-range partition at 100 TB. The cut
+    sits MID-relabel-wave (rid <= 123 relabeled, later relabels and
+    all deletes invisible), exercising the boundary replay for real;
+    the oracle is the batch faceted aggregation over the seq-cut
+    resolved label state — checkpoint+delta == full resolution by
+    the same associativity the compaction job rests on. The
+    reference's PG catalog can answer only the LIVE counts
+    (catalog/pg.py:72-107, updated transactionally in place); an
+    as-of dashboard read is new capability at counter cost."""
+    from nucliadb_spark.operators import catalog as cat
+
+    partials, log = _fctr_asof_sidecar(spark, sf_dir)
+    counters = ingest.facet_counters_as_of(
+        partials, log, _FCTR_ASOF_SEQ, _FCTR_BUCKET
+    )
+    return cat.faceted_search_from_counters(counters, roots=_FACET_ROOTS)
+
+
 @register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
 def stream_exact_dedup(spark, sf_dir):
     """Ingest-side exact-dedup gate as a real streaming run:

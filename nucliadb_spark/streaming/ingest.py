@@ -1526,6 +1526,7 @@ def cdc_facet_counter_ingest(
     log_path: str,
     counters_path: str,
     checkpoint_path: str,
+    seq_bucket: int | None = None,
 ) -> None:
     """Stream the label op log into the facet counter sidecar:
     each micro-batch folds its ops to per-facet deltas (+1 per label
@@ -1540,26 +1541,42 @@ def cdc_facet_counter_ingest(
     double-counting, making the sink idempotent and the end-to-end
     contract exactly-once. At 100 TB the partial is micro-batch-sized
     regardless of corpus size, and compacting partials is the
-    standard S4 merge job (compact_facet_counters)."""
+    standard S4 merge job (compact_facet_counters).
+
+    With ``seq_bucket`` set, deltas fold per (facet, seq bucket)
+    instead of per facet — the checkpoint half of the checkpoint+
+    delta AS-OF read (:func:`facet_counters_as_of`): full buckets
+    sum from the sidecar, only the snapshot's boundary bucket
+    replays from the log. Bucket count is bounded by the log's seq
+    range / seq_bucket, so the sidecar stays facet-cardinality ×
+    bucket-count sized — independent of corpus row count."""
     schema = spark.read.parquet(log_path).schema
     if os.path.isfile(log_path):
         log_path = stage_arrival_dir(log_path)
     stream = spark.readStream.schema(schema).parquet(log_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [F.explode("labels").alias("facet")]
+        pcols = [F.explode("prev_labels").alias("facet")]
+        keys = ["facet"]
+        if seq_bucket is not None:
+            b = F.floor(F.col("seq") / F.lit(seq_bucket)).cast("long").alias("bucket")
+            cols.append(b)
+            pcols.append(b)
+            keys.append("bucket")
         plus = (
             batch_df.filter(F.col("op") == "upsert")
-            .select(F.explode("labels").alias("facet"))
+            .select(*cols)
             .withColumn("delta", F.lit(1).cast("long"))
         )
         minus = (
             batch_df.filter(F.col("prev_labels").isNotNull())
-            .select(F.explode("prev_labels").alias("facet"))
+            .select(*pcols)
             .withColumn("delta", F.lit(-1).cast("long"))
         )
         (
             plus.unionByName(minus)
-            .groupBy("facet")
+            .groupBy(*keys)
             .agg(F.sum("delta").cast("long").alias("delta"))
             .write.mode("overwrite")
             .parquet(f"{counters_path}/batch={batch_id}")
@@ -1581,6 +1598,51 @@ def live_facet_counters(partials: DataFrame) -> DataFrame:
     matching the batch aggregation over the live corpus exactly."""
     return (
         partials.groupBy("facet")
+        .agg(F.sum("delta").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def facet_counters_as_of(
+    partials: DataFrame, log: DataFrame, seq: int, seq_bucket: int
+) -> DataFrame:
+    """(facet, n) facet counts AS OF log sequence ``seq``, served
+    from a seq-BUCKETED counter sidecar (cdc_facet_counter_ingest
+    with seq_bucket) — the checkpoint+delta snapshot read:
+
+    - every FULL bucket (bucket id < seq // seq_bucket) contributes
+      its already-folded deltas from the sidecar — a frame sized
+      facet-cardinality × bucket-count, never corpus-sized;
+    - only the BOUNDARY bucket replays from the op log: the ops in
+      [ (seq // seq_bucket) · seq_bucket , seq ] fold to ±1 deltas
+      exactly as the ingest does. With the log parquet partitioned
+      by seq range at scale, this reads ONE partition.
+
+    Correct by the same associativity argument as the live counter
+    serve and the compaction: the net delta per facet over any
+    disjoint cover of the ops ≤ seq is the count at seq. The batch
+    twin (faceted aggregation over the seq-cut resolved label state)
+    is the oracle; catalog_facets_as_of pays that full resolution
+    per request — this read makes the as-of dashboard O(counters +
+    one log bucket)."""
+    sb = seq // seq_bucket
+    full = partials.filter(F.col("bucket") < sb).select("facet", "delta")
+    lo = sb * seq_bucket
+    b_ops = log.filter((F.col("seq") >= lo) & (F.col("seq") <= seq))
+    plus = (
+        b_ops.filter(F.col("op") == "upsert")
+        .select(F.explode("labels").alias("facet"))
+        .withColumn("delta", F.lit(1).cast("long"))
+    )
+    minus = (
+        b_ops.filter(F.col("prev_labels").isNotNull())
+        .select(F.explode("prev_labels").alias("facet"))
+        .withColumn("delta", F.lit(-1).cast("long"))
+    )
+    return (
+        full.unionByName(plus)
+        .unionByName(minus)
+        .groupBy("facet")
         .agg(F.sum("delta").cast("long").alias("n"))
         .filter(F.col("n") > 0)
     )
@@ -1608,9 +1670,13 @@ def compact_facet_counters(spark: SparkSession, counters_path: str) -> None:
     (nidx/src/scheduler/log_merge.rs:59)."""
     import glob as _glob
 
+    raw = spark.read.parquet(counters_path)
+    # a seq-bucketed sidecar folds per (facet, bucket) so the as-of
+    # boundary algebra survives compaction; the plain sidecar folds
+    # per facet — group by every non-delta column either way
+    keys = [c for c in raw.columns if c not in ("delta", "batch")]
     folded = (
-        spark.read.parquet(counters_path)
-        .groupBy("facet")
+        raw.groupBy(*keys)
         .agg(F.sum("delta").cast("long").alias("delta"))
         .filter(F.col("delta") != 0)
     )

@@ -854,3 +854,74 @@ def test_advance_live_state_equals_from_scratch(spark, sf_dir, family):
             resolve,
         )
         assert {tuple(map(str, r)) for r in adv.collect()} == scratch, s1
+
+
+def test_facet_counters_as_of_equals_batch_at_every_cut(spark, sf_dir):
+    """Checkpoint+delta associativity for the AS-OF facet read: full
+    buckets from the seq-bucketed sidecar + a boundary-bucket log
+    replay must equal the batch aggregation over the seq-cut
+    resolved label state — at cuts inside a bucket, exactly ON a
+    bucket boundary (empty boundary replay), one below it, mid-wave,
+    pre-history, and at the head (== live counts). Compaction of the
+    bucketed sidecar must preserve every as-of read."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    bucket = 250_000
+    res = tpch.resources(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="fctr_asof_t_")
+    ingest.cdc_label_log(res).repartition(2).write.parquet(f"{workdir}/log")
+    ingest.cdc_facet_counter_ingest(
+        spark,
+        f"{workdir}/log",
+        f"{workdir}/counters",
+        f"{workdir}/ckpt",
+        seq_bucket=bucket,
+    )
+    log = spark.read.parquet(f"{workdir}/log")
+
+    def served(seq):
+        return {
+            r.facet: r.n
+            for r in ingest.facet_counters_as_of(
+                spark.read.parquet(f"{workdir}/counters"), log, seq, bucket
+            ).collect()
+        }
+
+    def batch(seq):
+        live = ingest.cdc_live_labels(log.filter(F.col("seq") <= seq))
+        return {
+            r.facet: r.n
+            for r in live.select(F.explode("labels").alias("facet"))
+            .groupBy("facet")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+
+    cuts = [
+        0,              # pre-history: only the rid-0 base op (if any)
+        123,            # inside bucket 0, mid base inserts
+        250_000,        # exactly ON a bucket boundary (start of b1)
+        249_999,        # one below it (bucket 0 fully included)
+        1_000_123,      # mid relabel wave
+        2_000_055,      # mid delete wave
+        9_999_999,      # head == live counts
+    ]
+    for seq in cuts:
+        assert served(seq) == batch(seq), f"cut {seq}"
+    head = served(9_999_999)
+    live = {
+        r.facet: r.n
+        for r in ingest.live_facet_counters(
+            spark.read.parquet(f"{workdir}/counters").drop("bucket")
+        ).collect()
+    }
+    assert head == live
+    # compaction preserves the bucket axis and every as-of read
+    ingest.compact_facet_counters(spark, f"{workdir}/counters")
+    for seq in (123, 1_000_123, 9_999_999):
+        assert served(seq) == batch(seq), f"post-compaction cut {seq}"
