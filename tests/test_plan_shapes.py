@@ -827,3 +827,30 @@ def test_find_as_of_mixed_filter_joins_planes_once(spark, sf_dir):
     nodes = [c for c, _ in _walk_physical(df)]
     assert not any("CartesianProduct" in c for c in nodes), nodes
     assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+
+def test_cdc_catalog_facets_as_of_served_boundary_only_replay(spark, sf_dir):
+    """The AS-OF counter read: per-request work is the cached
+    bucketed sidecar (full buckets, InMemoryTableScan) plus a
+    boundary-bucket log replay whose seq-range predicate must land on
+    the log scan (pushed filters => partition pruning on the
+    seq-partitioned log at scale) — never a corpus-wide label-state
+    resolution (no rid-keyed max_by aggregate in the plan)."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import (
+        _FCTR_ASOF_SEQ,
+        _FCTR_BUCKET,
+    )
+
+    q = registry.queries()["cdc_catalog_facets_as_of_served"]
+    assert q(spark, sf_dir).count() > 0  # first call builds the sidecar
+    df = q(spark, sf_dir)
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert any("InMemoryTableScan" in c for c in nodes), nodes
+    plan = _plan(df)
+    lo = (_FCTR_ASOF_SEQ // _FCTR_BUCKET) * _FCTR_BUCKET
+    # the boundary range reaches the parquet scan of the staged log
+    assert f"GreaterThanOrEqual(seq,{lo})" in plan.replace(" ", ""), plan[:3000]
+    # no latest-op-wins resolution: the live/as-of label read's
+    # max_by(struct(op, labels), seq) never enters this plan
+    assert "max_by" not in plan, plan[:3000]
