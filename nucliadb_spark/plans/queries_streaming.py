@@ -347,6 +347,73 @@ def cdc_catalog_facets_as_of_served(spark, sf_dir):
     return cat.faceted_search_from_counters(counters, roots=_FACET_ROOTS)
 
 
+# vacuum horizon: mid-revision-wave (revisions for rid <= 123 folded,
+# later revisions and all deletes retained) — the non-trivial cut
+_VACUUM_SEQ = 1_000_123
+
+
+def _oplog_vacuum_oracle() -> str:
+    live_at = ingest.cdc_live_as_of_sql
+    return f"""
+WITH log AS (
+  SELECT CAST(doc_id AS BIGINT) AS seq FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT) FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 2000000 AS BIGINT) FROM documents WHERE doc_id % 11 = 0
+),
+folded AS (SELECT COUNT(*)::BIGINT AS n FROM log WHERE seq <= {_VACUUM_SEQ}),
+retained AS (SELECT COUNT(*)::BIGINT AS n FROM log WHERE seq > {_VACUUM_SEQ}),
+base AS (SELECT COUNT(*)::BIGINT AS n FROM ({live_at(_VACUUM_SEQ)})),
+head AS (SELECT COUNT(*)::BIGINT AS n FROM ({live_at(9_999_999)}))
+SELECT folded.n AS n_ops_folded, base.n AS n_base_rows,
+       retained.n AS n_ops_retained, head.n AS n_live_head
+FROM folded, retained, base, head
+"""
+
+
+@register("oplog_vacuum_report", _oplog_vacuum_oracle())
+def oplog_vacuum_report(spark, sf_dir):
+    """MVCC VACUUM for the content op log — the lifecycle's last
+    stage (write → as-of read → snapshot advance → compact → vacuum):
+    fold every op at or below the horizon into its resolved base
+    state, retain only later ops, then SERVE the live head from the
+    vacuumed form (advance_live_state over base + retained — the
+    snapshot-chaining algebra run in reverse). The report's
+    n_live_head is computed THROUGH the vacuumed read path while the
+    oracle resolves the full log — equality is the vacuum's
+    correctness contract, and as-of reads at any seq >= horizon stay
+    exact (test_vacuum_preserves_reads_at_and_above_horizon pins
+    several cuts incl. mid-wave). At 100 TB the fold is one resolve
+    at the horizon and the discard is dropping seq-range partitions;
+    history below the horizon is genuinely gone — the policy the
+    vacuum encodes (pinned snapshots stay above it). The reference
+    discards superseded state the same way (segment purge,
+    nidx/src/scheduler/purge_tasks.rs:26-43)."""
+    from pyspark.sql import functions as F
+
+    log = ingest.cdc_log(tpch.fields(spark, sf_dir))
+    base, retained = ingest.vacuum_op_log(
+        log, _VACUUM_SEQ, ingest.cdc_live_fields
+    )
+    head = ingest.advance_live_state(
+        base, retained, ("rid",), ingest.cdc_live_fields
+    )
+    folded_c = log.filter(F.col("seq") <= _VACUUM_SEQ).agg(
+        F.count("*").cast("long").alias("n_ops_folded")
+    )
+    base_c = base.agg(F.count("*").cast("long").alias("n_base_rows"))
+    retained_c = retained.agg(
+        F.count("*").cast("long").alias("n_ops_retained")
+    )
+    head_c = head.agg(F.count("*").cast("long").alias("n_live_head"))
+    return (
+        folded_c.crossJoin(base_c)  # 1-row aggregates, broadcast
+        .crossJoin(retained_c)
+        .crossJoin(head_c)
+    )
+
+
 @register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
 def stream_exact_dedup(spark, sf_dir):
     """Ingest-side exact-dedup gate as a real streaming run:

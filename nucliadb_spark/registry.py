@@ -71,6 +71,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_hybrid_as_of_mixed",
     "find_hybrid_as_of_kv",
     "cdc_catalog_facets_as_of_served",
+    "oplog_vacuum_report",
     # --- latest driver evidence: r7 — alphabetical fill to 50 ---
     "augment_paragraphs",
     "augment_resources",
@@ -105,9 +106,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "knn_min_score",
     "knn_prefiltered",
     "link_field_search",
-    "multimodal_decode",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r7 remainder (alphabetical) ---
+    "multimodal_decode",
     "paragraph_search",
     "paragraph_search_filtered",
     "rag_field_extension",

@@ -393,6 +393,38 @@ def advance_live_state(
     return kept.unionByName(resolve(delta_log)).select(*prior.columns)
 
 
+def vacuum_op_log(
+    log: DataFrame, base_seq: int, resolve
+) -> tuple[DataFrame, DataFrame]:
+    """MVCC vacuum for a CDC op log: fold every op at or below
+    ``base_seq`` into its RESOLVED base state and retain only the
+    later ops — ``(base_state, retained_log)``. The log's history
+    below the horizon is discarded (at 100 TB: drop the seq-range
+    partitions), bounding log growth while preserving every read the
+    system still serves:
+
+    - live reads and any as-of read at ``S >= base_seq`` are
+      unchanged — resolve them with :func:`advance_live_state`
+      (prior=base_state, delta=retained ops ≤ S): the same
+      associativity that makes snapshot chaining correct runs the
+      vacuum in reverse (later ops strictly supersede folded state);
+    - as-of reads BELOW the horizon are genuinely gone — the policy
+      decision vacuum encodes (pinned snapshots must stay above it).
+
+    `resolve` is the family's live function (cdc_live_fields,
+    cdc_live_vectors, ...); its output schema IS the base-state
+    schema, so the base doubles as the family's serving sidecar at
+    the horizon. This completes the op-log lifecycle next to
+    compaction: compact_facet_counters folds DERIVED deltas,
+    vacuum_op_log folds the SOURCE log itself — the reference
+    discards superseded state the same way (segment purge,
+    nidx/src/scheduler/purge_tasks.rs:26-43; PG's vacuum of dead
+    row versions in the catalog plane)."""
+    base = resolve(log.filter(F.col("seq") <= base_seq))
+    retained = log.filter(F.col("seq") > base_seq)
+    return base, retained
+
+
 def cdc_live_as_of_sql(seq: int) -> str:
     """DuckDB twin of cdc_log → cdc_live_as_of over documents."""
     return f"""

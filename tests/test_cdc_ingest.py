@@ -925,3 +925,35 @@ def test_facet_counters_as_of_equals_batch_at_every_cut(spark, sf_dir):
     ingest.compact_facet_counters(spark, f"{workdir}/counters")
     for seq in (123, 1_000_123, 9_999_999):
         assert served(seq) == batch(seq), f"post-compaction cut {seq}"
+
+
+def test_vacuum_preserves_reads_at_and_above_horizon(spark, sf_dir):
+    """vacuum_op_log folds ops <= horizon into base state; for EVERY
+    seq at or above the horizon, resolving base + retained (the
+    advance algebra) must equal resolving the full log — value-level,
+    full frame — including cuts mid-delete-wave and at the head. The
+    base state itself must equal the as-of read at the horizon."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    horizon = 1_000_123
+    log = ingest.cdc_log(tpch.fields(spark, sf_dir))
+    base, retained = ingest.vacuum_op_log(
+        log, horizon, ingest.cdc_live_fields
+    )
+
+    def rows(df):
+        return sorted((r.rid, r.text) for r in df.collect())
+
+    assert rows(base) == rows(ingest.cdc_live_as_of(log, horizon))
+    assert retained.filter(F.col("seq") <= horizon).count() == 0
+    for s in (horizon, 1_500_000, 2_000_055, 9_999_999):
+        vacuumed = ingest.advance_live_state(
+            base,
+            retained.filter(F.col("seq") <= s),
+            ("rid",),
+            ingest.cdc_live_fields,
+        )
+        assert rows(vacuumed) == rows(ingest.cdc_live_as_of(log, s)), s
