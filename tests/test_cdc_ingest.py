@@ -957,3 +957,51 @@ def test_vacuum_preserves_reads_at_and_above_horizon(spark, sf_dir):
             ingest.cdc_live_fields,
         )
         assert rows(vacuumed) == rows(ingest.cdc_live_as_of(log, s)), s
+
+
+def test_vacuum_works_for_every_cdc_family(spark, sf_dir):
+    """vacuum_op_log is family-generic: for the vector / relation /
+    label / fielded planes, the vacuumed read (base at the horizon +
+    retained ops through the advance algebra) equals the full-log
+    resolution at a later cut AND at the head — the same family
+    table the snapshot-chaining test pins, run through the vacuum."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.sources import tpch
+    from nucliadb_spark.streaming import ingest
+
+    fams = {
+        "vectors": (
+            ingest.cdc_vector_log(tpch.vectors(spark, sf_dir)),
+            ingest.cdc_live_vectors,
+            ("rid",),
+        ),
+        "relations": (
+            ingest.cdc_relation_log(tpch.relations(spark, sf_dir)),
+            ingest.cdc_live_relations,
+            tuple(ingest._EDGE_COLS),
+        ),
+        "labels": (
+            ingest.cdc_label_log(
+                tpch.fields(spark, sf_dir).select("rid", "labels")
+            ),
+            ingest.cdc_live_labels,
+            ("rid",),
+        ),
+        "fielded": (
+            ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)),
+            ingest.cdc_live_fielded,
+            ("rid", "field_id"),
+        ),
+    }
+    horizon = 1_000_123
+    for fam, (log, resolve, keys) in fams.items():
+        base, retained = ingest.vacuum_op_log(log, horizon, resolve)
+        for s in (1_500_000, 9_999_999):
+            vacuumed = ingest.advance_live_state(
+                base, retained.filter(F.col("seq") <= s), keys, resolve
+            )
+            scratch = resolve(log.filter(F.col("seq") <= s))
+            assert {tuple(map(str, r)) for r in vacuumed.collect()} == {
+                tuple(map(str, r)) for r in scratch.collect()
+            }, (fam, s)
