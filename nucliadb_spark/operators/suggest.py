@@ -38,13 +38,23 @@ def suggest_paragraphs(
     stats: DataFrame | None = None,
     vocab: DataFrame | None = None,
     corpus: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Docs whose vocabulary matches the prefix (exact-prefix 1.0 /
     fuzzy 0.5), BM25-ranked: (rid, score).
 
     post/stats/vocab: the prebuilt serving index (suggest is an
     as-you-type endpoint — it must never rebuild the index per
-    keystroke; pass the session-cached postings/docstats/vocabulary)."""
+    keystroke; pass the session-cached postings/docstats/vocabulary).
+
+    allowed: optional (rid) frame — the reference's /suggest accepts
+    the same filter surface as find (filter_expression / label
+    filters / creation+modification ranges, search/api/v1/
+    suggest.py:60-68) applied as a prefilter: candidates semijoin
+    the allowed set while df/N/avgdl stay GLOBAL, the serve-time
+    contract every other filtered read here follows (never a stats
+    rebuild per keystroke). No broadcast hint — the allowed set is
+    query-dependent and unbounded, AQE decides."""
     if post is None:
         post = bm25.postings(fields, id_col=id_col)
     if stats is None:
@@ -66,6 +76,9 @@ def suggest_paragraphs(
         "boost",
         F.when(F.col("term").startswith(p), F.lit(1.0)).otherwise(F.lit(FUZZY_BOOST)),
     )
+    if allowed is not None:
+        # postings are always rid-keyed (bm25.postings aliases id_col)
+        post = post.join(allowed, "rid", "semi")
     # df rides on the vocab rows (term dictionary stores doc_freq) —
     # no per-keystroke postings aggregation
     scored = (
@@ -88,8 +101,20 @@ def suggest_paragraphs(
     )
 
 
-def suggest_paragraphs_sql(fields_sql: str, prefix: str, top_k: int = SUGGEST_TOP_K) -> str:
+def suggest_paragraphs_sql(
+    fields_sql: str,
+    prefix: str,
+    top_k: int = SUGGEST_TOP_K,
+    allowed_sql: str | None = None,
+) -> str:
+    """DuckDB twin. allowed_sql: a SELECT yielding allowed rids —
+    applied to the CANDIDATES only (the scored aggregation), never to
+    post/docstats/corpus, mirroring the served global-stats
+    prefilter."""
     p = _sql_quote(prefix.lower())
+    allowed_where = (
+        f"WHERE p.rid IN ({allowed_sql})" if allowed_sql is not None else ""
+    )
     return f"""
 WITH fields AS ({fields_sql}),
 toks AS (SELECT rid, unnest({tokenize_sql("text")}) AS term FROM fields),
@@ -115,6 +140,7 @@ scored AS (
   JOIN dfreq d USING (term)
   JOIN docstats s USING (rid)
   CROSS JOIN corpus c
+  {allowed_where}
   GROUP BY p.rid
 )
 SELECT rid, ROUND(raw, 4)::DOUBLE AS score

@@ -1697,6 +1697,63 @@ def suggest_as_of(spark, sf_dir):
     )
 
 
+def _suggest_asof_sec():
+    from nucliadb_spark.operators.filters import SecurityFilter
+
+    return SecurityFilter(groups=["group-1", "group-4"])
+
+
+def _suggest_as_of_filtered_oracle() -> str:
+    allowed = (
+        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+        f"WHERE {_suggest_asof_sec().to_sql()}"
+    )
+    return suggest.suggest_paragraphs_sql(
+        ingest.cdc_live_as_of_sql(_AS_OF_SEQ), "refre", allowed_sql=allowed
+    )
+
+
+@register("suggest_as_of_filtered", _suggest_as_of_filtered_oracle())
+def suggest_as_of_filtered(spark, sf_dir):
+    """/suggest at a snapshot × the r12 static-metadata filter split:
+    autocomplete over the corpus AS OF the seq, restricted to
+    resources the requesting user's security groups may see
+    (visible-if-public-or-group-overlap — static Basic metadata by
+    rid, the same plane-classification the find API applies). The
+    prefix search serves from the session-cached per-snapshot
+    sidecars (shared with suggest_as_of and the as-of find keyword
+    leg); the allowed set semijoins candidates while the snapshot's
+    df/N/avgdl stay global. The reference's /suggest takes the same
+    filter surface (search/api/v1/suggest.py:60-68) but can only
+    answer it at the LIVE state."""
+    from nucliadb_spark import api
+    from nucliadb_spark.cache import cached_df
+
+    post, stats, corpus = api.asof_text_index(
+        spark, sf_dir, tpch.fields(spark, sf_dir), _AS_OF_SEQ
+    )
+    vocab = cached_df(
+        sf_dir,
+        f"asof{_AS_OF_SEQ}_text_vocab",
+        lambda: bm25.vocabulary(post),
+        spark=spark,
+    )
+    allowed = (
+        tpch.fields(spark, sf_dir)
+        .filter(_suggest_asof_sec().to_column())
+        .select("rid")
+    )
+    return suggest.suggest_paragraphs(
+        None,
+        "refre",
+        post=post,
+        stats=stats,
+        vocab=vocab,
+        corpus=corpus,
+        allowed=allowed,
+    )
+
+
 _DRIFT_SEQ_BEFORE = _AS_OF_SEQ  # 1.5M: revisions applied, deletes not
 _DRIFT_SEQ_AFTER = 3_000_000  # all waves applied (the refresh head)
 

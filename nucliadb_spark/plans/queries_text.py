@@ -326,6 +326,61 @@ def suggest_paragraphs(spark, sf_dir):
     )
 
 
+def _suggest_filter():
+    """The /suggest filter surface (search/api/v1/suggest.py:60-68:
+    filter_expression + label filters + range_creation/modification):
+    a label facet AND a created range, in one tree."""
+    from nucliadb_spark.operators import filters as fx
+
+    return fx.And(
+        [
+            fx.Facet("/s/p/en"),
+            fx.DateRange(
+                "created",
+                since="2024-02-01 00:00:00",
+                until="2024-10-31 00:00:00",
+            ),
+        ]
+    )
+
+
+@register(
+    "suggest_filtered",
+    suggest.suggest_paragraphs_sql(
+        tpch.SQL_FIELDS,
+        "filt",
+        allowed_sql=(
+            f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+            f"WHERE {_suggest_filter().to_sql()}"
+        ),
+    ),
+)
+def suggest_filtered(spark, sf_dir):
+    """/suggest with the reference's filter surface (T9 × F1/F3:
+    filter_expression + creation range, search/api/v1/suggest.py:
+    60-68): the prefix+fuzzy match restricted to resources satisfying
+    a label facet AND a created range. The filter is a PREFILTER
+    semijoin over the session-cached serving sidecars — df/N/avgdl
+    stay global, no per-keystroke stats rebuild (the same serve-time
+    contract as filtered find; nidx applies suggest filters to the
+    paragraph search the same way, shard_suggest.rs:95-180)."""
+    post, stats = _text_index(spark, sf_dir)
+    allowed = (
+        tpch.fields(spark, sf_dir)
+        .filter(_suggest_filter().to_column())
+        .select("rid")
+    )
+    return suggest.suggest_paragraphs(
+        None,
+        "filt",
+        post=post,
+        stats=stats,
+        corpus=_corpus(sf_dir, stats),
+        vocab=_vocab(sf_dir, post),
+        allowed=allowed,
+    )
+
+
 _TITLE_FIELDS_SQL = (
     f"SELECT rid, text FROM ({tpch.SQL_FIELDS_MULTI}) "
     "WHERE field_key = '/a/title'"

@@ -72,6 +72,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "find_hybrid_as_of_kv",
     "cdc_catalog_facets_as_of_served",
     "oplog_vacuum_report",
+    "suggest_filtered",
+    "suggest_as_of_filtered",
     # --- latest driver evidence: r7 — alphabetical fill to 50 ---
     "augment_paragraphs",
     "augment_resources",
@@ -104,10 +106,10 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "knn_matryoshka",
     "knn_maxsim",
     "knn_min_score",
-    "knn_prefiltered",
-    "link_field_search",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r7 remainder (alphabetical) ---
+    "knn_prefiltered",
+    "link_field_search",
     "multimodal_decode",
     "paragraph_search",
     "paragraph_search_filtered",
