@@ -279,3 +279,66 @@ def entities_group_members(spark, sf_dir):
 @register("entities_groups", E.entities_groups_summary_sql(_R))
 def entities_groups(spark, sf_dir):
     return E.entities_groups_summary(_rel(spark, sf_dir))
+
+
+# --- G1 × F1/F5: filtered graph search (r12) --------------------------------
+# The reference's BaseGraphSearchRequest carries filter_expression
+# ("returns only relations from documents that match") and security
+# (nucliadb_models/graph/requests.py:148-163); nidx applies them as a
+# prefilter on the relation index's resource docs
+# (nidx/nidx_relation/src/reader.rs:261-271 apply_prefilter). Batch
+# shape: allowed rids from the filter tree over the resource
+# metadata, semijoined against each triple's provenance resource
+# BEFORE the path predicate — the graph twin of find's prefilter.
+
+_FILTERED_PATH_Q = fx.And(
+    [
+        G.Node("part:", side="source", kind="prefix"),
+        G.Relation("SUPPLIED_BY"),
+    ]
+)
+_GRAPH_FILTER = fx.And(
+    [fx.Facet("/s/p/en"), fx.SecurityFilter(groups=["group-3"])]
+)
+
+
+def _graph_path_filtered_oracle() -> str:
+    allowed = (
+        f"SELECT rid FROM ({tpch.SQL_FIELDS}) WHERE {_GRAPH_FILTER.to_sql()}"
+    )
+    rel_sql = f"""
+SELECT * FROM ({_R})
+WHERE paragraph_id IS NOT NULL
+  AND CAST(string_split(paragraph_id, '/')[1] AS BIGINT) IN ({allowed})
+"""
+    return G.path_search_sql(rel_sql, _FILTERED_PATH_Q, top_k=50)
+
+
+@register("graph_path_filtered", _graph_path_filtered_oracle())
+def graph_path_filtered(spark, sf_dir):
+    """Graph path search restricted by the request's filter tree +
+    security groups: only triples whose PROVENANCE resource (the
+    document the relation was extracted from, RelationMetadata.
+    paragraph_id → rid) satisfies (lang en AND group-3-visible)
+    match. The allowed set is one filter over the resource metadata
+    semijoined by provenance rid — AQE picks broadcast vs shuffle;
+    the path predicate runs after the prefilter, exactly nidx's
+    apply_prefilter ordering."""
+    from pyspark.sql import functions as F
+
+    rel = _rel(spark, sf_dir)
+    allowed = (
+        tpch.fields(spark, sf_dir)
+        .filter(_GRAPH_FILTER.to_column())
+        .select(F.col("rid").alias("prov_rid"))
+    )
+    rel_f = (
+        rel.filter(F.col("paragraph_id").isNotNull())
+        .withColumn(
+            "prov_rid",
+            F.split("paragraph_id", "/").getItem(0).cast("long"),
+        )
+        .join(allowed, "prov_rid", "semi")
+        .drop("prov_rid")
+    )
+    return G.path_search(rel_f, _FILTERED_PATH_Q, top_k=50)

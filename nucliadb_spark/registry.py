@@ -74,6 +74,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "oplog_vacuum_report",
     "suggest_filtered",
     "suggest_as_of_filtered",
+    "graph_path_filtered",
     # --- latest driver evidence: r7 — alphabetical fill to 50 ---
     "augment_paragraphs",
     "augment_resources",
@@ -105,9 +106,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "knn_dot",
     "knn_matryoshka",
     "knn_maxsim",
-    "knn_min_score",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r7 remainder (alphabetical) ---
+    "knn_min_score",
     "knn_prefiltered",
     "link_field_search",
     "multimodal_decode",
