@@ -194,6 +194,13 @@ class FindRequest:
     # guard (nidx/src/indexer.rs:121-253); a training-data pipeline
     # must ("re-run this retrieval as it stood at snapshot S").
     as_of: int | None = None
+    # the reference's dedicated security param (RequestSecurity —
+    # nucliadb_models/search.py; applied by nidx as security_query,
+    # nidx/nidx_text/src/search_query.rs:66-90): visible if public OR
+    # any requested group matches. Folds into the filter tree as an
+    # AND (its exact semantics), so it composes with everything
+    # filters do — including as_of via the static-metadata split.
+    security_groups: list[str] | None = None
     # keyset pagination through the fused ranking (O5 applied to the
     # flagship — ref nodereader.proto:382-386 + search/search/
     # search_after.py): the (score, id) cursor is the previous page's
@@ -437,6 +444,12 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         from nucliadb_spark.operators.filters import And
 
         filters = legacy if filters is None else And([filters, legacy])
+    # F5: the dedicated security param ANDs into the same tree
+    if req.security_groups is not None:
+        from nucliadb_spark.operators.filters import And, SecurityFilter
+
+        sec = SecurityFilter(groups=list(req.security_groups))
+        filters = sec if filters is None else And([filters, sec])
 
     # T7: exact-match / empty queries disable semantic retrieval
     features = list(req.features)

@@ -2207,7 +2207,11 @@ def find_secured_as_of(spark, sf_dir):
     column-pruned scan of the resource-metadata table semijoined
     into each leg (AQE picks broadcast vs shuffle); stats stay
     global, the reference's serve-time prefilter
-    (nidx/nidx_text/src/search_query.rs:66-90 security_query)."""
+    (nidx/nidx_text/src/search_query.rs:66-90 security_query).
+    Exercises the request surface the reference exposes: the
+    DEDICATED security param (RequestSecurity), which folds into the
+    filter tree as an AND — param==filters equivalence pinned by
+    test_security_param_equals_security_filter."""
     from pyspark.sql import functions as F
 
     from nucliadb_spark import api
@@ -2219,7 +2223,7 @@ def find_secured_as_of(spark, sf_dir):
         window=50,
         query_vec_id=5,
         as_of=_AS_OF_SEQ,
-        filters=_asof_security_filter(),
+        security_groups=list(_asof_security_filter().groups),
     )
     return api.find_request(spark, sf_dir, req).select(
         "id",

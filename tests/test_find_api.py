@@ -769,3 +769,33 @@ def test_as_of_boundary_seqs_degrade_gracefully(spark, sf_dir):
     future = run(10_000_000)
     head = run(3_000_000)
     assert [(r.id, r.score) for r in future] == [(r.id, r.score) for r in head]
+
+
+def test_security_param_equals_security_filter(spark, sf_dir):
+    """The dedicated security param (the reference's RequestSecurity)
+    must be exactly a SecurityFilter ANDed into the tree — same
+    results as passing the filter explicitly, live and at a
+    snapshot, and composing with an existing filter tree."""
+    from nucliadb_spark.operators.filters import And, Facet, SecurityFilter
+
+    groups = ["group-2", "group-5"]
+
+    def ids(**kw):
+        req = api.FindRequest(
+            query="refreshed revision stream",
+            features=["keyword"],
+            top_k=30,
+            window=30,
+            **kw,
+        )
+        return [(r.id, r.score) for r in api.find_request(spark, sf_dir, req).collect()]
+
+    assert ids(security_groups=groups) == ids(
+        filters=SecurityFilter(groups=groups)
+    )
+    assert ids(security_groups=groups, as_of=1_500_000) == ids(
+        filters=SecurityFilter(groups=groups), as_of=1_500_000
+    )
+    assert ids(security_groups=groups, filters=Facet("/s/p/en")) == ids(
+        filters=And([Facet("/s/p/en"), SecurityFilter(groups=groups)])
+    )
