@@ -414,6 +414,56 @@ def oplog_vacuum_report(spark, sf_dir):
     )
 
 
+def _catalog_asof_date_filter():
+    from nucliadb_spark.operators import filters as fx
+
+    return fx.DateRange(
+        "created", since="1995-06-01 00:00:00", until="1996-03-01 00:00:00"
+    )
+
+
+def _catalog_facets_as_of_dated_oracle() -> str:
+    from nucliadb_spark.operators import catalog as cat
+
+    labels_asof = ingest.cdc_labels_live_sql(
+        tpch.SQL_RESOURCES, as_of=1_500_000
+    )
+    joined = f"""
+SELECT l.rid AS rid, l.labels AS labels, r.created AS created
+FROM ({labels_asof}) l
+JOIN (SELECT rid, created FROM ({tpch.SQL_RESOURCES})) r USING (rid)
+"""
+    return cat.faceted_search_sql(
+        joined, roots=_FACET_ROOTS, filters=_catalog_asof_date_filter()
+    )
+
+
+@register("catalog_facets_as_of_dated", _catalog_facets_as_of_dated_oracle())
+def catalog_facets_as_of_dated(spark, sf_dir):
+    """Faceted counts AS OF a seq, restricted by a STATIC date range
+    — the r12 static-metadata split applied to the CATALOG plane
+    (find r12, suggest r12, graph r12, catalog: here), completing
+    filtered-snapshot symmetry across all four serving planes. Label
+    state resolves from the seq-cut label log (the versioned plane),
+    the created timestamp joins by rid (Basic metadata, written
+    once), and the standard per-root top-k runs over the joined
+    frame — one rid-keyed join over the plain as-of read. The
+    reference's catalog accepts the same date filters
+    (catalog/pg.py) but only at the LIVE state."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import catalog as cat
+
+    res = tpch.resources(spark, sf_dir)
+    live = ingest.cdc_live_labels(
+        ingest.cdc_label_log(res).filter(F.col("seq") <= 1_500_000)
+    )
+    snap = live.join(res.select("rid", "created"), "rid")
+    return cat.faceted_search(
+        snap, roots=_FACET_ROOTS, filters=_catalog_asof_date_filter()
+    )
+
+
 @register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
 def stream_exact_dedup(spark, sf_dir):
     """Ingest-side exact-dedup gate as a real streaming run:

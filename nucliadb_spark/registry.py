@@ -75,6 +75,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "suggest_filtered",
     "suggest_as_of_filtered",
     "graph_path_filtered",
+    "catalog_facets_as_of_dated",
     # --- latest driver evidence: r7 — alphabetical fill to 50 ---
     "augment_paragraphs",
     "augment_resources",
@@ -105,9 +106,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "kb_export_roundtrip",
     "knn_dot",
     "knn_matryoshka",
-    "knn_maxsim",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r7 remainder (alphabetical) ---
+    "knn_maxsim",
     "knn_min_score",
     "knn_prefiltered",
     "link_field_search",
