@@ -799,3 +799,63 @@ def test_security_param_equals_security_filter(spark, sf_dir):
     assert ids(security_groups=groups, filters=Facet("/s/p/en")) == ids(
         filters=And([Facet("/s/p/en"), SecurityFilter(groups=groups)])
     )
+
+
+def test_suggest_filtered_hits_satisfy_filter(spark, sf_dir):
+    """Every filtered-suggest hit must satisfy the filter tree, and
+    the filter must actually bite (some unfiltered hit is excluded)."""
+    from nucliadb_spark.plans.queries_text import (
+        _suggest_filter,
+        suggest_filtered,
+        suggest_paragraphs,
+    )
+
+    hits = {r.rid for r in suggest_filtered(spark, sf_dir).collect()}
+    allowed = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir)
+        .filter(_suggest_filter().to_column())
+        .select("rid")
+        .collect()
+    }
+    assert hits and hits <= allowed
+    unfiltered = {r.rid for r in suggest_paragraphs(spark, sf_dir).collect()}
+    assert unfiltered - allowed  # the tree excludes some live hits
+
+
+def test_graph_path_filtered_provenance_respects_filter(spark, sf_dir):
+    """Every filtered graph hit's provenance resource satisfies the
+    filter + security tree; the unfiltered path search has hits the
+    filter removes."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import graph as G
+    from nucliadb_spark.plans.queries_graph import (
+        _FILTERED_PATH_Q,
+        _GRAPH_FILTER,
+        graph_path_filtered,
+    )
+
+    rows = graph_path_filtered(spark, sf_dir).collect()
+    assert rows
+    allowed = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir)
+        .filter(_GRAPH_FILTER.to_column())
+        .select("rid")
+        .collect()
+    }
+    rel = tpch.relations(spark, sf_dir)
+    prov = {
+        (r.source_value, r.relation_label, r.target_value): int(
+            r.paragraph_id.split("/")[0]
+        )
+        for r in rel.filter(F.col("paragraph_id").isNotNull()).collect()
+    }
+    for r in rows:
+        key = (r.source_value, r.relation_label, r.target_value)
+        assert prov[key] in allowed, key
+    unfiltered = G.path_search(rel, _FILTERED_PATH_Q, top_k=50).collect()
+    un_keys = {(r.source_value, r.relation_label, r.target_value) for r in unfiltered}
+    f_keys = {(r.source_value, r.relation_label, r.target_value) for r in rows}
+    assert un_keys - f_keys  # the filter removed something
