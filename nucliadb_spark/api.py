@@ -65,11 +65,16 @@ def _without_prequeries(req: "FindRequest") -> "FindRequest":
 
 
 # the corpus model's STATIC per-resource metadata columns: written at
-# resource creation, never revised by any CDC wave, hence snapshot-
+# resource creation, never revised by any write, hence snapshot-
 # independent. The reference draws the same line between index state
 # and resource basic/origin metadata (resources.proto Basic/Origin vs
-# the index messages): dates, security groups, source/language are
-# attributes of the resource, not of any text version.
+# the index messages): creation date, security groups, source/language
+# are attributes of the resource, not of any text version. Deliberately
+# NOT static: `modified` (tracks writes — filtering it at a snapshot
+# from live values would silently answer against mixed snapshots) and
+# `n_chars` (describes the VERSIONED text), even though this corpus
+# model happens to never revise them — the classification encodes the
+# semantics, not the fixture.
 _STATIC_COLS = frozenset(
     {
         "rid",
@@ -79,9 +84,7 @@ _STATIC_COLS = frozenset(
         "field_key",
         "language",
         "source",
-        "n_chars",
         "created",
-        "modified",
         "security_public",
         "security_groups",
         "extra",

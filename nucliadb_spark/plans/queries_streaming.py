@@ -2196,21 +2196,18 @@ def find_hybrid_as_of_filtered(spark, sf_dir):
 # only predicates over versioned non-label state (text keywords)
 # still raise.
 
-def _asof_security_filter():
-    from nucliadb_spark.operators.filters import SecurityFilter
-
-    return SecurityFilter(groups=["group-2", "group-5"])
-
-
-def _find_secured_as_of_oracle() -> str:
+def _asof_filtered_find_oracle(allowed: str, with_graph: bool = False) -> str:
+    """Shared oracle scaffold for the filtered-snapshot find family:
+    keyword + semantic (+ optionally the relations leg), every corpus
+    cut at _AS_OF_SEQ, candidates restricted to the `allowed` rid
+    SELECT, fused with RRF to 10. Each query supplies only its
+    allowed-set SQL — the r12 static/label/mixed variants differ in
+    nothing else."""
+    from nucliadb_spark.functions.models import detect_entity_values_py
     from nucliadb_spark.operators import fusion
 
     win = 50  # fusion_window(50, 10)
     q = _ASOF_HYBRID_Q
-    allowed = (
-        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
-        f"WHERE {_asof_security_filter().to_sql()}"
-    )
     keyword = (
         "SELECT rid AS id, score FROM ("
         + bm25.bm25_sql(
@@ -2229,9 +2226,24 @@ def _find_secured_as_of_oracle() -> str:
         k=win,
         where=f"rid IN ({allowed})",
     )
-    fused = fusion.rrf_sql(
-        {"keyword": keyword, "semantic": semantic}, top_k=10
-    )
+    srcs = {"keyword": keyword, "semantic": semantic}
+    if with_graph:
+        live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
+        anchor = ") WHERE rn = 1 AND op = 'upsert'"
+        assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+        live_rel_as_of = live_rel.replace(
+            anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}"
+        )
+        lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
+        srcs["graph"] = f"""
+SELECT DISTINCT id, 1.0::DOUBLE AS score FROM (
+  SELECT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id
+  FROM ({live_rel_as_of})
+  WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
+    AND paragraph_id IS NOT NULL
+) WHERE id IN ({allowed})
+"""
+    fused = fusion.rrf_sql(srcs, top_k=10)
     return f"""
 WITH fused AS ({fused})
 SELECT id, score,
@@ -2239,6 +2251,45 @@ SELECT id, score,
 FROM fused
 ORDER BY score DESC, id ASC
 """
+
+
+def _asof_filtered_find(
+    spark, sf_dir, features, filters=None, security_groups=None
+):
+    """Shared Spark body: the filtered-snapshot FindRequest at
+    _AS_OF_SEQ with the standard projection."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=list(features),
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        as_of=_AS_OF_SEQ,
+        filters=filters,
+        security_groups=security_groups,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
+
+
+def _asof_security_filter():
+    from nucliadb_spark.operators.filters import SecurityFilter
+
+    return SecurityFilter(groups=["group-2", "group-5"])
+
+
+def _find_secured_as_of_oracle() -> str:
+    return _asof_filtered_find_oracle(
+        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+        f"WHERE {_asof_security_filter().to_sql()}"
+    )
 
 
 @register("find_secured_as_of", _find_secured_as_of_oracle())
@@ -2262,23 +2313,11 @@ def find_secured_as_of(spark, sf_dir):
     DEDICATED security param (RequestSecurity), which folds into the
     filter tree as an AND — param==filters equivalence pinned by
     test_security_param_equals_security_filter."""
-    from pyspark.sql import functions as F
-
-    from nucliadb_spark import api
-
-    req = api.FindRequest(
-        query=_ASOF_HYBRID_Q,
-        features=["keyword", "semantic"],
-        top_k=10,
-        window=50,
-        query_vec_id=5,
-        as_of=_AS_OF_SEQ,
+    return _asof_filtered_find(
+        spark,
+        sf_dir,
+        ("keyword", "semantic"),
         security_groups=list(_asof_security_filter().groups),
-    )
-    return api.find_request(spark, sf_dir, req).select(
-        "id",
-        "score",
-        F.array_join("matched_sources", ",").alias("matched_sources"),
     )
 
 
@@ -2291,56 +2330,11 @@ def _asof_date_filter():
 
 
 def _find_as_of_dated_oracle() -> str:
-    from nucliadb_spark.functions.models import detect_entity_values_py
-    from nucliadb_spark.operators import fusion
-
-    win = 50  # fusion_window(50, 10)
-    q = _ASOF_HYBRID_Q
-    allowed = (
+    return _asof_filtered_find_oracle(
         f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
-        f"WHERE {_asof_date_filter().to_sql()}"
+        f"WHERE {_asof_date_filter().to_sql()}",
+        with_graph=True,
     )
-    keyword = (
-        "SELECT rid AS id, score FROM ("
-        + bm25.bm25_sql(
-            ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
-            q,
-            top_k=win,
-            mode="any",
-            served_in_sql=allowed,
-        )
-        + ")"
-    )
-    semantic = knn.exact_knn_sql(
-        _vector_as_of_sql(_AS_OF_SEQ),
-        _QVEC_SQL,
-        dim=64,
-        k=win,
-        where=f"rid IN ({allowed})",
-    )
-    live_rel = ingest.cdc_relations_live_sql(tpch.SQL_RELATIONS)
-    anchor = ") WHERE rn = 1 AND op = 'upsert'"
-    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
-    live_rel_as_of = live_rel.replace(anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}")
-    lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
-    graph = f"""
-SELECT DISTINCT id, 1.0::DOUBLE AS score FROM (
-  SELECT CAST(string_split(paragraph_id, '/')[1] AS BIGINT) AS id
-  FROM ({live_rel_as_of})
-  WHERE (source_value IN ({lst}) OR target_value IN ({lst}))
-    AND paragraph_id IS NOT NULL
-) WHERE id IN ({allowed})
-"""
-    fused = fusion.rrf_sql(
-        {"keyword": keyword, "semantic": semantic, "graph": graph}, top_k=10
-    )
-    return f"""
-WITH fused AS ({fused})
-SELECT id, score,
-       array_to_string(matched_sources, ',') AS matched_sources
-FROM fused
-ORDER BY score DESC, id ASC
-"""
 
 
 @register("find_hybrid_as_of_dated", _find_as_of_dated_oracle())
@@ -2355,23 +2349,11 @@ def find_hybrid_as_of_dated(spark, sf_dir):
     by rid; nothing mixes snapshots. The same request shape a
     training-data pipeline needs for 'replay the date-scoped
     retrieval as it stood at snapshot S'."""
-    from pyspark.sql import functions as F
-
-    from nucliadb_spark import api
-
-    req = api.FindRequest(
-        query=_ASOF_HYBRID_Q,
-        features=["keyword", "semantic", "graph"],
-        top_k=10,
-        window=50,
-        query_vec_id=5,
-        as_of=_AS_OF_SEQ,
+    return _asof_filtered_find(
+        spark,
+        sf_dir,
+        ("keyword", "semantic", "graph"),
         filters=_asof_date_filter(),
-    )
-    return api.find_request(spark, sf_dir, req).select(
-        "id",
-        "score",
-        F.array_join("matched_sources", ",").alias("matched_sources"),
     )
 
 
@@ -2389,10 +2371,6 @@ def _asof_mixed_filter():
 
 
 def _find_as_of_mixed_oracle() -> str:
-    from nucliadb_spark.operators import fusion
-
-    win = 50  # fusion_window(50, 10)
-    q = _ASOF_HYBRID_Q
     labels_asof = ingest.cdc_labels_live_sql(
         f"SELECT rid, labels FROM ({tpch.SQL_FIELDS})", as_of=_AS_OF_SEQ
     )
@@ -2409,34 +2387,7 @@ SELECT rid FROM (
         FROM ({tpch.SQL_FIELDS})) f USING (rid)
 ) WHERE {_asof_mixed_filter().to_sql()}
 """
-    keyword = (
-        "SELECT rid AS id, score FROM ("
-        + bm25.bm25_sql(
-            ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
-            q,
-            top_k=win,
-            mode="any",
-            served_in_sql=allowed,
-        )
-        + ")"
-    )
-    semantic = knn.exact_knn_sql(
-        _vector_as_of_sql(_AS_OF_SEQ),
-        _QVEC_SQL,
-        dim=64,
-        k=win,
-        where=f"rid IN ({allowed})",
-    )
-    fused = fusion.rrf_sql(
-        {"keyword": keyword, "semantic": semantic}, top_k=10
-    )
-    return f"""
-WITH fused AS ({fused})
-SELECT id, score,
-       array_to_string(matched_sources, ',') AS matched_sources
-FROM fused
-ORDER BY score DESC, id ASC
-"""
+    return _asof_filtered_find_oracle(allowed)
 
 
 @register("find_hybrid_as_of_mixed", _find_as_of_mixed_oracle())
@@ -2452,23 +2403,8 @@ def find_hybrid_as_of_mixed(spark, sf_dir):
     column-pruned static-metadata scan — one extra rid-keyed join
     per request over the label-only path, only when the tree
     actually mixes planes."""
-    from pyspark.sql import functions as F
-
-    from nucliadb_spark import api
-
-    req = api.FindRequest(
-        query=_ASOF_HYBRID_Q,
-        features=["keyword", "semantic"],
-        top_k=10,
-        window=50,
-        query_vec_id=5,
-        as_of=_AS_OF_SEQ,
-        filters=_asof_mixed_filter(),
-    )
-    return api.find_request(spark, sf_dir, req).select(
-        "id",
-        "score",
-        F.array_join("matched_sources", ",").alias("matched_sources"),
+    return _asof_filtered_find(
+        spark, sf_dir, ("keyword", "semantic"), filters=_asof_mixed_filter()
     )
 
 
@@ -2488,42 +2424,10 @@ def _asof_kv_filter():
 
 
 def _find_as_of_kv_oracle() -> str:
-    from nucliadb_spark.operators import fusion
-
-    win = 50  # fusion_window(50, 10)
-    q = _ASOF_HYBRID_Q
-    allowed = (
+    return _asof_filtered_find_oracle(
         f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
         f"WHERE {_asof_kv_filter().to_sql()}"
     )
-    keyword = (
-        "SELECT rid AS id, score FROM ("
-        + bm25.bm25_sql(
-            ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
-            q,
-            top_k=win,
-            mode="any",
-            served_in_sql=allowed,
-        )
-        + ")"
-    )
-    semantic = knn.exact_knn_sql(
-        _vector_as_of_sql(_AS_OF_SEQ),
-        _QVEC_SQL,
-        dim=64,
-        k=win,
-        where=f"rid IN ({allowed})",
-    )
-    fused = fusion.rrf_sql(
-        {"keyword": keyword, "semantic": semantic}, top_k=10
-    )
-    return f"""
-WITH fused AS ({fused})
-SELECT id, score,
-       array_to_string(matched_sources, ',') AS matched_sources
-FROM fused
-ORDER BY score DESC, id ASC
-"""
 
 
 @register("find_hybrid_as_of_kv", _find_as_of_kv_oracle())
@@ -2539,23 +2443,8 @@ def find_hybrid_as_of_kv(spark, sf_dir):
     grammar at a snapshot: labels (versioned, from the op log) and
     dates/security/JSON-KV (static, by rid) now all compose with
     as_of, singly or mixed in one tree."""
-    from pyspark.sql import functions as F
-
-    from nucliadb_spark import api
-
-    req = api.FindRequest(
-        query=_ASOF_HYBRID_Q,
-        features=["keyword", "semantic"],
-        top_k=10,
-        window=50,
-        query_vec_id=5,
-        as_of=_AS_OF_SEQ,
-        filters=_asof_kv_filter(),
-    )
-    return api.find_request(spark, sf_dir, req).select(
-        "id",
-        "score",
-        F.array_join("matched_sources", ",").alias("matched_sources"),
+    return _asof_filtered_find(
+        spark, sf_dir, ("keyword", "semantic"), filters=_asof_kv_filter()
     )
 
 

@@ -163,9 +163,11 @@ FROM part
 def fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # created/modified: deterministic Basic-metadata timestamps
-    # (resources.proto:58-95 created/modified) — STATIC per-resource
-    # attributes, written once at creation and never revised by any
-    # CDC wave, so as_of date predicates legally join them by rid
+    # (resources.proto:58-95). `created` is STATIC (written once, so
+    # as_of date predicates legally join it by rid); `modified`
+    # semantically tracks writes and is NOT as_of-composable
+    # (api._STATIC_COLS excludes it) even though this fixture never
+    # revises it
     created = F.expr(
         "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, doc_id % 365, 0,0,0)"
     )
@@ -543,6 +545,12 @@ def fields_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         if mime is not None:
             label_cols.append(F.lit("/n/i/" + mime))
+        # same static Basic/Extra metadata as `fields` (the join
+        # contract the docstring promises): resource-grain, so every
+        # field family of a resource carries identical values
+        created = F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, doc_id % 365, 0,0,0)"
+        )
         return d.select(
             F.lit("kb0").alias("kbid"),
             F.col("doc_id").cast("long").alias("rid"),
@@ -561,6 +569,18 @@ def fields_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.concat(F.lit("group-"), F.col("doc_id") % 7)).alias(
                 "security_groups"
             ),
+            created.alias("created"),
+            (
+                created + F.expr("make_interval(0,0,0,0, doc_id % 24, 0, 0)")
+            ).alias("modified"),
+            F.to_json(
+                F.struct(
+                    (F.col("doc_id") % 5).cast("long").alias("priority"),
+                    F.struct(
+                        (F.col("doc_id") % 97).cast("long").alias("uid")
+                    ).alias("audit"),
+                )
+            ).alias("extra"),
         )
 
     body = proj("t", "body", F.col("text"), F.col("n_chars"))
@@ -591,7 +611,14 @@ SELECT 'kb0' AS kbid, CAST(doc_id AS BIGINT) AS rid,
        CAST(NULL AS VARCHAR) AS uri,
        [concat('/s/p/', lang), concat('/u/s/', source)] AS labels,
        doc_id % 4 <> 0 AS security_public,
-       [concat('group-', doc_id % 7)] AS security_groups
+       [concat('group-', doc_id % 7)] AS security_groups,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS created,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY
+           + INTERVAL (doc_id % 24) HOUR AS modified,
+       to_json(struct_pack(
+         priority := CAST(doc_id % 5 AS BIGINT),
+         audit := struct_pack(uid := CAST(doc_id % 97 AS BIGINT))
+       )) AS extra
 FROM documents
 UNION ALL
 SELECT 'kb0', CAST(doc_id AS BIGINT),
@@ -601,7 +628,14 @@ SELECT 'kb0', CAST(doc_id AS BIGINT),
        CAST(NULL AS VARCHAR),
        [concat('/s/p/', lang), concat('/u/s/', source)],
        doc_id % 4 <> 0,
-       [concat('group-', doc_id % 7)]
+       [concat('group-', doc_id % 7)],
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS created,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY
+           + INTERVAL (doc_id % 24) HOUR AS modified,
+       to_json(struct_pack(
+         priority := CAST(doc_id % 5 AS BIGINT),
+         audit := struct_pack(uid := CAST(doc_id % 97 AS BIGINT))
+       )) AS extra
 FROM documents
 UNION ALL
 SELECT 'kb0', CAST(doc_id AS BIGINT),
@@ -615,7 +649,14 @@ SELECT 'kb0', CAST(doc_id AS BIGINT),
        concat('http://', source, '.example/doc-', doc_id),
        [concat('/s/p/', lang), concat('/u/s/', source), '/n/i/text/html'],
        doc_id % 4 <> 0,
-       [concat('group-', doc_id % 7)]
+       [concat('group-', doc_id % 7)],
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS created,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY
+           + INTERVAL (doc_id % 24) HOUR AS modified,
+       to_json(struct_pack(
+         priority := CAST(doc_id % 5 AS BIGINT),
+         audit := struct_pack(uid := CAST(doc_id % 97 AS BIGINT))
+       )) AS extra
 FROM documents
 WHERE doc_id % 3 = 0
 """

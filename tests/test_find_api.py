@@ -385,6 +385,13 @@ def test_filter_planes_classifier():
     assert _filter_planes(
         JsonPath("text", "k", "eq", 1, kind="int")
     ) == {"versioned"}
+    # modified tracks writes, n_chars describes the versioned text —
+    # neither may compose with as_of even though this fixture never
+    # revises them (the classification encodes semantics, not data)
+    assert _filter_planes(
+        DateRange("modified", since="2024-01-01")
+    ) == {"versioned"}
+    assert _filter_planes(FieldEquals("n_chars", 100)) == {"versioned"}
     mixed = And(
         [Or([Facet("/s/p/de"), Facet("/s/p/fr")]), SecurityFilter(groups=["g"])]
     )
@@ -859,3 +866,35 @@ def test_graph_path_filtered_provenance_respects_filter(spark, sf_dir):
     un_keys = {(r.source_value, r.relation_label, r.target_value) for r in unfiltered}
     f_keys = {(r.source_value, r.relation_label, r.target_value) for r in rows}
     assert un_keys - f_keys  # the filter removed something
+
+
+def test_live_scoped_find_accepts_static_filters(spark, sf_dir):
+    """Regression: a `fields`-scoped LIVE request with a static
+    predicate (created range / security) evaluates the tree against
+    the fielded corpus — fields_multi must carry the same static
+    Basic/Extra metadata as `fields` (the join contract), or the
+    filter compiler raises UNRESOLVED_COLUMN."""
+    from nucliadb_spark.operators.filters import And, DateRange, SecurityFilter
+
+    req = api.FindRequest(
+        query="merge stream window",
+        features=["keyword"],
+        top_k=8,
+        fields=["a/title"],
+        filters=And(
+            [
+                DateRange("created", since="2024-02-01 00:00:00"),
+                SecurityFilter(groups=["group-1", "group-2"]),
+            ]
+        ),
+    )
+    rows = api.find_request(spark, sf_dir, req).collect()
+    assert rows
+    allowed = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir)
+        .filter(req.filters.to_column())
+        .select("rid")
+        .collect()
+    }
+    assert {r.id for r in rows} <= allowed

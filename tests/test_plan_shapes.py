@@ -788,12 +788,10 @@ def test_ivf_drift_incremental_no_full_log_assignment(spark, sf_dir):
 
 def test_find_as_of_static_filter_no_label_resolution(spark, sf_dir):
     """A STATIC-only filter tree at a snapshot (security / dates /
-    JSON KV) must NOT resolve the label op log: the plan carries the
-    seq cut only for the retriever corpora (text + vector = 2
-    occurrences, not the filtered flagship's >= 4... but >= 2), the
-    allowed set semijoins candidates, and no cartesian enters. The
-    static scan must be column-pruned: the documents read schema for
-    the allowed-set branch needs no `text`."""
+    JSON KV) must NOT resolve the label op log: the plan still
+    carries the seq cut for the retriever corpora (>= 2 occurrences:
+    text + vector), the allowed set semijoins candidates, and no
+    cartesian enters."""
     from nucliadb_spark import registry
     from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
 
@@ -801,6 +799,8 @@ def test_find_as_of_static_filter_no_label_resolution(spark, sf_dir):
     q(spark, sf_dir).collect()
     df = q(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the retriever corpora still cut at the seq
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 2, analyzed[:2000]
     # no label-log plane: the analyzed tree must not mention the
     # label op-log before-image column (prev_labels) the label resolution introduces
     assert "prev_labels" not in analyzed
