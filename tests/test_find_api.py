@@ -898,3 +898,45 @@ def test_live_scoped_find_accepts_static_filters(spark, sf_dir):
         .collect()
     }
     assert {r.id for r in rows} <= allowed
+
+
+def test_as_of_fields_static_filter_quadruple_composes(spark, sf_dir):
+    """fields × STATIC filter × as_of in one request: the scope
+    resolves from the seq-cut fielded log, the static security
+    predicate joins by rid, the corpora cut at the seq — every hit
+    owns a scoped field at the snapshot AND satisfies the predicate."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators.filters import SecurityFilter
+    from nucliadb_spark.streaming import ingest
+
+    sec = SecurityFilter(groups=["group-2", "group-5"])
+    seq = 1_500_000
+    req = api.FindRequest(
+        query="refreshed revision stream",
+        features=["keyword"],
+        top_k=30,
+        window=30,
+        fields=["u/link"],
+        as_of=seq,
+        filters=sec,
+    )
+    hits = {r.id for r in api.find_request(spark, sf_dir, req).collect()}
+    assert hits
+    allowed = {
+        r.rid
+        for r in tpch.fields(spark, sf_dir)
+        .filter(sec.to_column())
+        .select("rid")
+        .collect()
+    }
+    flog = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
+        F.col("field_key") == "/u/link"
+    )
+    scoped = {
+        r.rid
+        for r in ingest.cdc_live_fielded(flog.filter(F.col("seq") <= seq))
+        .select("rid")
+        .collect()
+    }
+    assert hits <= (allowed & scoped)
