@@ -154,7 +154,7 @@ def main() -> None:
 
     post, stats = _text_index(spark, SF_DIR)
     post.count(), stats.count()
-    cached_df(SF_DIR, "relations", lambda: tpch.relations(spark, SF_DIR)).count()
+    tpch.relations_index(spark, SF_DIR).count()
     # IVF centroids are index-build output too (ann.cell_centroids)
     from nucliadb_spark.operators import ann as ann_ops
 

@@ -888,8 +888,6 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         # literal; the triple match is an isin filter inside codegen.
         ents = models.detect_entity_values_py(req.query)
         if ents:
-            from nucliadb_spark.cache import cached_df
-
             if as_of is not None:
                 # the relation set AS OF the same seq — edge-keyed
                 # max_by over the seq-cut edge op log; a new snapshot
@@ -906,9 +904,7 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                     ingest._EDGE_COLS,
                 )
             else:
-                rel = cached_df(
-                    sf_dir, "relations", lambda: tpch.relations(spark, sf_dir)
-                )
+                rel = tpch.relations_index(spark, sf_dir)
             g = (
                 rel.filter(
                     (

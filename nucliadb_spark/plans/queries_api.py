@@ -275,7 +275,7 @@ def find_relations_feature(spark, sf_dir):
         vocab=_vocab(sf_dir, post),
     ).select(F.col("rid").alias("id"), "score")
 
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     graph = (
         rel.filter(
             (F.col("source_value").isin(ents) | F.col("target_value").isin(ents))
@@ -589,7 +589,7 @@ def find_autofilter(spark, sf_dir):
 
     ents = detect_entity_values_py(_REL_Q)
     post, stats = _text_index(spark, sf_dir)
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     allowed = (
         rel.filter(
             (F.col("source_value").isin(ents) | F.col("target_value").isin(ents))

@@ -12,10 +12,8 @@ _R = tpch.SQL_RELATIONS
 
 
 def _rel(spark, sf_dir):
-    # session-cached: the triple table is an index, built once
-    from nucliadb_spark.cache import cached_df
-
-    return cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    # session-cached sorted triple index, built once
+    return tpch.relations_index(spark, sf_dir)
 
 
 # --- G1: boolean path query, directed -------------------------------------

@@ -429,7 +429,7 @@ def find_relations_subgraph(spark, sf_dir):
         post=post, stats=stats, corpus=_corpus(sf_dir, stats),
         vocab=_vocab(sf_dir, post),
     ).select("id")
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     return (
         rel.filter(F.col("paragraph_id").isNotNull())
         .withColumn(

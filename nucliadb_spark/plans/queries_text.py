@@ -419,7 +419,7 @@ def suggest_fielded(spark, sf_dir):
     suggest.suggest_entities_sql(tpch.SQL_RELATIONS, "customer:19"),
 )
 def suggest_entities(spark, sf_dir):
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     return suggest.suggest_entities(rel, "customer:19")
 
 
@@ -886,7 +886,7 @@ def rag_field_extension(spark, sf_dir):
     ),
 )
 def rag_metadata_extension(spark, sf_dir):
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     return augment.metadata_extension_context(
         _ext_hits(spark, sf_dir),
         tpch.resources(spark, sf_dir),
@@ -958,7 +958,7 @@ def suggest_combined(spark, sf_dir):
         F.col("rid").cast("string").alias("id"),
         "score",
     )
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     ents = suggest.suggest_entities(rel, _SUGGEST_Q).select(
         F.lit("entities").alias("section"),
         F.col("value").alias("id"),
@@ -982,7 +982,7 @@ def suggest_combined(spark, sf_dir):
     suggest.suggest_entities_sql(tpch.SQL_RELATIONS, "Custómér:19", fold=True),
 )
 def suggest_entities_folded(spark, sf_dir):
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     return suggest.suggest_entities(rel, "Custómér:19", fold=True)
 
 

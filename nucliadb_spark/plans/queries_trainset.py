@@ -330,7 +330,7 @@ def graph_reachability(spark, sf_dir):
     from nucliadb_spark.cache import cached_df
     from nucliadb_spark.operators.iterative import bfs_reachability
 
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     return bfs_reachability(rel, "customer:1", max_hops=3)
 
 
@@ -768,7 +768,7 @@ def graph_pagerank(spark, sf_dir):
     from nucliadb_spark.cache import cached_df
     from nucliadb_spark.operators.iterative import pagerank
 
-    rel = cached_df(sf_dir, "relations", lambda: tpch.relations(spark, sf_dir))
+    rel = tpch.relations_index(spark, sf_dir)
     return pagerank(rel)
 
 
