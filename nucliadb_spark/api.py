@@ -64,17 +64,16 @@ def _without_prequeries(req: "FindRequest") -> "FindRequest":
     return replace(req, prequeries=None)
 
 
-# the corpus model's STATIC per-resource metadata columns: written at
-# resource creation, never revised by any write, hence snapshot-
-# independent. The reference draws the same line between index state
-# and resource basic/origin metadata (resources.proto Basic/Origin vs
-# the index messages): creation date, security groups, source/language
-# are attributes of the resource, not of any text version. Deliberately
-# NOT static: `modified` (tracks writes — filtering it at a snapshot
-# from live values would silently answer against mixed snapshots) and
-# `n_chars` (describes the VERSIONED text), even though this corpus
-# model happens to never revise them — the classification encodes the
-# semantics, not the fixture.
+# the corpus model's genuinely IMMUTABLE per-resource columns:
+# identity written exactly once (resource/field identity, creation
+# date — resources.proto:58-95), never revised by ANY write, hence
+# snapshot-independent. Everything else the reference can PATCH on
+# resource update is deliberately NOT here, even when this fixture
+# happens never to revise it — the classification encodes the
+# semantics, not the fixture (the standard that moved `modified`/
+# `n_chars` out in r12 and security/extra/origin out in r13:
+# UpdateResourcePayload PATCHes security, extra and origin —
+# nucliadb_models/src/nucliadb_models/writer.py:155-169).
 _STATIC_COLS = frozenset(
     {
         "rid",
@@ -82,13 +81,17 @@ _STATIC_COLS = frozenset(
         "field_type",
         "field_id",
         "field_key",
-        "language",
-        "source",
         "created",
-        "security_public",
-        "security_groups",
-        "extra",
     }
+)
+
+# the resource-METADATA plane: security/extra/origin attributes the
+# reference revises via PATCH. Versioned-in-principle, resolved at a
+# snapshot from the metadata op log (ingest.cdc_meta_log — the
+# fixture's lockdown wave revises security at seq rid+1e6) with the
+# same rid-keyed latest-op-wins every CDC family pays.
+_META_COLS = frozenset(
+    {"security_public", "security_groups", "extra", "source", "language"}
 )
 
 
@@ -99,15 +102,22 @@ def _filter_planes(expr: Expr) -> set[str]:
     - ``'label'`` — a Facet over ``labels``: VERSIONED state whose op
       log (cdc_label_log, with before-images) gives it a snapshot
       identity, so it resolves AS OF a seq.
-    - ``'static'`` — per-resource metadata that never versions
-      (dates, security, source/language, JSON KV on a static column):
-      corpus MEMBERSHIP at the snapshot comes from the content op
-      log, the attribute itself joins by rid — the same
-      versioned-state/static-metadata split trainset_build_as_of and
-      the entity_sources leg use.
-    - ``'versioned'`` — anything reading versioned NON-label state
-      (e.g. a Keyword predicate over ``text``) or an unknown leaf:
-      no snapshot identity, the composition must raise.
+    - ``'meta'`` — security/extra/origin attributes: VERSIONED
+      resource metadata (the reference PATCHes them on update,
+      writer.py:155-169) resolved from the seq-cut metadata op log
+      (ingest.cdc_meta_log) and joined to the tree's frame by rid.
+    - ``'text'`` — a Keyword predicate over ``text``: versioned
+      CONTENT state whose op log (ingest.cdc_log) gives every text
+      version a snapshot identity — the keyword evaluates against
+      the seq-cut content state, exactly the corpus the scoring legs
+      already search at the snapshot.
+    - ``'static'`` — genuinely immutable identity metadata (creation
+      date, resource/field identity): corpus MEMBERSHIP at the
+      snapshot comes from the content op log, the attribute itself
+      joins by rid.
+    - ``'versioned'`` — anything reading versioned state with NO op
+      log in this corpus model, or an unknown leaf: no snapshot
+      identity, the composition must raise.
 
     And/Or/Not union their operands' planes, so a mixed tree is
     answerable iff no leaf is 'versioned'.
@@ -134,13 +144,16 @@ def _filter_planes(expr: Expr) -> set[str]:
         return _filter_planes(expr.operand)
     if isinstance(expr, Facet):
         return {"label"} if expr.column == "labels" else {"versioned"}
+    if isinstance(expr, Keyword):
+        # text keywords evaluate against the seq-cut CONTENT state —
+        # the content op log gives text versions a snapshot identity
+        return {"text"} if expr.column == "text" else {"versioned"}
     if isinstance(expr, SecurityFilter):
         cols: tuple[str, ...] = (expr.public_column, expr.groups_column)
     elif isinstance(
         expr,
         (
             DateRange,
-            Keyword,
             ResourceIs,
             FieldEquals,
             PrefixMatch,
@@ -152,9 +165,11 @@ def _filter_planes(expr: Expr) -> set[str]:
         cols = (expr.column,)
     else:
         return {"versioned"}  # unknown leaf — be honest, reject
-    return (
-        {"static"} if all(c in _STATIC_COLS for c in cols) else {"versioned"}
-    )
+    if all(c in _STATIC_COLS for c in cols):
+        return {"static"}
+    if all(c in _STATIC_COLS | _META_COLS for c in cols):
+        return {"meta"}
+    return {"versioned"}
 
 
 @dataclass
@@ -202,7 +217,9 @@ class FindRequest:
     # nidx/nidx_text/src/search_query.rs:66-90): visible if public OR
     # any requested group matches. Folds into the filter tree as an
     # AND (its exact semantics), so it composes with everything
-    # filters do — including as_of via the static-metadata split.
+    # filters do — including as_of via the metadata-plane op log
+    # (security is PATCHable, so at a snapshot it resolves from the
+    # seq-cut metadata log, not today's groups).
     security_groups: list[str] | None = None
     # keyset pagination through the fused ranking (O5 applied to the
     # flagship — ref nodereader.proto:382-386 + search/search/
@@ -474,11 +491,14 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # every leaf is a Facet resolves from the seq-cut label log —
     # the reference's prefilter semantics
     # (nidx/nidx_text/src/reader.rs:148-180) at a snapshot the
-    # reference cannot express. Static-metadata predicates (dates,
-    # security, JSON KV on static columns) compose as of r12 via the
-    # versioned-state/static-metadata split (_filter_planes); only
-    # predicates over versioned non-label state (text keywords) stay
-    # rejected rather than silently answered against mixed snapshots.
+    # reference cannot express. Every other filter plane composes via
+    # its own op log as of r13 (_filter_planes): security/extra/
+    # origin from the metadata log (the reference PATCHes them,
+    # writer.py:155-169 — a lockdown after the snapshot must not
+    # hide what the snapshot could see), text keywords from the
+    # content log, immutable identity predicates (dates) by rid;
+    # only op-log-less versioned state stays rejected rather than
+    # silently answered against mixed snapshots.
     as_of = req.as_of
     # as_of × rephrase composes (r11): the rewrite is a pure function
     # of the query text and the doc embeddings are a pure function of
@@ -486,40 +506,43 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     # re-embed contract), so the semantic leg embeds the AS-OF corpus
     # and nothing mixes snapshots. With every composition lifted,
     # FindRequest.as_of now composes with the full request surface.
-    # as_of × entity_sources composes (r11): corpus MEMBERSHIP at the
-    # snapshot resolves from the content op log, the source attribute
-    # is static per-resource metadata joined by rid — the same
-    # versioned-state/static-metadata split trainset_build_as_of uses
-    # (and the reference's own split between index state and resource
-    # basic metadata).
+    # as_of × entity_sources composes (r11, made honest in r13):
+    # corpus MEMBERSHIP at the snapshot resolves from the content op
+    # log, and the source attribute — PATCHable origin metadata —
+    # resolves from the seq-cut metadata op log rather than joining
+    # today's values by rid.
     planes: set[str] = set()
     if as_of is not None and filters is not None:
         planes = _filter_planes(filters)
         if "versioned" in planes:
             raise ValueError(
-                "as_of composes with label/facet filters and static "
-                "per-resource metadata predicates (dates, security, "
-                "JSON KV); predicates over versioned non-label state "
-                "(e.g. text keywords) have no snapshot identity"
+                "as_of composes with label/facet filters, security/"
+                "extra/origin metadata (resolved from the metadata op "
+                "log), text keywords (resolved from the content op "
+                "log) and immutable identity predicates (dates); "
+                "predicates over state with no op log in this corpus "
+                "model have no snapshot identity"
             )
     # the snapshot-resolved prefilter: allowed rids = the filter tree
     # evaluated against a frame that carries each plane's state AT
-    # the seq — label state from the seq-cut label op log (session-
-    # cached per snapshot like every other as-of sidecar), static
-    # attributes from the fields frame by rid (never versioned, so
-    # snapshot-independent). Label state is RESOURCE-grain — the
-    # reference's grain too (the pg catalog keys facets by resource,
-    # catalog/pg.py:72-107) — so the same allowed set serves scoped
-    # and unscoped requests alike and the full triple (as_of × fields
-    # × filters) composes: scope from the seq-cut fielded log, filter
-    # from the seq-cut label log + static metadata, corpus from the
-    # seq-cut content logs, one seq everywhere. A static-only tree
-    # skips the label resolution entirely (one filter over the static
-    # frame; membership at the seq is enforced by each leg's as-of
-    # corpus), a label-only tree skips the static join, and a mixed
-    # tree joins the two planes by rid before the unchanged filter
-    # compiler evaluates the WHOLE tree — And/Or/Not across planes
-    # need no decomposition.
+    # the seq — label state from the seq-cut label op log, security/
+    # extra/origin from the seq-cut metadata op log, text keywords
+    # from the seq-cut content op log (each session-cached per
+    # snapshot like every other as-of sidecar), immutable identity
+    # attributes (created, field identity) from the fields frame by
+    # rid. All planes are RESOURCE-grain — the reference's grain too
+    # (the pg catalog keys facets by resource, catalog/pg.py:72-107)
+    # — so the same allowed set serves scoped and unscoped requests
+    # alike and the full triple (as_of × fields × filters) composes:
+    # scope from the seq-cut fielded log, filter from the seq-cut
+    # plane logs + identity metadata, corpus from the seq-cut content
+    # logs, one seq everywhere. A static-only tree skips plane
+    # resolution entirely (one filter over the fields frame;
+    # membership at the seq is enforced by each leg's as-of corpus),
+    # a single-plane tree filters that plane's state directly, and a
+    # mixed tree joins the planes' states by rid before the unchanged
+    # filter compiler evaluates the WHOLE tree — And/Or/Not across
+    # planes need no decomposition.
     asof_allowed = None
     if as_of is not None and filters is not None:
         if planes == {"static"}:
@@ -527,24 +550,57 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         else:
             from nucliadb_spark.streaming import ingest
 
-            label_state = asof_live_state(
-                spark,
-                sf_dir,
-                "labels",
-                as_of,
-                lambda: ingest.cdc_label_log(
-                    tpch.fields(spark, sf_dir).select("rid", "labels")
-                ),
-                ingest.cdc_live_labels,
-                ("rid",),
-            )
-            if planes == {"label"}:
-                asof_allowed = label_state.filter(
-                    filters.to_column()
-                ).select("rid")
+            # each versioned plane the tree reads resolves AS OF the
+            # same seq from ITS op log (session-cached + chained via
+            # asof_live_state); a mixed tree joins the planes' states
+            # by rid into ONE frame and the unchanged filter compiler
+            # evaluates the whole tree over it — And/Or/Not across
+            # planes need no decomposition.
+            states: dict[str, DataFrame] = {}
+            if "label" in planes:
+                states["label"] = asof_live_state(
+                    spark,
+                    sf_dir,
+                    "labels",
+                    as_of,
+                    lambda: ingest.cdc_label_log(
+                        tpch.fields(spark, sf_dir).select("rid", "labels")
+                    ),
+                    ingest.cdc_live_labels,
+                    ("rid",),
+                )
+            if "meta" in planes:
+                states["meta"] = asof_live_state(
+                    spark,
+                    sf_dir,
+                    "meta",
+                    as_of,
+                    lambda: ingest.cdc_meta_log(fields),
+                    ingest.cdc_live_meta,
+                    ("rid",),
+                )
+            if "text" in planes:
+                states["text"] = asof_live_state(
+                    spark,
+                    sf_dir,
+                    "content_text",
+                    as_of,
+                    lambda: ingest.cdc_log(fields),
+                    ingest.cdc_live_fields,
+                    ("rid",),
+                )
+            if len(states) == 1 and "static" not in planes:
+                # single-plane tree: filter the plane's state directly
+                snap = next(iter(states.values()))
             else:
-                snap = fields.drop("labels").join(label_state, "rid")
-                asof_allowed = snap.filter(filters.to_column()).select("rid")
+                # mixed tree: immutable identity columns from the
+                # fields frame, each versioned plane joined by rid
+                snap = fields.select(
+                    *[c for c in fields.columns if c in _STATIC_COLS]
+                )
+                for st in states.values():
+                    snap = snap.join(st, "rid")
+            asof_allowed = snap.filter(filters.to_column()).select("rid")
 
     # `fields` scope: validate, then resolve the scoped field-key set
     # and the owning-resource frame once (both reused across legs).
@@ -842,11 +898,13 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
         if as_of is not None:
             # snapshot membership from the content op log (docs
             # deleted after the seq still match, docs indexed after
-            # it do not); the static source attribute joins by rid.
-            # Served through asof_live_state like every other as-of
-            # plane: repeated requests at the snapshot read the
-            # cached 'content_live' sidecar, a new snapshot chains
-            # from the nearest cached one — full-log cost once per
+            # it do not); the SOURCE attribute is metadata-plane
+            # state (origin is PATCHable, writer.py:155-169), so it
+            # reads from the seq-cut metadata op log — not today's
+            # values. Both served through asof_live_state like every
+            # other as-of plane: repeated requests at the snapshot
+            # read the cached sidecars, a new snapshot chains from
+            # the nearest cached one — full-log cost once per
             # (seq, family), not once per request
             from nucliadb_spark.streaming import ingest
 
@@ -859,7 +917,16 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 lambda log: ingest.cdc_live_fields(log).select("rid"),
                 ("rid",),
             )
-            gdf = gdf.join(live_rids, "rid", "semi")
+            meta_state = asof_live_state(
+                spark,
+                sf_dir,
+                "meta",
+                as_of,
+                lambda: ingest.cdc_meta_log(fields),
+                ingest.cdc_live_meta,
+                ("rid",),
+            )
+            gdf = meta_state.join(live_rids, "rid", "semi")
         if filters is not None:
             # under as_of the (label-only) filter is the seq-cut
             # allowed set; live requests evaluate the tree directly

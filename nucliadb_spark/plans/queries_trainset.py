@@ -673,12 +673,14 @@ _TB_AS_OF = 1_500_000  # post-revisions, pre-deletes snapshot point
 
 
 def _trainset_as_of_corpus_sql() -> str:
+    from nucliadb_spark.sources import tpch as _tpch
     from nucliadb_spark.streaming import ingest
 
+    meta_asof = ingest.cdc_meta_live_sql(_tpch.SQL_FIELDS, as_of=_TB_AS_OF)
     return f"""
-  SELECT l.rid AS id, l.text, d.source
+  SELECT l.rid AS id, l.text, m.source
   FROM ({ingest.cdc_live_as_of_sql(_TB_AS_OF)}) l
-  JOIN documents d ON l.rid = CAST(d.doc_id AS BIGINT)
+  JOIN ({meta_asof}) m USING (rid)
 """
 
 
@@ -696,9 +698,10 @@ def trainset_build_as_of(spark, sf_dir):
     their new text, shifting their pack offsets) while the delete
     wave is not (docs deleted later still earn budget). Content
     versions resolve from the op log (one seq-pruned scan + the
-    max_by shuffle every snapshot read pays); static per-doc metadata
-    (source) joins by rid — the reference's own split between
-    versioned index state and resource basic metadata. Every
+    max_by shuffle every snapshot read pays); the SOURCE attribute —
+    PATCHable origin metadata (writer.py:155-169) — resolves from
+    the seq-cut METADATA op log (r13), so a later origin correction
+    cannot silently re-stratify a pinned snapshot's budget. Every
     downstream cut (md5 split, budget, packing) is already a pure
     function of (id, text), so snapshot-in → identical-trainset-out
     across runs, engines and partitionings."""
@@ -709,9 +712,11 @@ def trainset_build_as_of(spark, sf_dir):
     live = ingest.cdc_live_as_of(
         ingest.cdc_log(tpch.fields(spark, sf_dir)), _TB_AS_OF
     )
-    src = tpch.table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("rid"), "source"
-    )
+    src = ingest.cdc_live_meta(
+        ingest.cdc_meta_log(tpch.fields(spark, sf_dir)).filter(
+            F.col("seq") <= _TB_AS_OF
+        )
+    ).select("rid", "source")
     c = live.join(src, "rid").select(F.col("rid").alias("id"), "text", "source")
     return _trainset_build(c)
 

@@ -38,76 +38,31 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-12 window policy (oldest-driver-evidence-first rotation; the
+# Round-13 window policy (oldest-driver-evidence-first rotation; the
 # membership invariant is mechanical — tests/test_registry_invariants.py
 # pins set(PRIORITY) == set(queries()) so no registered query can be
 # driver-unreachable, and `scripts/check.sh` runs those tests in
 # seconds so they gate every commit that touches the registry):
-# after the fully-green r11 window, the oldest driver evidence is the
-# 11 remaining r6 seats + the 50 r7 seats. Seats 0-10 are the r6
-# block, then the new r12 queries (seated once locally parity-green
-# at sf0.001 AND sf0.01), then r7 seats alphabetical fill to 50. The
-# tail holds every remaining query ordered by staleness (r7
-# remainder, r8, r9, r10, r11 — alphabetical within a round) so
+# r13 clears the re-confirmation debt entirely — seats 0-25 are ALL
+# remaining pre-r8 seats (the 5 r6 + 21 r7 queries), then the new r13
+# queries, then the six r12/r11 queries whose SEMANTICS changed this
+# round (security/extra/origin and the entity-source attribute now
+# resolve from the metadata op log, so their prior grades describe
+# the old static-join semantics), then r8 seats alphabetical fill to
+# 50. After this window every seat's driver evidence is >= r8. The
+# tail holds every remaining query ordered by staleness (r8
+# remainder, r9, r10, r11, r12 — alphabetical within a round) so
 # future rounds keep rotating forward. Local parity
 # (tests/test_oracle_parity.py) re-verifies ALL oracles every run, so
 # a stale seat is re-confirmation debt, not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
     # --- latest driver evidence: r6 — the oldest seats, graded first ---
-    "neighbouring_paragraphs",
-    "paragraph_extract",
-    "paragraph_extract_fielded",
-    "paragraph_search_fielded",
-    "phrase_match",
-    "sample_domain_cap",
-    "sample_temperature",
-    "search_after_keyset",
-    "search_fields_scoped",
-    "security_filter",
-    "suggest_entities",
-    # --- new r12 queries (seated once parity-green at sf0.001+0.01) ---
-    "find_secured_as_of",
-    "find_hybrid_as_of_dated",
-    "find_hybrid_as_of_mixed",
-    "find_hybrid_as_of_kv",
-    "cdc_catalog_facets_as_of_served",
-    "oplog_vacuum_report",
-    "suggest_filtered",
-    "suggest_as_of_filtered",
-    "graph_path_filtered",
-    "catalog_facets_as_of_dated",
-    # --- latest driver evidence: r7 — alphabetical fill to 50 ---
-    "augment_paragraphs",
-    "augment_resources",
-    "catalog_filter_alias",
-    "cdc_facet_counts",
-    "cdc_fielded_search_live",
-    "cdc_search_live",
-    "cdc_vector_search_live",
-    "contamination_ngram_overlap",
-    "dedup_clusters",
-    "embed_knn_stub",
-    "entities_group_members",
-    "entities_groups",
-    "event_sessionization",
-    "events_asof_join",
-    "events_asof_tolerance",
-    "events_percentiles",
-    "events_rollup",
-    "export_field_classification",
-    "export_field_streaming",
-    "export_paragraph_classification",
-    "field_family_facets",
-    "find_fields_scoped_multi",
-    "find_hybrid_fielded",
-    "find_secured",
-    "find_skip_set",
-    "hydrate_mixed_corpora",
-    "kb_export_roundtrip",
-    "knn_dot",
-    "knn_matryoshka",
-    # ---------------- end of the 50-seat graded window ----------------
-    # --- tail: r7 remainder (alphabetical) ---
+    "hydrate_conversation",
+    "hydrate_multi_field",
+    "hydrate_neighbours_depth2",
+    "json_kv_filter",
+    "keyword_filter",
+    # --- latest driver evidence: r7 — the rest of the stale ledger ---
     "knn_maxsim",
     "knn_min_score",
     "knn_prefiltered",
@@ -129,7 +84,19 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "url_dedup_exact",
     "url_filter_hosts",
     "vocab_stats",
-    # --- tail: latest driver evidence r8 (alphabetical) ---
+    # --- new r13 queries (seated once parity-green at sf0.001+0.01) ---
+    "find_hybrid_as_of_keyword_filtered",
+    "cdc_live_as_of_vacuumed",
+    "segment_autocompaction_plan",
+    # --- r13 semantics change: security/extra/origin now resolve from
+    # the metadata op log (lockdown wave observable) — reseated for regrade ---
+    "find_secured_as_of",
+    "find_hybrid_as_of_mixed",
+    "find_hybrid_as_of_kv",
+    "find_hybrid_as_of_entities",
+    "suggest_as_of_filtered",
+    "trainset_build_as_of",
+    # --- latest driver evidence: r8 — alphabetical fill to 50 ---
     "ann_kmeans_step",
     "ask_stub",
     "batch_by_length",
@@ -145,6 +112,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "export_sentence_classification",
     "export_token_classification",
     "fielded_compaction_plan",
+    # ---------------- end of the 50-seat graded window ----------------
+    # --- tail: r8 remainder (alphabetical) ---
     "find_exact_match_query",
     "find_hybrid_fielded_graph",
     "find_relations_feature",
@@ -293,7 +262,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "field_facet_counts",
     "filter_expression_tree",
     "find_hybrid",
-    "find_hybrid_as_of_entities",
     "find_hybrid_as_of_filtered",
     "find_hybrid_as_of_rephrased",
     "find_hybrid_fielded_as_of_filtered",
@@ -314,17 +282,58 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "graph_semantic_nodes",
     "graph_text_blocks",
     "graph_two_hop",
-    "hydrate_conversation",
-    "hydrate_multi_field",
-    "hydrate_neighbours_depth2",
     "ivf_drift_plan_incremental",
-    "json_kv_filter",
-    "keyword_filter",
     "knn_as_of_incremental",
     "search_as_of_incremental",
     "suggest_as_of",
     "suggest_entities_as_of",
-    "trainset_build_as_of",
+    # --- tail: latest driver evidence r12 (alphabetical) ---
+    "augment_paragraphs",
+    "augment_resources",
+    "catalog_facets_as_of_dated",
+    "catalog_filter_alias",
+    "cdc_catalog_facets_as_of_served",
+    "cdc_facet_counts",
+    "cdc_fielded_search_live",
+    "cdc_search_live",
+    "cdc_vector_search_live",
+    "contamination_ngram_overlap",
+    "dedup_clusters",
+    "embed_knn_stub",
+    "entities_group_members",
+    "entities_groups",
+    "event_sessionization",
+    "events_asof_join",
+    "events_asof_tolerance",
+    "events_percentiles",
+    "events_rollup",
+    "export_field_classification",
+    "export_field_streaming",
+    "export_paragraph_classification",
+    "field_family_facets",
+    "find_fields_scoped_multi",
+    "find_hybrid_as_of_dated",
+    "find_hybrid_fielded",
+    "find_secured",
+    "find_skip_set",
+    "graph_path_filtered",
+    "hydrate_mixed_corpora",
+    "kb_export_roundtrip",
+    "knn_dot",
+    "knn_matryoshka",
+    "neighbouring_paragraphs",
+    "oplog_vacuum_report",
+    "paragraph_extract",
+    "paragraph_extract_fielded",
+    "paragraph_search_fielded",
+    "phrase_match",
+    "sample_domain_cap",
+    "sample_temperature",
+    "search_after_keyset",
+    "search_fields_scoped",
+    "security_filter",
+    "suggest_entities",
+    "suggest_filtered",
 ]
 
 

@@ -425,6 +425,45 @@ def vacuum_op_log(
     return base, retained
 
 
+def asof_from_vacuum(
+    base: DataFrame,
+    retained: DataFrame,
+    horizon: int,
+    seq: int,
+    keys: tuple[str, ...],
+    resolve,
+) -> DataFrame:
+    """Serve an as-of read from a VACUUMED op log — the serving
+    integration of :func:`vacuum_op_log`'s algebra:
+
+    - ``seq >= horizon``: the snapshot is fully reconstructible from
+      (base_state, retained ops ≤ seq) — one
+      :func:`advance_live_state` (prior-state anti-join + the
+      delta's own resolution), never a full-history resolve. At
+      100 TB the retained log is the post-horizon seq-range
+      partitions only; the discarded history is never read because
+      it no longer exists.
+    - ``seq < horizon``: the history that distinguished that
+      snapshot was DISCARDED by the vacuum — raise a clear
+      pinned-snapshot error instead of silently resolving an
+      incomplete log to a wrong (partial) state. This is the policy
+      contract vacuum encodes: snapshots a consumer still pins must
+      stay at or above the horizon (the reference's segment purge
+      makes the same promise for its merged-away segments,
+      nidx/src/scheduler/purge_tasks.rs:26-43).
+    """
+    if seq < horizon:
+        raise ValueError(
+            f"as-of seq {seq} is below the vacuum horizon {horizon}: "
+            "its history was discarded — pinned snapshots must stay "
+            "at or above the horizon (re-vacuum with a lower base_seq "
+            "before pinning older snapshots)"
+        )
+    return advance_live_state(
+        base, retained.filter(F.col("seq") <= seq), keys, resolve
+    )
+
+
 def cdc_live_as_of_sql(seq: int) -> str:
     """DuckDB twin of cdc_log → cdc_live_as_of over documents."""
     return f"""
@@ -521,6 +560,240 @@ def compact_cdc_index(spark: SparkSession, index_path: str) -> None:
         shutil.rmtree(f"{index_path}/{t}")
         shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- scheduled segment autocompaction (the nidx log-merge policy) ------------
+# The force-merge trio above compacts EVERYTHING on demand; a
+# long-running CDC sink instead wants the reference's scheduled
+# log-bucket policy (nidx/src/settings.rs:246-254 defaults +
+# nidx/src/scheduler/log_merge.rs:59-110 plan_merges): group segments
+# into log2-width size buckets, merge a bucket only when it holds
+# min_number_of_segments (4) or a segment is FORCED by pending
+# deletions; segments above top_bucket_max_records (10M) never merge
+# except forced (then they purge alone); segments below
+# bottom_bucket_threshold (10k) share one bottom bucket. The plan is
+# a pure function of the segment inventory; execution rewrites ONLY
+# the planned segments (dead rows purged, superseded ops dropped,
+# winning ops — including deletes masking unplanned segments — kept),
+# so serve reads are identical before and after.
+
+MERGE_MIN_SEGMENTS = 4  # nidx settings.rs:248 min_number_of_segments
+MERGE_TOP_MAX_RECORDS = 10_000_000  # settings.rs:249 top_bucket_max_records
+MERGE_BOTTOM_THRESHOLD = 10_000  # settings.rs:250 bottom_bucket_threshold
+SEG_BUCKET = 64  # ops per ingest segment in the deterministic fixture
+
+
+def segment_inventory(log: DataFrame, seg_bucket: int = SEG_BUCKET) -> DataFrame:
+    """(segment_id, records, n_ops, n_dead) inventory of a CDC op
+    log's seq-range segments: ``records`` = the postings rows the
+    segment holds (distinct terms per upserted doc version — the
+    tantivy segment-size measure the scheduler buckets by),
+    ``n_dead`` = upsert versions already superseded by a later op
+    (the pending-deletions signal that FORCES a merge). One rid-keyed
+    window for supersession + one segment-keyed aggregate."""
+    from pyspark.sql import Window
+
+    from nucliadb_spark.functions.text import tokenize
+
+    w = Window.partitionBy("rid").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "segment_id", F.floor(F.col("seq") / F.lit(seg_bucket)).cast("long")
+        )
+        .groupBy("segment_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("op") == "upsert",
+                        F.size(F.array_distinct(tokenize("text"))),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("records"),
+            F.count("*").cast("long").alias("n_ops"),
+            F.count(
+                F.when((F.col("op") == "upsert") & (F.col("rn") > 1), True)
+            ).cast("long").alias("n_dead"),
+        )
+    )
+
+
+def autocompaction_plan(
+    inventory: DataFrame,
+    min_segments: int = MERGE_MIN_SEGMENTS,
+    top_max: int = MERGE_TOP_MAX_RECORDS,
+    bottom: int = MERGE_BOTTOM_THRESHOLD,
+) -> DataFrame:
+    """(segment_id, records, n_dead, bucket, action) — the scheduled
+    merge plan over a segment inventory, the reference's log-bucket
+    policy as two declarative passes (no driver loop):
+
+    - ``records > top_max``: never bucketed; action 'purge' when
+      deletions force it, else 'skip' (log_merge.rs:63-68);
+    - otherwise bucket = floor(log2(max(records, bottom))) — integer
+      bit-length math (``length(bin(x)) - 1``) so both engines agree
+      exactly at power-of-2 boundaries — and a bucket merges iff it
+      holds >= min_segments or any member is forced by dead rows
+      (log_merge.rs:85-87).
+    """
+    large = inventory.filter(F.col("records") > top_max).select(
+        "segment_id",
+        "records",
+        "n_dead",
+        F.lit(None).cast("long").alias("bucket"),
+        F.when(F.col("n_dead") > 0, "purge").otherwise("skip").alias("action"),
+    )
+    small = inventory.filter(F.col("records") <= top_max).withColumn(
+        "bucket",
+        (F.length(F.bin(F.greatest(F.col("records"), F.lit(bottom)))) - 1)
+        .cast("long"),
+    )
+    by_bucket = small.groupBy("bucket").agg(
+        F.count("*").alias("n_in_bucket"),
+        F.max((F.col("n_dead") > 0).cast("int")).alias("any_forced"),
+    )
+    merged = small.join(by_bucket, "bucket").select(
+        "segment_id",
+        "records",
+        "n_dead",
+        "bucket",
+        F.when(
+            (F.col("n_in_bucket") >= min_segments) | (F.col("any_forced") == 1),
+            "merge",
+        )
+        .otherwise("keep")
+        .alias("action"),
+    )
+    return large.unionByName(merged).orderBy("segment_id")
+
+
+def autocompaction_plan_sql(
+    log_sql: str,
+    seg_bucket: int = SEG_BUCKET,
+    min_segments: int = MERGE_MIN_SEGMENTS,
+    top_max: int = MERGE_TOP_MAX_RECORDS,
+    bottom: int = MERGE_BOTTOM_THRESHOLD,
+) -> str:
+    """DuckDB twin of segment_inventory → autocompaction_plan."""
+    from nucliadb_spark.functions.text import tokenize_sql
+
+    return f"""
+WITH log AS (
+  SELECT rid, seq, op, text,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM ({log_sql})
+),
+inv AS (
+  SELECT seq // {seg_bucket} AS segment_id,
+         CAST(COALESCE(SUM(CASE WHEN op = 'upsert'
+              THEN len(list_distinct({tokenize_sql('text')})) END), 0)
+              AS BIGINT) AS records,
+         CAST(COUNT(CASE WHEN op = 'upsert' AND rn > 1 THEN 1 END)
+              AS BIGINT) AS n_dead
+  FROM log GROUP BY 1
+),
+small AS (
+  SELECT *, CAST(length(bin(greatest(records, {bottom}))) - 1 AS BIGINT)
+            AS bucket
+  FROM inv WHERE records <= {top_max}
+),
+by_bucket AS (
+  SELECT bucket, COUNT(*) AS n_in_bucket,
+         MAX(CASE WHEN n_dead > 0 THEN 1 ELSE 0 END) AS any_forced
+  FROM small GROUP BY 1
+)
+SELECT segment_id, records, n_dead, CAST(NULL AS BIGINT) AS bucket,
+       CASE WHEN n_dead > 0 THEN 'purge' ELSE 'skip' END AS action
+FROM inv WHERE records > {top_max}
+UNION ALL
+SELECT s.segment_id, s.records, s.n_dead, s.bucket,
+       CASE WHEN b.n_in_bucket >= {min_segments} OR b.any_forced = 1
+            THEN 'merge' ELSE 'keep' END AS action
+FROM small s JOIN by_bucket b USING (bucket)
+ORDER BY segment_id
+"""
+
+
+def autocompact_cdc_index(
+    spark: SparkSession,
+    index_path: str,
+    seg_bucket: int = SEG_BUCKET,
+    min_segments: int = MERGE_MIN_SEGMENTS,
+    top_max: int = MERGE_TOP_MAX_RECORDS,
+    bottom: int = MERGE_BOTTOM_THRESHOLD,
+) -> DataFrame:
+    """Execute the scheduled plan against a STREAMED text index
+    (cdc_index_ingest's postings + oplog): segments the policy marks
+    merge/purge are rewritten with their dead postings rows dropped
+    and their superseded ops removed; every other segment's files are
+    untouched. Winning ops are kept EVEN when they are deletes — a
+    winning delete in a merged segment still masks older rows in
+    unplanned segments, so dropping it would resurrect them. Serve
+    reads (live_postings) are identical before and after — the
+    crash-safe write-tmp-then-swap contract of the force-merge trio,
+    applied to the planned subset only. Returns the executed plan."""
+    from pyspark.sql import Window
+
+    post = spark.read.parquet(f"{index_path}/postings")
+    oplog = spark.read.parquet(f"{index_path}/oplog")
+    seg = F.floor(F.col("seq") / F.lit(seg_bucket)).cast("long")
+    # streamed-index inventory: records = postings rows per segment
+    # (the built segment's actual size), dead = superseded upserts
+    w = Window.partitionBy("rid").orderBy(F.col("seq").desc())
+    ranked = oplog.withColumn("rn", F.row_number().over(w)).withColumn(
+        "segment_id", seg
+    )
+    records = (
+        post.withColumn("segment_id", seg)
+        .groupBy("segment_id")
+        .agg(F.count("*").cast("long").alias("records"))
+    )
+    inv = (
+        ranked.groupBy("segment_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ops"),
+            F.count(
+                F.when((F.col("op") == "upsert") & (F.col("rn") > 1), True)
+            ).cast("long").alias("n_dead"),
+        )
+        .join(records, "segment_id", "left")
+        .fillna(0, subset=["records"])
+    )
+    plan = autocompaction_plan(inv, min_segments, top_max, bottom)
+    planned = plan.filter(F.col("action").isin("merge", "purge")).select(
+        "segment_id"
+    )
+    live = live_doc_versions(oplog)
+    post_seg = post.withColumn("segment_id", seg)
+    kept_post = (
+        post_seg.join(planned, "segment_id", "left_anti")
+        .unionByName(
+            post_seg.join(planned, "segment_id", "left_semi").join(
+                live, ["rid", "seq"], "left_semi"
+            )
+        )
+        .drop("segment_id")
+    )
+    kept_ops = (
+        ranked.join(planned, "segment_id", "left_anti")
+        .unionByName(
+            ranked.join(planned, "segment_id", "left_semi").filter(
+                F.col("rn") == 1  # the rid's winner — upsert OR delete
+            )
+        )
+        .select(*oplog.columns)
+    )
+    tmp = tempfile.mkdtemp(prefix="autocompact_")
+    kept_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    kept_ops.write.mode("overwrite").parquet(f"{tmp}/oplog")
+    plan_rows = plan.collect()  # segment-count-sized report
+    for t in ("postings", "oplog"):
+        shutil.rmtree(f"{index_path}/{t}")
+        shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(plan_rows, plan.schema)
 
 
 # --- field-level CDC (S1 at FIELD granularity) ------------------------------
@@ -1548,6 +1821,103 @@ SELECT rid, labels FROM (
     UNION ALL
     SELECT rid, CAST(rid + 2000000 AS BIGINT), 'delete', NULL
     FROM ({resources_sql}) WHERE rid % 11 = 0
+  ) {seq_where}
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+# --- resource-metadata CDC (security / extra / origin planes) ---------------
+# The reference PATCHes security and extra (and origin) on resource
+# update (nucliadb_models/src/nucliadb_models/writer.py:155-169
+# UpdateResourcePayload.security/.extra/.origin), so these planes are
+# versioned-in-principle: a deployment that revises a resource's
+# access groups must answer an as-of security-filtered retrieval
+# against the groups AS THEY STOOD at the snapshot, not today's.
+# api._STATIC_COLS therefore keeps only genuinely immutable identity
+# columns; security/extra/source/language classify as the 'meta'
+# plane and resolve from this op log with the same rid-keyed
+# latest-op-wins every other CDC family pays.
+
+# deterministic metadata CDC over the fields frame: every resource's
+# metadata written at seq = rid; rid%7==0 gets a SECURITY LOCKDOWN at
+# seq = rid+1e6 riding the same resource-update event as the content
+# revision wave (public -> false, groups -> ['group-locked']; extra/
+# origin carried through unchanged — one PATCH touches one plane);
+# rid%11==0 deleted at seq = rid+2e6 (the same resource-delete wave
+# as the content log, so meta membership == content membership at
+# every cut).
+
+_LOCK_GROUP = "group-locked"
+_META_COLS = ("security_public", "security_groups", "extra", "source", "language")
+
+
+def cdc_meta_log(fields: DataFrame) -> DataFrame:
+    """(rid, seq, op, security_public, security_groups, extra,
+    source, language) resource-metadata op log derived from a fields
+    frame — the versioned twin of the static-metadata columns."""
+    base = fields.select(
+        "rid",
+        F.col("rid").cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        *_META_COLS,
+    )
+    upd = fields.filter(F.col("rid") % 7 == 0).select(
+        "rid",
+        (F.col("rid") + 1_000_000).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.lit(False).alias("security_public"),
+        F.array(F.lit(_LOCK_GROUP)).alias("security_groups"),
+        "extra",
+        "source",
+        "language",
+    )
+    dele = fields.filter(F.col("rid") % 11 == 0).select(
+        "rid",
+        (F.col("rid") + 2_000_000).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("boolean").alias("security_public"),
+        F.lit(None).cast("array<string>").alias("security_groups"),
+        F.lit(None).cast("string").alias("extra"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("language"),
+    )
+    return base.unionByName(upd).unionByName(dele)
+
+
+def cdc_live_meta(log: DataFrame) -> DataFrame:
+    """(rid, security_public, security_groups, extra, source,
+    language) latest-op-wins resource-metadata state — one rid-keyed
+    map-side-combinable max_by, identical in shape to every other
+    CDC plane's live read. Cut the log at a seq first for the
+    snapshot read (as-of security/KV/origin filter planes)."""
+    return (
+        log.groupBy("rid")
+        .agg(F.max_by(F.struct("op", *_META_COLS), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select("rid", *[F.col(f"last.{c}").alias(c) for c in _META_COLS])
+    )
+
+
+def cdc_meta_live_sql(fields_sql: str, as_of: int | None = None) -> str:
+    """DuckDB twin of cdc_meta_log → cdc_live_meta, optionally
+    resolved AS OF a log seq (the metadata plane's snapshot read)."""
+    seq_where = f"WHERE seq <= {as_of}" if as_of is not None else ""
+    return f"""
+SELECT rid, security_public, security_groups, extra, source, language FROM (
+  SELECT rid, security_public, security_groups, extra, source, language, op,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT rid, CAST(rid AS BIGINT) AS seq, 'upsert' AS op,
+           security_public, security_groups, extra, source, language
+    FROM ({fields_sql})
+    UNION ALL
+    SELECT rid, CAST(rid + 1000000 AS BIGINT), 'upsert',
+           FALSE, ['{_LOCK_GROUP}'], extra, source, language
+    FROM ({fields_sql}) WHERE rid % 7 = 0
+    UNION ALL
+    SELECT rid, CAST(rid + 2000000 AS BIGINT), 'delete',
+           NULL, NULL, NULL, NULL, NULL
+    FROM ({fields_sql}) WHERE rid % 11 = 0
   ) {seq_where}
 ) WHERE rn = 1 AND op = 'upsert'
 """

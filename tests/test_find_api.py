@@ -336,29 +336,32 @@ def test_as_of_filter_resolves_label_state_at_the_seq(spark, sf_dir):
     assert ids and ids <= asof_allowed
 
 
-def test_as_of_rejects_versioned_nonlabel_filters(spark, sf_dir):
-    """Predicates over VERSIONED non-label state (text keywords) have
-    no snapshot identity outside the label log — the composition must
-    raise, not silently answer against mixed snapshots. Static
-    metadata (dates, security) and label facets both compose (r11/
-    r12); the classifier must reject exactly the versioned leaves."""
-    from nucliadb_spark.operators.filters import And, Facet, Keyword
+def test_as_of_rejects_oplogless_versioned_filters(spark, sf_dir):
+    """Predicates over versioned state with NO op log in this corpus
+    model (`modified`, `n_chars`) have no snapshot identity — the
+    composition must raise, not silently answer against mixed
+    snapshots. Everything WITH an op log composes as of r13 (labels,
+    security/extra/origin, text keywords); the classifier must
+    reject exactly the op-log-less leaves."""
+    from nucliadb_spark.operators.filters import And, Facet, FieldEquals
 
     req = api.FindRequest(
         query="spark join window",
         features=["keyword"],
         as_of=1_500_000,
-        filters=And([Facet("/s/p/en"), Keyword("merge")]),
+        filters=And([Facet("/s/p/en"), FieldEquals("n_chars", 100)]),
     )
     with pytest.raises(ValueError, match="snapshot identity"):
         api.find_request(spark, sf_dir, req)
 
 
 def test_filter_planes_classifier():
-    """The as_of composition rule, leaf by leaf: labels are the
-    versioned-but-snapshot-resolvable plane, static resource
-    metadata (dates, security, source) is snapshot-independent,
-    text keywords are versioned with no identity."""
+    """The as_of composition rule, leaf by leaf: labels resolve from
+    the label log; security/extra/origin are PATCHable metadata
+    (writer.py:155-169) resolving from the METADATA log; text
+    keywords resolve from the CONTENT log; immutable identity
+    (created, rid) is snapshot-independent; op-log-less versioned
+    state (`modified`, `n_chars`) rejects."""
     from nucliadb_spark.api import _filter_planes
     from nucliadb_spark.operators.filters import (
         And,
@@ -373,21 +376,26 @@ def test_filter_planes_classifier():
 
     assert _filter_planes(Facet("/s/p/en")) == {"label"}
     assert _filter_planes(DateRange("created", since="2024-01-01")) == {"static"}
-    assert _filter_planes(SecurityFilter(groups=["group-1"])) == {"static"}
-    assert _filter_planes(FieldEquals("source", "src3")) == {"static"}
-    assert _filter_planes(Keyword("merge")) == {"versioned"}
+    # security/extra/origin: PATCHable metadata → the 'meta' plane
+    assert _filter_planes(SecurityFilter(groups=["group-1"])) == {"meta"}
+    assert _filter_planes(FieldEquals("source", "src3")) == {"meta"}
+    assert _filter_planes(FieldEquals("language", "en")) == {"meta"}
+    # text keywords: versioned content WITH an op log → 'text' plane
+    assert _filter_planes(Keyword("merge")) == {"text"}
+    assert _filter_planes(Keyword("merge", column="title")) == {"versioned"}
     assert _filter_planes(FieldEquals("text", "x")) == {"versioned"}
     from nucliadb_spark.operators.filters import JsonPath
 
     assert _filter_planes(
         JsonPath("extra", "audit.uid", "lte", 50, kind="int")
-    ) == {"static"}
+    ) == {"meta"}
     assert _filter_planes(
         JsonPath("text", "k", "eq", 1, kind="int")
     ) == {"versioned"}
     # modified tracks writes, n_chars describes the versioned text —
-    # neither may compose with as_of even though this fixture never
-    # revises them (the classification encodes semantics, not data)
+    # neither has an op log, so neither may compose with as_of even
+    # though this fixture never revises them (the classification
+    # encodes semantics, not data)
     assert _filter_planes(
         DateRange("modified", since="2024-01-01")
     ) == {"versioned"}
@@ -395,50 +403,73 @@ def test_filter_planes_classifier():
     mixed = And(
         [Or([Facet("/s/p/de"), Facet("/s/p/fr")]), SecurityFilter(groups=["g"])]
     )
-    assert _filter_planes(mixed) == {"label", "static"}
-    assert _filter_planes(Not(mixed)) == {"label", "static"}
+    assert _filter_planes(mixed) == {"label", "meta"}
+    assert _filter_planes(Not(mixed)) == {"label", "meta"}
+    triple = And([Keyword("merge"), DateRange("created", until="2024-06-01")])
+    assert _filter_planes(triple) == {"text", "static"}
 
 
-def test_as_of_static_filter_keeps_deleted_later_docs(spark, sf_dir):
-    """as_of × a STATIC predicate (security): the allowed set is the
-    static attribute by rid, corpus membership comes from the seq
-    cut — docs the later delete wave (rid%11) removes are still
-    candidates, and every hit satisfies the predicate."""
+def test_as_of_security_filter_resolves_meta_state_at_the_seq(spark, sf_dir):
+    """as_of × security: the allowed set resolves from the seq-cut
+    METADATA op log, not today's columns — the fixture's lockdown
+    wave (rid%7 → private/'group-locked' at seq rid+1e6) is below
+    this snapshot, so rid%7 docs are excluded even where the static
+    columns would admit them via `public`; and docs the later delete
+    wave (rid%11) removes are still candidates."""
+    from pyspark.sql import functions as F
+
     from nucliadb_spark.operators.filters import SecurityFilter
+    from nucliadb_spark.streaming import ingest
 
     sec = SecurityFilter(groups=["group-2", "group-5"])
+    seq = 1_500_000
     req = api.FindRequest(
         query="refreshed revision stream",
         features=["keyword"],
         top_k=50,
         window=50,
-        as_of=1_500_000,
+        as_of=seq,
         filters=sec,
     )
     hits = {r.id for r in api.find_request(spark, sf_dir, req).collect()}
-    allowed = {
+    meta = ingest.cdc_live_meta(
+        ingest.cdc_meta_log(tpch.fields(spark, sf_dir)).filter(
+            F.col("seq") <= seq
+        )
+    )
+    allowed = {r.rid for r in meta.filter(sec.to_column()).select("rid").collect()}
+    static_allowed = {
         r.rid
-        for r in tpch.fields(spark, sf_dir).filter(sec.to_column()).select("rid").collect()
+        for r in tpch.fields(spark, sf_dir)
+        .filter(sec.to_column())
+        .select("rid")
+        .collect()
     }
     assert hits and hits <= allowed
-    # the snapshot is pre-delete-wave: revised docs (rid%7) score on
-    # their refreshed text, so the query's top matches include them —
-    # and the rid%11 docs the later wave deletes are still candidates
-    # (they are base-corpus docs here; the as-of oracle queries pin
-    # exact membership, this pins the predicate+snapshot contract)
-    assert any(i % 7 == 0 for i in hits)
+    # the lockdown is OBSERVABLE: some statically-visible docs are
+    # invisible at the snapshot, and no hit is a locked doc
+    locked = {rid for rid in static_allowed if rid % 7 == 0}
+    assert locked and not (locked & allowed) and not (locked & hits)
+    # docs the later delete wave removes are still candidates at this
+    # pre-delete-wave seq (membership comes from the content cut)
+    assert any(i % 11 == 0 and i % 7 != 0 for i in allowed)
 
 
 def test_as_of_mixed_plane_tree_equals_manual_intersection(spark, sf_dir):
-    """A mixed label×static And-tree at a snapshot returns exactly
+    """A mixed label×meta And-tree at a snapshot returns exactly
     the label-only request's hits restricted to rids satisfying the
-    static predicate — the by-hand composition the joined-plane
-    evaluation must reproduce (modulo window competition, so compare
-    at a window wide enough to be exhaustive)."""
+    security predicate AGAINST THE SEQ-CUT METADATA STATE — the
+    by-hand composition the joined-plane evaluation must reproduce
+    (modulo window competition, so compare at a window wide enough
+    to be exhaustive)."""
+    from pyspark.sql import functions as F
+
     from nucliadb_spark.operators.filters import And, Facet, Or, SecurityFilter
+    from nucliadb_spark.streaming import ingest
 
     label_tree = Or([Facet("/s/p/de"), Facet("/s/p/fr")])
     sec = SecurityFilter(groups=["group-2", "group-5"])
+    seq = 1_500_000
 
     def ids(filt):
         req = api.FindRequest(
@@ -446,18 +477,22 @@ def test_as_of_mixed_plane_tree_equals_manual_intersection(spark, sf_dir):
             features=["keyword"],
             top_k=500,
             window=500,
-            as_of=1_500_000,
+            as_of=seq,
             filters=filt,
         )
         return {r.id for r in api.find_request(spark, sf_dir, req).collect()}
 
     mixed = ids(And([label_tree, sec]))
     label_only = ids(label_tree)
-    allowed_static = {
-        r.rid
-        for r in tpch.fields(spark, sf_dir).filter(sec.to_column()).select("rid").collect()
+    meta = ingest.cdc_live_meta(
+        ingest.cdc_meta_log(tpch.fields(spark, sf_dir)).filter(
+            F.col("seq") <= seq
+        )
+    )
+    allowed_meta = {
+        r.rid for r in meta.filter(sec.to_column()).select("rid").collect()
     }
-    assert mixed == (label_only & allowed_static)
+    assert mixed == (label_only & allowed_meta)
     assert mixed  # non-vacuous
 
 
@@ -900,11 +935,12 @@ def test_live_scoped_find_accepts_static_filters(spark, sf_dir):
     assert {r.id for r in rows} <= allowed
 
 
-def test_as_of_fields_static_filter_quadruple_composes(spark, sf_dir):
-    """fields × STATIC filter × as_of in one request: the scope
-    resolves from the seq-cut fielded log, the static security
-    predicate joins by rid, the corpora cut at the seq — every hit
-    owns a scoped field at the snapshot AND satisfies the predicate."""
+def test_as_of_fields_meta_filter_quadruple_composes(spark, sf_dir):
+    """fields × METADATA filter × as_of in one request: the scope
+    resolves from the seq-cut fielded log, the security predicate
+    from the seq-cut metadata log, the corpora cut at the seq —
+    every hit owns a scoped field at the snapshot AND satisfies the
+    predicate at the snapshot."""
     from pyspark.sql import functions as F
 
     from nucliadb_spark.operators.filters import SecurityFilter
@@ -923,12 +959,13 @@ def test_as_of_fields_static_filter_quadruple_composes(spark, sf_dir):
     )
     hits = {r.id for r in api.find_request(spark, sf_dir, req).collect()}
     assert hits
+    meta = ingest.cdc_live_meta(
+        ingest.cdc_meta_log(tpch.fields(spark, sf_dir)).filter(
+            F.col("seq") <= seq
+        )
+    )
     allowed = {
-        r.rid
-        for r in tpch.fields(spark, sf_dir)
-        .filter(sec.to_column())
-        .select("rid")
-        .collect()
+        r.rid for r in meta.filter(sec.to_column()).select("rid").collect()
     }
     flog = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
         F.col("field_key") == "/u/link"

@@ -786,12 +786,33 @@ def test_ivf_drift_incremental_no_full_log_assignment(spark, sf_dir):
     assert not any("CartesianProduct" in c for c in nodes), nodes
 
 
-def test_find_as_of_static_filter_no_label_resolution(spark, sf_dir):
-    """A STATIC-only filter tree at a snapshot (security / dates /
-    JSON KV) must NOT resolve the label op log: the plan still
-    carries the seq cut for the retriever corpora (>= 2 occurrences:
-    text + vector), the allowed set semijoins candidates, and no
-    cartesian enters."""
+def test_find_as_of_static_filter_no_plane_resolution(spark, sf_dir):
+    """A STATIC-only filter tree at a snapshot (created dates) must
+    resolve NO plane op log at all — one filter over the fields
+    frame: the plan still carries the seq cut for the retriever
+    corpora (>= 2 occurrences: text + vector), no label before-image
+    column and no metadata-log lockdown literal enter, the allowed
+    set semijoins candidates, and no cartesian enters."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
+
+    q = registry.queries()["find_hybrid_as_of_dated"]
+    q(spark, sf_dir).collect()
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the retriever corpora still cut at the seq
+    assert analyzed.count(str(_AS_OF_SEQ)) >= 2, analyzed[:2000]
+    assert "prev_labels" not in analyzed  # no label-log resolution
+    assert "group-locked" not in analyzed  # no metadata-log resolution
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
+
+
+def test_find_as_of_meta_filter_resolves_meta_log_only(spark, sf_dir):
+    """A security (metadata-plane) filter at a snapshot resolves the
+    METADATA op log — the lockdown literal is in the analyzed plan —
+    and not the label log; allowed set semijoins, no cartesian."""
     from nucliadb_spark import registry
     from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
 
@@ -799,27 +820,26 @@ def test_find_as_of_static_filter_no_label_resolution(spark, sf_dir):
     q(spark, sf_dir).collect()
     df = q(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    # the retriever corpora still cut at the seq
     assert analyzed.count(str(_AS_OF_SEQ)) >= 2, analyzed[:2000]
-    # no label-log plane: the analyzed tree must not mention the
-    # label op-log before-image column (prev_labels) the label resolution introduces
-    assert "prev_labels" not in analyzed
+    assert "group-locked" in analyzed  # the metadata log IS the plane
+    assert "prev_labels" not in analyzed  # no label-log resolution
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
     nodes = [c for c, _ in _walk_physical(df)]
     assert not any("CartesianProduct" in c for c in nodes), nodes
 
 
 def test_find_as_of_mixed_filter_joins_planes_once(spark, sf_dir):
-    """The mixed label x static tree: label state resolves from the
-    seq-cut label log (one more seq occurrence than the static-only
-    sibling), joined by rid with the static attributes, whole tree
-    evaluated once — LeftSemi into the legs, no cartesian, label
-    sidecar served from the session cache on repeat requests."""
+    """The mixed label x meta tree: label state resolves from the
+    seq-cut label log (before-image column in the plan) AND security
+    from the seq-cut metadata log (lockdown literal in the plan),
+    joined by rid, whole tree evaluated once — LeftSemi into the
+    legs, no cartesian, plane sidecars served from the session cache
+    on repeat requests."""
     from nucliadb_spark import registry
     from nucliadb_spark.plans.queries_streaming import _AS_OF_SEQ
 
     q = registry.queries()["find_hybrid_as_of_mixed"]
-    q(spark, sf_dir).collect()  # builds + caches the label sidecar
+    q(spark, sf_dir).collect()  # builds + caches the plane sidecars
     df = q(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count(str(_AS_OF_SEQ)) >= 2, analyzed[:2000]
@@ -827,6 +847,27 @@ def test_find_as_of_mixed_filter_joins_planes_once(spark, sf_dir):
     nodes = [c for c, _ in _walk_physical(df)]
     assert not any("CartesianProduct" in c for c in nodes), nodes
     assert any("InMemoryTableScan" in c for c in nodes), nodes
+
+
+def test_find_as_of_keyword_filter_text_plane(spark, sf_dir):
+    """The r13 'text' plane: a Keyword filter at a snapshot evaluates
+    against the seq-cut CONTENT state — the mid-wave cut constant
+    appears for the scoring corpora AND the filter plane (>= 3
+    occurrences), no label/meta log enters, LeftSemi carries the
+    allowed set, no cartesian."""
+    from nucliadb_spark import registry
+    from nucliadb_spark.plans.queries_streaming import _ASOF_MIDWAVE_SEQ
+
+    q = registry.queries()["find_hybrid_as_of_keyword_filtered"]
+    q(spark, sf_dir).collect()
+    df = q(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count(str(_ASOF_MIDWAVE_SEQ)) >= 3, analyzed[:2000]
+    assert "prev_labels" not in analyzed
+    assert "group-locked" not in analyzed
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    nodes = [c for c, _ in _walk_physical(df)]
+    assert not any("CartesianProduct" in c for c in nodes), nodes
 
 
 def test_cdc_catalog_facets_as_of_served_boundary_only_replay(spark, sf_dir):
