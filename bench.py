@@ -135,6 +135,15 @@ HEADLINE = [
     # find_hybrid_as_of_dated / find_hybrid_as_of_kv skip the label
     # resolution entirely and are strictly cheaper)
     "find_hybrid_as_of_mixed",
+    # round 13: the keyword-filtered snapshot flagship (the 'text'
+    # plane — the filter evaluates against the SAME seq-cut content
+    # state the keyword leg scores, so it should sit near
+    # find_hybrid_as_of plus one rid semijoin; its cut is mid-wave
+    # so its sidecars are its own), and the vacuum-served as-of read
+    # (base+retained advance — should sit well below a full-log
+    # resolve since the retained delta is the post-horizon ops only)
+    "find_hybrid_as_of_keyword_filtered",
+    "cdc_live_as_of_vacuumed",
 ]
 
 

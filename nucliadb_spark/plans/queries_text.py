@@ -14,9 +14,23 @@ from nucliadb_spark.sources import tpch
 
 def _text_index(spark, sf_dir):
     """Cached text index for the unfiltered documents corpus (the
-    serving path — built once per session, reused by every query)."""
+    serving path — built once per session, reused by every query).
+    Postings are range-partitioned + sorted by TERM before caching
+    (the r12 sorted-triple-index treatment applied to the text
+    sidecar): the non-fuzzy search's literal `term IN (...)`
+    predicate then prunes cached batches via min/max stats — the
+    reference's term dictionary is likewise sorted (tantivy fst).
+    Measured 0.84x on term-match scans at sf0.1
+    (scripts/sorted_sidecar_probe.py); at 100 TB the same layout is
+    the term-sorted/bucketed parquet postings table with row-group
+    pruning. Row order is an index property only — every consumer
+    aggregates, so results are unchanged."""
     post = cached_df(
-        sf_dir, "postings", lambda: bm25.postings(tpch.fields(spark, sf_dir))
+        sf_dir,
+        "postings",
+        lambda: bm25.postings(tpch.fields(spark, sf_dir))
+        .repartitionByRange(32, "term")
+        .sortWithinPartitions("term"),
     )
     stats = cached_df(
         sf_dir, "docstats", lambda: bm25.doc_stats_from_postings(post)
@@ -56,6 +70,11 @@ def _fielded_text_index(spark, sf_dir):
             .select("field_key", "rid", F.explode(tokenize("text")).alias("term"))
             .groupBy("field_key", "rid", "term")
             .agg(F.count("*").cast("double").alias("tf"))
+            # sorted-sidecar layout: the scoped family literal AND the
+            # query's term IN (...) both prune cached batches via
+            # min/max stats (scripts/sorted_sidecar_probe.py, 0.84x)
+            .repartitionByRange(32, "field_key", "term")
+            .sortWithinPartitions("field_key", "term")
         ),
     )
     stats = cached_df(

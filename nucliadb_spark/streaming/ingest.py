@@ -716,37 +716,42 @@ ORDER BY segment_id
 """
 
 
-def autocompact_cdc_index(
+def _autocompact_index(
     spark: SparkSession,
     index_path: str,
+    data_name: str,
+    keys: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
     seg_bucket: int = SEG_BUCKET,
     min_segments: int = MERGE_MIN_SEGMENTS,
     top_max: int = MERGE_TOP_MAX_RECORDS,
     bottom: int = MERGE_BOTTOM_THRESHOLD,
 ) -> DataFrame:
-    """Execute the scheduled plan against a STREAMED text index
-    (cdc_index_ingest's postings + oplog): segments the policy marks
-    merge/purge are rewritten with their dead postings rows dropped
-    and their superseded ops removed; every other segment's files are
+    """Family-generic autocompaction core: execute the scheduled plan
+    against a streamed index's (data, oplog) pair. `keys` is the
+    family's op identity (text: rid; fielded: (rid, field_id);
+    vectors: rid), `data_name` the segment table. Segments the policy
+    marks merge/purge are rewritten with their dead rows dropped and
+    their superseded ops removed; every other segment's files are
     untouched. Winning ops are kept EVEN when they are deletes — a
     winning delete in a merged segment still masks older rows in
     unplanned segments, so dropping it would resurrect them. Serve
-    reads (live_postings) are identical before and after — the
+    reads (live_* masking) are identical before and after — the
     crash-safe write-tmp-then-swap contract of the force-merge trio,
     applied to the planned subset only. Returns the executed plan."""
     from pyspark.sql import Window
 
-    post = spark.read.parquet(f"{index_path}/postings")
+    data = spark.read.parquet(f"{index_path}/{data_name}")
     oplog = spark.read.parquet(f"{index_path}/oplog")
     seg = F.floor(F.col("seq") / F.lit(seg_bucket)).cast("long")
-    # streamed-index inventory: records = postings rows per segment
-    # (the built segment's actual size), dead = superseded upserts
-    w = Window.partitionBy("rid").orderBy(F.col("seq").desc())
+    # streamed-index inventory: records = data rows per segment (the
+    # built segment's actual size), dead = superseded upsert versions
+    w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
     ranked = oplog.withColumn("rn", F.row_number().over(w)).withColumn(
         "segment_id", seg
     )
     records = (
-        post.withColumn("segment_id", seg)
+        data.withColumn("segment_id", seg)
         .groupBy("segment_id")
         .agg(F.count("*").cast("long").alias("records"))
     )
@@ -765,13 +770,15 @@ def autocompact_cdc_index(
     planned = plan.filter(F.col("action").isin("merge", "purge")).select(
         "segment_id"
     )
-    live = live_doc_versions(oplog)
-    post_seg = post.withColumn("segment_id", seg)
-    kept_post = (
-        post_seg.join(planned, "segment_id", "left_anti")
+    live = ranked.filter((F.col("rn") == 1) & (F.col("op") == "upsert")).select(
+        *keys, "seq"
+    )
+    data_seg = data.withColumn("segment_id", seg)
+    kept_data = (
+        data_seg.join(planned, "segment_id", "left_anti")
         .unionByName(
-            post_seg.join(planned, "segment_id", "left_semi").join(
-                live, ["rid", "seq"], "left_semi"
+            data_seg.join(planned, "segment_id", "left_semi").join(
+                live, [*keys, "seq"], "left_semi"
             )
         )
         .drop("segment_id")
@@ -780,20 +787,56 @@ def autocompact_cdc_index(
         ranked.join(planned, "segment_id", "left_anti")
         .unionByName(
             ranked.join(planned, "segment_id", "left_semi").filter(
-                F.col("rn") == 1  # the rid's winner — upsert OR delete
+                F.col("rn") == 1  # the key's winner — upsert OR delete
             )
         )
         .select(*oplog.columns)
     )
     tmp = tempfile.mkdtemp(prefix="autocompact_")
-    kept_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    writer = kept_data.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(f"{tmp}/{data_name}")
     kept_ops.write.mode("overwrite").parquet(f"{tmp}/oplog")
     plan_rows = plan.collect()  # segment-count-sized report
-    for t in ("postings", "oplog"):
+    for t in (data_name, "oplog"):
         shutil.rmtree(f"{index_path}/{t}")
         shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(plan_rows, plan.schema)
+
+
+def autocompact_cdc_index(spark: SparkSession, index_path: str, **kw) -> DataFrame:
+    """Scheduled autocompaction of the streamed TEXT index
+    (cdc_index_ingest's postings + rid-keyed oplog); see
+    :func:`_autocompact_index` for the contract."""
+    return _autocompact_index(spark, index_path, "postings", ("rid",), **kw)
+
+
+def autocompact_fielded_index(
+    spark: SparkSession, index_path: str, **kw
+) -> DataFrame:
+    """Scheduled autocompaction of the streamed FIELDED index
+    (cdc_fielded_index_ingest): op identity (rid, field_id), rewrite
+    preserves the field_key partitioning so family pruning keeps
+    working on the compacted layout."""
+    return _autocompact_index(
+        spark,
+        index_path,
+        "postings",
+        ("rid", "field_id"),
+        partition_cols=("field_key",),
+        **kw,
+    )
+
+
+def autocompact_vector_index(
+    spark: SparkSession, index_path: str, **kw
+) -> DataFrame:
+    """Scheduled autocompaction of the streamed VECTOR index
+    (cdc_vector_ingest): dead vector versions in planned segments
+    purge, ingest-assigned cell labels ride along untouched."""
+    return _autocompact_index(spark, index_path, "vectors", ("rid",), **kw)
 
 
 # --- field-level CDC (S1 at FIELD granularity) ------------------------------

@@ -117,3 +117,72 @@ def test_autocompact_streamed_index_serve_reads_identical(spark, sf_dir):
         "segment_id",
         "left_semi",
     ).count() > 0, "winning deletes in merged segments must be retained"
+
+
+def test_autocompact_fielded_index_serve_reads_identical(spark, sf_dir):
+    """The same scheduled contract on the FIELDED sink: op identity
+    (rid, field_id), rewrite preserves the field_key partitioning."""
+    workdir = tempfile.mkdtemp(prefix="autocompactf_test_")
+    log = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir))
+    log.repartition(3).write.parquet(f"{workdir}/log")
+    ingest.cdc_fielded_index_ingest(
+        spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+    )
+    post = spark.read.parquet(f"{workdir}/index/postings")
+    oplog = spark.read.parquet(f"{workdir}/index/oplog")
+    before = sorted(
+        tuple(r)
+        for r in ingest.live_fielded_postings(post, oplog).collect()
+    )
+    n_before = post.count()
+
+    plan = ingest.autocompact_fielded_index(spark, f"{workdir}/index")
+    assert any(r.action == "merge" for r in plan.collect())
+
+    post2 = spark.read.parquet(f"{workdir}/index/postings")
+    oplog2 = spark.read.parquet(f"{workdir}/index/oplog")
+    after = sorted(
+        tuple(r)
+        for r in ingest.live_fielded_postings(post2, oplog2).collect()
+    )
+    assert before == after
+    assert post2.count() < n_before
+    # the partitioned layout survives (family pruning keeps working)
+    assert "field_key" in post2.columns
+    assert post2.select("field_key").distinct().count() >= 2
+
+
+def test_autocompact_vector_index_serve_reads_identical(spark, sf_dir):
+    """The same scheduled contract on the VECTOR sink: dead versions
+    purge, ingest-assigned cell labels ride along untouched."""
+    from nucliadb_spark.operators import ann
+
+    workdir = tempfile.mkdtemp(prefix="autocompactv_test_")
+    vectors = tpch.vectors(spark, sf_dir)
+    centroids = ann.cell_centroids(vectors)
+    ingest.cdc_vector_log(vectors).repartition(2).write.parquet(
+        f"{workdir}/log"
+    )
+    ingest.cdc_vector_ingest(
+        spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt",
+        centroids,
+    )
+    vecs = spark.read.parquet(f"{workdir}/index/vectors")
+    oplog = spark.read.parquet(f"{workdir}/index/oplog")
+    before = sorted(
+        (r.rid, tuple(r.vector), r.cluster_label)
+        for r in ingest.live_vector_segments(vecs, oplog).collect()
+    )
+    n_before = vecs.count()
+
+    plan = ingest.autocompact_vector_index(spark, f"{workdir}/index")
+    assert any(r.action == "merge" for r in plan.collect())
+
+    vecs2 = spark.read.parquet(f"{workdir}/index/vectors")
+    oplog2 = spark.read.parquet(f"{workdir}/index/oplog")
+    after = sorted(
+        (r.rid, tuple(r.vector), r.cluster_label)
+        for r in ingest.live_vector_segments(vecs2, oplog2).collect()
+    )
+    assert before == after
+    assert vecs2.count() < n_before

@@ -615,13 +615,28 @@ def test_asof_text_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
     from nucliadb_spark.operators import bm25 as bm25_ops
     from nucliadb_spark.streaming import ingest
 
+    import re
+
+    from nucliadb_spark.cache import cached_names
+
     fields = tpch.fields(spark, sf_dir)
     s1, s2 = 800_000, 1_200_000
     api.asof_text_index(spark, sf_dir, fields, s1)  # seed the chain
+    # the chain picks the NEAREST cached earlier snapshot — other
+    # tests in the session may have cached one between s1 and s2
+    # (e.g. the mid-wave keyword query's 1,000,030), which is an even
+    # smaller delta; assert the plan carries exactly that watermark
+    priors = [
+        int(m.group(1))
+        for n in cached_names(spark, sf_dir)
+        if (m := re.fullmatch(r"asof(\d+)_text_post", n)) and int(m.group(1)) < s2
+    ]
+    nearest = max(priors)
+    assert nearest >= s1  # the seed guarantees at least one prior
     post2, stats2, _ = api.asof_text_index(spark, sf_dir, fields, s2)
-    # the advance engaged: the S2 plan carries the S1 watermark
+    # the advance engaged: the S2 plan carries the nearest watermark
     analyzed = post2._jdf.queryExecution().analyzed().toString()
-    assert str(s1) in analyzed, analyzed[:1500]
+    assert str(nearest) in analyzed, analyzed[:1500]
     # and equals the from-scratch build exactly
     scratch = bm25_ops.postings(
         ingest.cdc_live_as_of(ingest.cdc_log(fields), s2)
@@ -686,11 +701,21 @@ def test_asof_family_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
     from nucliadb_spark.operators import bm25 as bm25_ops
     from nucliadb_spark.streaming import ingest
 
+    import re
+
+    from nucliadb_spark.cache import cached_names
+
     s1, s2 = 900_000, 1_300_000
     api.asof_family_text_index(spark, sf_dir, "/u/link", s1)  # seed
+    nearest = max(
+        int(m.group(1))
+        for n in cached_names(spark, sf_dir)
+        if (m := re.fullmatch(r"asof(\d+)_fu_link_post", n))
+        and int(m.group(1)) < s2
+    )
     post2, _, _ = api.asof_family_text_index(spark, sf_dir, "/u/link", s2)
     analyzed = post2._jdf.queryExecution().analyzed().toString()
-    assert str(s1) in analyzed, analyzed[:1500]
+    assert str(nearest) in analyzed, analyzed[:1500]
     flog = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
         F.col("field_key") == "/u/link"
     )
@@ -747,17 +772,35 @@ def test_asof_live_state_chains_for_every_family(spark, sf_dir):
             ),
             ("rid",),
         ),
+        # the r13 metadata plane (security/extra/origin) chains too
+        "meta": (
+            lambda: ingest.cdc_meta_log(tpch.fields(spark, sf_dir)),
+            ingest.cdc_live_meta,
+            ("rid",),
+        ),
     }
+    import re
+
+    from nucliadb_spark.cache import cached_names
+
     s1, s2 = 850_000, 1_250_000
     for fam, (log_builder, resolve, keys) in fams.items():
         api.asof_live_state(
             spark, sf_dir, fam, s1, log_builder, resolve, keys
         )  # seed the chain
+        # the chain picks the NEAREST cached earlier snapshot; other
+        # tests/queries in the session may have cached one between
+        nearest = max(
+            int(m.group(1))
+            for n in cached_names(spark, sf_dir)
+            if (m := re.fullmatch(rf"asof(\d+)_{re.escape(fam)}", n))
+            and int(m.group(1)) < s2
+        )
         state2 = api.asof_live_state(
             spark, sf_dir, fam, s2, log_builder, resolve, keys
         )
         analyzed = state2._jdf.queryExecution().analyzed().toString()
-        assert str(s1) in analyzed, (fam, analyzed[:1500])
+        assert str(nearest) in analyzed, (fam, analyzed[:1500])
         scratch = resolve(log_builder().filter(F.col("seq") <= s2))
         assert {tuple(map(str, r)) for r in state2.collect()} == {
             tuple(map(str, r)) for r in scratch.collect()
