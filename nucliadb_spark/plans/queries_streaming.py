@@ -2645,6 +2645,75 @@ def cdc_vector_search_served(spark, sf_dir):
     return knn.exact_knn(live, qvec, k=10)
 
 
+def _cdc_meta_served_index(spark, sf_dir):
+    """Session-scoped STREAMED metadata sink: stage the meta op log
+    once, drain it through cdc_meta_ingest (seq-tagged metadata
+    segments + rid-keyed oplog, exactly-once), and serve every later
+    call from the materialized parquet — the metadata-plane sibling
+    of _cdc_vector_served_index."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_scalar
+
+    fields = tpch.fields(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="mcdc_idx_")
+        ingest.cdc_meta_log(fields).repartition(2).write.parquet(
+            f"{workdir}/log"
+        )
+        ingest.cdc_meta_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        return workdir
+
+    wd = cached_scalar(fields, sf_dir, "mcdc_workdir", build)
+    meta = spark.read.parquet(f"{wd}/index/meta")
+    oplog = spark.read.parquet(f"{wd}/index/oplog")
+    return meta, oplog
+
+
+_META_LIVE_SERVED_SQL = f"""
+SELECT rid, security_public,
+       array_to_string(security_groups, ',') AS groups,
+       source, language
+FROM ({ingest.cdc_meta_live_sql(tpch.SQL_FIELDS)})
+ORDER BY rid
+"""
+
+
+@register("cdc_meta_live_served", _META_LIVE_SERVED_SQL)
+def cdc_meta_live_served(spark, sf_dir):
+    """The metadata plane SERVED from its maintained CDC sink: the
+    streamed seq-tagged segments masked to live versions by the
+    rid-keyed oplog (deletion-list application — cdc_meta_ingest /
+    live_meta_segments), never a per-request log resolution. The
+    head state proves the plane is genuinely versioned: the lockdown
+    wave's private/'group-locked' rows serve for every rid%7
+    resource, the delete wave's rids are absent, and everything else
+    carries creation-time metadata. Stream == batch is the oracle
+    (the full-log latest-op-wins resolution in SQL) — the same
+    serving contract as cdc_fielded_search_served /
+    cdc_vector_search_served, extended to the r13 metadata plane. At
+    100 TB the sink is micro-batch-append only; the live mask is one
+    rid-keyed max_by over the oplog, and the scheduled
+    autocompaction family applies to it unchanged."""
+    from pyspark.sql import functions as F
+
+    meta, oplog = _cdc_meta_served_index(spark, sf_dir)
+    return (
+        ingest.live_meta_segments(meta, oplog)
+        .select(
+            "rid",
+            "security_public",
+            F.array_join("security_groups", ",").alias("groups"),
+            "source",
+            "language",
+        )
+        .orderBy("rid")
+    )
+
+
 def _cdc_fielded_served_index(spark, sf_dir):
     """Session-scoped STREAMED per-family index: stage the field-grain
     CDC op log once, drain it through the exactly-once streaming

@@ -839,6 +839,22 @@ def autocompact_vector_index(
     return _autocompact_index(spark, index_path, "vectors", ("rid",), **kw)
 
 
+def autocompact_relation_index(
+    spark: SparkSession, index_path: str, seg_bucket: int = 20_000, **kw
+) -> DataFrame:
+    """Scheduled autocompaction of the streamed RELATION index
+    (cdc_relation_ingest): op identity is the edge triple, superseded
+    provenance revisions in planned segments purge — all four CDC
+    sinks now share the scheduled policy. The edge log's base seqs
+    are hash-spread over [0, 1e6) (md5-derived schedule), so the
+    default segment bucket is coarser than the dense rid-derived
+    logs' — same op count per segment either way."""
+    return _autocompact_index(
+        spark, index_path, "edges", tuple(_EDGE_COLS),
+        seg_bucket=seg_bucket, **kw
+    )
+
+
 # --- field-level CDC (S1 at FIELD granularity) ------------------------------
 #
 # The reference's writer mutates individual FIELDS of a resource
@@ -1964,6 +1980,53 @@ SELECT rid, security_public, security_groups, extra, source, language FROM (
   ) {seq_where}
 ) WHERE rn = 1 AND op = 'upsert'
 """
+
+
+def cdc_meta_ingest(
+    spark: SparkSession,
+    log_path: str,
+    index_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream the resource-metadata op log into a maintained sink:
+    upserts append seq-tagged metadata segments, every op appends to
+    the rid-keyed oplog — the metadata-plane sibling of
+    cdc_index_ingest (the reference maintains the catalog/security
+    state transactionally per write; the streamed analog is the same
+    exactly-once file-source + checkpoint contract as every other
+    sink). Serving masks segments to live versions
+    (live_meta_segments), so a security/extra/origin read never
+    resolves the raw log per request."""
+    schema = spark.read.parquet(log_path).schema
+    if os.path.isfile(log_path):
+        log_path = stage_arrival_dir(log_path)
+    stream = spark.readStream.schema(schema).parquet(log_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.filter(F.col("op") == "upsert").drop("op").write.mode(
+            "append"
+        ).parquet(f"{index_path}/meta")
+        batch_df.select("rid", "seq", "op").write.mode("append").parquet(
+            f"{index_path}/oplog"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def live_meta_segments(meta: DataFrame, oplog: DataFrame) -> DataFrame:
+    """Metadata segments restricted to live versions — the rid-keyed
+    deletion-list application over the maintained metadata sink:
+    (rid, security_public, security_groups, extra, source,
+    language)."""
+    return meta.join(live_doc_versions(oplog), ["rid", "seq"]).select(
+        "rid", *_META_COLS
+    )
 
 
 def cdc_facet_counter_ingest(

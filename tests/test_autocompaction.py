@@ -186,3 +186,33 @@ def test_autocompact_vector_index_serve_reads_identical(spark, sf_dir):
     )
     assert before == after
     assert vecs2.count() < n_before
+
+
+def test_autocompact_relation_index_serve_reads_identical(spark, sf_dir):
+    """The same scheduled contract on the RELATION sink: op identity
+    is the edge triple, superseded provenance revisions purge."""
+    workdir = tempfile.mkdtemp(prefix="autocompactr_test_")
+    ingest.cdc_relation_log(tpch.relations(spark, sf_dir)).repartition(
+        2
+    ).write.parquet(f"{workdir}/log")
+    ingest.cdc_relation_ingest(
+        spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+    )
+    edges = spark.read.parquet(f"{workdir}/index/edges")
+    oplog = spark.read.parquet(f"{workdir}/index/oplog")
+    before = sorted(
+        tuple(r) for r in ingest.live_relation_segments(edges, oplog).collect()
+    )
+    n_before = edges.count()
+
+    plan = ingest.autocompact_relation_index(spark, f"{workdir}/index")
+    assert any(r.action == "merge" for r in plan.collect())
+
+    edges2 = spark.read.parquet(f"{workdir}/index/edges")
+    oplog2 = spark.read.parquet(f"{workdir}/index/oplog")
+    after = sorted(
+        tuple(r)
+        for r in ingest.live_relation_segments(edges2, oplog2).collect()
+    )
+    assert before == after
+    assert edges2.count() < n_before
