@@ -464,6 +464,68 @@ def catalog_facets_as_of_dated(spark, sf_dir):
     )
 
 
+def _catalog_asof_sec_filter():
+    from nucliadb_spark.operators import filters as fx
+
+    return fx.SecurityFilter(groups=["group-1", "group-3"])
+
+
+def _catalog_facets_as_of_secured_oracle() -> str:
+    from nucliadb_spark.operators import catalog as cat
+
+    labels_asof = ingest.cdc_labels_live_sql(
+        tpch.SQL_RESOURCES, as_of=1_500_000
+    )
+    sec_asof = ingest.cdc_security_live_sql(tpch.SQL_RESOURCES, as_of=1_500_000)
+    joined = f"""
+SELECT l.rid AS rid, l.labels AS labels,
+       s.security_public AS security_public,
+       s.security_groups AS security_groups
+FROM ({labels_asof}) l
+JOIN ({sec_asof}) s USING (rid)
+"""
+    return cat.faceted_search_sql(
+        joined, roots=_FACET_ROOTS, filters=_catalog_asof_sec_filter()
+    )
+
+
+@register(
+    "catalog_facets_as_of_secured", _catalog_facets_as_of_secured_oracle()
+)
+def catalog_facets_as_of_secured(spark, sf_dir):
+    """Faceted counts AS OF a seq, restricted to what the requesting
+    user's groups could see AT THE SNAPSHOT — the r13 metadata plane
+    applied to the CATALOG (find/suggest/graph got it earlier this
+    round): label state from the seq-cut label log, security state
+    from the seq-cut security log (cdc_security_log — the SAME rid%7
+    update event that relabels also locks down, so the two logs
+    describe one write history cut at one seq), the SecurityFilter
+    tree over the joined frame, then the standard per-root top-k.
+    Locked resources' facets vanish from the dashboard at
+    post-lockdown snapshots while pre-lockdown snapshots still count
+    them — a permission-aware audit view the reference's live-only
+    catalog (catalog/pg.py security column) cannot replay. One extra
+    rid-keyed max_by + join over the dated sibling."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.operators import catalog as cat
+
+    res = tpch.resources(spark, sf_dir)
+    seq = 1_500_000
+    live = ingest.cdc_live_labels(
+        ingest.cdc_label_log(res).filter(F.col("seq") <= seq)
+    )
+    sec = ingest.cdc_live_security(
+        ingest.cdc_security_log(
+            res.select("rid", "security_public", "security_groups")
+        ).filter(F.col("seq") <= seq)
+    )
+    snap = live.join(sec, "rid")
+    return cat.faceted_search(
+        snap, roots=_FACET_ROOTS, filters=_catalog_asof_sec_filter()
+    )
+
+
 @register("stream_exact_dedup", ingest.stream_dedup_counts_sql())
 def stream_exact_dedup(spark, sf_dir):
     """Ingest-side exact-dedup gate as a real streaming run:

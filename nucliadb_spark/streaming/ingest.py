@@ -2029,6 +2029,87 @@ def live_meta_segments(meta: DataFrame, oplog: DataFrame) -> DataFrame:
     )
 
 
+# the CATALOG plane's security twin: the pg catalog keys security by
+# resource next to the facets it maintains transactionally per write
+# (catalog/pg.py). Same lockdown/delete schedule as cdc_meta_log —
+# the rid%7 resource-update event that RELABELS (cdc_label_log) also
+# locks security down, the rid%11 delete wave removes the row — so a
+# label×security filter tree at a snapshot reads two logs cut at one
+# seq describing the same write history.
+
+
+def cdc_security_log(resources: DataFrame) -> DataFrame:
+    """(rid, seq, op, security_public, security_groups) resource
+    security op log over any frame carrying the two security columns
+    (the catalog plane's resources frame here; the find plane's
+    security rides cdc_meta_log with the identical schedule)."""
+    base = resources.select(
+        "rid",
+        F.col("rid").cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        "security_public",
+        "security_groups",
+    )
+    upd = resources.filter(F.col("rid") % 7 == 0).select(
+        "rid",
+        (F.col("rid") + 1_000_000).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.lit(False).alias("security_public"),
+        F.array(F.lit(_LOCK_GROUP)).alias("security_groups"),
+    )
+    dele = resources.filter(F.col("rid") % 11 == 0).select(
+        "rid",
+        (F.col("rid") + 2_000_000).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("boolean").alias("security_public"),
+        F.lit(None).cast("array<string>").alias("security_groups"),
+    )
+    return base.unionByName(upd).unionByName(dele)
+
+
+def cdc_live_security(log: DataFrame) -> DataFrame:
+    """(rid, security_public, security_groups) latest-op-wins
+    security state — cut the log at a seq first for the snapshot
+    read."""
+    return (
+        log.groupBy("rid")
+        .agg(
+            F.max_by(
+                F.struct("op", "security_public", "security_groups"), "seq"
+            ).alias("last")
+        )
+        .filter(F.col("last.op") == "upsert")
+        .select(
+            "rid",
+            F.col("last.security_public").alias("security_public"),
+            F.col("last.security_groups").alias("security_groups"),
+        )
+    )
+
+
+def cdc_security_live_sql(resources_sql: str, as_of: int | None = None) -> str:
+    """DuckDB twin of cdc_security_log → cdc_live_security."""
+    seq_where = f"WHERE seq <= {as_of}" if as_of is not None else ""
+    return f"""
+SELECT rid, security_public, security_groups FROM (
+  SELECT rid, security_public, security_groups, op,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT rid, CAST(rid AS BIGINT) AS seq, 'upsert' AS op,
+           security_public, security_groups
+    FROM ({resources_sql})
+    UNION ALL
+    SELECT rid, CAST(rid + 1000000 AS BIGINT), 'upsert',
+           FALSE, ['{_LOCK_GROUP}']
+    FROM ({resources_sql}) WHERE rid % 7 = 0
+    UNION ALL
+    SELECT rid, CAST(rid + 2000000 AS BIGINT), 'delete', NULL, NULL
+    FROM ({resources_sql}) WHERE rid % 11 = 0
+  ) {seq_where}
+) WHERE rn = 1 AND op = 'upsert'
+"""
+
+
 def cdc_facet_counter_ingest(
     spark: SparkSession,
     log_path: str,

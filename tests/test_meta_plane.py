@@ -167,3 +167,30 @@ def test_meta_and_text_planes_join_with_static_in_one_tree(spark, sf_dir):
         .collect()
     }
     assert hits <= (text_ok & sec_ok & date_ok)
+
+
+def test_catalog_asof_secured_lockdown_bites(spark, sf_dir):
+    """The catalog's security-at-a-snapshot read counts strictly
+    fewer facet holders than the unfiltered as-of read (the lockdown
+    wave is below the seq, so rid%7 resources' facets vanish), and
+    the result is non-empty."""
+    from nucliadb_spark.plans.queries_streaming import (
+        catalog_facets_as_of,
+        catalog_facets_as_of_secured,
+    )
+
+    secured = {
+        (r.root, r.facet): r.count_
+        for r in catalog_facets_as_of_secured(spark, sf_dir).collect()
+    }
+    unfiltered = {
+        (r.root, r.facet): r.count_
+        for r in catalog_facets_as_of(spark, sf_dir).collect()
+    }
+    assert secured
+    assert sum(secured.values()) < sum(
+        unfiltered[k] for k in secured if k in unfiltered
+    )
+    assert all(
+        secured[k] <= unfiltered[k] for k in secured if k in unfiltered
+    )
