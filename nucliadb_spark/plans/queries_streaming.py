@@ -2401,6 +2401,44 @@ def find_secured_as_of(spark, sf_dir):
     )
 
 
+# a PRE-lockdown snapshot: base metadata only (every security
+# revision sits at seq rid+1e6 > this cut), content likewise
+_ASOF_PRELOCK_SEQ = 999_999
+
+
+def _find_secured_prelock_oracle() -> str:
+    meta_pre = ingest.cdc_meta_live_sql(
+        tpch.SQL_FIELDS, as_of=_ASOF_PRELOCK_SEQ
+    )
+    return _asof_filtered_find_oracle(
+        f"SELECT rid FROM ({meta_pre}) "
+        f"WHERE {_asof_security_filter().to_sql()}",
+        seq=_ASOF_PRELOCK_SEQ,
+    )
+
+
+@register("find_secured_as_of_prelock", _find_secured_prelock_oracle())
+def find_secured_as_of_prelock(spark, sf_dir):
+    """The OTHER MVCC direction of security-at-a-snapshot, graded:
+    the same secured request as find_secured_as_of but cut BEFORE the
+    lockdown wave (seq 999,999 — base upserts only). A lockdown
+    issued after a pinned snapshot must not retroactively hide what
+    that snapshot could see: here every resource answers under its
+    creation-time security, so rid%7 docs ARE visible (via public or
+    group), while the post-lockdown sibling excludes them — the pair
+    pins both directions at the driver level (tests pin them locally,
+    tests/test_meta_plane.py). Same serving shape: one rid-keyed
+    max_by over the seq-pruned metadata log, session-cached per
+    snapshot, chained from the nearest cached earlier snapshot."""
+    return _asof_filtered_find(
+        spark,
+        sf_dir,
+        ("keyword", "semantic"),
+        security_groups=list(_asof_security_filter().groups),
+        seq=_ASOF_PRELOCK_SEQ,
+    )
+
+
 def _asof_date_filter():
     from nucliadb_spark.operators.filters import DateRange
 

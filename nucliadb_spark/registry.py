@@ -90,6 +90,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "segment_autocompaction_plan",
     "cdc_meta_live_served",
     "catalog_facets_as_of_secured",
+    "find_secured_as_of_prelock",
     # --- r13 semantics change: security/extra/origin now resolve from
     # the metadata op log (lockdown wave observable) — reseated for regrade ---
     "find_secured_as_of",
@@ -111,9 +112,9 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "export_image_classification",
     "export_paragraph_streaming",
     "export_question_answer",
-    "export_sentence_classification",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r8 remainder (alphabetical) ---
+    "export_sentence_classification",
     "export_token_classification",
     "fielded_compaction_plan",
     "find_exact_match_query",
