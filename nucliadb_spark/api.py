@@ -594,12 +594,21 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 snap = next(iter(states.values()))
             else:
                 # mixed tree: immutable identity columns from the
-                # fields frame, each versioned plane joined by rid
+                # fields frame, each versioned plane LEFT-joined by
+                # rid — an Or across planes must stay answerable for
+                # a rid one plane's state lacks (its leaf evaluates
+                # null → that branch can't admit, the other still
+                # can); an inner join would silently turn Or into
+                # And-with-membership whenever plane logs diverge.
+                # (This corpus model's logs share one write schedule
+                # — pinned by test_meta_plane.py's shared-membership
+                # invariant — so today the joins are equal; the left
+                # join encodes the semantics, not the fixture.)
                 snap = fields.select(
                     *[c for c in fields.columns if c in _STATIC_COLS]
                 )
                 for st in states.values():
-                    snap = snap.join(st, "rid")
+                    snap = snap.join(st, "rid", "left")
             asof_allowed = snap.filter(filters.to_column()).select("rid")
 
     # `fields` scope: validate, then resolve the scoped field-key set
@@ -908,15 +917,18 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             # (seq, family), not once per request
             from nucliadb_spark.streaming import ingest
 
+            # membership rides the SAME 'content_text' family the
+            # text filter plane resolves — one content-log resolution
+            # and one cached sidecar per snapshot serve both
             live_rids = asof_live_state(
                 spark,
                 sf_dir,
-                "content_live",
+                "content_text",
                 as_of,
                 lambda: ingest.cdc_log(fields),
-                lambda log: ingest.cdc_live_fields(log).select("rid"),
+                ingest.cdc_live_fields,
                 ("rid",),
-            )
+            ).select("rid")
             meta_state = asof_live_state(
                 spark,
                 sf_dir,
@@ -928,8 +940,10 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             )
             gdf = meta_state.join(live_rids, "rid", "semi")
         if filters is not None:
-            # under as_of the (label-only) filter is the seq-cut
-            # allowed set; live requests evaluate the tree directly
+            # under as_of the filter tree is the multi-plane
+            # snapshot-resolved allowed set (label/meta/text/static,
+            # computed above); live requests evaluate the tree
+            # directly over the fields frame
             gdf = (
                 gdf.join(asof_allowed, "rid", "semi")
                 if asof_allowed is not None

@@ -393,7 +393,7 @@ def oplog_vacuum_report(spark, sf_dir):
     from pyspark.sql import functions as F
 
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    base, retained = ingest.vacuum_op_log(
+    base, retained, _ = ingest.vacuum_op_log(
         log, _VACUUM_SEQ, ingest.cdc_live_fields
     )
     head = ingest.advance_live_state(
@@ -1593,12 +1593,15 @@ def _find_as_of_entities_oracle() -> str:
         _vector_as_of_sql(_AS_OF_SEQ), _QVEC_SQL, dim=64, k=win
     )
     lst = ", ".join(f"'{s}'" for s in _ASOF_ENT_SOURCES)
+    # the source attribute from the seq-cut METADATA log, matching
+    # the api's r13 resolution — not today's documents.source
+    meta_asof = ingest.cdc_meta_live_sql(tpch.SQL_FIELDS, as_of=_AS_OF_SEQ)
     graph = f"""
 SELECT id, 1.0::DOUBLE AS score FROM (
   SELECT l.rid AS id
   FROM ({ingest.cdc_live_as_of_sql(_AS_OF_SEQ)}) l
-  JOIN documents d ON l.rid = CAST(d.doc_id AS BIGINT)
-  WHERE d.source IN ({lst})
+  JOIN ({meta_asof}) m USING (rid)
+  WHERE m.source IN ({lst})
   ORDER BY id
   LIMIT {win}
 )
@@ -1617,20 +1620,16 @@ ORDER BY score DESC, id ASC
 
 @register("find_hybrid_as_of_entities", _find_as_of_entities_oracle())
 def find_hybrid_as_of_entities(spark, sf_dir):
-    """The last as_of composition rejection lifted (rephrase remains,
-    honestly — a model boundary has no snapshot identity):
+    """as_of × entity_sources (r11 lift, made honest in r13):
     `entity_sources` selects the graph leg's resources by their
     SOURCE attribute, and at a snapshot the leg resolves corpus
     MEMBERSHIP from the content op log (docs deleted after the seq
     still match, docs indexed after it do not) while the source
-    attribute — static per-resource metadata, never versioned —
-    joins by rid. That versioned-state/static-metadata split is the
-    same one trainset_build_as_of uses and mirrors the reference's
-    split between index state and resource basic metadata
-    (resources.proto basic vs index messages). At 100 TB the leg is
-    one seq-pruned log scan + a rid semijoin against the static
-    fields frame; keyword and semantic legs are the standard as-of
-    reads at the same seq."""
+    attribute — PATCHable origin metadata (writer.py:155-169) —
+    resolves from the seq-cut METADATA op log, not today's values
+    (the oracle reads the same log resolution). At 100 TB the leg is
+    two seq-pruned log scans + one rid semijoin; keyword and
+    semantic legs are the standard as-of reads at the same seq."""
     from pyspark.sql import functions as F
 
     from nucliadb_spark import api
@@ -2667,16 +2666,11 @@ def cdc_live_as_of_vacuumed(spark, sf_dir):
     sidecar at the horizon (the same frame a compacted index serves
     live reads from)."""
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    base, retained = ingest.vacuum_op_log(
+    vacuumed = ingest.vacuum_op_log(
         log, _VACUUM_HORIZON, ingest.cdc_live_fields
     )
     return ingest.asof_from_vacuum(
-        base,
-        retained,
-        _VACUUM_HORIZON,
-        _AS_OF_SEQ,
-        ("rid",),
-        ingest.cdc_live_fields,
+        vacuumed, _AS_OF_SEQ, ("rid",), ingest.cdc_live_fields
     ).orderBy("rid")
 
 

@@ -29,6 +29,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -393,9 +394,19 @@ def advance_live_state(
     return kept.unionByName(resolve(delta_log)).select(*prior.columns)
 
 
-def vacuum_op_log(
-    log: DataFrame, base_seq: int, resolve
-) -> tuple[DataFrame, DataFrame]:
+class VacuumedLog(NamedTuple):
+    """A vacuum's output: the folded base state, the retained ops,
+    and the HORIZON they were split at — bundled so a serving call
+    can never pair (base, retained) with a wrong horizon (an
+    understated horizon would silently answer a below-horizon seq
+    with the base state instead of raising)."""
+
+    base: DataFrame
+    retained: DataFrame
+    horizon: int
+
+
+def vacuum_op_log(log: DataFrame, base_seq: int, resolve) -> VacuumedLog:
     """MVCC vacuum for a CDC op log: fold every op at or below
     ``base_seq`` into its RESOLVED base state and retain only the
     later ops — ``(base_state, retained_log)``. The log's history
@@ -422,13 +433,11 @@ def vacuum_op_log(
     row versions in the catalog plane)."""
     base = resolve(log.filter(F.col("seq") <= base_seq))
     retained = log.filter(F.col("seq") > base_seq)
-    return base, retained
+    return VacuumedLog(base, retained, base_seq)
 
 
 def asof_from_vacuum(
-    base: DataFrame,
-    retained: DataFrame,
-    horizon: int,
+    vacuumed: VacuumedLog,
     seq: int,
     keys: tuple[str, ...],
     resolve,
@@ -451,16 +460,25 @@ def asof_from_vacuum(
       stay at or above the horizon (the reference's segment purge
       makes the same promise for its merged-away segments,
       nidx/src/scheduler/purge_tasks.rs:26-43).
+
+    Takes the :class:`VacuumedLog` exactly as :func:`vacuum_op_log`
+    returned it — the horizon travels with the (base, retained) pair
+    so a caller cannot pair them with a different horizon (an
+    understated one would silently answer a below-horizon seq with
+    the base state instead of raising).
     """
-    if seq < horizon:
+    if seq < vacuumed.horizon:
         raise ValueError(
-            f"as-of seq {seq} is below the vacuum horizon {horizon}: "
-            "its history was discarded — pinned snapshots must stay "
-            "at or above the horizon (re-vacuum with a lower base_seq "
-            "before pinning older snapshots)"
+            f"as-of seq {seq} is below the vacuum horizon "
+            f"{vacuumed.horizon}: its history was discarded — pinned "
+            "snapshots must stay at or above the horizon (re-vacuum "
+            "with a lower base_seq before pinning older snapshots)"
         )
     return advance_live_state(
-        base, retained.filter(F.col("seq") <= seq), keys, resolve
+        vacuumed.base,
+        vacuumed.retained.filter(F.col("seq") <= seq),
+        keys,
+        resolve,
     )
 
 
@@ -766,9 +784,15 @@ def _autocompact_index(
         .join(records, "segment_id", "left")
         .fillna(0, subset=["records"])
     )
+    # collect the segment-count-sized plan ONCE (it is the scheduler's
+    # decision table, tiny by construction) — the rewrite jobs below
+    # then join a broadcast literal frame instead of re-evaluating the
+    # whole inventory→plan pipeline per write
     plan = autocompaction_plan(inv, min_segments, top_max, bottom)
-    planned = plan.filter(F.col("action").isin("merge", "purge")).select(
-        "segment_id"
+    plan_rows = plan.collect()
+    planned = spark.createDataFrame(
+        [(r.segment_id,) for r in plan_rows if r.action in ("merge", "purge")],
+        "segment_id long",
     )
     live = ranked.filter((F.col("rn") == 1) & (F.col("op") == "upsert")).select(
         *keys, "seq"
@@ -798,10 +822,16 @@ def _autocompact_index(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(f"{tmp}/{data_name}")
     kept_ops.write.mode("overwrite").parquet(f"{tmp}/oplog")
-    plan_rows = plan.collect()  # segment-count-sized report
+    # crash-safe swap: the old table moves ASIDE (not away) before
+    # the new one moves in, so a crash at any point leaves either the
+    # original table or the new one plus a recoverable .bak — never
+    # neither (the rmtree-then-move form has a lose-both window)
     for t in (data_name, "oplog"):
-        shutil.rmtree(f"{index_path}/{t}")
+        bak = f"{index_path}/{t}.bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        shutil.move(f"{index_path}/{t}", bak)
         shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
+        shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(plan_rows, plan.schema)
 

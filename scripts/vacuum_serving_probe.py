@@ -103,11 +103,12 @@ def main() -> None:
 
     def vacuumed_serve():
         retained = log.filter(F.col("seq_bucket") >= HORIZON // 1_000_000)
+        vac = ingest.VacuumedLog(
+            base, retained.filter(F.col("seq") <= head).drop("seq_bucket"),
+            HORIZON,
+        )
         grade(
-            ingest.asof_from_vacuum(
-                base, retained.filter(F.col("seq") <= head).drop("seq_bucket"),
-                HORIZON, head, ("rid",), ingest.cdc_live_fields,
-            )
+            ingest.asof_from_vacuum(vac, head, ("rid",), ingest.cdc_live_fields)
         )
 
     full_resolve(); vacuumed_serve()  # warm

@@ -940,7 +940,7 @@ def test_vacuum_preserves_reads_at_and_above_horizon(spark, sf_dir):
 
     horizon = 1_000_123
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    base, retained = ingest.vacuum_op_log(
+    base, retained, _ = ingest.vacuum_op_log(
         log, horizon, ingest.cdc_live_fields
     )
 
@@ -996,7 +996,7 @@ def test_vacuum_works_for_every_cdc_family(spark, sf_dir):
     }
     horizon = 1_000_123
     for fam, (log, resolve, keys) in fams.items():
-        base, retained = ingest.vacuum_op_log(log, horizon, resolve)
+        base, retained, _ = ingest.vacuum_op_log(log, horizon, resolve)
         for s in (1_500_000, 9_999_999):
             vacuumed = ingest.advance_live_state(
                 base, retained.filter(F.col("seq") <= s), keys, resolve

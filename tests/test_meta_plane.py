@@ -169,6 +169,39 @@ def test_meta_and_text_planes_join_with_static_in_one_tree(spark, sf_dir):
     assert hits <= (text_ok & sec_ok & date_ok)
 
 
+def test_plane_logs_share_one_write_schedule(spark, sf_dir):
+    """The content/label/metadata op logs describe ONE write history:
+    their live membership (rid sets) coincides at every cut — the
+    fixture semantics (each resource-update event touches all planes)
+    that makes the mixed-plane LEFT join equal to an inner join
+    today. The api uses the left join because the SEMANTICS require
+    Or-across-planes to stay answerable if a deployment's plane logs
+    ever diverge; this pin documents that this corpus model's don't."""
+    from nucliadb_spark import api as _api  # noqa: F401 (symmetry anchor)
+
+    fields = tpch.fields(spark, sf_dir)
+    for seq in (300, 999_999, 1_500_000, 3_000_000):
+        content = {
+            r.rid
+            for r in ingest.cdc_live_fields(
+                ingest.cdc_log(fields).filter(F.col("seq") <= seq)
+            ).select("rid").collect()
+        }
+        labels = {
+            r.rid
+            for r in ingest.cdc_live_labels(
+                ingest.cdc_label_log(fields.select("rid", "labels")).filter(
+                    F.col("seq") <= seq
+                )
+            ).select("rid").collect()
+        }
+        meta = {
+            r.rid
+            for r in _meta_at(spark, sf_dir, seq).select("rid").collect()
+        }
+        assert content == labels == meta, seq
+
+
 def test_catalog_asof_secured_lockdown_bites(spark, sf_dir):
     """The catalog's security-at-a-snapshot read counts strictly
     fewer facet holders than the unfiltered as-of read (the lockdown

@@ -3,7 +3,9 @@ fold-at-horizon algebra; these pin the serving integration —
 ingest.asof_from_vacuum routes reads at seq >= horizon through
 (base_state, retained_log) via advance_live_state and REFUSES reads
 below the horizon with a clear pinned-snapshot error instead of
-silently resolving an incomplete log."""
+silently resolving an incomplete log. The horizon travels WITH the
+(base, retained) pair (VacuumedLog), so a serving call can never pair
+them with a wrong horizon."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -20,10 +22,11 @@ def _rows(df):
 
 def test_vacuumed_serving_equals_full_log_content(spark, sf_dir):
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    base, retained = ingest.vacuum_op_log(log, HORIZON, ingest.cdc_live_fields)
+    vac = ingest.vacuum_op_log(log, HORIZON, ingest.cdc_live_fields)
+    assert vac.horizon == HORIZON
     for seq in (1_500_000, 3_000_000):
         served = ingest.asof_from_vacuum(
-            base, retained, HORIZON, seq, ("rid",), ingest.cdc_live_fields
+            vac, seq, ("rid",), ingest.cdc_live_fields
         )
         full = ingest.cdc_live_as_of(log, seq)
         assert _rows(served) == _rows(full)
@@ -33,11 +36,11 @@ def test_vacuumed_serving_at_exactly_the_horizon(spark, sf_dir):
     """seq == horizon is legal (the retained delta is empty) and
     equals the base state itself."""
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    base, retained = ingest.vacuum_op_log(log, HORIZON, ingest.cdc_live_fields)
+    vac = ingest.vacuum_op_log(log, HORIZON, ingest.cdc_live_fields)
     served = ingest.asof_from_vacuum(
-        base, retained, HORIZON, HORIZON, ("rid",), ingest.cdc_live_fields
+        vac, HORIZON, ("rid",), ingest.cdc_live_fields
     )
-    assert _rows(served) == _rows(base)
+    assert _rows(served) == _rows(vac.base)
 
 
 def test_vacuumed_serving_below_horizon_raises(spark, sf_dir):
@@ -46,10 +49,10 @@ def test_vacuumed_serving_below_horizon_raises(spark, sf_dir):
     resolving the retained log alone would silently return a partial
     (wrong) state."""
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    base, retained = ingest.vacuum_op_log(log, HORIZON, ingest.cdc_live_fields)
+    vac = ingest.vacuum_op_log(log, HORIZON, ingest.cdc_live_fields)
     with pytest.raises(ValueError, match="vacuum horizon"):
         ingest.asof_from_vacuum(
-            base, retained, HORIZON, 500_000, ("rid",), ingest.cdc_live_fields
+            vac, 500_000, ("rid",), ingest.cdc_live_fields
         )
 
 
@@ -57,9 +60,9 @@ def test_vacuumed_serving_equals_full_log_vectors_and_labels(spark, sf_dir):
     """The same contract across other CDC families — the algebra is
     family-generic (keys + resolve), so serving must be too."""
     vlog = ingest.cdc_vector_log(tpch.vectors(spark, sf_dir))
-    vbase, vret = ingest.vacuum_op_log(vlog, HORIZON, ingest.cdc_live_vectors)
+    vvac = ingest.vacuum_op_log(vlog, HORIZON, ingest.cdc_live_vectors)
     served = ingest.asof_from_vacuum(
-        vbase, vret, HORIZON, 1_500_000, ("rid",), ingest.cdc_live_vectors
+        vvac, 1_500_000, ("rid",), ingest.cdc_live_vectors
     )
     assert _rows(served) == _rows(
         ingest.cdc_live_vectors(vlog.filter(F.col("seq") <= 1_500_000))
@@ -68,9 +71,9 @@ def test_vacuumed_serving_equals_full_log_vectors_and_labels(spark, sf_dir):
     llog = ingest.cdc_label_log(
         tpch.fields(spark, sf_dir).select("rid", "labels")
     )
-    lbase, lret = ingest.vacuum_op_log(llog, HORIZON, ingest.cdc_live_labels)
+    lvac = ingest.vacuum_op_log(llog, HORIZON, ingest.cdc_live_labels)
     served_l = ingest.asof_from_vacuum(
-        lbase, lret, HORIZON, 1_500_000, ("rid",), ingest.cdc_live_labels
+        lvac, 1_500_000, ("rid",), ingest.cdc_live_labels
     )
     assert _rows(served_l) == _rows(
         ingest.cdc_live_labels(llog.filter(F.col("seq") <= 1_500_000))
