@@ -604,6 +604,15 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 # — pinned by test_meta_plane.py's shared-membership
                 # invariant — so today the joins are equal; the left
                 # join encodes the semantics, not the fixture.)
+                # CAVEAT (r13 advice): the Or-stays-answerable
+                # rationale does NOT extend to Not — a Not() wrapping
+                # a leaf over a plane a rid is absent from evaluates
+                # NOT(null) = null and the filter drops the row,
+                # where three-valued Not-semantics arguably should
+                # admit it. If plane logs are ever allowed to diverge
+                # in membership, evaluate Not-wrapped planes with an
+                # explicit IS NOT TRUE (or coalesce plane membership)
+                # before trusting mixed trees containing Not.
                 snap = fields.select(
                     *[c for c in fields.columns if c in _STATIC_COLS]
                 )

