@@ -94,6 +94,18 @@ _META_COLS = frozenset(
     {"security_public", "security_groups", "extra", "source", "language"}
 )
 
+# the DERIVED plane (r14 — the last filter rejection lifted):
+# `modified` and `n_chars` are versioned state with NO op log of
+# their own, but both are PURE FUNCTIONS of the content log the
+# engine already keeps — modified at seq S = the commit timestamp of
+# the rid's last op <= S (nidx sorts/ranges on modified as an index
+# fast field, nidx/nidx_text/src/schema.rs:62-64), n_chars = the
+# length of the as-of text version. ingest.cdc_live_derived computes
+# the plane during resolution; the same-named static fields columns
+# are today's denormalized catalog copies and never enter an as-of
+# tree.
+_DERIVED_COLS = frozenset({"modified", "n_chars"})
+
 
 def _filter_planes(expr: Expr) -> set[str]:
     """Classify every leaf of a filter tree by the state plane it
@@ -115,6 +127,11 @@ def _filter_planes(expr: Expr) -> set[str]:
       date, resource/field identity): corpus MEMBERSHIP at the
       snapshot comes from the content op log, the attribute itself
       joins by rid.
+    - ``'derived'`` — ``modified``/``n_chars``: versioned state with
+      no op log of its own but DERIVABLE from the content log
+      (modified = the last op's commit timestamp at the cut, n_chars
+      = the as-of text length — ingest.cdc_live_derived), so it has
+      snapshot identity after all. r14: the last rejection lifted.
     - ``'versioned'`` — anything reading versioned state with NO op
       log in this corpus model, or an unknown leaf: no snapshot
       identity, the composition must raise.
@@ -169,6 +186,8 @@ def _filter_planes(expr: Expr) -> set[str]:
         return {"static"}
     if all(c in _STATIC_COLS | _META_COLS for c in cols):
         return {"meta"}
+    if all(c in _STATIC_COLS | _DERIVED_COLS for c in cols):
+        return {"derived"}
     return {"versioned"}
 
 
@@ -248,24 +267,44 @@ def asof_text_index(
     the session)."""
     import re
 
+    from nucliadb_spark import serving
     from nucliadb_spark.cache import cached_df, cached_names
     from nucliadb_spark.streaming import ingest
 
-    log = ingest.cdc_log(fields)
+    def log_builder() -> DataFrame:
+        return ingest.cdc_log(fields)
+
+    def corpus_at(seq: int) -> DataFrame:
+        # the content family's DURABLE as-of state on the physical
+        # substrate — the same artifact the text filter plane and the
+        # graph membership read, vacuum-aware (below-horizon raises)
+        return serving.state_as_of(
+            spark,
+            sf_dir,
+            "content_text",
+            log_builder,
+            ingest.cdc_live_fields,
+            ("rid",),
+            seq,
+        )
+
+    serving.check_horizon(spark, sf_dir, "content_text", as_of)
+    hzn = serving.horizon(spark, sf_dir, "content_text")
     advanced: dict[str, DataFrame] = {}
 
     def build_post() -> DataFrame:
         priors = [
             int(m.group(1))
             for n in cached_names(spark, sf_dir)
-            if (m := re.fullmatch(r"asof(\d+)_text_post", n)) and int(m.group(1)) < as_of
+            if (m := re.fullmatch(r"asof(\d+)_text_post", n))
+            and hzn <= int(m.group(1)) < as_of
         ]
         if priors:
             s1 = max(priors)  # nearest earlier snapshot → smallest delta
             prior_post = cached_df(
                 sf_dir,
                 f"asof{s1}_text_post",
-                lambda: bm25.postings(ingest.cdc_live_as_of(log, s1)),
+                lambda: bm25.postings(corpus_at(s1)),
                 spark=spark,
             )
             prior_stats = cached_df(
@@ -277,14 +316,17 @@ def asof_text_index(
             post2, stats2 = ingest.advance_text_index(
                 prior_post,
                 prior_stats,
-                log.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
+                # both ends of the delta prune on the physical log
+                serving.log_between(
+                    spark, sf_dir, "content_text", log_builder, s1, as_of
+                ),
             )
             # the advance derives stats incrementally too (kept rows
             # verbatim + delta stats) — hand them to the stats sidecar
             # instead of re-deriving from the advanced postings
             advanced["stats"] = stats2
             return post2
-        return bm25.postings(ingest.cdc_live_as_of(log, as_of))
+        return bm25.postings(corpus_at(as_of))
 
     post = cached_df(sf_dir, f"asof{as_of}_text_post", build_post, spark=spark)
     stats = cached_df(
@@ -316,18 +358,43 @@ def asof_family_text_index(
     version."""
     import re
 
+    from nucliadb_spark import serving
     from nucliadb_spark.cache import cached_df, cached_names
     from nucliadb_spark.streaming import ingest
 
     slug = key.strip("/").replace("/", "_")
-    flog = ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)).filter(
-        F.col("field_key") == key
-    )
+
+    def log_builder() -> DataFrame:
+        return ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir))
 
     def fam_at(seq: int) -> DataFrame:
-        return ingest.cdc_live_fielded(flog.filter(F.col("seq") <= seq)).select(
-            "rid", "text"
+        # the fielded family's DURABLE as-of state (shared with the
+        # scope-resolution path — same (family, seq) artifact),
+        # filtered to this field family. Within one family a field's
+        # key never changes, so filtering the resolved state by
+        # field_key equals resolving the family-filtered log.
+        return (
+            serving.state_as_of(
+                spark,
+                sf_dir,
+                "fielded_live",
+                log_builder,
+                ingest.cdc_live_fielded,
+                ("rid", "field_id"),
+                seq,
+                log_name="fielded",
+            )
+            .filter(F.col("field_key") == key)
+            .select("rid", "text")
         )
+
+    serving.check_horizon(spark, sf_dir, "fielded_live", as_of)
+    hzn = serving.horizon(spark, sf_dir, "fielded_live")
+
+    def fam_delta(lo: int, hi: int) -> DataFrame:
+        return serving.log_between(
+            spark, sf_dir, "fielded", log_builder, lo, hi
+        ).filter(F.col("field_key") == key)
 
     advanced: dict[str, DataFrame] = {}
 
@@ -336,7 +403,7 @@ def asof_family_text_index(
         priors = [
             int(m.group(1))
             for n in cached_names(spark, sf_dir)
-            if (m := pat.fullmatch(n)) and int(m.group(1)) < as_of
+            if (m := pat.fullmatch(n)) and hzn <= int(m.group(1)) < as_of
         ]
         if priors:
             s1 = max(priors)
@@ -355,7 +422,7 @@ def asof_family_text_index(
             post2, stats2 = ingest.advance_text_index(
                 prior_post,
                 prior_stats,
-                flog.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
+                fam_delta(s1, as_of),
             )
             advanced["stats"] = stats2
             return post2
@@ -377,6 +444,21 @@ def asof_family_text_index(
     return post, stats, corpus
 
 
+def stub_embed_live(log: DataFrame) -> DataFrame:
+    """The stub-embedding family's resolve over a content op log:
+    latest-op-wins text, embedded deterministically (embeddings are
+    pure functions of text versions — the refresh capstone's
+    re-embed contract). Module-level so the serving substrate's
+    vacuum can fold the family's base with the SAME resolve the
+    rephrased find leg serves with."""
+    from nucliadb_spark.streaming import ingest
+
+    return ingest.cdc_live_fields(log).select(
+        "rid",
+        models.stub_embedding(F.col("text")).alias("embedding"),
+    )
+
+
 def asof_live_state(
     spark: SparkSession,
     sf_dir: str,
@@ -385,6 +467,7 @@ def asof_live_state(
     log_builder,
     resolve,
     keys: tuple[str, ...],
+    log_name: str | None = None,
 ) -> DataFrame:
     """A CDC family's live state AS OF a log seq, session-cached as
     ``asof{seq}_{family}`` and CHAINED like the text index: the first
@@ -396,37 +479,57 @@ def asof_live_state(
     text family to EVERY latest-op-wins plane the find API reads at a
     snapshot — vectors, relations, labels, the fielded corpus — so a
     session touring snapshots pays full-log cost once, not once per
-    (seq, family). Falls back to the from-scratch seq-cut resolution
-    when no earlier snapshot of the family is cached."""
+    (seq, family).
+
+    r14: the cold path serves from the PHYSICAL substrate
+    (nucliadb_spark.serving): the family's op log is seq-bucket-
+    partitioned parquet (every cut is partition pruning), the state
+    resolves vacuum-aware from (base at the horizon, retained
+    partitions) via asof_from_vacuum, and the result is the family's
+    durable per-snapshot serving artifact. Reads below the family's
+    vacuum horizon raise the pinned-snapshot error — surfaced through
+    FindRequest because every as-of entry point routes here.
+    `log_name` names the physical log when families share one (the
+    embedding sidecar reads the content log)."""
     import re
 
+    from nucliadb_spark import serving
     from nucliadb_spark.cache import cached_df, cached_names
+
     from nucliadb_spark.streaming import ingest
 
+    lname = log_name or family
+    serving.check_horizon(spark, sf_dir, family, as_of)
     pat = re.compile(rf"asof(\d+)_{re.escape(family)}")
 
+    def state_at(seq: int) -> DataFrame:
+        return serving.state_as_of(
+            spark, sf_dir, family, log_builder, resolve, keys, seq,
+            log_name=lname,
+        )
+
     def build() -> DataFrame:
-        log = log_builder()
+        hzn = serving.horizon(spark, sf_dir, family)
         priors = [
             int(m.group(1))
             for n in cached_names(spark, sf_dir)
-            if (m := pat.fullmatch(n)) and int(m.group(1)) < as_of
+            if (m := pat.fullmatch(n)) and hzn <= int(m.group(1)) < as_of
         ]
         if priors:
             s1 = max(priors)  # nearest earlier snapshot → smallest delta
             prior = cached_df(
-                sf_dir,
-                f"asof{s1}_{family}",
-                lambda: resolve(log.filter(F.col("seq") <= s1)),
+                sf_dir, f"asof{s1}_{family}", lambda: state_at(s1),
                 spark=spark,
             )
             return ingest.advance_live_state(
                 prior,
-                log.filter((F.col("seq") > s1) & (F.col("seq") <= as_of)),
+                serving.log_between(
+                    spark, sf_dir, lname, log_builder, s1, as_of
+                ),
                 keys,
                 resolve,
             )
-        return resolve(log.filter(F.col("seq") <= as_of))
+        return state_at(as_of)
 
     return cached_df(sf_dir, f"asof{as_of}_{family}", build, spark=spark)
 
@@ -518,10 +621,11 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             raise ValueError(
                 "as_of composes with label/facet filters, security/"
                 "extra/origin metadata (resolved from the metadata op "
-                "log), text keywords (resolved from the content op "
-                "log) and immutable identity predicates (dates); "
-                "predicates over state with no op log in this corpus "
-                "model have no snapshot identity"
+                "log), text keywords and modified/n_chars (resolved "
+                "or derived from the content op log) and immutable "
+                "identity predicates (dates); predicates over state "
+                "with no op log in this corpus model have no snapshot "
+                "identity"
             )
     # the snapshot-resolved prefilter: allowed rids = the filter tree
     # evaluated against a frame that carries each plane's state AT
@@ -589,6 +693,20 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                     ingest.cdc_live_fields,
                     ("rid",),
                 )
+            if "derived" in planes:
+                # modified/n_chars derive from the CONTENT log — the
+                # same physical log the text plane and keyword corpus
+                # read, a different resolve (log_name shares it)
+                states["derived"] = asof_live_state(
+                    spark,
+                    sf_dir,
+                    "derived",
+                    as_of,
+                    lambda: ingest.cdc_log(fields),
+                    ingest.cdc_live_derived,
+                    ("rid",),
+                    log_name="content_text",
+                )
             if len(states) == 1 and "static" not in planes:
                 # single-plane tree: filter the plane's state directly
                 snap = next(iter(states.values()))
@@ -641,6 +759,7 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 lambda: ingest.cdc_field_log(tpch.fields_multi(spark, sf_dir)),
                 ingest.cdc_live_fielded,
                 ("rid", "field_id"),
+                log_name="fielded",
             )
             scoped_fields = live_fielded.filter(
                 F.col("field_key").isin(scoped_keys)
@@ -835,22 +954,15 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 # expensive part, runs over the delta alone)
                 from nucliadb_spark.streaming import ingest
 
-                def _embed_live(log: DataFrame) -> DataFrame:
-                    return ingest.cdc_live_fields(log).select(
-                        "rid",
-                        models.stub_embedding(F.col("text")).alias(
-                            "embedding"
-                        ),
-                    )
-
                 emb_docs = asof_live_state(
                     spark,
                     sf_dir,
                     "stub_embeddings",
                     as_of,
                     lambda: ingest.cdc_log(fields),
-                    _embed_live,
+                    stub_embed_live,
                     ("rid",),
+                    log_name="content_text",
                 )
             else:
                 emb_docs = stub_embedding_sidecar(spark, sf_dir)

@@ -312,6 +312,111 @@ WHERE paragraph_id IS NOT NULL
     return G.path_search_sql(rel_sql, _FILTERED_PATH_Q, top_k=50)
 
 
+# a MID-LOCKDOWN cut: the metadata lockdown wave (rid%7 → private /
+# 'group-locked' at seq rid+1e6) has applied only for rid <= 30, so
+# some provenance resources a group-3 request could see before their
+# lockdown are already hidden while later-locked ones are still
+# visible — the snapshot's security state differs observably from
+# both the pre-wave and the fully-locked state
+_GRAPH_ASOF_SEQ = 1_000_030
+
+
+def _graph_path_filtered_as_of_oracle() -> str:
+    from nucliadb_spark.streaming import ingest
+
+    labels_asof = ingest.cdc_labels_live_sql(
+        tpch.SQL_FIELDS, as_of=_GRAPH_ASOF_SEQ
+    )
+    meta_asof = ingest.cdc_meta_live_sql(
+        tpch.SQL_FIELDS, as_of=_GRAPH_ASOF_SEQ
+    )
+    allowed = f"""
+SELECT rid FROM ({labels_asof}) l JOIN ({meta_asof}) m USING (rid)
+WHERE {_GRAPH_FILTER.to_sql()}
+"""
+    live_rel = ingest.cdc_relations_live_sql(_R)
+    anchor = ") WHERE rn = 1 AND op = 'upsert'"
+    assert live_rel.count(anchor) == 1, "cdc_relations_live_sql shape changed"
+    rel_asof = live_rel.replace(
+        anchor, f"WHERE seq <= {_GRAPH_ASOF_SEQ}{anchor}"
+    )
+    rel_sql = f"""
+SELECT * FROM ({rel_asof})
+WHERE paragraph_id IS NOT NULL
+  AND CAST(string_split(paragraph_id, '/')[1] AS BIGINT) IN ({allowed})
+"""
+    return G.path_search_sql(rel_sql, _FILTERED_PATH_Q, top_k=50)
+
+
+@register("graph_path_filtered_as_of", _graph_path_filtered_as_of_oracle())
+def graph_path_filtered_as_of(spark, sf_dir):
+    """G1 × F1/F5 × as_of — filtered graph search AT A SNAPSHOT (the
+    r13 verdict's plane-symmetry item): the path predicate runs over
+    the relation set AS OF the seq while the prefilter's allowed set
+    resolves from the SAME cut — the label facet from the seq-cut
+    label log, security from the seq-cut METADATA log (the lockdown
+    wave is mid-flight at this cut, so a group-3 request sees
+    resources whose lockdown lands after the snapshot and no longer
+    sees ones locked before it — today's groups would get both
+    wrong). Every plane serves from the shared physical substrate
+    sidecars (api.asof_live_state families 'relations'/'labels'/
+    'meta' — the find path's exact states, reused). Reference
+    anchors: BaseGraphSearchRequest.filter_expression + security
+    (nucliadb_models/graph/requests.py:148-163), applied by nidx as a
+    prefilter on the relation index's resource docs
+    (nidx/nidx_relation/src/reader.rs:261-271) — at a snapshot the
+    reference cannot express."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api
+    from nucliadb_spark.streaming import ingest
+
+    fields = tpch.fields(spark, sf_dir)
+    rel = api.asof_live_state(
+        spark,
+        sf_dir,
+        "relations",
+        _GRAPH_ASOF_SEQ,
+        lambda: ingest.cdc_relation_log(tpch.relations(spark, sf_dir)),
+        ingest.cdc_live_relations,
+        tuple(ingest._EDGE_COLS),
+    )
+    label_state = api.asof_live_state(
+        spark,
+        sf_dir,
+        "labels",
+        _GRAPH_ASOF_SEQ,
+        lambda: ingest.cdc_label_log(fields.select("rid", "labels")),
+        ingest.cdc_live_labels,
+        ("rid",),
+    )
+    meta_state = api.asof_live_state(
+        spark,
+        sf_dir,
+        "meta",
+        _GRAPH_ASOF_SEQ,
+        lambda: ingest.cdc_meta_log(fields),
+        ingest.cdc_live_meta,
+        ("rid",),
+    )
+    # the same mixed-plane composition find_request uses: plane
+    # states joined by rid, the whole tree evaluated once
+    snap = label_state.join(meta_state, "rid")
+    allowed = snap.filter(_GRAPH_FILTER.to_column()).select(
+        F.col("rid").alias("prov_rid")
+    )
+    rel_f = (
+        rel.filter(F.col("paragraph_id").isNotNull())
+        .withColumn(
+            "prov_rid",
+            F.split("paragraph_id", "/").getItem(0).cast("long"),
+        )
+        .join(allowed, "prov_rid", "semi")
+        .drop("prov_rid")
+    )
+    return G.path_search(rel_f, _FILTERED_PATH_Q, top_k=50)
+
+
 @register("graph_path_filtered", _graph_path_filtered_oracle())
 def graph_path_filtered(spark, sf_dir):
     """Graph path search restricted by the request's filter tree +

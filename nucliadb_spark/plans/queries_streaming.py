@@ -2633,6 +2633,68 @@ def find_hybrid_as_of_keyword_filtered(spark, sf_dir):
     )
 
 
+def _asof_derived_filter():
+    """Derived × derived tree: a modified-date range AND an n_chars
+    bound, both resolving from the CONTENT log at the cut
+    (ingest.cdc_live_derived). At the mid-wave snapshot the range
+    admits docs via BOTH MVCC directions: docs revised at or before
+    the cut match on their NEW modified (created+30d), docs revised
+    only after it must match on their OLD modified (todays's value
+    would fall outside) — evaluating against live state gets both
+    sets wrong."""
+    from nucliadb_spark.operators.filters import And, DateRange, NumericRange
+
+    return And(
+        [
+            DateRange(
+                "modified",
+                since="2024-01-25 00:00:00",
+                until="2024-03-01 00:00:00",
+            ),
+            NumericRange("n_chars", gte=200),
+        ]
+    )
+
+
+def _find_as_of_modified_oracle() -> str:
+    tree = _asof_derived_filter().to_sql()
+    allowed = f"""
+SELECT rid FROM (
+  {ingest.cdc_derived_live_sql(tpch.SQL_FIELDS, as_of=_ASOF_MIDWAVE_SEQ)}
+) WHERE {tree}
+"""
+    return _asof_filtered_find_oracle(allowed, seq=_ASOF_MIDWAVE_SEQ)
+
+
+@register("find_hybrid_as_of_modified_range", _find_as_of_modified_oracle())
+def find_hybrid_as_of_modified_range(spark, sf_dir):
+    """modified/n_chars at a snapshot (r14 — the LAST filter-plane
+    rejection lifted): both attributes are versioned state with no op
+    log of their own, but both are pure functions of the content log
+    the engine already keeps — ``modified`` at seq S = the commit
+    timestamp of the rid's last op ≤ S (the nidx index fast field
+    used for sort+range, nidx/nidx_text/src/schema.rs:62-64 +
+    search_query.rs:30-49, made MVCC-correct), ``n_chars`` = the
+    length of the as-of text version. api._filter_planes classifies
+    the leaves as the 'derived' plane; resolution is
+    ingest.cdc_live_derived over the SAME physical content log the
+    keyword corpus and text plane read (one log, three resolves —
+    zero extra log materializations). The snapshot is MID-revision-
+    wave: a doc revised at or before the cut matches the range on its
+    NEW modified, one revised only after the cut matches on its OLD
+    modified even though today's value falls outside — the observable
+    difference vs filtering today's catalog columns. With this plane
+    the filter grammar at a snapshot is COMPLETE: every leaf the
+    grammar can express resolves from some log's seq cut."""
+    return _asof_filtered_find(
+        spark,
+        sf_dir,
+        ("keyword", "semantic"),
+        filters=_asof_derived_filter(),
+        seq=_ASOF_MIDWAVE_SEQ,
+    )
+
+
 # --- vacuum-aware as-of serving (r13) -------------------------------------
 # oplog_vacuum_report (r12) proved the fold-at-horizon algebra; this
 # makes the SERVING side vacuum-aware: an as-of read at seq >= horizon
@@ -2672,6 +2734,111 @@ def cdc_live_as_of_vacuumed(spark, sf_dir):
     return ingest.asof_from_vacuum(
         vacuumed, _AS_OF_SEQ, ("rid",), ingest.cdc_live_fields
     ).orderBy("rid")
+
+
+# --- the DEFAULT serving substrate, physically vacuumed (r14) --------------
+# r13 graded the vacuum algebra on a dedicated query; r14 makes
+# vacuumed+compacted the substrate every as-of entry point serves from
+# (nucliadb_spark/serving.py): physical seq-bucket-partitioned op
+# logs, durable per-snapshot family states, vacuum-aware resolution
+# through VacuumedLog. This query exercises the FLAGSHIP through it
+# with the history genuinely gone.
+
+# folds the entire insert wave at every sf (rids < 250k) while staying
+# at or below every snapshot any graded query pins (min in use:
+# 500_000) — a vacuum a real deployment could run today
+_SERVE_VACUUM_H = 499_999
+# a FRESH snapshot key (same post-revisions/pre-deletes corpus state
+# as 1.5M, but no session sidecar can exist for it), so the serving
+# resolution genuinely runs through the vacuumed substrate
+_VAC_FLAGSHIP_SEQ = 1_600_000
+
+
+def _substrate_families(spark, sf_dir):
+    """(family, log_name, log_builder, resolve, keys) for every CDC
+    family the find API serves at a snapshot — the registration the
+    vacuum needs so each family's base folds with ITS resolve (two
+    families share the content log: the corpus state and the
+    embedding sidecar)."""
+    from nucliadb_spark import api
+
+    fields = tpch.fields(spark, sf_dir)
+    return [
+        ("content_text", "content_text",
+         lambda: ingest.cdc_log(fields), ingest.cdc_live_fields, ("rid",)),
+        ("stub_embeddings", "content_text",
+         lambda: ingest.cdc_log(fields), api.stub_embed_live, ("rid",)),
+        ("derived", "content_text",
+         lambda: ingest.cdc_log(fields), ingest.cdc_live_derived, ("rid",)),
+        ("labels", "labels",
+         lambda: ingest.cdc_label_log(fields.select("rid", "labels")),
+         ingest.cdc_live_labels, ("rid",)),
+        ("meta", "meta",
+         lambda: ingest.cdc_meta_log(fields), ingest.cdc_live_meta, ("rid",)),
+        ("vectors", "vectors",
+         lambda: ingest.cdc_vector_log(tpch.vectors(spark, sf_dir)),
+         ingest.cdc_live_vectors, ("rid",)),
+        ("relations", "relations",
+         lambda: ingest.cdc_relation_log(tpch.relations(spark, sf_dir)),
+         ingest.cdc_live_relations, tuple(ingest._EDGE_COLS)),
+    ]
+
+
+def _find_hybrid_as_of_vacuumed_oracle() -> str:
+    return f"""
+WITH fused AS ({_as_of_fused_sql(10, seq=_VAC_FLAGSHIP_SEQ)})
+SELECT id, score,
+       array_to_string(matched_sources, ',') AS matched_sources
+FROM fused
+ORDER BY score DESC, id ASC
+"""
+
+
+@register("find_hybrid_as_of_vacuumed", _find_hybrid_as_of_vacuumed_oracle())
+def find_hybrid_as_of_vacuumed(spark, sf_dir):
+    """The snapshot HYBRID flagship served while the content / label /
+    meta / vector / relation op logs are PHYSICALLY VACUUMED — the
+    r14 'default substrate' capstone. Every as-of family is folded at
+    horizon 499_999 (the entire insert wave becomes each family's
+    durable base state) and the logs' fully-folded seq-bucket
+    partitions are DELETED from disk (serving.purge_log — the
+    reference's segment purge, nidx/src/scheduler/purge_tasks.rs:
+    26-43). The find then runs at a FRESH snapshot key through the
+    ordinary api.find_request path: each leg resolves from
+    (base state, retained partitions) via asof_from_vacuum — the
+    discarded history is never needed, and could not be read if it
+    were. The oracle resolves the FULL log at the same seq, so
+    equality re-proves the vacuum associativity on the end-to-end
+    flagship. Reads below the horizon raise the pinned-snapshot error
+    through FindRequest (tests/test_serving_substrate.py pins it on
+    an isolated corpus). The horizon sits at or below every snapshot
+    any graded query pins, so the session-wide purge is exactly the
+    vacuum a real deployment could run: old history gone, every
+    still-pinned snapshot served."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import api, serving
+
+    for fam, lname, lb, res, keys in _substrate_families(spark, sf_dir):
+        serving.vacuum_family(
+            spark, sf_dir, fam, lb, res, keys, _SERVE_VACUUM_H,
+            log_name=lname,
+        )
+    for lname in ("content_text", "labels", "meta", "vectors", "relations"):
+        serving.purge_log(spark, sf_dir, lname, _SERVE_VACUUM_H)
+    req = api.FindRequest(
+        query=_ASOF_HYBRID_Q,
+        features=["keyword", "semantic", "graph"],
+        top_k=10,
+        window=50,
+        query_vec_id=5,
+        as_of=_VAC_FLAGSHIP_SEQ,
+    )
+    return api.find_request(spark, sf_dir, req).select(
+        "id",
+        "score",
+        F.array_join("matched_sources", ",").alias("matched_sources"),
+    )
 
 
 def _cdc_vector_served_index(spark, sf_dir):
@@ -2883,6 +3050,84 @@ def cdc_fielded_search_served(spark, sf_dir):
     (pinned by tests/test_plan_shapes.py). Same oracle as the _live
     variant — stream == batch."""
     link_live, stats, corpus, _ = _cdc_link_live_index(spark, sf_dir)
+    return bm25.bm25_search(
+        None,
+        "refreshed revision stream",
+        top_k=20,
+        mode="any",
+        post=link_live,
+        stats=stats,
+        corpus=corpus,
+    )
+
+
+def _cdc_fielded_compacted_index(spark, sf_dir):
+    """Session-scoped streamed per-family index with the SCHEDULED
+    AUTOCOMPACTION executed between ingest and serve: stage the
+    field-grain op log, drain it through the exactly-once streaming
+    ingest, then run autocompact_fielded_index (the nidx log-bucket
+    policy — planned segments rewritten with dead rows purged and
+    superseded ops dropped, winning deletes retained, crash-safe
+    .bak swap). Kept in its OWN workdir: the compaction rewrite swaps
+    parquet tables on disk, and the uncompacted twin's session-cached
+    sidecars must keep their files."""
+    import tempfile
+
+    from nucliadb_spark.cache import cached_scalar
+
+    fm = tpch.fields_multi(spark, sf_dir)
+
+    def build() -> str:
+        workdir = tempfile.mkdtemp(prefix="cdcfc_idx_")
+        ingest.cdc_field_log(fm).repartition(3).write.parquet(f"{workdir}/log")
+        ingest.cdc_fielded_index_ingest(
+            spark, f"{workdir}/log", f"{workdir}/index", f"{workdir}/ckpt"
+        )
+        ingest.autocompact_fielded_index(spark, f"{workdir}/index")
+        return workdir
+
+    wd = cached_scalar(fm, sf_dir, "cdcfc_workdir", build)
+    post = spark.read.parquet(f"{wd}/index/postings")
+    oplog = spark.read.parquet(f"{wd}/index/oplog")
+    return post, oplog
+
+
+@register("cdc_fielded_search_served_compacted", _cdc_fielded_oracle())
+def cdc_fielded_search_served_compacted(spark, sf_dir):
+    """`cdc_fielded_search_served` with the SCHEDULED AUTOCOMPACTION
+    in the pipeline — the r14 'serve from a compacted sink' gate:
+    stream → autocompact_fielded_index → serve, graded against the
+    SAME oracle as the uncompacted twin. test_autocompaction proves
+    serve-reads-identical locally; this seat closes the loop at the
+    driver level: the rewrite physically purged dead per-family
+    segments and dropped superseded ops (keeping winning deletes that
+    still mask unplanned segments), and the BM25 ranking over the
+    compacted index must equal the log-replay oracle byte-for-byte.
+    Together with find_hybrid_as_of_vacuumed this makes
+    vacuumed+compacted the graded DEFAULT: op-log history vacuums,
+    streamed sinks autocompact, every serve read is identical.
+    Anchor: nidx/src/scheduler/log_merge.rs:59-110 (plan_merges) +
+    purge_tasks.rs:26-43 (deleted segments physically purged)."""
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark.cache import cached_df
+
+    post, oplog = _cdc_fielded_compacted_index(spark, sf_dir)
+    link_live = cached_df(
+        sf_dir,
+        "cdcfc_link_live_postings",
+        lambda: ingest.live_fielded_postings(
+            post.filter(F.col("field_key") == "/u/link"), oplog
+        ).select("rid", "term", "tf"),
+    )
+    stats = cached_df(
+        sf_dir,
+        "cdcfc_link_docstats",
+        lambda: bm25.doc_stats_from_postings(link_live),
+    )
+    corpus = cached_df(
+        sf_dir, "cdcfc_link_corpus", lambda: bm25.corpus_stats(stats)
+    )
     return bm25.bm25_search(
         None,
         "refreshed revision stream",

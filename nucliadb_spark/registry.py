@@ -38,82 +38,32 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-13 window policy (oldest-driver-evidence-first rotation; the
+# Round-14 window policy (oldest-driver-evidence-first rotation; the
 # membership invariant is mechanical — tests/test_registry_invariants.py
 # pins set(PRIORITY) == set(queries()) so no registered query can be
 # driver-unreachable, and `scripts/check.sh` runs those tests in
 # seconds so they gate every commit that touches the registry):
-# r13 clears the re-confirmation debt entirely — seats 0-25 are ALL
-# remaining pre-r8 seats (the 5 r6 + 21 r7 queries), then the new r13
-# queries, then the six r12/r11 queries whose SEMANTICS changed this
-# round (security/extra/origin and the entity-source attribute now
-# resolve from the metadata op log, so their prior grades describe
-# the old static-join semantics), then r8 seats alphabetical fill to
-# 50. After this window every seat's driver evidence is >= r8. The
-# tail holds every remaining query ordered by staleness (r8
-# remainder, r9, r10, r11, r12 — alphabetical within a round) so
+# the r14 window = the 4 new queries (the vacuumed-substrate flagship
+# twin, the serve-after-autocompaction gate, the derived-plane find,
+# the filtered graph search at a snapshot) + ALL 38 seats whose latest
+# driver evidence is r8 (the oldest tranche — clearing it lifts the
+# ledger-wide minimum evidence to r9) + r9 seats alphabetical to 50.
+# The r14 substrate change (vacuumed serving) is result-identical
+# plumbing — oracle parity re-proves every as-of query against the
+# unchanged full-log oracles — so no semantics reseats are owed this
+# round; the three new as-of queries exercise the new path directly.
+# The tail holds every remaining query ordered by staleness (r9
+# remainder, r10, r11, r12, r13 — alphabetical within a round) so
 # future rounds keep rotating forward. Local parity
 # (tests/test_oracle_parity.py) re-verifies ALL oracles every run, so
 # a stale seat is re-confirmation debt, not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # --- latest driver evidence: r6 — the oldest seats, graded first ---
-    "hydrate_conversation",
-    "hydrate_multi_field",
-    "hydrate_neighbours_depth2",
-    "json_kv_filter",
-    "keyword_filter",
-    # --- latest driver evidence: r7 — the rest of the stale ledger ---
-    "knn_maxsim",
-    "knn_min_score",
-    "knn_prefiltered",
-    "link_field_search",
-    "multimodal_decode",
-    "paragraph_search",
-    "paragraph_search_filtered",
-    "rag_field_extension",
-    "rag_metadata_extension",
-    "rerank_stub",
-    "resource_get",
-    "resources_list",
-    "stream_feedback_trend",
-    "suggest_paragraphs",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality",
-    "text_token_counts",
-    "url_dedup_exact",
-    "url_filter_hosts",
-    "vocab_stats",
-    # --- new r13 queries (seated once parity-green at sf0.001+0.01) ---
-    "find_hybrid_as_of_keyword_filtered",
-    "cdc_live_as_of_vacuumed",
-    "segment_autocompaction_plan",
-    "cdc_meta_live_served",
-    "catalog_facets_as_of_secured",
-    "find_secured_as_of_prelock",
-    # --- r13 semantics change: security/extra/origin now resolve from
-    # the metadata op log (lockdown wave observable) — reseated for regrade ---
-    "find_secured_as_of",
-    "find_hybrid_as_of_mixed",
-    "find_hybrid_as_of_kv",
-    "find_hybrid_as_of_entities",
-    "suggest_as_of_filtered",
-    "trainset_build_as_of",
-    # --- latest driver evidence: r8 — alphabetical fill to 50 ---
-    "ann_kmeans_step",
-    "ask_stub",
-    "batch_by_length",
-    "batch_knn",
-    "batch_knn_ivf",
-    "cdc_fielded_search_served",
-    "cdc_graph_search_live",
-    "cdc_graph_search_served",
-    "cdc_vector_search_served",
-    "export_image_classification",
-    "export_paragraph_streaming",
-    "export_question_answer",
-    # ---------------- end of the 50-seat graded window ----------------
-    # --- tail: r8 remainder (alphabetical) ---
+    # --- new r14 queries (parity-green at sf0.001+0.01 before seating) ---
+    "find_hybrid_as_of_vacuumed",
+    "cdc_fielded_search_served_compacted",
+    "find_hybrid_as_of_modified_range",
+    "graph_path_filtered_as_of",
+    # --- latest driver evidence: r8 — the oldest seats, graded first ---
     "export_sentence_classification",
     "export_token_classification",
     "fielded_compaction_plan",
@@ -152,7 +102,7 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "suggest_fielded",
     "text_pii_scan",
     "text_repetition",
-    # --- tail: latest driver evidence r9 (alphabetical) ---
+    # --- latest driver evidence: r9 — alphabetical fill to 50 ---
     "advanced_query_fielded",
     "ann_ivf_adaptive",
     "ann_ivf_geometric",
@@ -161,6 +111,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "ann_ivf_recall",
     "ann_ivf_sq8",
     "bm25_autocorrect",
+    # ---------------- end of the 50-seat graded window ----------------
+    # --- tail: r9 remainder (alphabetical) ---
     "bm25_batch_queries",
     "bm25_conjunctive",
     "bm25_explain",
@@ -337,6 +289,57 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "security_filter",
     "suggest_entities",
     "suggest_filtered",
+    # --- tail: latest driver evidence r13 (alphabetical) ---
+    "ann_kmeans_step",
+    "ask_stub",
+    "batch_by_length",
+    "batch_knn",
+    "batch_knn_ivf",
+    "catalog_facets_as_of_secured",
+    "cdc_fielded_search_served",
+    "cdc_graph_search_live",
+    "cdc_graph_search_served",
+    "cdc_live_as_of_vacuumed",
+    "cdc_meta_live_served",
+    "cdc_vector_search_served",
+    "export_image_classification",
+    "export_paragraph_streaming",
+    "export_question_answer",
+    "find_hybrid_as_of_entities",
+    "find_hybrid_as_of_keyword_filtered",
+    "find_hybrid_as_of_kv",
+    "find_hybrid_as_of_mixed",
+    "find_secured_as_of",
+    "find_secured_as_of_prelock",
+    "hydrate_conversation",
+    "hydrate_multi_field",
+    "hydrate_neighbours_depth2",
+    "json_kv_filter",
+    "keyword_filter",
+    "knn_maxsim",
+    "knn_min_score",
+    "knn_prefiltered",
+    "link_field_search",
+    "multimodal_decode",
+    "paragraph_search",
+    "paragraph_search_filtered",
+    "rag_field_extension",
+    "rag_metadata_extension",
+    "rerank_stub",
+    "resource_get",
+    "resources_list",
+    "segment_autocompaction_plan",
+    "stream_feedback_trend",
+    "suggest_as_of_filtered",
+    "suggest_paragraphs",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_token_counts",
+    "trainset_build_as_of",
+    "url_dedup_exact",
+    "url_filter_hosts",
+    "vocab_stats",
 ]
 
 

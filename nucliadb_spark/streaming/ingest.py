@@ -182,25 +182,48 @@ _UPD_SUFFIX = " refreshed revision"
 
 
 def cdc_log(fields: DataFrame) -> DataFrame:
-    """(rid, seq, op, text) versioned op log derived from a fields
-    frame — the test/bench stand-in for the reference's NATS stream."""
+    """(rid, seq, op, text, ts) versioned op log derived from a
+    fields frame — the test/bench stand-in for the reference's NATS
+    stream. ``ts`` is each op's COMMIT TIMESTAMP (what a real CDC
+    feed carries): the initial upsert commits at the resource's
+    recorded write time, the revision wave 30 days after creation,
+    the delete wave 60 — monotonic with seq per rid. It exists so
+    versioned-in-principle attributes DERIVABLE from the log
+    (``modified`` = ts of the rid's last op ≤ S — the index fast
+    field nidx sorts/ranges on, nidx/nidx_text/src/schema.rs:62-64)
+    resolve at a snapshot (api's 'derived' filter plane,
+    :func:`cdc_live_derived`). Frames without the metadata columns
+    (bare rid+text corpora) get null ts — their consumers never read
+    it."""
+    has_meta = "created" in fields.columns
+    null_ts = F.lit(None).cast("timestamp")
+    base_ts = F.col("modified") if has_meta else null_ts
+    upd_ts = (
+        F.col("created") + F.expr("INTERVAL 30 DAYS") if has_meta else null_ts
+    )
+    dele_ts = (
+        F.col("created") + F.expr("INTERVAL 60 DAYS") if has_meta else null_ts
+    )
     base = fields.select(
         "rid",
         F.col("rid").cast("long").alias("seq"),
         F.lit("upsert").alias("op"),
         "text",
+        base_ts.alias("ts"),
     )
     upd = fields.filter(F.col("rid") % 7 == 0).select(
         "rid",
         (F.col("rid") + 1_000_000).cast("long").alias("seq"),
         F.lit("upsert").alias("op"),
         F.concat(F.col("text"), F.lit(_UPD_SUFFIX)).alias("text"),
+        upd_ts.alias("ts"),
     )
     dele = fields.filter(F.col("rid") % 11 == 0).select(
         "rid",
         (F.col("rid") + 2_000_000).cast("long").alias("seq"),
         F.lit("delete").alias("op"),
         F.lit(None).cast("string").alias("text"),
+        dele_ts.alias("ts"),
     )
     return base.unionByName(upd).unionByName(dele)
 
@@ -293,6 +316,57 @@ def cdc_live_fields(log: DataFrame) -> DataFrame:
         .filter(F.col("last.op") == "upsert")
         .select("rid", F.col("last.text").alias("text"))
     )
+
+
+def cdc_live_derived(log: DataFrame) -> DataFrame:
+    """(rid, modified, n_chars) — the DERIVED metadata plane: both
+    attributes are pure functions of the content op log, so they
+    carry snapshot identity without any new log. ``modified`` at a
+    cut = the commit timestamp of the rid's last op at or below it
+    (for a live rid that is its winning upsert — the nidx fast field
+    semantics, nidx/nidx_text/src/search_query.rs:30-49, made
+    MVCC-correct: a revision after the snapshot must not move the
+    snapshot's modified). ``n_chars`` = the length of the as-of text
+    version. The static fields columns of the same names are the
+    catalog's denormalized TODAY-copies (r12 moved them out of
+    api._STATIC_COLS for exactly this reason); at a snapshot this
+    resolve is authoritative. Cut the log first (``seq <= S``) like
+    every other plane."""
+    return (
+        log.groupBy("rid")
+        .agg(F.max_by(F.struct("op", "text", "ts"), "seq").alias("last"))
+        .filter(F.col("last.op") == "upsert")
+        .select(
+            "rid",
+            F.col("last.ts").alias("modified"),
+            F.length("last.text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def cdc_derived_live_sql(fields_sql: str, as_of: int | None = None) -> str:
+    """DuckDB twin of cdc_log(ts) → cdc_live_derived, optionally cut
+    at a seq (the derived plane's snapshot read)."""
+    seq_where = f"WHERE seq <= {as_of}" if as_of is not None else ""
+    return f"""
+SELECT rid, modified, n_chars FROM (
+  SELECT rid, op, ts AS modified, CAST(length(text) AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT rid, CAST(rid AS BIGINT) AS seq, 'upsert' AS op, text,
+           modified AS ts
+    FROM ({fields_sql})
+    UNION ALL
+    SELECT rid, CAST(rid + 1000000 AS BIGINT), 'upsert',
+           text || '{_UPD_SUFFIX}', created + INTERVAL 30 DAY
+    FROM ({fields_sql}) WHERE rid % 7 = 0
+    UNION ALL
+    SELECT rid, CAST(rid + 2000000 AS BIGINT), 'delete', NULL,
+           created + INTERVAL 60 DAY
+    FROM ({fields_sql}) WHERE rid % 11 = 0
+  ) {seq_where}
+) WHERE rn = 1 AND op = 'upsert'
+"""
 
 
 def cdc_live_as_of(log: DataFrame, seq: int) -> DataFrame:

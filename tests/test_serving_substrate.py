@@ -1,0 +1,194 @@
+"""The r14 DEFAULT serving substrate (nucliadb_spark/serving.py):
+physical seq-bucket-partitioned op logs, durable per-snapshot family
+states, vacuum with PHYSICAL partition deletion, and the pinned-
+snapshot error surfaced through FindRequest.
+
+Vacuum mutates session-global per-(sf_dir, family) state and DELETES
+log partitions on disk, so every test here runs against an ISOLATED
+copy of the corpus directory — the shared sf_dir's substrate is never
+touched. Tests run in FILE ORDER and the later ones build on the
+earlier ones' vacuum state (the lifecycle a real deployment walks:
+serve → vacuum → purge → serve-from-vacuumed → late-reader error).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from nucliadb_spark import api, serving
+from nucliadb_spark.sources import tpch
+from nucliadb_spark.streaming import ingest
+
+H = 499_999  # folds the whole insert wave (rids < 250k)
+
+
+@pytest.fixture(scope="module")
+def iso_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("iso_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(str(d), f))
+    return str(d)
+
+
+def _content(spark, sf):
+    fields = tpch.fields(spark, sf)
+    return (lambda: ingest.cdc_log(fields)), ingest.cdc_live_fields
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+def test_seq_cut_is_partition_pruning(spark, iso_dir):
+    """A seq <= S cut on the physical log must prune seq_bucket
+    PARTITIONS, not filter a full scan — the property that keeps an
+    as-of read delta-proportional when the log is 100 TB."""
+    lb, _ = _content(spark, iso_dir)
+    cut = serving.log_upto(spark, iso_dir, "content_text", lb, 1_000_030)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "seq_bucket" in ln and "<= 4" in ln
+    ]
+    assert pruned, f"no seq_bucket partition filter in plan:\n{plan}"
+
+
+def test_state_as_of_matches_in_memory_resolution(spark, iso_dir):
+    """The durable substrate state == the in-memory seq-cut
+    resolution (the pre-r14 serving path) at several snapshots."""
+    lb, res = _content(spark, iso_dir)
+    log = lb()
+    for seq in (1_000_030, 1_500_000, 3_000_000):
+        served = serving.state_as_of(
+            spark, iso_dir, "content_text", lb, res, ("rid",), seq
+        )
+        assert _rows(served) == _rows(ingest.cdc_live_as_of(log, seq))
+
+
+def test_purge_refuses_when_a_family_is_behind(spark, iso_dir):
+    """Two families share the content log; purging past the horizon
+    of either must refuse — deleting partitions a consumer can still
+    legally read would silently corrupt its snapshots. (Runs BEFORE
+    the purge test: afterwards the refusal would be moot.)"""
+    lb, res = _content(spark, iso_dir)
+    # register the second family on the same log, NOT vacuumed yet
+    serving.state_as_of(
+        spark,
+        iso_dir,
+        "stub_embeddings",
+        lb,
+        api.stub_embed_live,
+        ("rid",),
+        1_500_000,
+        log_name="content_text",
+    )
+    serving.vacuum_family(
+        spark, iso_dir, "content_text", lb, res, ("rid",), H
+    )
+    with pytest.raises(ValueError, match="cannot purge"):
+        serving.purge_log(spark, iso_dir, "content_text", H)
+
+
+def test_vacuum_purge_serves_above_and_raises_below(spark, iso_dir):
+    """After every content-log family folds and purge_log runs, the
+    folded partitions are PHYSICALLY GONE, reads at/above the horizon
+    still equal the full-history resolution, and reads below raise."""
+    lb, res = _content(spark, iso_dir)
+    expected = {
+        seq: _rows(ingest.cdc_live_as_of(lb(), seq))
+        for seq in (H, 1_500_000, 3_000_000)
+    }
+    serving.vacuum_family(
+        spark, iso_dir, "content_text", lb, res, ("rid",), H
+    )
+    serving.vacuum_family(
+        spark, iso_dir, "stub_embeddings", lb, api.stub_embed_live,
+        ("rid",), H, log_name="content_text",
+    )
+    deleted = serving.purge_log(spark, iso_dir, "content_text", H)
+    assert deleted >= 1
+    key = serving._key(spark, iso_dir, "content_text")
+    log_dir = os.path.join(serving._LOG_DIRS[key], "log")
+    buckets = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(log_dir)
+        if p.startswith("seq_bucket=")
+    )
+    # buckets 0 and 1 hold only seqs <= 499_999 — both must be gone
+    assert buckets and min(buckets) >= 2, buckets
+    for seq, exp in expected.items():
+        served = serving.state_as_of(
+            spark, iso_dir, "content_text", lb, res, ("rid",), seq
+        )
+        assert _rows(served) == exp, f"seq {seq} diverged post-vacuum"
+    with pytest.raises(ValueError, match="below the vacuum horizon"):
+        serving.state_as_of(
+            spark, iso_dir, "content_text", lb, res, ("rid",), 100_000
+        )
+
+
+def test_find_request_below_horizon_raises(spark, iso_dir):
+    """The pinned-snapshot error surfaces through the PUBLIC API: the
+    same FindRequest that succeeds at/above the horizon raises below
+    it (asof_text_index/asof_live_state route through the
+    substrate)."""
+    ok = api.find_request(
+        spark,
+        iso_dir,
+        api.FindRequest(
+            query="refreshed revision stream",
+            features=["keyword"],
+            top_k=5,
+            as_of=1_500_000,
+        ),
+    )
+    assert ok.count() > 0
+    with pytest.raises(ValueError, match="below the vacuum horizon"):
+        api.find_request(
+            spark,
+            iso_dir,
+            api.FindRequest(
+                query="refreshed revision stream",
+                features=["keyword"],
+                top_k=5,
+                as_of=100_000,
+            ),
+        ).collect()
+
+
+def test_late_family_on_purged_log_raises(spark, iso_dir):
+    """A family first read AFTER its shared log was purged has no
+    base covering the deleted partitions — computing its state from
+    the gappy log would silently drop the purged ops (the bug the r14
+    sf0.01 smoke caught: the derived plane registered after the
+    vacuum twin purged the content log). The purge floor turns that
+    into a loud error."""
+    lb, _ = _content(spark, iso_dir)
+    with pytest.raises(ValueError, match="physically purged"):
+        serving.state_as_of(
+            spark,
+            iso_dir,
+            "late_family",
+            lb,
+            ingest.cdc_live_derived,
+            ("rid",),
+            1_500_000,
+            log_name="content_text",
+        )
+
+
+def test_vacuumed_base_is_durable_parquet(spark, iso_dir):
+    """The vacuum's base state is a durable on-disk artifact (the
+    family's serving segment at the horizon), not a lazy plan over
+    history that may be deleted."""
+    d = serving._FAM_DIRS[serving._key(spark, iso_dir, "content_text")]
+    base = os.path.join(d, f"base_h{H}")
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    n = spark.read.parquet(base).count()
+    # the insert wave: every rid, folded once
+    assert n == tpch.fields(spark, iso_dir).count()
