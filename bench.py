@@ -144,6 +144,21 @@ HEADLINE = [
     # resolve since the retained delta is the post-horizon ops only)
     "find_hybrid_as_of_keyword_filtered",
     "cdc_live_as_of_vacuumed",
+    # round 14: the DEFAULT-substrate paths — the flagship served
+    # while the op logs are physically vacuumed+purged (warm run =
+    # the cached snapshot sidecars, same as find_hybrid_as_of; the
+    # vacuum/purge itself is a one-time maintenance pass in the cold
+    # run), search over the autocompacted streamed sink (steady-state
+    # = the cached alive-masked postings, same as the uncompacted
+    # twin), the derived-plane filtered flagship (modified/n_chars
+    # from the content log — one more resolve over the SAME physical
+    # log the keyword corpus reads), and the filtered graph search at
+    # a snapshot (relation+label+meta states from the shared as-of
+    # sidecars + one provenance semijoin)
+    "find_hybrid_as_of_vacuumed",
+    "cdc_fielded_search_served_compacted",
+    "find_hybrid_as_of_modified_range",
+    "graph_path_filtered_as_of",
 ]
 
 

@@ -2812,20 +2812,51 @@ def find_hybrid_as_of_vacuumed(spark, sf_dir):
     flagship. Reads below the horizon raise the pinned-snapshot error
     through FindRequest (tests/test_serving_substrate.py pins it on
     an isolated corpus). The horizon sits at or below every snapshot
-    any graded query pins, so the session-wide purge is exactly the
-    vacuum a real deployment could run: old history gone, every
-    still-pinned snapshot served."""
+    any graded query pins, so this is exactly the vacuum a real
+    deployment could run: old history gone, every still-pinned
+    snapshot served.
+
+    The vacuum runs against a PRIVATE copy of the corpus directory
+    (same bytes, so the oracle is unchanged): purge is session-global
+    and irreversible per (corpus, family), and a graded query must
+    not decide vacuum POLICY for every other query sharing the
+    session's corpus — a sibling legitimately pinning a snapshot
+    below this horizon (test_find_api's backfill reads at seq 0/300)
+    must keep its history. The machinery exercised is identical; only
+    the blast radius is scoped."""
+    import os
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from nucliadb_spark import api, serving
+    from nucliadb_spark.cache import cached_scalar
 
-    for fam, lname, lb, res, keys in _substrate_families(spark, sf_dir):
+    fields = tpch.fields(spark, sf_dir)
+
+    def make_private_corpus() -> str:
+        d = tempfile.mkdtemp(prefix="vac_twin_corpus_")
+        for f in os.listdir(sf_dir):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(sf_dir, f)
+            # testdata ships single files; spark-written replicas
+            # (the 10x probe fixture) are directories
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(d, f))
+            else:
+                shutil.copy(src, os.path.join(d, f))
+        return d
+
+    vdir = cached_scalar(fields, sf_dir, "vac_twin_dir", make_private_corpus)
+    for fam, lname, lb, res, keys in _substrate_families(spark, vdir):
         serving.vacuum_family(
-            spark, sf_dir, fam, lb, res, keys, _SERVE_VACUUM_H,
+            spark, vdir, fam, lb, res, keys, _SERVE_VACUUM_H,
             log_name=lname,
         )
     for lname in ("content_text", "labels", "meta", "vectors", "relations"):
-        serving.purge_log(spark, sf_dir, lname, _SERVE_VACUUM_H)
+        serving.purge_log(spark, vdir, lname, _SERVE_VACUUM_H)
     req = api.FindRequest(
         query=_ASOF_HYBRID_Q,
         features=["keyword", "semantic", "graph"],
@@ -2834,7 +2865,7 @@ def find_hybrid_as_of_vacuumed(spark, sf_dir):
         query_vec_id=5,
         as_of=_VAC_FLAGSHIP_SEQ,
     )
-    return api.find_request(spark, sf_dir, req).select(
+    return api.find_request(spark, vdir, req).select(
         "id",
         "score",
         F.array_join("matched_sources", ",").alias("matched_sources"),

@@ -337,19 +337,22 @@ def test_as_of_filter_resolves_label_state_at_the_seq(spark, sf_dir):
 
 
 def test_as_of_rejects_oplogless_versioned_filters(spark, sf_dir):
-    """Predicates over versioned state with NO op log in this corpus
-    model (`modified`, `n_chars`) have no snapshot identity — the
-    composition must raise, not silently answer against mixed
-    snapshots. Everything WITH an op log composes as of r13 (labels,
-    security/extra/origin, text keywords); the classifier must
-    reject exactly the op-log-less leaves."""
-    from nucliadb_spark.operators.filters import And, Facet, FieldEquals
+    """Predicates over versioned state with NO op log and no
+    derivation from one (an unknown keyword column, a KV path over a
+    non-logged column) have no snapshot identity — the composition
+    must raise, not silently answer against mixed snapshots.
+    Everything WITH an op log composes as of r13 (labels,
+    security/extra/origin, text keywords), and r14 lifted
+    `modified`/`n_chars` into the DERIVED plane (pure functions of
+    the content log) — the classifier must reject exactly the
+    remaining op-log-less leaves."""
+    from nucliadb_spark.operators.filters import And, Facet, Keyword
 
     req = api.FindRequest(
         query="spark join window",
         features=["keyword"],
         as_of=1_500_000,
-        filters=And([Facet("/s/p/en"), FieldEquals("n_chars", 100)]),
+        filters=And([Facet("/s/p/en"), Keyword("merge", column="title")]),
     )
     with pytest.raises(ValueError, match="snapshot identity"):
         api.find_request(spark, sf_dir, req)
@@ -360,8 +363,9 @@ def test_filter_planes_classifier():
     the label log; security/extra/origin are PATCHable metadata
     (writer.py:155-169) resolving from the METADATA log; text
     keywords resolve from the CONTENT log; immutable identity
-    (created, rid) is snapshot-independent; op-log-less versioned
-    state (`modified`, `n_chars`) rejects."""
+    (created, rid) is snapshot-independent; `modified`/`n_chars`
+    DERIVE from the content log (r14 — the derived plane); versioned
+    state with neither an op log nor a derivation rejects."""
     from nucliadb_spark.api import _filter_planes
     from nucliadb_spark.operators.filters import (
         And,
@@ -393,13 +397,13 @@ def test_filter_planes_classifier():
         JsonPath("text", "k", "eq", 1, kind="int")
     ) == {"versioned"}
     # modified tracks writes, n_chars describes the versioned text —
-    # neither has an op log, so neither may compose with as_of even
-    # though this fixture never revises them (the classification
-    # encodes semantics, not data)
+    # no op log of their own, but both are PURE FUNCTIONS of the
+    # content log (modified = last op's commit ts, n_chars = as-of
+    # text length), so r14 classifies them as the 'derived' plane
     assert _filter_planes(
         DateRange("modified", since="2024-01-01")
-    ) == {"versioned"}
-    assert _filter_planes(FieldEquals("n_chars", 100)) == {"versioned"}
+    ) == {"derived"}
+    assert _filter_planes(FieldEquals("n_chars", 100)) == {"derived"}
     mixed = And(
         [Or([Facet("/s/p/de"), Facet("/s/p/fr")]), SecurityFilter(groups=["g"])]
     )
