@@ -159,6 +159,12 @@ HEADLINE = [
     "cdc_fielded_search_served_compacted",
     "find_hybrid_as_of_modified_range",
     "graph_path_filtered_as_of",
+    # the stream-MAINTAINED substrate serve (two-tranche drain + two
+    # snapshot cuts through the ordinary substrate path; warm = the
+    # durable state artifacts) and the deletion-list purge plan (one
+    # pruned log scan -> segment-count-sized report)
+    "cdc_substrate_stream_served",
+    "purge_deletions_plan",
 ]
 
 

@@ -546,6 +546,46 @@ def segment_autocompaction_plan(spark, sf_dir):
     return ingest.autocompaction_plan(ingest.segment_inventory(log))
 
 
+# mid-delete-wave maintenance point: deletions at seq 2M+rid (rid%11)
+# run 2_000_000..2_000_495; the scheduler fires with everything at or
+# below 2_000_300 indexed EXCEPT an in-flight straggler window — the
+# unordered-indexing reality purge_deletions' second bound exists for
+_PURGE_LAST_INDEXED = 2_000_300
+_PURGE_PENDING = (2_000_150, 2_000_190)
+
+
+@register(
+    "purge_deletions_plan",
+    ingest.purge_deletions_plan_sql(
+        ingest.CDC_LOG_SQL, _PURGE_LAST_INDEXED, *_PURGE_PENDING
+    ),
+)
+def purge_deletions_plan(spark, sf_dir):
+    """(segment_id, purge_cut, n_deletions, n_purgeable) — the
+    deletion-list purge pass (the OTHER half of scheduled
+    maintenance, composing with `segment_autocompaction_plan`): which
+    deletion entries can be physically dropped once the scheduled
+    merges execute. A deletion at seq s masks only segments with
+    seq < s; a merged segment is created carrying the merge job's seq
+    (= last_indexed at scheduling — nidx/src/worker.rs:194) with
+    every deletion <= job.seq already applied; and a message older
+    than last_indexed can still be in flight. Hence the double bound
+    the reference's SQL applies verbatim (purge_tasks.rs:47-63):
+    purgeable iff seq <= MIN(post-merge live segment seq) AND
+    seq <= oldest_pending. On this fixture the whole inventory
+    merges (every segment sits in the shared bottom bucket at nidx's
+    default 10k threshold), so the binding bound is the in-flight
+    straggler window — `purge_cut` is hash-pinned in the output so
+    the merge-plan interaction itself is graded, and
+    tests/test_purge_deletions.py pins the kept-segment direction
+    (a bucket that does NOT merge holds the cut down) on a crafted
+    log. Report is segment-count-sized at any corpus size."""
+    log = ingest.cdc_log(tpch.fields(spark, sf_dir))
+    return ingest.purge_deletions_plan(
+        log, _PURGE_LAST_INDEXED, *_PURGE_PENDING
+    )
+
+
 # --- cross-document duplicate spans (Lee et al. exact-substring stats) ------
 
 

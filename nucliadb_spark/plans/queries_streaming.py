@@ -2872,6 +2872,86 @@ def find_hybrid_as_of_vacuumed(spark, sf_dir):
     )
 
 
+# a post-delete-wave cut: every op in the log is at or below it, so
+# the state here IS the live corpus — the second tranche's effect
+_STREAM_LIVE_SEQ = 2_500_000
+
+
+def _substrate_stream_oracle() -> str:
+    return f"""
+SELECT * FROM (
+  SELECT CAST({_AS_OF_SEQ} AS BIGINT) AS cut, rid, text
+  FROM ({ingest.cdc_live_as_of_sql(_AS_OF_SEQ)})
+  UNION ALL
+  SELECT CAST({_STREAM_LIVE_SEQ} AS BIGINT), rid, text
+  FROM ({ingest.cdc_live_as_of_sql(_STREAM_LIVE_SEQ)})
+) ORDER BY cut, rid
+"""
+
+
+@register("cdc_substrate_stream_served", _substrate_stream_oracle())
+def cdc_substrate_stream_served(spark, sf_dir):
+    """The serving substrate MAINTAINED BY STRUCTURED STREAMING — the
+    batch materialization's honest stand-in closed (serving.py's
+    module docstring flagged it): the content op log arrives in two
+    tranches (inserts+revisions, then the delete wave), each drained
+    by serving.stream_maintained_log — readStream → foreachBatch
+    appending into the SAME seq-bucket-partitioned layout the batch
+    substrate writes, the checkpoint's file tracking making the
+    second drain incremental (only the new tranche's files are read —
+    the reference's indexer consuming its NATS stream,
+    nidx/src/indexer.rs:121-253). Both snapshot cuts then serve
+    through the ordinary substrate path (serving.state_as_of with NO
+    log builder — the stream is the only writer): the mid cut at
+    seq 1.5M must exclude the second tranche's deletes even though
+    the physical log contains them (partition-pruned seq cut), and
+    the post-wave cut must reflect them (the maintenance genuinely
+    advanced). One seat grades both directions against the full-log
+    oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nucliadb_spark import serving
+    from nucliadb_spark.cache import cached_scalar
+
+    fields = tpch.fields(spark, sf_dir)
+    log_name = "content_text_streamed"
+
+    def maintain() -> bool:
+        wd = tempfile.mkdtemp(prefix="substrate_stream_")
+        arrivals, ckpt = f"{wd}/arrivals", f"{wd}/ckpt"
+        log = ingest.cdc_log(fields)
+        log.filter(F.col("seq") <= _AS_OF_SEQ).repartition(4).write.mode(
+            "append"
+        ).parquet(arrivals)
+        serving.stream_maintained_log(spark, sf_dir, log_name, arrivals, ckpt)
+        log.filter(F.col("seq") > _AS_OF_SEQ).repartition(2).write.mode(
+            "append"
+        ).parquet(arrivals)
+        serving.stream_maintained_log(spark, sf_dir, log_name, arrivals, ckpt)
+        return True
+
+    cached_scalar(fields, sf_dir, "substrate_stream_maintained", maintain)
+
+    def state(seq: int):
+        return serving.state_as_of(
+            spark,
+            sf_dir,
+            log_name,
+            None,
+            ingest.cdc_live_fields,
+            ("rid",),
+            seq,
+        ).select(F.lit(seq).cast("long").alias("cut"), "rid", "text")
+
+    return (
+        state(_AS_OF_SEQ)
+        .unionByName(state(_STREAM_LIVE_SEQ))
+        .orderBy("cut", "rid")
+    )
+
+
 def _cdc_vector_served_index(spark, sf_dir):
     """Session-scoped STREAMED vector index: stage the vector op log
     once, drain it through cdc_vector_ingest (upserts get their IVF

@@ -43,11 +43,13 @@ def register(name: str, oracle: str | None = None):
 # pins set(PRIORITY) == set(queries()) so no registered query can be
 # driver-unreachable, and `scripts/check.sh` runs those tests in
 # seconds so they gate every commit that touches the registry):
-# the r14 window = the 4 new queries (the vacuumed-substrate flagship
+# the r14 window = the 6 new queries (the vacuumed-substrate flagship
 # twin, the serve-after-autocompaction gate, the derived-plane find,
-# the filtered graph search at a snapshot) + ALL 38 seats whose latest
-# driver evidence is r8 (the oldest tranche — clearing it lifts the
-# ledger-wide minimum evidence to r9) + r9 seats alphabetical to 50.
+# the filtered graph search at a snapshot, the stream-maintained
+# substrate serve, the deletion-list purge plan) + ALL 38 seats whose
+# latest driver evidence is r8 (the oldest tranche — clearing it
+# lifts the ledger-wide minimum evidence to r9) + r9 seats
+# alphabetical to 50.
 # The r14 substrate change (vacuumed serving) is result-identical
 # plumbing — oracle parity re-proves every as-of query against the
 # unchanged full-log oracles — so no semantics reseats are owed this
@@ -63,6 +65,8 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "cdc_fielded_search_served_compacted",
     "find_hybrid_as_of_modified_range",
     "graph_path_filtered_as_of",
+    "cdc_substrate_stream_served",
+    "purge_deletions_plan",
     # --- latest driver evidence: r8 — the oldest seats, graded first ---
     "export_sentence_classification",
     "export_token_classification",
@@ -109,10 +113,10 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "ann_ivf_pq",
     "ann_ivf_probe",
     "ann_ivf_recall",
-    "ann_ivf_sq8",
-    "bm25_autocorrect",
     # ---------------- end of the 50-seat graded window ----------------
     # --- tail: r9 remainder (alphabetical) ---
+    "ann_ivf_sq8",
+    "bm25_autocorrect",
     "bm25_batch_queries",
     "bm25_conjunctive",
     "bm25_explain",

@@ -40,8 +40,10 @@ advance nidx/src/indexer.rs:121-253 (the same associativity that
 makes (base, retained) serving exact).
 
 At 100 TB: the physical log IS the table (no per-session rewrite —
-here the materialization step stands in for the stream sink that
-would maintain it); seq buckets are sized by bytes not count; vacuum
+:func:`stream_maintained_log` is that stream sink: foreachBatch
+appends in arrival order with incremental checkpointed drains, and
+the batch materialization remains only as the fixture bootstrap);
+seq buckets are sized by bytes not count; vacuum
 drops whole partitions (a metadata operation); the durable states are
 the family's serving segments, exactly the artifacts a compacted
 index serves live reads from.
@@ -103,6 +105,13 @@ def physical_log(
     key = _key(spark, sf_dir, log_name)
     d = _LOG_DIRS.get(key)
     if d is None:
+        if log_builder is None:
+            raise ValueError(
+                f"log '{log_name}' has no materialized serving layout "
+                "and no builder was given — a stream-maintained log "
+                "must be populated via stream_maintained_log before "
+                "the substrate can serve from it"
+            )
         d = tempfile.mkdtemp(prefix=f"serving_{log_name}_")
         log_builder().withColumn(
             "seq_bucket",
@@ -112,6 +121,59 @@ def physical_log(
         )
         _LOG_DIRS[key] = d
     return spark.read.parquet(f"{d}/log")
+
+
+def stream_maintained_log(
+    spark: SparkSession,
+    sf_dir: str,
+    log_name: str,
+    arrival_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Maintain the physical serving log with STRUCTURED STREAMING —
+    the stream sink the module docstring's batch materialization
+    stood in for. ``readStream`` over the arrival directory,
+    ``foreachBatch`` appending each micro-batch into the SAME
+    seq-bucket-partitioned layout :func:`physical_log` writes, with
+    the checkpoint's file tracking making each drain incremental
+    (calling again after new files arrive appends ONLY the new ops —
+    the availableNow analog of the always-on maintenance sink,
+    mirroring the reference's indexer consuming its NATS stream,
+    nidx/src/indexer.rs:121-253). Registers the directory so every
+    substrate read (:func:`log_upto` / :func:`state_as_of` /
+    :func:`vacuum_family`) serves from the stream-maintained table
+    with the same partition-pruned seq cuts.
+
+    Micro-batch appends leave one file per batch per touched bucket —
+    exactly the small-segment accumulation the scheduled
+    autocompaction pass exists to rewrite (ingest._autocompact_index);
+    the read path is layout-agnostic either way. At 100 TB this is
+    the ingestion story: the log is never rebuilt, it is APPENDED in
+    arrival order, and seq buckets keep every historical read
+    delta-proportional."""
+    key = _key(spark, sf_dir, log_name)
+    d = _LOG_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"serving_{log_name}_")
+        _LOG_DIRS[key] = d
+    log_dir = f"{d}/log"
+    schema = spark.read.parquet(arrival_dir).schema
+    stream = spark.readStream.schema(schema).parquet(arrival_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn(
+            "seq_bucket",
+            F.floor(F.col("seq") / F.lit(SEQ_BUCKET_WIDTH)).cast("long"),
+        ).write.mode("append").partitionBy("seq_bucket").parquet(log_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(log_dir)
 
 
 def log_upto(

@@ -977,6 +977,169 @@ def autocompact_relation_index(
     )
 
 
+# --- deletion-list purge plan (the OTHER half of scheduled maintenance) ----
+# Autocompaction merges segments; the reference's purge pass then
+# drops deletion-list entries that can no longer apply to ANY segment
+# (nidx/src/scheduler/purge_tasks.rs:47-63): a deletion at seq s masks
+# only segments with seq < s, a merged segment is created carrying the
+# merge job's seq = last_indexed_seq (nidx/src/worker.rs:194, with
+# every deletion <= job.seq already applied during the merge,
+# worker.rs:138), and indexing is NOT seq-ordered — a message older
+# than last_indexed can still be in flight — so the purge is doubly
+# bounded: deletions.seq <= MIN(live segment seq) AND
+# deletions.seq <= oldest_pending_seq (a pending message at seq p
+# would build a segment with seq p that every deletion > p must still
+# mask). This is why compaction UNLOCKS deletion purge: merging the
+# old segments lifts MIN(segment seq) to the job seq.
+
+
+def purge_deletions_plan(
+    log: DataFrame,
+    last_indexed: int,
+    pending_lo: int,
+    pending_hi: int,
+    seg_bucket: int = SEG_BUCKET,
+    min_segments: int = MERGE_MIN_SEGMENTS,
+    top_max: int = MERGE_TOP_MAX_RECORDS,
+    bottom: int = MERGE_BOTTOM_THRESHOLD,
+) -> DataFrame:
+    """(segment_id, purge_cut, n_deletions, n_purgeable) — which
+    deletion-list entries the purge pass may physically drop AFTER
+    the scheduled merge plan executes, per deletion-wave segment.
+
+    The indexed inventory is the log at or below ``last_indexed``
+    minus the in-flight straggler window [pending_lo, pending_hi]
+    (indexing is unordered; ``oldest_pending_seq = pending_lo``).
+    The scheduled plan (:func:`autocompaction_plan`, the graded
+    policy) runs over that inventory; merged/purged segments are
+    rewritten carrying ``last_indexed`` (worker.rs:194), kept/skipped
+    segments retain their own max op seq. ``purge_cut`` =
+    LEAST(MIN(post-merge segment seq), oldest_pending) — the exact
+    double bound of purge_deletions' SQL — and a deletion entry is
+    purgeable iff its seq is at or below it. Hash-pinning purge_cut
+    in the output grades the merge-plan interaction itself, not just
+    the final verdicts.
+
+    Plan shape: inventory + plan are segment-count-sized aggregates
+    of ONE pruned log scan; the 1-row cut broadcasts back. At 100 TB
+    the report stays segment-count-sized — the same property the
+    autocompaction plan query pins."""
+    indexed = log.filter(
+        (F.col("seq") <= last_indexed)
+        & ~((F.col("seq") >= pending_lo) & (F.col("seq") <= pending_hi))
+    )
+    seg = F.floor(F.col("seq") / F.lit(seg_bucket)).cast("long")
+    plan = autocompaction_plan(
+        segment_inventory(indexed, seg_bucket), min_segments, top_max, bottom
+    )
+    seg_seq = indexed.groupBy(seg.alias("segment_id")).agg(
+        F.max("seq").alias("seg_seq")
+    )
+    cut = (
+        plan.join(seg_seq, "segment_id")
+        .select(
+            F.when(
+                F.col("action").isin("merge", "purge"), F.lit(last_indexed)
+            )
+            .otherwise(F.col("seg_seq"))
+            .alias("post_seq")
+        )
+        .agg(
+            F.least(F.min("post_seq"), F.lit(pending_lo))
+            .cast("long")
+            .alias("purge_cut")
+        )
+    )
+    return (
+        indexed.filter(F.col("op") == "delete")
+        .withColumn("segment_id", seg)
+        .crossJoin(F.broadcast(cut))
+        .groupBy("segment_id", "purge_cut")
+        .agg(
+            F.count("*").cast("long").alias("n_deletions"),
+            F.sum((F.col("seq") <= F.col("purge_cut")).cast("int"))
+            .cast("long")
+            .alias("n_purgeable"),
+        )
+        .select("segment_id", "purge_cut", "n_deletions", "n_purgeable")
+        .orderBy("segment_id")
+    )
+
+
+def purge_deletions_plan_sql(
+    log_sql: str,
+    last_indexed: int,
+    pending_lo: int,
+    pending_hi: int,
+    seg_bucket: int = SEG_BUCKET,
+    min_segments: int = MERGE_MIN_SEGMENTS,
+    top_max: int = MERGE_TOP_MAX_RECORDS,
+    bottom: int = MERGE_BOTTOM_THRESHOLD,
+) -> str:
+    """DuckDB twin of :func:`purge_deletions_plan` — replays the
+    indexed-inventory cut, the scheduled plan, the post-merge segment
+    seqs, and the double-bounded purge predicate."""
+    from nucliadb_spark.functions.text import tokenize_sql
+
+    return f"""
+WITH raw AS (
+  SELECT * FROM ({log_sql})
+  WHERE seq <= {last_indexed}
+    AND NOT (seq BETWEEN {pending_lo} AND {pending_hi})
+),
+log AS (
+  SELECT rid, seq, op, text,
+         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
+  FROM raw
+),
+inv AS (
+  SELECT seq // {seg_bucket} AS segment_id,
+         CAST(COALESCE(SUM(CASE WHEN op = 'upsert'
+              THEN len(list_distinct({tokenize_sql('text')})) END), 0)
+              AS BIGINT) AS records,
+         CAST(COUNT(CASE WHEN op = 'upsert' AND rn > 1 THEN 1 END)
+              AS BIGINT) AS n_dead,
+         MAX(seq) AS seg_seq
+  FROM log GROUP BY 1
+),
+small AS (
+  SELECT *, CAST(length(bin(greatest(records, {bottom}))) - 1 AS BIGINT)
+            AS bucket
+  FROM inv WHERE records <= {top_max}
+),
+by_bucket AS (
+  SELECT bucket, COUNT(*) AS n_in_bucket,
+         MAX(CASE WHEN n_dead > 0 THEN 1 ELSE 0 END) AS any_forced
+  FROM small GROUP BY 1
+),
+planned AS (
+  SELECT segment_id, seg_seq,
+         CASE WHEN n_dead > 0 THEN 'purge' ELSE 'skip' END AS action
+  FROM inv WHERE records > {top_max}
+  UNION ALL
+  SELECT s.segment_id, s.seg_seq,
+         CASE WHEN b.n_in_bucket >= {min_segments} OR b.any_forced = 1
+              THEN 'merge' ELSE 'keep' END AS action
+  FROM small s JOIN by_bucket b USING (bucket)
+),
+cut AS (
+  SELECT CAST(LEAST(
+           MIN(CASE WHEN action IN ('merge', 'purge')
+                    THEN {last_indexed} ELSE seg_seq END),
+           {pending_lo}) AS BIGINT) AS purge_cut
+  FROM planned
+)
+SELECT seq // {seg_bucket} AS segment_id, cut.purge_cut,
+       CAST(COUNT(*) AS BIGINT) AS n_deletions,
+       CAST(SUM(CASE WHEN seq <= cut.purge_cut THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purgeable
+FROM raw, cut
+WHERE op = 'delete'
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 # --- field-level CDC (S1 at FIELD granularity) ------------------------------
 #
 # The reference's writer mutates individual FIELDS of a resource

@@ -192,3 +192,91 @@ def test_vacuumed_base_is_durable_parquet(spark, iso_dir):
     n = spark.read.parquet(base).count()
     # the insert wave: every rid, folded once
     assert n == tpch.fields(spark, iso_dir).count()
+
+
+# --- stream-maintained serving log (r14: the batch stand-in closed) --------
+
+
+def _stream_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "rid long, seq long, op string, text string"
+    )
+
+
+def test_stream_maintained_log_serves_and_advances(spark, tmp_path):
+    """The physical serving log maintained by Structured Streaming:
+    tranche 1 drains and serves; tranche 2 (a delete) arrives, a
+    SECOND drain picks up only the new files (checkpoint file
+    tracking), the live cut reflects it, and the earlier snapshot
+    cut — whose durable state artifact predates the delete — is
+    untouched."""
+    key_dir = str(tmp_path)
+    arrivals = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    _stream_rows(
+        spark,
+        [
+            (1, 0, "upsert", "alpha one"),
+            (2, 1, "upsert", "beta two"),
+            (1, 300_000, "upsert", "alpha revised"),
+        ],
+    ).write.mode("append").parquet(arrivals)
+    serving.stream_maintained_log(spark, key_dir, "stream_t", arrivals, ckpt)
+    mid = serving.state_as_of(
+        spark, key_dir, "stream_t", None, ingest.cdc_live_fields,
+        ("rid",), 400_000,
+    )
+    assert _rows(mid) == [(1, "alpha revised"), (2, "beta two")]
+
+    _stream_rows(spark, [(2, 600_000, "delete", None)]).write.mode(
+        "append"
+    ).parquet(arrivals)
+    serving.stream_maintained_log(spark, key_dir, "stream_t", arrivals, ckpt)
+    live = serving.state_as_of(
+        spark, key_dir, "stream_t", None, ingest.cdc_live_fields,
+        ("rid",), 700_000,
+    )
+    assert _rows(live) == [(1, "alpha revised")]
+    # the pinned earlier snapshot still serves from its artifact
+    assert _rows(
+        serving.state_as_of(
+            spark, key_dir, "stream_t", None, ingest.cdc_live_fields,
+            ("rid",), 400_000,
+        )
+    ) == [(1, "alpha revised"), (2, "beta two")]
+
+
+def test_stream_maintained_seq_cut_is_partition_pruning(spark, tmp_path):
+    """Seq cuts on the STREAM-maintained layout prune seq_bucket
+    partitions exactly like the batch-materialized one — appends via
+    foreachBatch land in the same partitioned table."""
+    key_dir = str(tmp_path)
+    arrivals = str(tmp_path / "arrivals")
+    _stream_rows(
+        spark,
+        [(1, 10, "upsert", "a"), (2, 300_000, "upsert", "b"),
+         (3, 600_000, "upsert", "c")],
+    ).write.mode("append").parquet(arrivals)
+    serving.stream_maintained_log(
+        spark, key_dir, "stream_p", arrivals, str(tmp_path / "ckpt")
+    )
+    cut = serving.log_upto(spark, key_dir, "stream_p", None, 300_000)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "seq_bucket" in ln and "<= 1" in ln
+    ]
+    assert pruned, f"no seq_bucket partition filter in plan:\n{plan}"
+    assert {r["rid"] for r in cut.collect()} == {1, 2}
+
+
+def test_unfed_stream_log_raises(spark, tmp_path):
+    """A substrate read against a log that was never populated (no
+    builder, no stream drain) must fail loudly, not invent an empty
+    corpus."""
+    with pytest.raises(ValueError, match="stream_maintained_log"):
+        serving.state_as_of(
+            spark, str(tmp_path), "never_fed", None,
+            ingest.cdc_live_fields, ("rid",), 10,
+        )
