@@ -20,7 +20,11 @@ history:
   segment. A later read (or a cache-evicted plan recompute) reads the
   artifact, never the history that produced it. This is what makes
   PHYSICAL vacuum safe: nothing re-derives a state from partitions
-  the vacuum may have deleted.
+  the vacuum may have deleted. A NEW snapshot chains: it advances
+  from the nearest existing artifact with only the (prior, seq]
+  pruned delta (the durable twin of the session-cache chained
+  advance), so a sequence of snapshot reads is delta-proportional,
+  never repeatedly horizon-proportional.
 - **Vacuum**: :func:`vacuum_family` folds a family's history at or
   below a horizon into a durable base state (the
   :class:`~nucliadb_spark.streaming.ingest.VacuumedLog` algebra,
@@ -277,6 +281,23 @@ def _base_state(
     )
 
 
+def _nearest_state(spark: SparkSession, sf_dir: str, family: str, seq: int):
+    """Seq of the family's nearest durable state artifact strictly
+    below ``seq`` — the chained-advance starting point. Only complete
+    artifacts (``_SUCCESS``) count."""
+    d = _fam_dir(spark, sf_dir, family)
+    best = None
+    for name in os.listdir(d):
+        if not name.startswith("state_s"):
+            continue
+        if not os.path.exists(os.path.join(d, name, "_SUCCESS")):
+            continue
+        s = int(name[len("state_s"):])
+        if s < seq and (best is None or s > best):
+            best = s
+    return best
+
+
 def state_as_of(
     spark: SparkSession,
     sf_dir: str,
@@ -288,33 +309,53 @@ def state_as_of(
     log_name: str | None = None,
 ) -> DataFrame:
     """A family's live state AS OF ``seq``, served from the physical
-    substrate: (base at the vacuum horizon) advanced with the
-    partition-pruned retained ops in (horizon, seq] — exactly
-    :func:`ingest.asof_from_vacuum`, with the retained cut carrying
-    the bucket predicates so both ends of the delta prune. The
-    result is MATERIALIZED as the family's durable per-snapshot
-    serving artifact and read back, so later reads (and cache-evicted
-    plan recomputes) never touch the history again — the property
-    that makes physical vacuum safe."""
+    substrate. A NEW snapshot never re-resolves history it already
+    folded: it advances from the family's NEAREST durable state at or
+    above the vacuum horizon and the log's purge floor (the durable
+    twin of the session-cache chaining graded since r12 —
+    :func:`ingest.advance_live_state` over only the (prior, seq]
+    partition-pruned delta), falling back to (base at the vacuum
+    horizon) + retained ops via :func:`ingest.asof_from_vacuum` when
+    no artifact can chain. The chain start must sit at or above the
+    purge floor so the delta reads only partitions the purge left in
+    place (deleted partitions all end at or below the floor). The
+    result
+    is MATERIALIZED as the family's durable per-snapshot serving
+    artifact and read back, so later reads (and cache-evicted plan
+    recomputes) never touch the history again — the property that
+    makes physical vacuum safe."""
     log_name = log_name or family
     check_horizon(spark, sf_dir, family, seq)
     _LOG_FAMILIES.setdefault(_key(spark, sf_dir, log_name), set()).add(family)
     d = _fam_dir(spark, sf_dir, family)
     state_path = os.path.join(d, f"state_s{seq}")
     if not os.path.exists(os.path.join(state_path, "_SUCCESS")):
-        _check_purge_floor(spark, sf_dir, log_name, family)
         h = horizon(spark, sf_dir, family)
-        full = physical_log(spark, sf_dir, log_name, log_builder)
-        base = _base_state(
-            spark, sf_dir, family, full.drop("seq_bucket"), resolve
-        )
-        retained = log_between(
-            spark, sf_dir, log_name, log_builder, max(h, NO_HORIZON), seq
-        )
-        vac = ingest.VacuumedLog(base, retained, max(h, 0))
-        ingest.asof_from_vacuum(vac, seq, keys, resolve).write.mode(
-            "overwrite"
-        ).parquet(state_path)
+        floor = _PURGE_FLOORS.get(_key(spark, sf_dir, log_name), NO_HORIZON)
+        prior_seq = _nearest_state(spark, sf_dir, family, seq)
+        if prior_seq is not None and prior_seq >= max(h, floor):
+            # durable chained advance: prior state + the pruned delta.
+            # Deleted partitions all end at or below the floor <=
+            # prior_seq, and the delta reads only seqs above it.
+            prior = spark.read.parquet(
+                os.path.join(d, f"state_s{prior_seq}")
+            )
+            delta = log_between(
+                spark, sf_dir, log_name, log_builder, prior_seq, seq
+            )
+            state = ingest.advance_live_state(prior, delta, keys, resolve)
+        else:
+            _check_purge_floor(spark, sf_dir, log_name, family)
+            full = physical_log(spark, sf_dir, log_name, log_builder)
+            base = _base_state(
+                spark, sf_dir, family, full.drop("seq_bucket"), resolve
+            )
+            retained = log_between(
+                spark, sf_dir, log_name, log_builder, max(h, NO_HORIZON), seq
+            )
+            vac = ingest.VacuumedLog(base, retained, max(h, 0))
+            state = ingest.asof_from_vacuum(vac, seq, keys, resolve)
+        state.write.mode("overwrite").parquet(state_path)
     return spark.read.parquet(state_path)
 
 

@@ -280,3 +280,96 @@ def test_unfed_stream_log_raises(spark, tmp_path):
             spark, str(tmp_path), "never_fed", None,
             ingest.cdc_live_fields, ("rid",), 10,
         )
+
+
+# --- durable chained advance (r14b) -----------------------------------------
+
+
+def test_new_snapshot_chains_from_nearest_artifact(spark, tmp_path,
+                                                   monkeypatch):
+    """A second snapshot must ADVANCE from the first snapshot's
+    durable artifact with only the (prior, seq] delta — never
+    re-resolve from the horizon — and the chained result must equal
+    a from-scratch resolution (computed by a control family with no
+    artifact to chain from)."""
+    key_dir = str(tmp_path)
+    rows = [
+        (1, 10, "upsert", "alpha one"),
+        (2, 20, "upsert", "beta two"),
+        (1, 300_000, "upsert", "alpha revised"),
+        (2, 600_000, "delete", None),
+        (3, 600_005, "upsert", "gamma three"),
+    ]
+    log = spark.createDataFrame(
+        rows, "rid long, seq long, op string, text string"
+    )
+    lb = lambda: log  # noqa: E731
+
+    first = serving.state_as_of(
+        spark, key_dir, "chain_t", lb, ingest.cdc_live_fields,
+        ("rid",), 400_000,
+    )
+    assert _rows(first) == [(1, "alpha revised"), (2, "beta two")]
+
+    calls = {"advance": 0, "vacuum": 0}
+    real_advance = ingest.advance_live_state
+    real_vacuum = ingest.asof_from_vacuum
+
+    def counting_advance(*a, **kw):
+        calls["advance"] += 1
+        return real_advance(*a, **kw)
+
+    def counting_vacuum(*a, **kw):
+        calls["vacuum"] += 1
+        return real_vacuum(*a, **kw)
+
+    monkeypatch.setattr(serving.ingest, "advance_live_state",
+                        counting_advance)
+    monkeypatch.setattr(serving.ingest, "asof_from_vacuum",
+                        counting_vacuum)
+    second = serving.state_as_of(
+        spark, key_dir, "chain_t", lb, ingest.cdc_live_fields,
+        ("rid",), 700_000,
+    )
+    assert calls == {"advance": 1, "vacuum": 0}
+    monkeypatch.undo()
+
+    control = serving.state_as_of(
+        spark, key_dir, "chain_ctl", lb, ingest.cdc_live_fields,
+        ("rid",), 700_000, log_name="chain_t",
+    )
+    assert _rows(second) == _rows(control)
+    assert _rows(second) == [(1, "alpha revised"), (3, "gamma three")]
+
+
+def test_chain_start_respects_vacuum_horizon(spark, tmp_path):
+    """After a vacuum lifts the family's horizon past an old
+    artifact, a new snapshot must NOT chain from it (the conservative
+    invariant: chain starts sit at or above the horizon) — it folds
+    from the durable base instead, and the result is identical."""
+    key_dir = str(tmp_path)
+    rows = [
+        (1, 10, "upsert", "alpha one"),
+        (2, 20, "upsert", "beta two"),
+        (1, 300_000, "upsert", "alpha revised"),
+        (3, 600_005, "upsert", "gamma three"),
+    ]
+    log = spark.createDataFrame(
+        rows, "rid long, seq long, op string, text string"
+    )
+    lb = lambda: log  # noqa: E731
+
+    serving.state_as_of(
+        spark, key_dir, "hz_t", lb, ingest.cdc_live_fields, ("rid",), 100,
+    )  # artifact at seq 100 — below the horizon set next
+    serving.vacuum_family(
+        spark, key_dir, "hz_t", lb, ingest.cdc_live_fields, ("rid",),
+        400_000,
+    )
+    out = serving.state_as_of(
+        spark, key_dir, "hz_t", lb, ingest.cdc_live_fields,
+        ("rid",), 700_000,
+    )
+    assert _rows(out) == [
+        (1, "alpha revised"), (2, "beta two"), (3, "gamma three")
+    ]
