@@ -2826,7 +2826,6 @@ def find_hybrid_as_of_vacuumed(spark, sf_dir):
     the blast radius is scoped."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -2836,7 +2835,10 @@ def find_hybrid_as_of_vacuumed(spark, sf_dir):
     fields = tpch.fields(spark, sf_dir)
 
     def make_private_corpus() -> str:
-        d = tempfile.mkdtemp(prefix="vac_twin_corpus_")
+        # corpus-sized: tracked so the atexit hook reclaims it — /tmp
+        # is not cleaned between sessions and repeated bench/probe
+        # runs would otherwise accumulate a copy per session
+        d = serving.tracked_mkdtemp(prefix="vac_twin_corpus_")
         for f in os.listdir(sf_dir):
             if not f.endswith(".parquet"):
                 continue
@@ -2908,8 +2910,6 @@ def cdc_substrate_stream_served(spark, sf_dir):
     the post-wave cut must reflect them (the maintenance genuinely
     advanced). One seat grades both directions against the full-log
     oracle."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from nucliadb_spark import serving
@@ -2919,7 +2919,7 @@ def cdc_substrate_stream_served(spark, sf_dir):
     log_name = "content_text_streamed"
 
     def maintain() -> bool:
-        wd = tempfile.mkdtemp(prefix="substrate_stream_")
+        wd = serving.tracked_mkdtemp(prefix="substrate_stream_")
         arrivals, ckpt = f"{wd}/arrivals", f"{wd}/ckpt"
         log = ingest.cdc_log(fields)
         log.filter(F.col("seq") <= _AS_OF_SEQ).repartition(4).write.mode(

@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import atexit
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -85,13 +86,37 @@ _LOG_FAMILIES: dict[tuple[str, str, str], set[str]] = {}
 _PURGE_FLOORS: dict[tuple[str, str, str], int] = {}
 
 
+# every temp dir this module (or a substrate consumer, via
+# tracked_mkdtemp) creates — reclaimed at interpreter exit, since
+# /tmp is NOT cleaned between sessions and the substrate copies can
+# be corpus-sized (the vacuum twin's private corpus, the 10x probes)
+_TEMP_DIRS: list[str] = []
+
+
+def _cleanup_temp_dirs() -> None:
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _TEMP_DIRS.clear()
+
+
+atexit.register(_cleanup_temp_dirs)
+
+
+def tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp whose directory is deleted at interpreter exit."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    return d
+
+
 def _key(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, str, str]:
     return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
 
 
 def reset() -> None:
     """Forget all substrate state (test isolation helper). On-disk
-    artifacts are session-temp directories; the OS reclaims them."""
+    artifacts are session-temp directories, deleted by the atexit
+    hook (not by this — a live session may still hold readers)."""
     _LOG_DIRS.clear()
     _HORIZONS.clear()
     _FAM_DIRS.clear()
@@ -116,7 +141,7 @@ def physical_log(
                 "must be populated via stream_maintained_log before "
                 "the substrate can serve from it"
             )
-        d = tempfile.mkdtemp(prefix=f"serving_{log_name}_")
+        d = tracked_mkdtemp(prefix=f"serving_{log_name}_")
         log_builder().withColumn(
             "seq_bucket",
             F.floor(F.col("seq") / F.lit(SEQ_BUCKET_WIDTH)).cast("long"),
@@ -157,26 +182,39 @@ def stream_maintained_log(
     delta-proportional."""
     key = _key(spark, sf_dir, log_name)
     d = _LOG_DIRS.get(key)
-    if d is None:
-        d = tempfile.mkdtemp(prefix=f"serving_{log_name}_")
-        _LOG_DIRS[key] = d
+    fresh = d is None
+    if fresh:
+        d = tracked_mkdtemp(prefix=f"serving_{log_name}_")
     log_dir = f"{d}/log"
-    schema = spark.read.parquet(arrival_dir).schema
-    stream = spark.readStream.schema(schema).parquet(arrival_dir)
+    try:
+        schema = spark.read.parquet(arrival_dir).schema
+        stream = spark.readStream.schema(schema).parquet(arrival_dir)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn(
-            "seq_bucket",
-            F.floor(F.col("seq") / F.lit(SEQ_BUCKET_WIDTH)).cast("long"),
-        ).write.mode("append").partitionBy("seq_bucket").parquet(log_dir)
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn(
+                "seq_bucket",
+                F.floor(F.col("seq") / F.lit(SEQ_BUCKET_WIDTH)).cast("long"),
+            ).write.mode("append").partitionBy("seq_bucket").parquet(log_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    except Exception:
+        # register the dir only once data exists in it: a failed
+        # FIRST drain must not poison the log key (a later batch
+        # builder or retry could then never repopulate it). A drain
+        # that appended SOME batches before failing keeps the
+        # registration — the checkpoint tracks what was consumed, so
+        # a retry with the same checkpoint continues into the same
+        # dir instead of stranding the drained ops.
+        if fresh and os.path.exists(log_dir):
+            _LOG_DIRS[key] = d
+        raise
+    _LOG_DIRS[key] = d
     return spark.read.parquet(log_dir)
 
 
@@ -262,7 +300,7 @@ def _fam_dir(spark: SparkSession, sf_dir: str, family: str) -> str:
     key = _key(spark, sf_dir, family)
     d = _FAM_DIRS.get(key)
     if d is None:
-        d = tempfile.mkdtemp(prefix=f"serving_fam_{family}_")
+        d = tracked_mkdtemp(prefix=f"serving_fam_{family}_")
         _FAM_DIRS[key] = d
     return d
 
@@ -405,7 +443,12 @@ def purge_log(
     nidx/src/scheduler/purge_tasks.rs:26-43). Refuses unless every
     family registered on this log has a horizon >= ``upto``: a family
     still below would silently lose history it can legally read.
-    Returns the number of partitions deleted."""
+    Returns the number of partitions deleted. The recorded purge
+    floor is the ACTUAL deletion extent (the end of the highest
+    fully-deleted bucket), not the requested ``upto``: a purge that
+    deletes nothing — log never materialized, or no bucket fully
+    folded — leaves the history reconstructible and must not brick
+    the log name for later-registered families."""
     key = _key(spark, sf_dir, log_name)
     fams = _LOG_FAMILIES.get(key, set())
     behind = {
@@ -421,7 +464,6 @@ def purge_log(
             "replaces the deleted history)"
         )
     d = _LOG_DIRS.get(key)
-    _PURGE_FLOORS[key] = max(upto, _PURGE_FLOORS.get(key, NO_HORIZON))
     if d is None:
         return 0
     deleted = 0
@@ -435,4 +477,8 @@ def purge_log(
         if (bucket + 1) * SEQ_BUCKET_WIDTH - 1 <= upto:
             shutil.rmtree(os.path.join(log_dir, part))
             deleted += 1
+            _PURGE_FLOORS[key] = max(
+                (bucket + 1) * SEQ_BUCKET_WIDTH - 1,
+                _PURGE_FLOORS.get(key, NO_HORIZON),
+            )
     return deleted

@@ -779,21 +779,25 @@ def autocompaction_plan(
     return large.unionByName(merged).orderBy("segment_id")
 
 
-def autocompaction_plan_sql(
-    log_sql: str,
-    seg_bucket: int = SEG_BUCKET,
-    min_segments: int = MERGE_MIN_SEGMENTS,
-    top_max: int = MERGE_TOP_MAX_RECORDS,
-    bottom: int = MERGE_BOTTOM_THRESHOLD,
+def _inventory_plan_ctes(
+    src_sql: str,
+    seg_bucket: int,
+    top_max: int,
+    bottom: int,
+    with_seg_seq: bool,
 ) -> str:
-    """DuckDB twin of segment_inventory → autocompaction_plan."""
+    """The shared log → inventory → bucket CTE chain both DuckDB
+    planner twins build on (autocompaction_plan_sql and
+    purge_deletions_plan_sql) — ONE encoding of the records/n_dead/
+    bucket formulas and the two documented nidx deviations, so the
+    twins cannot drift apart."""
     from nucliadb_spark.functions.text import tokenize_sql
 
-    return f"""
-WITH log AS (
+    seg_seq_col = ",\n         MAX(seq) AS seg_seq" if with_seg_seq else ""
+    return f"""log AS (
   SELECT rid, seq, op, text,
          row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
-  FROM ({log_sql})
+  FROM ({src_sql})
 ),
 inv AS (
   SELECT seq // {seg_bucket} AS segment_id,
@@ -801,7 +805,7 @@ inv AS (
               THEN len(list_distinct({tokenize_sql('text')})) END), 0)
               AS BIGINT) AS records,
          CAST(COUNT(CASE WHEN op = 'upsert' AND rn > 1 THEN 1 END)
-              AS BIGINT) AS n_dead
+              AS BIGINT) AS n_dead{seg_seq_col}
   FROM log GROUP BY 1
 ),
 small AS (
@@ -813,7 +817,19 @@ by_bucket AS (
   SELECT bucket, COUNT(*) AS n_in_bucket,
          MAX(CASE WHEN n_dead > 0 THEN 1 ELSE 0 END) AS any_forced
   FROM small GROUP BY 1
-)
+)"""
+
+
+def autocompaction_plan_sql(
+    log_sql: str,
+    seg_bucket: int = SEG_BUCKET,
+    min_segments: int = MERGE_MIN_SEGMENTS,
+    top_max: int = MERGE_TOP_MAX_RECORDS,
+    bottom: int = MERGE_BOTTOM_THRESHOLD,
+) -> str:
+    """DuckDB twin of segment_inventory → autocompaction_plan."""
+    return f"""
+WITH {_inventory_plan_ctes(log_sql, seg_bucket, top_max, bottom, False)}
 SELECT segment_id, records, n_dead, CAST(NULL AS BIGINT) AS bucket,
        CASE WHEN n_dead > 0 THEN 'purge' ELSE 'skip' END AS action
 FROM inv WHERE records > {top_max}
@@ -1077,41 +1093,17 @@ def purge_deletions_plan_sql(
     bottom: int = MERGE_BOTTOM_THRESHOLD,
 ) -> str:
     """DuckDB twin of :func:`purge_deletions_plan` — replays the
-    indexed-inventory cut, the scheduled plan, the post-merge segment
-    seqs, and the double-bounded purge predicate."""
-    from nucliadb_spark.functions.text import tokenize_sql
-
-    return f"""
-WITH raw AS (
+    indexed-inventory cut, the scheduled plan (via the SHARED planner
+    CTE chain — one encoding, the twins cannot drift), the post-merge
+    segment seqs, and the double-bounded purge predicate."""
+    raw_sql = f"""
   SELECT * FROM ({log_sql})
   WHERE seq <= {last_indexed}
     AND NOT (seq BETWEEN {pending_lo} AND {pending_hi})
-),
-log AS (
-  SELECT rid, seq, op, text,
-         row_number() OVER (PARTITION BY rid ORDER BY seq DESC) AS rn
-  FROM raw
-),
-inv AS (
-  SELECT seq // {seg_bucket} AS segment_id,
-         CAST(COALESCE(SUM(CASE WHEN op = 'upsert'
-              THEN len(list_distinct({tokenize_sql('text')})) END), 0)
-              AS BIGINT) AS records,
-         CAST(COUNT(CASE WHEN op = 'upsert' AND rn > 1 THEN 1 END)
-              AS BIGINT) AS n_dead,
-         MAX(seq) AS seg_seq
-  FROM log GROUP BY 1
-),
-small AS (
-  SELECT *, CAST(length(bin(greatest(records, {bottom}))) - 1 AS BIGINT)
-            AS bucket
-  FROM inv WHERE records <= {top_max}
-),
-by_bucket AS (
-  SELECT bucket, COUNT(*) AS n_in_bucket,
-         MAX(CASE WHEN n_dead > 0 THEN 1 ELSE 0 END) AS any_forced
-  FROM small GROUP BY 1
-),
+"""
+    return f"""
+WITH raw AS ({raw_sql}),
+{_inventory_plan_ctes("SELECT * FROM raw", seg_bucket, top_max, bottom, True)},
 planned AS (
   SELECT segment_id, seg_seq,
          CASE WHEN n_dead > 0 THEN 'purge' ELSE 'skip' END AS action

@@ -9,6 +9,7 @@ targets one load-bearing marker, not the whole plan.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import functions as F
@@ -53,11 +54,25 @@ def _reads_family(df, fam: str) -> bool:
     must root at one of these (from-scratch: the state artifact;
     chained: a prior state artifact + pruned log partitions) — never
     re-derive from an in-memory log."""
-    pats = (f"serving_fam_{fam}_", f"serving_{fam}_")
+    from nucliadb_spark import serving
+
+    # exact registered directory names, not name-prefix patterns: a
+    # family named with another's prefix (content_text vs
+    # content_text_streamed) must not satisfy its matches, and the
+    # mkdtemp suffix alphabet includes '_' so no suffix regex can
+    # disambiguate
+    dirs = [
+        os.path.basename(d)
+        for store in (serving._FAM_DIRS, serving._LOG_DIRS)
+        for (_, _, name), d in store.items()
+        if name == fam
+    ]
+    if not dirs:
+        return False
     for cls, n in _walk_deep(df._jdf.queryExecution().executedPlan()):
         if "FileSourceScan" in cls or "FileScan" in cls:
             s = n.toString()
-            if any(p in s for p in pats):
+            if any(p in s for p in dirs):
                 return True
     return False
 
@@ -739,7 +754,7 @@ def test_find_hybrid_fielded_as_of_scope_and_seq(spark, sf_dir):
     q = registry.queries()["find_hybrid_fielded_as_of"]
     q(spark, sf_dir).collect()  # first call builds + caches snapshot sidecars
     df = q(spark, sf_dir)
-    for fam in ("fielded", "vectors", "relations"):
+    for fam in ("fielded_live", "vectors", "relations"):
         assert _reads_family(df, fam), (fam, df.inputFiles())
     # the scope semijoin is present on the vector leg
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
@@ -795,7 +810,7 @@ def test_find_hybrid_fielded_as_of_filtered_triple(spark, sf_dir):
     q = registry.queries()["find_hybrid_fielded_as_of_filtered"]
     q(spark, sf_dir).collect()
     df = q(spark, sf_dir)
-    for fam in ("fielded", "labels", "vectors", "relations"):
+    for fam in ("fielded_live", "labels", "vectors", "relations"):
         assert _reads_family(df, fam), (fam, df.inputFiles())
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
     nodes = [c for c, _ in _walk_physical(df)]
