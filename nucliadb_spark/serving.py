@@ -179,19 +179,29 @@ def stream_maintained_log(
     the read path is layout-agnostic either way. At 100 TB this is
     the ingestion story: the log is never rebuilt, it is APPENDED in
     arrival order, and seq buckets keep every historical read
-    delta-proportional."""
+    delta-proportional.
+
+    The sink carries the reference indexer's SEQ GUARD (nidx drops
+    messages at or below what the index already incorporates,
+    nidx/src/indexer.rs:121-148): arrivals at or below the log's
+    PURGE FLOOR are dropped, not appended — a late op whose seq falls
+    in a physically deleted bucket would otherwise re-create a
+    partial partition where history was discarded (harmless to
+    vacuumed reads, which never scan below their horizon, but a
+    corrupt layout for any later full-log maintenance scan)."""
     key = _key(spark, sf_dir, log_name)
     d = _LOG_DIRS.get(key)
     fresh = d is None
     if fresh:
         d = tracked_mkdtemp(prefix=f"serving_{log_name}_")
     log_dir = f"{d}/log"
+    floor = _PURGE_FLOORS.get(key, NO_HORIZON)
     try:
         schema = spark.read.parquet(arrival_dir).schema
         stream = spark.readStream.schema(schema).parquet(arrival_dir)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.withColumn(
+            batch_df.filter(F.col("seq") > floor).withColumn(
                 "seq_bucket",
                 F.floor(F.col("seq") / F.lit(SEQ_BUCKET_WIDTH)).cast("long"),
             ).write.mode("append").partitionBy("seq_bucket").parquet(log_dir)

@@ -373,3 +373,52 @@ def test_chain_start_respects_vacuum_horizon(spark, tmp_path):
     assert _rows(out) == [
         (1, "alpha revised"), (2, "beta two"), (3, "gamma three")
     ]
+
+
+def test_stream_log_vacuum_purge_and_late_arrival_guard(spark, tmp_path):
+    """Full lifecycle on a STREAM-fed log (no batch builder anywhere):
+    drain → vacuum the family → physically purge → late arrivals. The
+    sink's seq guard (the reference indexer's, nidx/src/indexer.rs:
+    121-148) must drop a late op whose seq falls in a DELETED bucket —
+    appending it would re-create a partial partition where history
+    was discarded — while an above-floor arrival is appended and
+    serves."""
+    key_dir = str(tmp_path)
+    arrivals = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    _stream_rows(
+        spark,
+        [
+            (1, 10, "upsert", "alpha one"),
+            (2, 20, "upsert", "beta two"),
+            (1, 260_000, "upsert", "alpha revised"),
+        ],
+    ).write.mode("append").parquet(arrivals)
+    serving.stream_maintained_log(spark, key_dir, "slate_t", arrivals, ckpt)
+    serving.vacuum_family(
+        spark, key_dir, "slate_t", None, ingest.cdc_live_fields,
+        ("rid",), 249_999,
+    )
+    assert serving.purge_log(spark, key_dir, "slate_t", 249_999) == 1
+
+    _stream_rows(
+        spark,
+        [
+            (3, 30, "upsert", "ghost below floor"),
+            (3, 300_000, "upsert", "gamma three"),
+        ],
+    ).write.mode("append").parquet(arrivals)
+    serving.stream_maintained_log(spark, key_dir, "slate_t", arrivals, ckpt)
+
+    log_dir = os.path.join(
+        serving._LOG_DIRS[serving._key(spark, key_dir, "slate_t")], "log"
+    )
+    assert "seq_bucket=0" not in os.listdir(log_dir)  # not re-created
+
+    live = serving.state_as_of(
+        spark, key_dir, "slate_t", None, ingest.cdc_live_fields,
+        ("rid",), 350_000,
+    )
+    assert _rows(live) == [
+        (1, "alpha revised"), (2, "beta two"), (3, "gamma three")
+    ]
