@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from nucliadb_spark.functions import models
+from nucliadb_spark.functions import frames, models
 from nucliadb_spark.operators import bm25, fusion, knn
 from nucliadb_spark.operators.filters import Expr
 from nucliadb_spark.plans import planner
@@ -975,8 +975,17 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
                 emb_docs = emb_docs.join(allowed, "rid", "semi")
             if scope_rids is not None:
                 emb_docs = emb_docs.join(F.broadcast(scope_rids), "rid", "semi")
-            qvec = spark.createDataFrame([(qtext,)], "t string").select(
-                models.stub_embedding(F.col("t")).alias("qvec")
+            # the query embedding is computed DRIVER-SIDE (the model
+            # boundary runs once per request on the query text, like
+            # the reference's Predict call) and inlined as a literal —
+            # the createDataFrame+UDF form spun one Python worker per
+            # default-parallelism slice for a 1-row frame (guide §4;
+            # measured as a 32-task / 88 s-run stage in the r14
+            # baseline profile)
+            qvec = frames.literal_frame(
+                spark,
+                [(models._hash_embed(qtext),)],
+                "qvec array<double>",
             )
             sources["semantic"] = knn.exact_knn(
                 emb_docs, qvec, k=win, min_score=req.min_score,

@@ -31,13 +31,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-# ~50 distinct sidecar names exist repo-wide (9 of them per as-of
-# snapshot), so 128 holds every live index across two corpora PLUS a
-# handful of concurrently-warm snapshots without eviction — generous
-# for a session, bounded for a long-running multi-tenant one.
-MAX_ENTRIES = int(os.environ.get("NUCLIADB_SPARK_CACHE_MAX", "128"))
+# Sizing (revised in the r14 optimization round): the old 128-entry
+# bound THRASHED on the full bench sweep — the registry now tours
+# dozens of snapshots (~9 sidecars per (corpus, seq)) plus the live
+# indexes, so entries built by a query's warm-up were evicted before
+# its timed run and the per-snapshot postings re-tokenized the corpus
+# inside the serving path (r14 baseline profile: find_hybrid_as_of
+# spent ~22 s of summed executor run re-building evicted sidecars).
+# 512 holds every sidecar the whole 275-query registry creates in one
+# session with headroom; entries are index-sized (MBs at bench scale,
+# and on a cluster the big ones are parquet artifacts the cache only
+# fronts), so the bound is about handle bookkeeping, not memory
+# safety. Still env-tunable for small-heap deployments.
+MAX_ENTRIES = int(os.environ.get("NUCLIADB_SPARK_CACHE_MAX", "512"))
 
 _CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
+
+# observability: evictions in a session with a right-sized bound
+# should be ~0; a growing count is the thrash signal the r14 profile
+# caught (scripts/r14_profile.py prints it after a sweep)
+EVICTIONS = 0
 
 
 def cached_names(spark, sf_dir: str) -> list[str]:
@@ -76,6 +89,8 @@ def cached_df(
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         _CACHE[key] = cached
         while len(_CACHE) > MAX_ENTRIES:
+            global EVICTIONS
+            EVICTIONS += 1
             _, evicted = _CACHE.popitem(last=False)
             try:
                 evicted.unpersist()

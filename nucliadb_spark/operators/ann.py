@@ -59,7 +59,10 @@ def build_ivf(
         k=k_cells, seed=seed, maxIter=20, featuresCol="_features", predictionCol="cell"
     ).fit(ml)
     assigned = model.transform(ml).drop("_features")
-    centroids = vectors.sparkSession.createDataFrame(
+    from nucliadb_spark.functions import frames
+
+    centroids = frames.literal_frame(
+        vectors.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )

@@ -648,28 +648,58 @@ ORDER BY t.id
 # final rewrite is a row-local array filter — no driver state, no N².
 
 
-def remove_dup_spans(
-    corpus: DataFrame, n: int = 8, id_col: str = "id", text_col: str = "text"
+def span_token_stream(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, n_tokens, n_removed, cleaned_md5) per document.
-
-    cleaned_md5 = md5 of the space-joined surviving tokens, so the
-    oracle verifies the actual rewritten text, not just the counts.
-    """
-    toks = corpus.select(
+    """(id, _toks) — the tokenized corpus, the base of the span-dedup
+    gram index (cacheable index artifact)."""
+    return corpus.select(
         F.col(id_col).alias("id"), tokenize(text_col).alias("_toks")
     )
-    # pos is 0-based gram start → covers 1-based token idx pos+1..pos+n.
-    # The gram travels RAW (no hash): the dup verdict only needs gram
-    # identity, both engines group on the string directly, and the
-    # 2M-doc probe showed the md5-int key aggregating SLOWER than the
-    # raw 8-word string (213 s vs 137 s) while adding hash CPU.
-    pg = toks.select(
+
+
+def span_gram_stream(toks: DataFrame, n: int = 8) -> DataFrame:
+    """(id, pos, g) — the positional n-gram stream over the tokenized
+    corpus: the exact-substring dedup INDEX (the suffix-array stand-in
+    of Lee et al.'s pipeline). remove_dup_spans reads it twice (gram
+    verdict + join-back), so the serving path session-caches it —
+    the r14 baseline measured the un-cached form re-tokenizing the
+    corpus in both passes, 8.0 s of pure CPU per run (guide §1.2:
+    don't compute things twice)."""
+    return toks.select(
         "id",
         F.posexplode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
             "pos", "g"
         ),
     )
+
+
+def remove_dup_spans(
+    corpus: DataFrame,
+    n: int = 8,
+    id_col: str = "id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
+    pg: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_tokens, n_removed, cleaned_md5) per document.
+
+    cleaned_md5 = md5 of the space-joined surviving tokens, so the
+    oracle verifies the actual rewritten text, not just the counts.
+
+    toks/pg: prebuilt (cached) token/positional-gram streams — the
+    serving-path sidecars (:func:`span_token_stream` /
+    :func:`span_gram_stream`).
+    """
+    if toks is None:
+        toks = span_token_stream(corpus, id_col, text_col)
+    # pos is 0-based gram start → covers 1-based token idx pos+1..pos+n.
+    # The gram travels RAW (no hash): the dup verdict only needs gram
+    # identity, both engines group on the string directly, and the
+    # 2M-doc probe showed the md5-int key aggregating SLOWER than the
+    # raw 8-word string (213 s vs 137 s) while adding hash CPU.
+    if pg is None:
+        pg = span_gram_stream(toks, n)
     # ONE shuffle keyed by gram, pure partial aggregation: "appears in
     # >= 2 distinct docs" is exactly min(id) != max(id) — countDistinct
     # would maintain a distinct-id set per gram group (measured 2.5x

@@ -133,7 +133,10 @@ def send_feedback(
         raise ValueError(f"unknown feedback task: {req.task}")
     if client_type not in CLIENT_TYPES:
         raise ValueError(f"unknown client type: {client_type}")
-    row = spark.createDataFrame(
+    from nucliadb_spark.functions import frames
+
+    row = frames.literal_frame(
+        spark,
         [
             (
                 kbid,
@@ -146,7 +149,7 @@ def send_feedback(
                 req.text_block_id,
             )
         ],
-        schema="kbid string, user string, client_type string, ident string,"
+        "kbid string, user string, client_type string, ident string,"
         " good boolean, task string, feedback string, text_block_id string",
     )
     return log.select(*_LOG_COLS).unionByName(row)

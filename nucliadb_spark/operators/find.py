@@ -107,26 +107,16 @@ def find(
     fields = tpch.fields(spark, sf_dir)
     vectors = tpch.vectors(spark, sf_dir)
 
-    if prefilter is not None:
-        # driver-side fast paths (planner.prefilter_mode): an empty
-        # prefilter skips every index job; an all-matching one serves
-        # from the prebuilt index with no semijoin at all
-        from nucliadb_spark.cache import cached_scalar
-        from nucliadb_spark.plans.planner import prefilter_mode
-
-        n_allowed = fields.filter(prefilter.to_column()).count()
-        n_total = cached_scalar(
-            fields, sf_dir, "fields_count", lambda: fields.count()
-        )
-        mode = prefilter_mode(n_allowed, n_total)
-        if mode == "none":
-            return spark.createDataFrame(
-                [],
-                "id long, score double, matched_sources string, "
-                "language string, source string, snippet string",
-            )
-        if mode == "all":
-            prefilter = None
+    # r14 optimization: the old driver-side prefilter_mode fast paths
+    # (count the filtered corpus per request, short-circuit empty /
+    # all-matching trees) paid a BLOCKING extra scan+count job on
+    # EVERY prefiltered request to special-case two degenerate inputs
+    # the normal plan answers identically anyway (empty allowed set →
+    # empty legs → empty result; all-matching filter → same corpus).
+    # At 100 TB that synchronous pre-count is a full corpus pass
+    # before the query starts (guide §5: the driver should do almost
+    # no data work). planner.prefilter_mode remains the offline
+    # planning rule (tests/test_planner_units.py).
 
     qvec = (
         tpch.table(spark, sf_dir, "embeddings")
@@ -179,8 +169,14 @@ def find(
         emb_docs = stub_embedding_sidecar(spark, sf_dir)
         if prefilter is not None:
             emb_docs = emb_docs.join(allowed, "rid", "semi")
-        qvec_stub = spark.createDataFrame([(qtext,)], "t string").select(
-            models.stub_embedding(F.col("t")).alias("qvec")
+        # driver-side query embedding inlined as a literal frame — the
+        # createDataFrame+UDF form cost one Python worker per slice
+        # for a 1-row frame (guide §4; r14 baseline: 32-task stage,
+        # 88.7 s summed run / 0.5 s cpu, plans/r14/find_rephrased_before.txt)
+        from nucliadb_spark.functions import frames
+
+        qvec_stub = frames.literal_frame(
+            spark, [(models._hash_embed(qtext),)], "qvec array<double>"
         )
         semantic = knn.exact_knn(
             emb_docs,

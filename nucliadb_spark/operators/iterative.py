@@ -51,7 +51,9 @@ def bfs_reachability(
         .distinct()
         .persist()
     )
-    frontier = spark.createDataFrame([(start, 0)], "node string, hop int")
+    from nucliadb_spark.functions import frames
+
+    frontier = frames.literal_frame(spark, [(start, 0)], "node string, hop int")
     visited = frontier
     try:
         for h in range(1, max_hops + 1):
@@ -178,6 +180,29 @@ ORDER BY id
 """
 
 
+def graph_adjacency(
+    edges: DataFrame,
+    src_col: str = "source_value",
+    dst_col: str = "target_value",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(e, nodes, outdeg) — the deduped directed edge table, the node
+    set and the out-degree table: GRAPH-INDEX artifacts (every graph
+    engine maintains adjacency + degrees next to the triple store, the
+    way tantivy keeps a term dictionary next to postings). Exposed so
+    serving paths can build them once per session (cached_df) instead
+    of paying the three distinct/agg shuffles per query — the r14
+    baseline profile measured graph_pagerank re-deriving these every
+    run (33 jobs / 823 tasks; guide §2.4: remove shuffles outright)."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).distinct()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    out = e.groupBy("a").agg(F.count("*").cast("double").alias("deg"))
+    return e, nodes, out
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -185,6 +210,8 @@ def pagerank(
     top_k: int = 20,
     src_col: str = "source_value",
     dst_col: str = "target_value",
+    adjacency: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    n_nodes: float | None = None,
 ) -> DataFrame:
     """(node, pagerank) — top_k nodes by PageRank after a fixed
     number of power iterations over the directed relation graph.
@@ -196,31 +223,36 @@ def pagerank(
     oracle's float summation order cannot drift across iterations;
     the output rounds to 5.
 
-    Scale notes: the edge table and out-degrees are computed once and
-    persisted; each iteration is ONE shuffle (the groupBy(target)
-    contribution sum — rank and degree joins ride the same edge-keyed
-    exchange, and AQE broadcasts the rank side while it is small).
-    N comes from a broadcast 1-row aggregate, not a driver count.
-    localCheckpoint truncates lineage so iteration k doesn't replay
-    1..k-1.
-    """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .distinct()
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionByName(e.select(F.col("b").alias("node")))
-        .distinct()
-        .persist()
-    )
-    out = e.groupBy("a").agg(F.count("*").cast("double").alias("deg")).persist()
-    n1 = nodes.agg(F.count("*").cast("double").alias("_n"))
-    pr = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
-    ).localCheckpoint(eager=True)
+    adjacency/n_nodes: prebuilt (e, nodes, outdeg) index frames and
+    the node count — the serving path passes session-cached ones
+    (:func:`graph_adjacency`), so a query is ONLY the power
+    iterations. Without them the adjacency is derived and persisted
+    per call (the self-contained batch shape).
+
+    Scale notes (r14 optimization): each iteration is ONE shuffle
+    (the groupBy(target) contribution sum — rank and degree joins
+    ride the same edge-keyed exchange, and AQE broadcasts the rank
+    side while it is small). N is a driver-side index scalar, so the
+    (1-d)/N term is a literal — the old per-iteration broadcast of a
+    1-row aggregate and its crossJoins are gone. The fixed, small
+    iteration count builds ONE linear plan evaluated by ONE job:
+    every iteration's shuffle materializes exactly once (no lineage
+    replay), where the old eager per-iteration localCheckpoint paid a
+    driver-synchronized job per iteration (r14 baseline: 33 jobs →
+    see plans/r14/graph_pagerank_{before,after}.txt)."""
+    own = adjacency is None
+    if own:
+        e, nodes, out = graph_adjacency(edges, src_col, dst_col)
+        e = e.persist()
+        nodes = nodes.persist()
+        out = out.persist()
+    else:
+        e, nodes, out = adjacency
     try:
+        if n_nodes is None:
+            n_nodes = nodes.count()
+        n = F.lit(float(n_nodes))
+        pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
         for _ in range(iters):
             contrib = (
                 e.join(out, "a")
@@ -228,26 +260,24 @@ def pagerank(
                 .groupBy(F.col("b").alias("tnode"))
                 .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
             )
-            pr = (
-                nodes.crossJoin(F.broadcast(n1))
-                .join(contrib, F.col("node") == F.col("tnode"), "left")
-                .select(
-                    "node",
-                    F.round(
-                        (1.0 - damping) / F.col("_n")
-                        + damping * F.coalesce("m", F.lit(0.0)),
-                        9,
-                    ).alias("pr"),
-                )
-                .localCheckpoint(eager=True)
+            pr = nodes.join(
+                contrib, F.col("node") == F.col("tnode"), "left"
+            ).select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / n
+                    + damping * F.coalesce("m", F.lit(0.0)),
+                    9,
+                ).alias("pr"),
             )
         return pr.select(
             "node", F.round("pr", 5).cast("double").alias("pagerank")
         ).orderBy(F.desc("pagerank"), "node").limit(top_k)
     finally:
-        e.unpersist()
-        nodes.unpersist()
-        out.unpersist()
+        if own:
+            e.unpersist()
+            nodes.unpersist()
+            out.unpersist()
 
 
 def pagerank_sql(

@@ -275,11 +275,13 @@ def query_correction(
     # automaton (fuzzy_parser.rs:73)
     swap_rows = [(t, v) for t in terms for v in transposition_variants(t)]
     spark = vocab.sparkSession
-    swaps = spark.createDataFrame(
-        swap_rows or [("", "")], "q string, v string"
-    ).filter(F.col("q") != "")
+    # literal frames (guide §4): createDataFrame parallelizes tiny
+    # driver lists into one Python-worker task per slice
+    from nucliadb_spark.functions import frames
+
+    swaps = frames.literal_frame(spark, swap_rows, "q string, v string")
     cand = (
-        vocab.crossJoin(spark.createDataFrame([(t,) for t in terms], "q string"))
+        vocab.crossJoin(frames.literal_frame(spark, [(t,) for t in terms], "q string"))
         .join(
             swaps.withColumnRenamed("v", "_swap"),
             ["q"],

@@ -4,7 +4,7 @@ over the documents and embeddings tables."""
 
 from __future__ import annotations
 
-from nucliadb_spark.functions import models
+from nucliadb_spark.functions import frames, models
 from nucliadb_spark.functions.vector import cosine_sql_unrolled
 from nucliadb_spark.operators import (
     bm25,
@@ -204,8 +204,21 @@ def multimodal_real_decode(spark, sf_dir):
     derives the same values analytically from the synthesis spec, so
     any mis-parse diverges. Codec formats (JPEG/H.264) remain the
     external-processing boundary, as in the reference
-    (resources.proto:9-36)."""
-    media = multimodal.synthesize_real_media(_docs(spark, sf_dir))
+    (resources.proto:9-36).
+
+    r14: the docs scan is one parquet split, so the whole synthesize+
+    decode Python chain ran on ONE core (r14 baseline: 2.5 s run on a
+    single task). Repartitioning the (doc_id, text) rows BEFORE the
+    media bytes exist spreads the Python work across the executor
+    cores while the shuffle carries only text (guide §8: move small
+    rows, synthesize the heavy bytes after); the count is the
+    session's core count, never a local constant."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = multimodal.synthesize_real_media(docs)
     return multimodal.real_decode(media).orderBy("media_id")
 
 
@@ -237,8 +250,10 @@ def embed_knn_stub(spark, sf_dir):
         F.col("doc_id").cast("long").alias("id"),
         models.stub_embedding(F.col("text")).alias("emb"),
     )
-    q = spark.createDataFrame([(_EMBED_QUERY,)], "t string").select(
-        models.stub_embedding(F.col("t")).alias("qvec")
+    # driver-side query embedding as a JVM literal (guide §4 — no
+    # Python workers for a 1-row frame; values identical to the UDF)
+    q = frames.literal_frame(
+        spark, [(models._hash_embed(_EMBED_QUERY),)], "qvec array<double>"
     )
     return knn.exact_knn(docs, q, k=10, similarity="cosine", id_col="id", vec_col="emb")
 
@@ -508,7 +523,7 @@ def segment_merge_plan(spark, sf_dir):
         for job_id, job in enumerate(jobs)
         for seg_id in job
     ]
-    return spark.createDataFrame(rows, "job_id int, segment_id string")
+    return frames.literal_frame(spark, rows, "job_id int, segment_id string")
 
 
 # --- S4: SCHEDULED autocompaction for the CDC segment sinks ---------------
@@ -610,8 +625,23 @@ def dedup_span_removal(spark, sf_dir):
     keeps each duplicated 8-gram, every other doc drops the covered
     token positions; cleaned_md5 hashes the surviving token stream so
     the oracle verifies the rewritten text itself. Same single gram
-    shuffle as text_dup_spans plus a row-local array filter."""
-    return dedup.remove_dup_spans(_planted(spark, sf_dir), n=8)
+    shuffle as text_dup_spans plus a row-local array filter.
+
+    Serves from session-cached token / positional-gram streams (the
+    exact-substring dedup index, like lsh_sigs/lsh_shingles above):
+    the operator reads the gram stream twice (verdict + join-back),
+    and without the sidecars each pass re-tokenized the corpus —
+    8.0 s of CPU per run in the r14 baseline profile."""
+    from nucliadb_spark.cache import cached_df
+
+    corpus = _planted(spark, sf_dir)
+    toks = cached_df(
+        sf_dir, "span_toks", lambda: dedup.span_token_stream(corpus), spark=spark
+    )
+    pg = cached_df(
+        sf_dir, "span_grams8", lambda: dedup.span_gram_stream(toks, 8), spark=spark
+    )
+    return dedup.remove_dup_spans(corpus, n=8, toks=toks, pg=pg)
 
 
 @register(

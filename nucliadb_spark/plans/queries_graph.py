@@ -244,8 +244,10 @@ def graph_semantic_paths(spark, sf_dir):
         F.concat(F.lit("part:"), F.col("p_partkey")).alias("value"),
         F.col("embedding").alias("vector"),
     )
-    labels = spark.createDataFrame(
-        [("SUPPLIED_BY", 11), ("CONTAINS", 12), ("PLACED", 13)], "l string, vid int"
+    from nucliadb_spark.functions import frames
+
+    labels = frames.literal_frame(
+        spark, [("SUPPLIED_BY", 11), ("CONTAINS", 12), ("PLACED", 13)], "l string, vid int"
     )
     edge_vecs = labels.join(emb, emb["vec_id"] == labels["vid"]).select(
         F.col("l").alias("label"), F.col("embedding").alias("vector")

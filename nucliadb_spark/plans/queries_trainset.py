@@ -770,11 +770,30 @@ def graph_pagerank(spark, sf_dir):
     oracle unrolls the same fixed iterations as nested CTEs. The
     centrality signal a graph RAG strategy can use to pick entry
     points (ref graph_strategy.py's scored-entity selection)."""
-    from nucliadb_spark.cache import cached_df
-    from nucliadb_spark.operators.iterative import pagerank
+    from nucliadb_spark.cache import cached_df, cached_scalar
+    from nucliadb_spark.operators.iterative import graph_adjacency, pagerank
 
     rel = tpch.relations_index(spark, sf_dir)
-    return pagerank(rel)
+    # adjacency + degrees are GRAPH-INDEX sidecars (built once per
+    # session like postings/centroids; r14 guide §2.4) — a query pays
+    # only the power iterations
+    e = cached_df(sf_dir, "graph_edges", lambda: graph_adjacency(rel)[0], spark=spark)
+    nodes = cached_df(
+        sf_dir,
+        "graph_nodes",
+        lambda: e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct(),
+        spark=spark,
+    )
+    out = cached_df(
+        sf_dir,
+        "graph_outdeg",
+        lambda: e.groupBy("a").agg(F.count("*").cast("double").alias("deg")),
+        spark=spark,
+    )
+    n = cached_scalar(nodes, sf_dir, "graph_n_nodes", lambda: nodes.count())
+    return pagerank(rel, adjacency=(e, nodes, out), n_nodes=n)
 
 
 @register(

@@ -898,7 +898,10 @@ def _autocompact_index(
     # whole inventory→plan pipeline per write
     plan = autocompaction_plan(inv, min_segments, top_max, bottom)
     plan_rows = plan.collect()
-    planned = spark.createDataFrame(
+    from nucliadb_spark.functions import frames
+
+    planned = frames.literal_frame(
+        spark,
         [(r.segment_id,) for r in plan_rows if r.action in ("merge", "purge")],
         "segment_id long",
     )
@@ -941,7 +944,7 @@ def _autocompact_index(
         shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
         shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(plan_rows, plan.schema)
+    return frames.literal_frame(spark, plan_rows, plan.schema)
 
 
 def autocompact_cdc_index(spark: SparkSession, index_path: str, **kw) -> DataFrame:
@@ -1673,7 +1676,9 @@ def retrain_vector_index(spark: SparkSession, index_path: str) -> DataFrame:
         shutil.rmtree(f"{index_path}/{t}")
         shutil.move(f"{tmp}/{t}", f"{index_path}/{t}")
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(cents, refreshed.schema)
+    from nucliadb_spark.functions import frames
+
+    return frames.literal_frame(spark, cents, refreshed.schema)
 
 
 # --- stateful streaming sessionization (applyInPandasWithState) -------------
@@ -2051,7 +2056,9 @@ def cdc_facet_counts(
     rows = merged.collect()  # materialize before the partials dir is removed
     if partials_dir is None:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, "label string, n long")
+    from nucliadb_spark.functions import frames
+
+    return frames.literal_frame(spark, rows, "label string, n long")
 
 
 CDC_FACET_COUNTS_SQL = """
@@ -2866,7 +2873,10 @@ def stream_percolator(
     src = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(src).schema
     arrival = stage_arrival_dir(src)
-    qdf = spark.createDataFrame(
+    from nucliadb_spark.functions import frames
+
+    qdf = frames.literal_frame(
+        spark,
         [(qid, tokenize_py(q)) for qid, q in sorted(queries.items())],
         "query_id int, terms array<string>",
     )
@@ -3056,7 +3066,10 @@ def cdc_snapshot_report(
     corpus state at each as-of sequence point. Ordered by as_of_seq."""
     spark = log.sparkSession
     points = points or SNAPSHOT_POINTS
-    pts = spark.createDataFrame(
+    from nucliadb_spark.functions import frames
+
+    pts = frames.literal_frame(
+        spark,
         sorted(points.items(), key=lambda kv: kv[1]),
         "snapshot string, as_of_seq long",
     )

@@ -138,22 +138,24 @@ def test_prefilter_mode_fast_paths():
     assert prefilter_mode(1, 500) == "some"
 
 
-def test_find_empty_prefilter_skips_all_jobs(spark, sf_dir):
-    """PrefilterResult::None: a prefilter matching nothing returns an
-    empty LOCAL relation — no retriever leg runs at all."""
+def test_find_empty_prefilter_returns_empty(spark, sf_dir):
+    """PrefilterResult::None semantics: a prefilter matching nothing
+    yields an empty result with the find() output schema.
+
+    r14 optimization: the old implementation COUNTED the filtered
+    corpus on every prefiltered request to short-circuit this case
+    into a local empty relation — a blocking extra scan per request
+    to optimize a degenerate input the normal plan answers
+    identically (guide §5). The fast path is gone; this test now pins
+    the VALUE contract, not the plan shape."""
     from nucliadb_spark.operators import filters as fx
     from nucliadb_spark.operators.find import find
 
     out = find(spark, sf_dir, "spark join", prefilter=fx.Facet("/l/nonexistent"))
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # the whole plan is one local empty relation: no file scan, no
-    # join, no exchange — i.e. no retriever leg was even planned
-    assert "FileScan" not in plan and "Join" not in plan, plan[:500]
-    assert any(
-        marker in plan
-        for marker in ("LocalTableScan", "EmptyRelation", "Scan ExistingRDD")
-    ), plan[:500]
     assert out.count() == 0
+    assert out.columns == [
+        "id", "score", "matched_sources", "language", "source", "snippet"
+    ]
 
 
 def test_find_all_matching_prefilter_serves_unfiltered(spark, sf_dir):
