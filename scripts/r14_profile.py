@@ -126,10 +126,13 @@ def main() -> None:
     spark.stop()  # flush event log
     time.sleep(2)
 
-    # --- parse the event log ---------------------------------------
+    # --- parse the event log (plain file or rolling zstd dir) ------
     path = os.path.join(EVDIR, app_id)
     if not os.path.exists(path):
-        cands = [f for f in os.listdir(EVDIR) if f.startswith(app_id)]
+        cands = [f for f in os.listdir(EVDIR) if app_id in f]
+        if not cands:
+            print(json.dumps({"walls": walls, "construct": construct}))
+            return
         path = os.path.join(EVDIR, cands[0])
     jobs_by_group: dict[str, list[dict]] = {}
     stages: dict[int, dict] = {}
