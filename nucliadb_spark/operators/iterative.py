@@ -234,12 +234,19 @@ def pagerank(
     ride the same edge-keyed exchange, and AQE broadcasts the rank
     side while it is small). N is a driver-side index scalar, so the
     (1-d)/N term is a literal — the old per-iteration broadcast of a
-    1-row aggregate and its crossJoins are gone. The fixed, small
-    iteration count builds ONE linear plan evaluated by ONE job:
-    every iteration's shuffle materializes exactly once (no lineage
-    replay), where the old eager per-iteration localCheckpoint paid a
-    driver-synchronized job per iteration (r14 baseline: 33 jobs →
-    see plans/r14/graph_pagerank_{before,after}.txt)."""
+    1-row aggregate and its crossJoins are gone.
+
+    The iteration loop truncates lineage with a localCheckpoint per
+    iteration. An earlier r14 attempt built ONE linear 3-iteration
+    plan instead ("no driver-synchronized job per iteration") and it
+    was measured 10x SLOWER (timed run 4.7 -> 62 s; summed task
+    deserialization 36 -> 244 s across the headline sweep): the
+    un-truncated plan re-nests every prior iteration under each AQE
+    query stage, so task binaries, AQE replanning and broadcast
+    subtree duplication grow super-linearly with iterations — the
+    guide's §3.3 "materialise an intermediate to truncate the plan"
+    case, re-proven empirically (plans/r14/graph_pagerank_after1.txt
+    is the 6445-line linear plan; _after.txt is this shape)."""
     own = adjacency is None
     if own:
         e, nodes, out = graph_adjacency(edges, src_col, dst_col)
@@ -260,15 +267,17 @@ def pagerank(
                 .groupBy(F.col("b").alias("tnode"))
                 .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
             )
-            pr = nodes.join(
-                contrib, F.col("node") == F.col("tnode"), "left"
-            ).select(
-                "node",
-                F.round(
-                    (F.lit(1.0) - F.lit(damping)) / n
-                    + damping * F.coalesce("m", F.lit(0.0)),
-                    9,
-                ).alias("pr"),
+            pr = (
+                nodes.join(contrib, F.col("node") == F.col("tnode"), "left")
+                .select(
+                    "node",
+                    F.round(
+                        (F.lit(1.0) - F.lit(damping)) / n
+                        + damping * F.coalesce("m", F.lit(0.0)),
+                        9,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
             )
         return pr.select(
             "node", F.round("pr", 5).cast("double").alias("pagerank")

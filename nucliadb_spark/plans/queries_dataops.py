@@ -206,19 +206,20 @@ def multimodal_real_decode(spark, sf_dir):
     external-processing boundary, as in the reference
     (resources.proto:9-36).
 
-    r14: the docs scan is one parquet split, so the whole synthesize+
-    decode Python chain ran on ONE core (r14 baseline: 2.5 s run on a
-    single task). Repartitioning the (doc_id, text) rows BEFORE the
-    media bytes exist spreads the Python work across the executor
-    cores while the shuffle carries only text (guide §8: move small
-    rows, synthesize the heavy bytes after); the count is the
-    session's core count, never a local constant."""
-    from pyspark.sql import functions as F
-
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    media = multimodal.synthesize_real_media(docs)
+    r14: an earlier optimization attempt repartitioned the (doc_id,
+    text) input to defaultParallelism so the Python chain would use
+    all cores — measured SLOWER and reverted (quiet A/B,
+    scripts/r14_multimodal_probe.py: no-repartition 0.80-0.98 s warm
+    vs 1.9-2.0 s at 32 partitions vs 1.1-1.3 s at 8): at bench scale
+    the corpus is 5000 tiny files, so the forced exchange plus
+    per-task Arrow/worker overhead exceeds the decode work it
+    parallelizes (guide §1.2 — per-task work only AFTER the job
+    shape is right; §2.2 — more, smaller tasks is the wrong
+    direction for small inputs). At scale the docs table arrives as
+    many parquet splits and the scan itself provides the
+    parallelism; forcing a keyless repartition would only add a
+    payload shuffle (guide §8's anti-pattern)."""
+    media = multimodal.synthesize_real_media(_docs(spark, sf_dir))
     return multimodal.real_decode(media).orderBy("media_id")
 
 

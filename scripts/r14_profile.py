@@ -126,7 +126,7 @@ def main() -> None:
     spark.stop()  # flush event log
     time.sleep(2)
 
-    # --- parse the event log (plain file or rolling zstd dir) ------
+    # --- parse the event log (plain file or rolling eventlog_v2 dir) ---
     path = os.path.join(EVDIR, app_id)
     if not os.path.exists(path):
         cands = [f for f in os.listdir(EVDIR) if app_id in f]
@@ -134,11 +134,23 @@ def main() -> None:
             print(json.dumps({"walls": walls, "construct": construct}))
             return
         path = os.path.join(EVDIR, cands[0])
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+    else:
+        parts = [path]
+
+    def lines():
+        for p in parts:
+            with open(p) as f:
+                yield from f
     jobs_by_group: dict[str, list[dict]] = {}
     stages: dict[int, dict] = {}
     task_metrics: dict[int, dict] = {}
-    with open(path) as f:
-        for line in f:
+    for line in lines():
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
