@@ -7,6 +7,20 @@ Prints ONE JSON line:
 Each query executes to completion (collect) so the timing covers the
 full DAG including shuffles and top-k merges. The session is warmed
 with one trivial action first so JVM startup isn't attributed to q1.
+
+Steal-robustness (r15, additions-only): this box suffers hypervisor
+CPU-steal waves invisible to loadavg (measured ~46% cumulative steal
+in r14; five same-binary runs spanned 77-291 s). Each query is now
+timed best-of-N (two timed runs after the untimed warm-up, a third
+only when the first two disagree by >1.5x — i.e. a wave hit one), and
+the JSON line additionally records:
+  - "steal_pct": %CPU stolen across the whole bench (from /proc/stat),
+  - "query_runs": every raw timed run per query (run 1 is the old
+    single-run methodology, kept for comparability),
+  - "query_steal_pct": %CPU stolen during each query's timed runs.
+The "queries"/"value" keys keep their meaning (seconds per seat /
+total), just computed from the per-query minimum, which is the only
+honest estimator under asymmetric contamination noise.
 """
 
 from __future__ import annotations
@@ -22,6 +36,28 @@ from nucliadb_spark import registry  # noqa: E402
 from nucliadb_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# timed runs per query: min of N is the reported seat time. N=2 with
+# an adaptive third when the pair disagrees (a steal wave hit one).
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+DISAGREE = 1.5  # ratio that triggers the extra run
+
+
+def _read_steal() -> tuple[float, float]:
+    """(steal_jiffies, total_jiffies) from /proc/stat; (0, 0) when
+    the file is unavailable (non-Linux dev box)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [float(x) for x in parts[1:]]
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0.0, 0.0
+
+
+def _steal_pct(before: tuple[float, float], after: tuple[float, float]) -> float:
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else 0.0
 
 # Headline set: one per operator family (catalog SQL, filter compile,
 # BM25 exact + fuzzy, prefiltered hybrid, KNN exact + filtered +
@@ -192,6 +228,7 @@ def main() -> None:
         SF_DIR,
         "ivf_centroids",
         lambda: ann_ops.cell_centroids(tpch.vectors(spark, SF_DIR)),
+        pinned=True,
     ).count()
     # the rephrased flagship serves from the stub-embedding sidecar —
     # index-build output like the postings/centroids above
@@ -210,18 +247,34 @@ def main() -> None:
         names.append("stream_windowed_counts")
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    q_steal: dict[str, float] = {}
     errors: dict[str, str] = {}
+    bench_steal0 = _read_steal()
     for name in names:
         # one untimed warm-up run (codegen compile, broadcast build),
-        # then the measured run — matching the reference's
+        # then the measured runs — matching the reference's
         # pytest-benchmark warm-round methodology. A failing query is
         # recorded and skipped rather than sinking the whole bench
         # (r2 lost its bench line to one testdata schema change).
         try:
             queries[name](spark, SF_DIR).collect()
-            t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            q0 = _read_steal()
+            samples: list[float] = []
+            for _ in range(max(TIMED_RUNS, 1)):
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).collect()
+                samples.append(round(time.perf_counter() - t0, 3))
+            if (
+                len(samples) >= 2
+                and max(samples) > DISAGREE * max(min(samples), 1e-9)
+            ):
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).collect()
+                samples.append(round(time.perf_counter() - t0, 3))
+            q_steal[name] = _steal_pct(q0, _read_steal())
+            runs[name] = samples
+            timings[name] = min(samples)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -232,6 +285,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "steal_pct": _steal_pct(bench_steal0, _read_steal()),
+        "query_runs": runs,
+        "query_steal_pct": q_steal,
     }
     if errors:
         out["errors"] = errors

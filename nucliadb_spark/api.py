@@ -10,6 +10,7 @@ fusion skip R3, legacy filter translation F8, reranker R5).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -534,8 +535,37 @@ def asof_live_state(
     return cached_df(sf_dir, f"asof{as_of}_{family}", build, spark=spark)
 
 
+# Request-plan memo (r15, guide §5 driver overhead): building a
+# flagship request's DataFrame costs 50-200 ms of pure driver work
+# (plane classification, scope resolution, leg assembly, analysis) —
+# at ~1 s serving latencies that is 10-20% fixed overhead paid again
+# for every repeat of the SAME request. The memo stores the BUILT
+# plan handle keyed on the full request VALUE (dataclass repr — every
+# field of FindRequest and its nested filter/prequery trees), the
+# sf_dir and the Spark application id, so it works for any request
+# shape, never outlives the session, and never stores results: every
+# collect() re-executes the plan against the parquet inputs.
+_REQUEST_MEMO: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
+_REQUEST_MEMO_MAX = 256
+
+
 def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFrame:
     """Execute a FindRequest → (id, score, matched_sources)."""
+    key = (spark.sparkContext.applicationId, sf_dir, repr(req))
+    hit = _REQUEST_MEMO.get(key)
+    if hit is not None:
+        _REQUEST_MEMO.move_to_end(key)
+        return hit
+    df = _build_find_request(spark, sf_dir, req)
+    _REQUEST_MEMO[key] = df
+    while len(_REQUEST_MEMO) > _REQUEST_MEMO_MAX:
+        _REQUEST_MEMO.popitem(last=False)
+    return df
+
+
+def _build_find_request(
+    spark: SparkSession, sf_dir: str, req: FindRequest
+) -> DataFrame:
     if req.prequeries:
         # the cursor would otherwise be applied to the INNER main-leg
         # ranking and then re-ranked by the outer weighted RRF — page
@@ -747,6 +777,8 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
     scoped_keys: list[str] | None = None
     scope_rids = None
     if req.fields:
+        from nucliadb_spark.cache import cached_df
+
         scoped_keys = ["/" + f_ for f_ in normalize_fields(req.fields)]
         if as_of is not None:
             from nucliadb_spark.streaming import ingest
@@ -764,11 +796,28 @@ def find_request(spark: SparkSession, sf_dir: str, req: FindRequest) -> DataFram
             scoped_fields = live_fielded.filter(
                 F.col("field_key").isin(scoped_keys)
             )
+            scope_name = f"asof{as_of}_scope_rids:" + ",".join(
+                sorted(scoped_keys)
+            )
+            scope_pinned = False  # snapshot-keyed: ages out with its seq
         else:
             scoped_fields = tpch.fields_multi(spark, sf_dir).filter(
                 F.col("field_key").isin(scoped_keys)
             )
-        scope_rids = scoped_fields.select("rid").distinct()
+            scope_name = "scope_rids:" + ",".join(sorted(scoped_keys))
+            scope_pinned = True  # live index membership, finite families
+        # the owning-resource set of a field family is INDEX state
+        # (the fielded postings sidecar's membership list), not
+        # per-request work: without the sidecar every scoped request
+        # re-ran the fields_multi scan + distinct once per leg that
+        # broadcasts it (r15, guide §2.4)
+        scope_rids = cached_df(
+            sf_dir,
+            scope_name,
+            lambda: scoped_fields.select("rid").distinct(),
+            spark=spark,
+            pinned=scope_pinned,
+        )
 
     if (
         "keyword" in features

@@ -13,13 +13,21 @@ plan shape without filesystem management in the test harness.
 Correctness is unaffected: the cache stores exactly the DataFrame the
 builder returns, keyed by (sf_dir, name).
 
-The cache is a bounded LRU: as-of queries key per-snapshot sidecars
-by seq (``asof{seq}_text_post`` …), so a long multi-snapshot session
-would otherwise accumulate persisted frames without bound. Eviction
-unpersists the least-recently-used entry — dropping storage only;
-any plan still holding the frame recomputes it lazily, so eviction
-can never change results. Hot shared sidecars (the live text index,
-centroids) are touched every request and stay resident.
+The cache is a bounded LRU. The bound is expressed in BYTES (r15 —
+the r14 entry-count bound of 512 was sized to one workload's tour;
+a byte budget is the policy that transfers to any tenant mix): each
+entry's size is probed once from the optimizer's statistics after it
+has had a chance to materialize, and when the known total exceeds
+``MAX_BYTES`` the least-recently-used unpinned entries are evicted.
+Eviction unpersists the entry — dropping storage only; any plan still
+holding the frame recomputes it lazily, so eviction can never change
+results. Hot shared index artifacts (the live text index, centroids,
+the relations index — built once per session, read by every request)
+are inserted with ``pinned=True`` and never evicted; the unbounded
+families (per-snapshot as-of sidecars keyed by seq) are unpinned and
+age out. Single-threaded by design: Spark driver-side query
+construction in this engine happens on one thread; the counters are
+plain ints.
 """
 
 from __future__ import annotations
@@ -31,26 +39,62 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-# Sizing (revised in the r14 optimization round): the old 128-entry
-# bound THRASHED on the full bench sweep — the registry now tours
-# dozens of snapshots (~9 sidecars per (corpus, seq)) plus the live
-# indexes, so entries built by a query's warm-up were evicted before
-# its timed run and the per-snapshot postings re-tokenized the corpus
-# inside the serving path (r14 baseline profile: find_hybrid_as_of
-# spent ~22 s of summed executor run re-building evicted sidecars).
-# 512 holds every sidecar the whole 275-query registry creates in one
-# session with headroom; entries are index-sized (MBs at bench scale,
-# and on a cluster the big ones are parquet artifacts the cache only
-# fronts), so the bound is about handle bookkeeping, not memory
-# safety. Still env-tunable for small-heap deployments.
-MAX_ENTRIES = int(os.environ.get("NUCLIADB_SPARK_CACHE_MAX", "512"))
+# Byte budget for UNPINNED entries (the snapshot-keyed families).
+# Default 8 GiB: the full 275-query registry tour's sidecars sum to
+# well under 1 GiB at bench scale, so the tour never evicts (the r14
+# thrash signal stays fixed), while a long-lived multi-tenant session
+# touring thousands of snapshots is bounded by storage, not entry
+# count. MEMORY_AND_DISK entries spill, so the budget bounds footprint
+# rather than guarding the heap.
+MAX_BYTES = int(os.environ.get("NUCLIADB_SPARK_CACHE_MAX_BYTES", str(8 << 30)))
 
-_CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
+# Size probes read the optimizer's statistics. Before an entry is
+# materialized those statistics are the child-plan ESTIMATE, which for
+# an un-analyzed derived frame can be absurd; anything above the clamp
+# is treated as "unknown" and billed at the default. A mis-billed
+# entry costs at worst an unnecessary eviction (storage-only drop).
+_SIZE_CLAMP = 1 << 40  # 1 TiB
+_SIZE_DEFAULT = 1 << 20  # 1 MiB
 
-# observability: evictions in a session with a right-sized bound
+
+class _Entry:
+    __slots__ = ("df", "pinned", "size", "born")
+
+    def __init__(self, df: DataFrame, pinned: bool, born: int):
+        self.df = df
+        self.pinned = pinned
+        self.size: int | None = None  # probed lazily, once
+        self.born = born
+
+
+_CACHE: OrderedDict[tuple[str, str, str], _Entry] = OrderedDict()
+_INSERTS = 0
+
+# observability: evictions in a session with a right-sized budget
 # should be ~0; a growing count is the thrash signal the r14 profile
 # caught (scripts/r14_profile.py prints it after a sweep)
 EVICTIONS = 0
+
+
+def reset_stats() -> None:
+    """Zero the observability counters (sweep-scoped profiling)."""
+    global EVICTIONS
+    EVICTIONS = 0
+
+
+def _probe_size(df: DataFrame) -> int:
+    """Entry size in bytes from the optimized plan's statistics —
+    actual cached bytes once the InMemoryRelation materialized, the
+    child estimate before that (clamped to the default when absurd)."""
+    try:
+        raw = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001
+        return _SIZE_DEFAULT
+    if raw <= 0 or raw > _SIZE_CLAMP:
+        return _SIZE_DEFAULT
+    return raw
 
 
 def cached_names(spark, sf_dir: str) -> list[str]:
@@ -67,6 +111,7 @@ def cached_df(
     name: str,
     builder: Callable[[], DataFrame],
     spark=None,
+    pinned: bool = False,
 ) -> DataFrame:
     # with the session in hand the hit path never invokes the
     # builder: chained as-of builders construct (and would persist)
@@ -77,34 +122,60 @@ def cached_df(
         key = (spark.sparkContext.applicationId, sf_dir, name)
         hit = _CACHE.get(key)
         if hit is not None:
+            hit.pinned = hit.pinned or pinned
             _CACHE.move_to_end(key)
-            return hit
+            return hit.df
     df = builder()
     # key on the Spark application: a restarted/different session must
     # rebuild, not serve DataFrames of a dead context
     app = df.sparkSession.sparkContext.applicationId
     key = (app, sf_dir, name)
-    cached = _CACHE.get(key)
-    if cached is None:
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHE[key] = cached
-        while len(_CACHE) > MAX_ENTRIES:
-            global EVICTIONS
-            EVICTIONS += 1
-            _, evicted = _CACHE.popitem(last=False)
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass  # dead context — storage is already gone
+    entry = _CACHE.get(key)
+    if entry is None:
+        global _INSERTS
+        _INSERTS += 1
+        entry = _Entry(
+            df.persist(StorageLevel.MEMORY_AND_DISK), pinned, _INSERTS
+        )
+        _CACHE[key] = entry
+        _enforce_budget()
     else:
+        entry.pinned = entry.pinned or pinned
         _CACHE.move_to_end(key)
-    return cached
+    return entry.df
+
+
+def _enforce_budget() -> None:
+    """Probe sizes of entries that have aged one insert (a query ran
+    between the inserts, so their storage is normally materialized by
+    now), then evict unpinned LRU entries while the unpinned total
+    exceeds MAX_BYTES."""
+    for e in _CACHE.values():
+        if e.size is None and e.born < _INSERTS:
+            e.size = _probe_size(e.df)
+    total = sum(e.size or 0 for e in _CACHE.values() if not e.pinned)
+    if total <= MAX_BYTES:
+        return
+    global EVICTIONS
+    for key in list(_CACHE):
+        if total <= MAX_BYTES:
+            break
+        e = _CACHE[key]
+        if e.pinned or e.born == _INSERTS:  # never evict the newcomer
+            continue
+        del _CACHE[key]
+        total -= e.size or 0
+        EVICTIONS += 1
+        try:
+            e.df.unpersist()
+        except Exception:
+            pass  # dead context — storage is already gone
 
 
 def clear() -> None:
-    for df in _CACHE.values():
+    for e in _CACHE.values():
         try:
-            df.unpersist()
+            e.df.unpersist()
         except Exception:
             pass
     _CACHE.clear()

@@ -23,6 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+# Above this many rows the single inline(array(struct...)) expression
+# tree stops being "tiny": codegen splits/falls back to interpreted
+# evaluation past the 64KB method limit and the py4j command itself
+# balloons (r14 advice). createDataFrame's parallelize path is the
+# right tool for bulk rows — the Python-boundary fixed cost it pays
+# is amortized, and its slices stream instead of living in one
+# expression. 512 is far above every query-path caller (query
+# vectors, entity lists, plan rows: 1-60 rows) and far below where
+# expression-tree pathology starts for the widest rows we build
+# (64-double vectors ≈ 70 literals/row).
+MAX_LITERAL_ROWS = 512
+
 
 def _schema_of(spark: SparkSession, schema: str | StructType) -> StructType:
     if isinstance(schema, StructType):
@@ -43,6 +55,12 @@ def literal_frame(
     plan with one partition and zero Python workers.
     """
     st = _schema_of(spark, schema)
+    if len(rows) > MAX_LITERAL_ROWS:
+        # small-rows contract: callers feeding collected row SETS of
+        # unbounded size (facet labels, compaction plan rows) fall
+        # back to the parallelize path rather than building a giant
+        # Catalyst literal tree
+        return spark.createDataFrame(rows, st)
     base = spark.range(0, 1, 1, 1)  # ONE partition — range(1) defaults
     # to defaultParallelism splits, which is 31 empty tasks per stage
     if not rows:

@@ -180,6 +180,8 @@ def ivf_drift_plan(
 
     versions: the vector op log (rid, seq, op, vector).
     """
+    from pyspark.sql import Window
+
     ups = versions.filter(F.col("op") == "upsert").select("rid", "seq", vec_col)
     assigned = assign_cells(ups, base_centroids, keys=("rid", "seq"))
     last = versions.groupBy("rid").agg(
@@ -191,6 +193,14 @@ def ivf_drift_plan(
         ["rid", "seq"],
         "left",
     ).withColumn("live", F.coalesce("live", F.lit(0)))
+    # flagged feeds FOUR consumers (live geometry -> refreshed
+    # centroids AND the would-move rescoring, plus the per-cell
+    # counters); without a cut Spark re-runs the corpus-sized
+    # assign_cells subtree once per consumer (r14 profile: the whole
+    # audit re-assigned every upsert version 4x). localCheckpoint
+    # materializes it once and truncates the plan (guide §3.3/§5);
+    # values are unchanged — assignment is deterministic.
+    flagged = flagged.localCheckpoint()
     live = flagged.filter(F.col("live") == 1)
     refreshed = cell_centroids(live, cell_col="cluster_label", vec_col=vec_col)
     moved = (
@@ -207,10 +217,15 @@ def ivf_drift_plan(
         F.sum("live").cast("long").alias("n_live"),
         F.sum(1 - F.col("live")).cast("long").alias("n_dead_versions"),
     )
-    total = live.groupBy().agg(F.count("*").alias("n_total"))
+    # n_total == sum of live flags == sum of per-cell live counts: a
+    # window over the (cell-count-sized) counter frame replaces the
+    # old separate scan + BroadcastNestedLoopJoin of a 1-row total
     return (
         per_cell.join(moved, "cell", "left")
-        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_total",
+            F.sum("n_live").over(Window.partitionBy()).cast("double"),
+        )
         .select(
             F.col("cell").cast("long").alias("cell"),
             "n_live",
@@ -394,9 +409,17 @@ def ivf_drift_counters(
         F.sum("live").cast("long").alias("n_live"),
         F.sum(1 - F.col("live")).cast("long").alias("n_dead_versions"),
     )
-    total = flagged.groupBy().agg(F.sum("live").cast("double").alias("n_total"))
+    # n_total == sum of live flags == sum of the per-cell live counts:
+    # the window over the tiny counter frame replaces a SECOND full
+    # execution of the corpus-sized flagged subtree (the old separate
+    # agg + 1-row BroadcastNestedLoopJoin re-ran assign_cells)
+    from pyspark.sql import Window
+
     return (
-        per_cell.crossJoin(F.broadcast(total))
+        per_cell.withColumn(
+            "n_total",
+            F.sum("n_live").over(Window.partitionBy()).cast("double"),
+        )
         .select(
             F.col("cell").cast("long").alias("cell"),
             "n_live",
@@ -510,7 +533,30 @@ def ivf_drift_plan_incremental(
     prior_live: (rid, seq, cell) live layout at the checkpoint
         (:func:`ivf_live_cells`, or the serving index directly).
     delta_log: ops with seq strictly past the checkpoint.
+
+    Counter merge (restructured in r15 — same fold, fewer passes):
+    the old shape split the delta assignments into a semi- and an
+    anti-join (two executions of the assignment subtree), aggregated
+    each side separately, stitched everything with TWO full-outer
+    joins, and re-scanned the whole merge for its grand total — a
+    chain of driver-synchronized AQE stages (6406-line plan, 467
+    Exchanges). Now every contribution — delta versions
+    (+live/+dead), superseded checkpoint versions (-live/+dead), the
+    checkpoint counters themselves — is a (cell, d_live, d_dead) row
+    in ONE union aggregated by ONE map-side-combinable groupBy, and
+    the grand total is a window over the cell-count-sized result.
+    Addition is associative and commutative, so the merged counters
+    are identical row-for-row (the registry oracle — full-log counter
+    SQL — re-proves it on every driver hash check).
     """
+    from pyspark.sql import Window
+
+    # NB: the delta subtree stays UNMATERIALIZED on purpose — the
+    # seq > checkpoint predicate must remain visible down to the scan
+    # (partition pruning is the scale contract, pinned by
+    # tests/test_plan_shapes.py::test_ivf_drift_incremental_no_full_log_assignment);
+    # the restructure below cuts its executions from four to three
+    # and removes the join/AQE chains instead.
     ups = delta_log.filter(F.col("op") == "upsert").select("rid", "seq", vec_col)
     assigned = assign_cells(ups, base_centroids, keys=("rid", "seq"))
     new_last = delta_log.groupBy("rid").agg(
@@ -518,50 +564,43 @@ def ivf_drift_plan_incremental(
         (F.max_by("op", "seq") == "upsert").alias("alive"),
     )
     final_live_keys = new_last.filter("alive").select("rid", "seq")
-    new_live = assigned.join(final_live_keys, ["rid", "seq"], "semi")
-    # newly-dead versions: delta upserts that are not the final live one
-    dead_new = assigned.join(final_live_keys, ["rid", "seq"], "left_anti")
+    # one pass over the delta assignments: a rid's final live version
+    # contributes +1 live, every other delta upsert version +1 dead
+    delta_contrib = assigned.join(
+        final_live_keys.withColumn("_live", F.lit(1)), ["rid", "seq"], "left"
+    ).select(
+        F.col("cluster_label").cast("long").alias("cell"),
+        F.coalesce("_live", F.lit(0)).cast("long").alias("d_live"),
+        (1 - F.coalesce("_live", F.lit(0))).cast("long").alias("d_dead"),
+    )
     # prior live versions superseded by ANY delta op on their rid
     touched = delta_log.select("rid").distinct()
-    prior_superseded = prior_live.join(F.broadcast(touched), "rid", "semi")
-
-    d_live = (
-        new_live.groupBy(F.col("cluster_label").alias("cell"))
-        .agg(F.count("*").cast("long").alias("d"))
-        .unionByName(
-            prior_superseded.groupBy("cell").agg(
-                (-F.count("*")).cast("long").alias("d")
-            )
-        )
-        .groupBy("cell")
-        .agg(F.sum("d").cast("long").alias("d_live"))
+    superseded_contrib = prior_live.join(
+        F.broadcast(touched), "rid", "semi"
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.lit(-1).cast("long").alias("d_live"),
+        F.lit(1).cast("long").alias("d_dead"),
     )
-    d_dead = (
-        dead_new.select(F.col("cluster_label").alias("cell"))
-        .unionByName(prior_superseded.select("cell"))
-        .groupBy("cell")
-        .agg(F.count("*").cast("long").alias("d_dead"))
+    prior_contrib = prior_counters.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_live").cast("long").alias("d_live"),
+        F.col("n_dead_versions").cast("long").alias("d_dead"),
     )
     merged = (
-        prior_counters.select("cell", "n_live", "n_dead_versions")
-        .join(d_live, "cell", "full")
-        .join(d_dead, "cell", "full")
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            (F.coalesce("n_live", F.lit(0)) + F.coalesce("d_live", F.lit(0)))
-            .cast("long")
-            .alias("n_live"),
-            (
-                F.coalesce("n_dead_versions", F.lit(0))
-                + F.coalesce("d_dead", F.lit(0))
-            )
-            .cast("long")
-            .alias("n_dead_versions"),
+        delta_contrib.unionByName(superseded_contrib)
+        .unionByName(prior_contrib)
+        .groupBy("cell")
+        .agg(
+            F.sum("d_live").cast("long").alias("n_live"),
+            F.sum("d_dead").cast("long").alias("n_dead_versions"),
         )
     )
-    total = merged.groupBy().agg(F.sum("n_live").cast("double").alias("n_total"))
     return (
-        merged.crossJoin(F.broadcast(total))
+        merged.withColumn(
+            "n_total",
+            F.sum("n_live").over(Window.partitionBy()).cast("double"),
+        )
         .select(
             "cell",
             "n_live",

@@ -559,7 +559,12 @@ def segment_autocompaction_plan(spark, sf_dir):
     segment-count-sized, never corpus-sized. Execution with the
     serve-reads-identical contract: ingest.autocompact_cdc_index."""
     log = ingest.cdc_log(tpch.fields(spark, sf_dir))
-    return ingest.autocompaction_plan(ingest.segment_inventory(log))
+    # materialize the segment-count-sized inventory once: its lineage
+    # is the corpus-sized tokenize + supersession window and the plan
+    # reads it through three branches (r15, guide §3.3/§5)
+    return ingest.autocompaction_plan(
+        ingest.segment_inventory(log).localCheckpoint()
+    )
 
 
 # mid-delete-wave maintenance point: deletions at seq 2M+rid (rid%11)

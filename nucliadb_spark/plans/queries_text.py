@@ -31,21 +31,25 @@ def _text_index(spark, sf_dir):
         lambda: bm25.postings(tpch.fields(spark, sf_dir))
         .repartitionByRange(32, "term")
         .sortWithinPartitions("term"),
+        pinned=True,
     )
     stats = cached_df(
-        sf_dir, "docstats", lambda: bm25.doc_stats_from_postings(post)
+        sf_dir, "docstats", lambda: bm25.doc_stats_from_postings(post),
+        pinned=True,
     )
     return post, stats
 
 
 def _vocab(sf_dir, post):
     """Cached term dictionary (fuzzy-serving sidecar of the index)."""
-    return cached_df(sf_dir, "vocab", lambda: bm25.vocabulary(post))
+    return cached_df(sf_dir, "vocab", lambda: bm25.vocabulary(post), pinned=True)
 
 
 def _corpus(sf_dir, stats):
     """Cached 1-row (n, avgdl) corpus metadata."""
-    return cached_df(sf_dir, "corpusstats", lambda: bm25.corpus_stats(stats))
+    return cached_df(
+        sf_dir, "corpusstats", lambda: bm25.corpus_stats(stats), pinned=True
+    )
 
 
 def _fielded_text_index(spark, sf_dir):
@@ -76,11 +80,13 @@ def _fielded_text_index(spark, sf_dir):
             .repartitionByRange(32, "field_key", "term")
             .sortWithinPartitions("field_key", "term")
         ),
+        pinned=True,
     )
     stats = cached_df(
         sf_dir,
         "ff_docstats",
         lambda: post.groupBy("field_key", "rid").agg(F.sum("tf").alias("dl")),
+        pinned=True,
     )
     vocab = cached_df(
         sf_dir,
@@ -88,6 +94,7 @@ def _fielded_text_index(spark, sf_dir):
         lambda: post.groupBy("field_key", "term").agg(
             F.count("*").cast("double").alias("df")
         ),
+        pinned=True,
     )
     corpus = cached_df(
         sf_dir,
@@ -95,6 +102,7 @@ def _fielded_text_index(spark, sf_dir):
         lambda: stats.groupBy("field_key").agg(
             F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
         ),
+        pinned=True,
     )
     return post, stats, vocab, corpus
 

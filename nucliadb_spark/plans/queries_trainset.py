@@ -777,7 +777,13 @@ def graph_pagerank(spark, sf_dir):
     # adjacency + degrees are GRAPH-INDEX sidecars (built once per
     # session like postings/centroids; r14 guide §2.4) — a query pays
     # only the power iterations
-    e = cached_df(sf_dir, "graph_edges", lambda: graph_adjacency(rel)[0], spark=spark)
+    e = cached_df(
+        sf_dir,
+        "graph_edges",
+        lambda: graph_adjacency(rel)[0],
+        spark=spark,
+        pinned=True,
+    )
     nodes = cached_df(
         sf_dir,
         "graph_nodes",
@@ -785,12 +791,14 @@ def graph_pagerank(spark, sf_dir):
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct(),
         spark=spark,
+        pinned=True,
     )
     out = cached_df(
         sf_dir,
         "graph_outdeg",
         lambda: e.groupBy("a").agg(F.count("*").cast("double").alias("deg")),
         spark=spark,
+        pinned=True,
     )
     n = cached_scalar(nodes, sf_dir, "graph_n_nodes", lambda: nodes.count())
     return pagerank(rel, adjacency=(e, nodes, out), n_nodes=n)

@@ -38,83 +38,27 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver grades the FIRST 50 entries of this list per round.
-# Round-14 window policy (oldest-driver-evidence-first rotation; the
+# Round-15 window policy (oldest-driver-evidence-first rotation; the
 # membership invariant is mechanical — tests/test_registry_invariants.py
 # pins set(PRIORITY) == set(queries()) so no registered query can be
 # driver-unreachable, and `scripts/check.sh` runs those tests in
 # seconds so they gate every commit that touches the registry):
-# the r14 window = the 6 new queries (the vacuumed-substrate flagship
-# twin, the serve-after-autocompaction gate, the derived-plane find,
-# the filtered graph search at a snapshot, the stream-maintained
-# substrate serve, the deletion-list purge plan) + ALL 38 seats whose
-# latest driver evidence is r8 (the oldest tranche — clearing it
-# lifts the ledger-wide minimum evidence to r9) + r9 seats
-# alphabetical to 50.
-# The r14 substrate change (vacuumed serving) is result-identical
-# plumbing — oracle parity re-proves every as-of query against the
-# unchanged full-log oracles — so no semantics reseats are owed this
-# round; the three new as-of queries exercise the new path directly.
-# The tail holds every remaining query ordered by staleness (r9
-# remainder, r10, r11, r12, r13 — alphabetical within a round) so
+# the r15 window = the full r8/r9-evidence remainder (43 seats — the
+# oldest tranche; clearing it lifts the ledger-wide minimum evidence
+# to r10) + the TWO queries whose computation this optimization round
+# RESTRUCTURED (ivf_drift_plan_sampled / ivf_drift_plan_incremental:
+# the counter-merge rewrite + flagged-subtree checkpoint are proven
+# result-identical locally by tests/test_cdc_ingest.py and the full
+# parity sweep, and seating them makes the driver re-prove it) + the
+# r10 tranche alphabetical to 50. No new queries this round
+# (optimization rounds add none), so no new-query seats are owed.
+# The tail holds every remaining query ordered by staleness (r10
+# remainder, r11, r12, r13, then the 50 seats r14 just graded) so
 # future rounds keep rotating forward. Local parity
 # (tests/test_oracle_parity.py) re-verifies ALL oracles every run, so
 # a stale seat is re-confirmation debt, not correctness risk.
 PRIORITY: list[str] = [  # first 50 = this round's graded window
-    # --- new r14 queries (parity-green at sf0.001+0.01 before seating) ---
-    "find_hybrid_as_of_vacuumed",
-    "cdc_fielded_search_served_compacted",
-    "find_hybrid_as_of_modified_range",
-    "graph_path_filtered_as_of",
-    "cdc_substrate_stream_served",
-    "purge_deletions_plan",
-    # --- latest driver evidence: r8 — the oldest seats, graded first ---
-    "export_sentence_classification",
-    "export_token_classification",
-    "fielded_compaction_plan",
-    "find_exact_match_query",
-    "find_hybrid_fielded_graph",
-    "find_relations_feature",
-    "find_single_source",
-    "graph_as_of",
-    "graph_reachability",
-    "graph_semantic_paths",
-    "index_integrity_audit",
-    "kb_counters",
-    "knn_as_of",
-    "knn_dedup",
-    "knn_normalized",
-    "knn_sq8_rerank",
-    "legacy_search",
-    "multi_kb_scoped_search",
-    "old_filters_translation",
-    "paragraph_search_no_dups",
-    "purge_orphans_plan",
-    "resource_search",
-    "resources_list_after",
-    "retrieve_scores",
-    "sample_mixture",
-    "sample_stratified",
-    "search_as_of",
-    "shard_rebalance_plan",
-    "shard_rollover_plan",
-    "stream_session_window",
-    "stream_sessionization",
-    "stream_sliding_counts",
-    "stream_windowed_counts",
-    "suggest_combined",
-    "suggest_entities_folded",
-    "suggest_fielded",
-    "text_pii_scan",
-    "text_repetition",
-    # --- latest driver evidence: r9 — alphabetical fill to 50 ---
-    "advanced_query_fielded",
-    "ann_ivf_adaptive",
-    "ann_ivf_geometric",
-    "ann_ivf_pq",
-    "ann_ivf_probe",
-    "ann_ivf_recall",
-    # ---------------- end of the 50-seat graded window ----------------
-    # --- tail: r9 remainder (alphabetical) ---
+    # --- latest driver evidence: r8/r9 — the oldest seats, graded first ---
     "ann_ivf_sq8",
     "bm25_autocorrect",
     "bm25_batch_queries",
@@ -158,12 +102,19 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "trainset_split",
     "vocab_kmv_sketch",
     "vocab_prune_plan",
-    # --- tail: latest driver evidence r10 (alphabetical) ---
+    # --- RESTRUCTURED this round (r15 drift-counter merge rewrite):
+    # seated so the driver re-proves result-identity, per the
+    # prove-equivalence-before-moving-on rule ---
+    "ivf_drift_plan_sampled",
+    "ivf_drift_plan_incremental",
+    # --- latest driver evidence: r10 — alphabetical fill to 50 ---
     "advanced_query",
     "bm25_ematches",
     "bm25_fields_scoped",
     "bm25_fuzzy_fallback",
     "bm25_highlight",
+    # ---------------- end of the 50-seat graded window ----------------
+    # --- tail: r10 remainder (alphabetical) ---
     "bm25_prefiltered",
     "bm25_stop_words",
     "bm25_synonyms",
@@ -176,7 +127,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "hydrate_paragraphs",
     "incremental_refresh_report",
     "ivf_cell_maintenance",
-    "ivf_drift_plan_sampled",
     "json_kv_date_range",
     "kb_feedback_report",
     "kb_labelsets",
@@ -241,7 +191,6 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "graph_semantic_nodes",
     "graph_text_blocks",
     "graph_two_hop",
-    "ivf_drift_plan_incremental",
     "knn_as_of_incremental",
     "search_as_of_incremental",
     "suggest_as_of",
@@ -344,6 +293,57 @@ PRIORITY: list[str] = [  # first 50 = this round's graded window
     "url_dedup_exact",
     "url_filter_hosts",
     "vocab_stats",
+    # --- tail: graded r14 (the freshest evidence) ---
+    "advanced_query_fielded",
+    "ann_ivf_adaptive",
+    "ann_ivf_geometric",
+    "ann_ivf_pq",
+    "ann_ivf_probe",
+    "ann_ivf_recall",
+    "cdc_fielded_search_served_compacted",
+    "cdc_substrate_stream_served",
+    "export_sentence_classification",
+    "export_token_classification",
+    "fielded_compaction_plan",
+    "find_exact_match_query",
+    "find_hybrid_as_of_modified_range",
+    "find_hybrid_as_of_vacuumed",
+    "find_hybrid_fielded_graph",
+    "find_relations_feature",
+    "find_single_source",
+    "graph_as_of",
+    "graph_path_filtered_as_of",
+    "graph_reachability",
+    "graph_semantic_paths",
+    "index_integrity_audit",
+    "kb_counters",
+    "knn_as_of",
+    "knn_dedup",
+    "knn_normalized",
+    "knn_sq8_rerank",
+    "legacy_search",
+    "multi_kb_scoped_search",
+    "old_filters_translation",
+    "paragraph_search_no_dups",
+    "purge_deletions_plan",
+    "purge_orphans_plan",
+    "resource_search",
+    "resources_list_after",
+    "retrieve_scores",
+    "sample_mixture",
+    "sample_stratified",
+    "search_as_of",
+    "shard_rebalance_plan",
+    "shard_rollover_plan",
+    "stream_session_window",
+    "stream_sessionization",
+    "stream_sliding_counts",
+    "stream_windowed_counts",
+    "suggest_combined",
+    "suggest_entities_folded",
+    "suggest_fielded",
+    "text_pii_scan",
+    "text_repetition",
 ]
 
 

@@ -443,6 +443,7 @@ def relations_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(32, "source_value")
         .sortWithinPartitions("source_value"),
         spark=spark,
+        pinned=True,
     )
 
 

@@ -37,6 +37,24 @@ from nucliadb_spark.functions.text import tokenize
 from nucliadb_spark.operators import bm25
 
 
+# (applicationId, path) -> parquet schema for IMMUTABLE testdata
+# files. Each `spark.read.parquet(p).schema` call builds a fresh
+# InMemoryFileIndex and re-reads footers as a driver-visible job at
+# query-construction time (guide §6); the streaming seats pay it on
+# every invocation just to declare the readStream schema. Memoized
+# per session like sources.tpch._READER_MEMO; per-call staged arrival
+# dirs keep reading their own schema (unique paths, mutable content).
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _stable_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    hit = _SCHEMA_MEMO.get(key)
+    if hit is None:
+        hit = _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return hit
+
+
 def stage_arrival_dir(*files: str) -> str:
     """Copy parquet file(s) into a fresh 'arrival' directory — the
     file stream source requires a directory (it tracks which files it
@@ -76,7 +94,7 @@ def windowed_event_counts(
 
     ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     agg = (
         _events_stream(spark, arrival, schema)
@@ -748,6 +766,14 @@ def autocompaction_plan(
     lives in operators/compaction.py (`segment_merge_plan`) for the
     parity-graded query.
     """
+    # NB: the inventory feeds three plan branches (large split, bucket
+    # histogram, bucket join-back). Callers whose inventory lineage is
+    # corpus-sized (a tokenize + supersession window) should pass it
+    # pre-materialized (localCheckpoint) so the subtree runs once, not
+    # thrice — purge_deletions_plan and the registered plan queries
+    # do; this function stays cut-free because tiny literal
+    # inventories (property tests, the collect-path in
+    # autocompact_cdc_index) would pay an eager job for nothing.
     large = inventory.filter(F.col("records") > top_max).select(
         "segment_id",
         "records",
@@ -1048,8 +1074,15 @@ def purge_deletions_plan(
         & ~((F.col("seq") >= pending_lo) & (F.col("seq") <= pending_hi))
     )
     seg = F.floor(F.col("seq") / F.lit(seg_bucket)).cast("long")
+    # the inventory is segment-count-sized but its lineage is the
+    # corpus-sized tokenize + supersession window; the plan reads it
+    # through three branches, so materialize it once (guide §3.3/§5;
+    # r15 — the old shape re-tokenized the indexed log per branch)
     plan = autocompaction_plan(
-        segment_inventory(indexed, seg_bucket), min_segments, top_max, bottom
+        segment_inventory(indexed, seg_bucket).localCheckpoint(),
+        min_segments,
+        top_max,
+        bottom,
     )
     seg_seq = indexed.groupBy(seg.alias("segment_id")).agg(
         F.max("seq").alias("seg_seq")
@@ -1754,7 +1787,7 @@ def sessionize_stream(
 
     ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     name = f"sess_{uuid.uuid4().hex[:10]}"
     q = (
@@ -1880,7 +1913,7 @@ def sliding_event_counts(
 
     ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     agg = (
         _events_stream(spark, arrival, schema)
@@ -1955,7 +1988,7 @@ def session_window_counts(
 
     ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     agg = (
         _events_stream(spark, arrival, schema)
@@ -2575,7 +2608,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     name = f"dedup_{uuid.uuid4().hex[:10]}"
     src = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     agg = (
         spark.readStream.schema(schema)
@@ -2761,7 +2794,7 @@ def stream_attribution(
 
     ensure_nanos_conf(spark)
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     clicks = (
         _events_stream(spark, arrival, schema)
@@ -2871,7 +2904,7 @@ def stream_percolator(
     queries = queries or PERCOLATOR_QUERIES
     name = f"perc_{uuid.uuid4().hex[:10]}"
     src = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(src).schema
+    schema = _stable_schema(spark, src)
     arrival = stage_arrival_dir(src)
     from nucliadb_spark.functions import frames
 

@@ -27,6 +27,11 @@ N_QUERIES = 50
 K = 5
 
 
+
+# r15 slow tier: recall quality gates sweep whole corpora (74s+41s+34s
+# measured) — pre-round-close bar, not the driver-visible fast gate.
+pytestmark = pytest.mark.slow
+
 def _normalize(v):
     return v / np.linalg.norm(v)
 

@@ -7,6 +7,7 @@ identical (the force-merge before==after contract, scoped)."""
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from nucliadb_spark.sources import tpch
@@ -75,6 +76,7 @@ def test_autocompaction_policy_matrix():
     assert plan[10] == ("purge", None)
 
 
+@pytest.mark.slow  # r15 slow tier: build+compact+full-read equality sweep
 def test_autocompact_streamed_index_serve_reads_identical(spark, sf_dir):
     """Build the streamed CDC text index, run the scheduled
     autocompaction, and assert live_postings (the serve read) is
@@ -119,6 +121,7 @@ def test_autocompact_streamed_index_serve_reads_identical(spark, sf_dir):
     ).count() > 0, "winning deletes in merged segments must be retained"
 
 
+@pytest.mark.slow  # r15 slow tier: build+compact+full-read equality sweep
 def test_autocompact_fielded_index_serve_reads_identical(spark, sf_dir):
     """The same scheduled contract on the FIELDED sink: op identity
     (rid, field_id), rewrite preserves the field_key partitioning."""
@@ -152,6 +155,7 @@ def test_autocompact_fielded_index_serve_reads_identical(spark, sf_dir):
     assert post2.select("field_key").distinct().count() >= 2
 
 
+@pytest.mark.slow  # r15 slow tier: build+compact+full-read equality sweep
 def test_autocompact_vector_index_serve_reads_identical(spark, sf_dir):
     """The same scheduled contract on the VECTOR sink: dead versions
     purge, ingest-assigned cell labels ride along untouched."""
@@ -188,6 +192,7 @@ def test_autocompact_vector_index_serve_reads_identical(spark, sf_dir):
     assert vecs2.count() < n_before
 
 
+@pytest.mark.slow  # r15 slow tier: build+compact+full-read equality sweep
 def test_autocompact_relation_index_serve_reads_identical(spark, sf_dir):
     """The same scheduled contract on the RELATION sink: op identity
     is the edge triple, superseded provenance revisions purge."""

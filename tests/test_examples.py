@@ -4,6 +4,12 @@ before it breaks a user)."""
 
 from __future__ import annotations
 
+import pytest
+
+
+# r15 slow tier: the EXAMPLES.md walkthroughs re-run whole pipelines;
+# covered by the operators' own unit/parity tests in the fast tier.
+pytestmark = pytest.mark.slow
 
 def test_find_request_example(spark, sf_dir):
     from nucliadb_spark import api

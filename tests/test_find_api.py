@@ -654,6 +654,7 @@ def test_asof_text_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
     }
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut as-of behavior sweep
 def test_as_of_entity_sources_resolves_membership_at_the_seq(spark, sf_dir):
     """as_of × entity_sources (r11, rejection lifted): the leg's
     corpus MEMBERSHIP resolves from the content op log while the
@@ -733,6 +734,7 @@ def test_asof_family_index_chains_from_nearest_cached_snapshot(spark, sf_dir):
     }
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut as-of behavior sweep
 def test_asof_live_state_chains_for_every_family(spark, sf_dir):
     """api.asof_live_state: the vector/relation/label/fielded live
     states chain from the nearest cached earlier snapshot (the plan
@@ -837,6 +839,7 @@ def test_as_of_rephrase_semantic_tracks_text_versions(spark, sf_dir):
     assert hits(1_500_000) == post
 
 
+@pytest.mark.slow  # r15 slow tier: multi-cut as-of behavior sweep
 def test_as_of_boundary_seqs_degrade_gracefully(spark, sf_dir):
     """MVCC boundary semantics, exact: a pre-history seq serves only
     ops at or before it (seq 0 = the rid-0 base insert alone, not an
@@ -1024,3 +1027,26 @@ def test_as_of_fields_meta_filter_quadruple_composes(spark, sf_dir):
         .collect()
     }
     assert hits <= (allowed & scoped)
+
+
+def test_request_plan_memo_reuses_plan_not_results(spark, sf_dir):
+    """r15 construct-overhead memo: the SAME request value returns
+    the same built plan handle (analysis paid once); a different
+    request builds its own; values are identical to a fresh build."""
+    from nucliadb_spark import api
+
+    req = lambda: api.FindRequest(  # noqa: E731 — fresh object each call
+        query="europe asia shipment", features=["keyword"], top_k=5
+    )
+    a = api.find_request(spark, sf_dir, req())
+    b = api.find_request(spark, sf_dir, req())
+    assert a is b  # memo hit on an equal-valued fresh request object
+    other = api.find_request(
+        spark, sf_dir, api.FindRequest(query="europe asia shipment",
+                                       features=["keyword"], top_k=7)
+    )
+    assert other is not a
+    # plan handle reuse is NOT result caching: collect re-executes
+    assert a.collect() == api._build_find_request(
+        spark, sf_dir, req()
+    ).collect()

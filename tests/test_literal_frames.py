@@ -44,3 +44,20 @@ def test_preserves_row_order(spark):
     rows = [(i,) for i in (5, 3, 9, 1)]
     got = [r.x for r in literal_frame(spark, rows, "x int").collect()]
     assert got == [5, 3, 9, 1]
+
+
+def test_bulk_rows_fall_back_to_createdataframe(spark):
+    """Above MAX_LITERAL_ROWS the single Catalyst literal tree would
+    blow past codegen limits (r14 advice); bulk row sets take the
+    parallelize path with identical values and schema."""
+    from nucliadb_spark.functions import frames
+
+    rows = [(i, f"t{i}") for i in range(frames.MAX_LITERAL_ROWS + 1)]
+    schema = "n long, s string"
+    got = frames.literal_frame(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert got.collect() == want.collect()
+    # and small inputs keep the JVM-literal single-partition shape
+    small = frames.literal_frame(spark, rows[:3], schema)
+    assert small.rdd.getNumPartitions() == 1

@@ -9,6 +9,8 @@ targets one load-bearing marker, not the whole plan.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import re
 
@@ -611,6 +613,7 @@ def test_scoped_find_serves_from_fielded_sidecars(spark, sf_dir):
     assert "/a/title" in plan and "/u/link" in plan
 
 
+@pytest.mark.slow  # r15 slow tier: >=11 s plan probe (claims re-proven in the slow sweep)
 def test_cdc_fielded_served_no_per_request_tokenize(spark, sf_dir):
     """`cdc_fielded_search_served` must score from the incrementally
     maintained postings sidecar (streamed by cdc_fielded_index_ingest)
@@ -659,6 +662,7 @@ def test_fielded_graph_leg_scope_semijoin(spark, sf_dir):
     assert 17 not in rows or "graph" not in rows[17]
 
 
+@pytest.mark.slow  # r15 slow tier: >=11 s plan probe (claims re-proven in the slow sweep)
 def test_batch_knn_ivf_no_cartesian(spark, sf_dir):
     """batch_knn_ivf's candidate generation must be an EQUI-join on
     the cell label — a CartesianProduct between the query frame and
@@ -681,6 +685,7 @@ def test_batch_knn_ivf_no_cartesian(spark, sf_dir):
     assert len(rows) == 20 and len({r.query_id for r in rows}) == 4
 
 
+@pytest.mark.slow  # r15 slow tier: >=11 s plan probe (claims re-proven in the slow sweep)
 def test_find_hybrid_as_of_seq_predicate_per_leg(spark, sf_dir):
     """`find_hybrid_as_of`: every leg (text / vector / relation) must
     resolve its corpus from the PHYSICAL serving substrate at the
@@ -712,6 +717,7 @@ def test_find_hybrid_as_of_seq_predicate_per_leg(spark, sf_dir):
     assert n_asof <= n_live + 8, (n_asof, n_live)
 
 
+@pytest.mark.slow  # r15 slow tier: >=11 s plan probe (claims re-proven in the slow sweep)
 def test_cdc_suggest_served_no_per_request_tokenize(spark, sf_dir):
     """`cdc_suggest_served` must run the prefix+fuzzy match on the
     MAINTAINED vocabulary and score on the maintained postings — no
@@ -742,6 +748,7 @@ def test_maxsim_ivf_no_cartesian(spark, sf_dir):
     assert df.count() > 0
 
 
+@pytest.mark.slow  # r15 slow tier: >=11 s plan probe (claims re-proven in the slow sweep)
 def test_find_hybrid_fielded_as_of_scope_and_seq(spark, sf_dir):
     """The scoped snapshot flagship: EVERY resolution (fielded scope
     + per-family text postings + vector log + relation log) must read

@@ -40,6 +40,7 @@ def con():
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(ASCII, min_size=1, max_size=25))
+@pytest.mark.slow  # r15 slow tier: >=10 s property sweep
 def test_tokenizer_three_way(spark, con, texts):
     py = [T.tokenize_py(s) for s in texts]
     sp = _spark_eval(spark, texts, T.tokenize)
@@ -52,6 +53,7 @@ def test_tokenizer_three_way(spark, con, texts):
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(ASCII.filter(bool), min_size=1, max_size=25))
+@pytest.mark.slow  # r15 slow tier: >=10 s property sweep
 def test_md5_int60_three_way(spark, con, texts):
     py = [int(hashlib.md5(("x:" + s).encode()).hexdigest()[:15], 16) for s in texts]
     sp = _spark_eval(spark, texts, lambda c: T.md5_int60(__import__("pyspark.sql.functions", fromlist=["x"]).col(c), salt="x:"))
@@ -69,6 +71,7 @@ def test_md5_int60_three_way(spark, con, texts):
 
 @settings(max_examples=15, deadline=None)
 @given(st.lists(ASCII, min_size=1, max_size=15))
+@pytest.mark.slow  # r15 slow tier: >=10 s property sweep
 def test_fingerprint_order_insensitive(spark, texts):
     """token_set_fingerprint is a bag-of-distinct-words canonical
     form: permuting and duplicating words must not change it."""
@@ -137,6 +140,7 @@ def test_asof_join_matches_bruteforce(spark, events):
         max_size=25,
     ).filter(lambda ps: any(a != b for a, b in ps))
 )
+@pytest.mark.slow  # r15 slow tier: >=10 s property sweep
 def test_connected_components_matches_union_find(spark, pairs):
     from pyspark.sql import Row
 
@@ -181,6 +185,7 @@ def test_connected_components_matches_union_find(spark, pairs):
     ),
     st.integers(1, 60),
 )
+@pytest.mark.slow  # r15 slow tier: >=10 s property sweep
 def test_token_budget_prefix_property(spark, docs, budget):
     """The selection is the maximal per-source PREFIX whose running
     token total fits the budget: kept ids are contiguous from the
@@ -213,6 +218,7 @@ def test_token_budget_prefix_property(spark, docs, budget):
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+@pytest.mark.slow  # r15 slow tier: >=10 s property sweep
 def test_split_assign_partition_property(spark, ids):
     """Every doc lands in exactly one split, and the assignment is a
     pure function of the id (stable under re-partitioning/order)."""
@@ -230,6 +236,7 @@ def test_split_assign_partition_property(spark, ids):
 
 @settings(max_examples=8, deadline=None)
 @given(st.integers(0, 2**31), st.integers(17, 40))
+@pytest.mark.slow  # r15 slow tier: 116 s measured
 def test_pq_and_rabitq_self_match_property(spark, seed, n):
     """On ANY vector set (with non-degenerate norms), the PQ-ADC and
     1-bit first passes must both surface the query's own vector as
